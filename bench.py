@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Query set: the scan/agg, join-heavy, window, dedup-at-scale and
+similarity paths — the shapes whose plans matter at 100 TB. Each timing
+includes full execution to collect() (driver-side row counts are tiny).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stream_processing_platform_spark.registry import queries  # noqa: E402
+from stream_processing_platform_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",       # scan-heavy grouped aggregation
+    "q03_shipping_priority",     # 3-way join + top-k
+    "q05_local_supplier_volume", # 6-way star join
+    "q_agg_running",             # per-key aggregate (AggregateOperator)
+    "q_window_tumbling",         # event-time tumbling window
+    "q_window_session",          # sessionization (gaps-and-islands)
+    "q_join_interval",           # interval equi-join (JoinOperator)
+    "q_flatmap_wordcount",       # flatMap + shuffle-heavy groupBy
+    "q_dedup_exact",             # keyed dedup
+    "q_minhash_lsh_pairs",       # MinHash-LSH near-dup (LLM pipeline)
+    "q_simhash_pairs",           # SimHash near-dup
+    "q_cosine_topk",             # embedding similarity search
+    "q_text_quality",            # text scoring battery
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="spp-spark-bench")
+    qs = queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        df.count()  # warm plan cache + file listing out of the timing? No:
+        # time the full cold run below; the count above is a warm-up pass
+        # so JIT/codegen costs don't dominate a single measurement.
+        t0 = time.time()
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+All of these are pure Column expressions (whole-stage codegen, no Python
+in the hot path): tokenization, shingling, language-ID heuristic, quality
+scoring, fingerprinting. Designed so the identical computation is
+expressible in ANSI SQL for the duckdb oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), WS), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (each shingle a space-joined string).
+
+    The standard MinHash document representation. Pure higher-order
+    functions: transform over token offsets, then array_distinct.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    # Documents shorter than n tokens yield their whole text as one shingle.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# Marker stopwords per language for the n-gram/lexicon language-ID
+# heuristic. Counting occurrences of ` <marker> ` in the padded text is
+# exactly expressible in both engines as len(split(text, marker)) - 1.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def _marker_hits(text_padded: Column, markers: tuple[str, ...]) -> Column:
+    hit = F.lit(0)
+    for m in markers:
+        hit = hit + F.size(F.split(text_padded, f" {m} ")) - 1
+    return hit
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language guess: argmax of marker-word hit counts, 'und'
+    (undetermined) when nothing matches. Deterministic tie-break by
+    language-code order en < de < fr < es (strictly-greater comparison)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {lang: _marker_hits(padded, ms) for lang, ms in LANG_MARKERS.items()}
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in ("en", "de", "fr", "es"):
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]:
+
+    0.4 * length_score (saturating at 200 tokens)
+    + 0.3 * lexical diversity (distinct/total tokens)
+    + 0.3 * stopword presence (saturating at ratio 0.1)
+
+    A cheap, fully-columnar stand-in for model-based quality filters used
+    in pretraining pipelines.
+    """
+    n = token_count(text).cast("double")
+    diversity = F.when(n > 0, distinct_token_count(text) / n).otherwise(F.lit(0.0))
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) / F.lit(0.1), F.lit(1.0))
+    return F.round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(text), WS, " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text
+    (content-defined identity for exact dedup across formatting noise)."""
+    return F.md5(normalize_text(text))

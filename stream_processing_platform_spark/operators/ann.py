@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns — brute-force and IVF.
+
+Brute-force cosine top-k is the exactness baseline (and the oracle-checked
+query); IVF (inverted-file) is the 100 TB path: partition the corpus into
+cells around centroids, probe only the nearest cells per query. Cell
+assignment is a broadcast join against the (small) centroid set, so the
+corpus is never shuffled all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions.similarity import as_double_array, cosine
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_alias), as_double_array(F.col(vec_col)).alias(vec_alias)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k nearest corpus
+    vectors (excluding itself). Deterministic: ties broken by corpus id.
+
+    Output: query_id, neighbor_id, cos, rank.
+    Plan shape: broadcast(queries) × corpus → per-query top-k. The corpus
+    side streams; only q×k rows survive the window filter.
+    """
+    q = _prep(queries, id_col, vec_col, "query_id", "_qv")
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_cv")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF cells.
+
+    Centroids are a deterministic sample of the corpus (every
+    ``n/num_cells``-th id) — at production scale you'd k-means them, but
+    the partition/probe plumbing (the part that matters for Spark scale)
+    is identical. Each corpus vector lands in one cell (broadcast join vs
+    centroids); each query probes its ``nprobe`` nearest cells and ranks
+    only those cells' members. Shuffle is bounded by cell id, never
+    all-pairs.
+
+    Output: query_id, neighbor_id, cos, rank (approximate; recall
+    measured against brute_force_topk in tests).
+    """
+    c = _prep(corpus, id_col, vec_col, "cid", "_cv")
+    n = corpus.count()
+    stride = max(n // num_cells, 1)
+    centroids = c.where((F.col("cid") % stride == 0) & (F.col("cid") / stride < num_cells)).select(
+        (F.col("cid") / stride).cast("int").alias("cell"), F.col("_cv").alias("_centroid")
+    )
+
+    # Assign every corpus vector to its nearest centroid (broadcast join).
+    assign_w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col("_cv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .where(F.col("_rn") == 1)
+        .select("cell", F.col("cid").alias("neighbor_id"), F.col("_cv"))
+    )
+
+    # Each query probes its nprobe nearest cells.
+    q = _prep(queries, id_col, vec_col, "query_id", "_qv")
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "cell")
+    )
+
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        probes.join(assigned, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

