@@ -1,0 +1,91 @@
+"""Sinks (SURVEY.md §2.2).
+
+Reference → Spark mapping:
+- `KafkaSinkOperator` (sinks.py:19-104; acks=all, ordered, flush-on-
+  checkpoint) → ``writeStream.format("kafka")`` + checkpointLocation;
+  the commit protocol subsumes the manual flush/ordering machinery.
+- `PrintSinkOperator` → console sink.
+- `CollectionSinkOperator` → memory sink (query results readable via
+  ``spark.table(name)``).
+Batch writers land parquet partitioned by a key when given — at 100 TB
+the partition column choice is the dominant read-side optimization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+
+def memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append", trigger_once: bool = False
+) -> StreamingQuery:
+    """CollectionSinkOperator twin: results accumulate in an in-memory
+    table named ``name``."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def console_sink(df: DataFrame, output_mode: str = "append") -> StreamingQuery:
+    """PrintSinkOperator twin."""
+    return df.writeStream.format("console").outputMode(output_mode).start()
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w.start()
+
+
+def kafka_sink(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Exactly-once Kafka producer path; ``df`` needs ``key``/``value``
+    (binary or string) columns — use ``to_json(struct(...))`` for JSON
+    payloads (the reference's json.dumps sink, gui/app_gcp.py:274)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def foreach_batch_sink(df: DataFrame, fn, checkpoint_dir: str | None = None) -> StreamingQuery:
+    """Escape hatch for arbitrary per-micro-batch logic
+    (fn(batch_df, batch_id)) — e.g. idempotent upserts to external
+    stores."""
+    w: DataStreamWriter = df.writeStream.foreachBatch(fn)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def json_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Pack all columns into a JSON ``value`` (+ optional ``key``) for
+    kafka_sink — to_json(struct(*)) replaces the reference's json.dumps."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)

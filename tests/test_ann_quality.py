@@ -1,0 +1,43 @@
+"""Quality checks for the approximate operators (the ones the duckdb
+oracle can't express): IVF recall vs brute force, SimHash recall vs the
+exact-Jaccard planted pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators.ann import brute_force_topk, ivf_topk
+from stream_processing_platform_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+from stream_processing_platform_spark.tables import load_table
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, num_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe=4/16 cells on random-ish vectors: recall well above chance;
+    # the bound is loose on purpose — this guards plumbing regressions
+    # (empty cells, wrong ranking), not ANN tuning.
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    sim = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=10, bands=8).collect()
+    }
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.6, f"SimHash recall {recall:.2f} vs exact pairs too low"

@@ -1,0 +1,202 @@
+"""Streaming-semantics tests (SURVEY.md §5 plan): deterministic file-
+source micro-batches (maxFilesPerTrigger=1 so the watermark advances
+between batches), memory sinks, explicit event-time control. Each test
+reproduces one reference streaming operator's semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from stream_processing_platform_spark.sources.streaming import file_source
+from stream_processing_platform_spark.streaming import windows as W
+from stream_processing_platform_spark.streaming.dedup import dedup_stream
+from stream_processing_platform_spark.streaming.joins import stream_interval_join
+from stream_processing_platform_spark.streaming.keyed_process import (
+    dedup_process_function,
+    keyed_process,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def T(seconds: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=seconds)
+
+
+def stage(spark, tmp_path, batches):
+    """Write each batch as one parquet file; returns the source dir."""
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture
+def qname():
+    return "t" + uuid.uuid4().hex[:8]
+
+
+def test_tumbling_window_append_fires_at_watermark(spark, tmp_path, qname):
+    """WindowOperator reduce mode: window [0,10s) fires once the
+    watermark (max_ts - 5s) passes its end; flush record advances it."""
+    batches = [
+        [(1, "a", T(1), 10.0), (1, "b", T(3), 20.0), (2, "c", T(5), 5.0)],
+        [(1, "flush", T(60), 0.0)],
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    windowed = W.tumbling_agg(
+        stream, "ts", "10 seconds", ["user_id"], [F.sum("value").alias("total")]
+    )
+    run_to_memory(windowed, qname)
+    rows = {(r.user_id, r.total) for r in spark.table(qname).collect()}
+    assert (1, 30.0) in rows and (2, 5.0) in rows
+
+
+def test_running_agg_update_mode(spark, tmp_path, qname):
+    """AggregateOperator: per-key running aggregate in update mode — the
+    latest emission per key is the final state."""
+    batches = [
+        [(1, "a", T(1), 10.0), (2, "b", T(2), 1.0)],
+        [(1, "c", T(3), 5.0)],
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    agg = W.running_agg(stream, ["user_id"], [F.sum("value").alias("total"), F.count("*").alias("n")])
+    run_to_memory(agg, qname, mode="update")
+    latest = {}
+    for r in spark.table(qname).collect():
+        latest[r.user_id] = (r.total, r.n)  # update mode appends to memory sink; last write wins
+    assert latest[1] == (15.0, 2)
+    assert latest[2] == (1.0, 1)
+
+
+def test_session_window_streaming(spark, tmp_path, qname):
+    """SessionWindow(gap=10s): two events 5s apart merge; a 30s gap
+    starts a new session (the operator the reference documented but
+    never implemented)."""
+    batches = [
+        [(1, "a", T(0), 1.0), (1, "b", T(5), 1.0), (1, "c", T(40), 1.0)],
+        [(1, "flush", T(200), 0.0)],
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    sess = W.session_agg(stream, "ts", "10 seconds", ["user_id"], [F.count("*").alias("n")])
+    run_to_memory(sess, qname)
+    sessions = sorted((r.session_start, r.n) for r in spark.table(qname).collect() if r.n > 0)
+    # first session covers a+b (n=2), second covers c (n=1); flush session may also fire
+    assert (T(0), 2) in sessions
+    assert any(s == T(40) and n == 1 for s, n in sessions)
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path, qname):
+    """dropDuplicates with watermark: same event_id in later batch is
+    dropped (stateful_deduplication.py semantics, minus the lossy cap)."""
+    batches = [
+        [(1, "e1", T(1), 1.0), (1, "e2", T(2), 2.0)],
+        [(1, "e1", T(1), 1.0), (1, "e3", T(3), 3.0)],  # e1 duplicate
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    deduped = dedup_stream(stream, ["user_id", "event_id"], ts_col="ts")
+    run_to_memory(deduped, qname)
+    ids = sorted(r.event_id for r in spark.table(qname).collect())
+    assert ids == ["e1", "e2", "e3"]
+
+
+def test_stream_stream_interval_join(spark, tmp_path, qname):
+    """JoinOperator: clicks joined to purchases within [0, 30s] after the
+    click; pair outside bound excluded; once per pair."""
+    clicks = [
+        [(1, "c1", T(0), 0.0), (2, "c2", T(0), 0.0)],
+        [(1, "flush_c", T(500), 0.0)],
+    ]
+    purchases = [
+        [(1, "p1", T(10), 9.0), (2, "p2", T(100), 9.0)],  # p2 outside 30s bound
+        [(2, "flush_p", T(500), 0.0)],
+    ]
+    csrc = stage(spark, tmp_path / "c", clicks)
+    psrc = stage(spark, tmp_path / "p", purchases)
+    cs = file_source(spark, str(csrc), EVENT_SCHEMA, max_files_per_trigger=1)
+    ps = file_source(spark, str(psrc), EVENT_SCHEMA, max_files_per_trigger=1)
+    joined = stream_interval_join(
+        cs,
+        ps,
+        "c",
+        "p",
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 seconds",
+        upper="30 seconds",
+        projection=[
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        ],
+    )
+    run_to_memory(joined, qname)
+    pairs = {(r.click_id, r.purchase_id) for r in spark.table(qname).collect()}
+    assert ("c1", "p1") in pairs
+    assert all(p != ("c2", "p2") for p in pairs)
+
+
+def test_keyed_process_dedup(spark, tmp_path, qname):
+    """KeyedProcessOperator shim: the reference's dedup process_func over
+    applyInPandasWithState — per-key seen-set state across micro-batches."""
+    batches = [
+        [(1, "e1", T(1), 1.0), (1, "e2", T(2), 2.0)],
+        [(1, "e1", T(1), 1.0), (2, "e1", T(3), 3.0)],  # dup for user 1; new key 2
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    out = keyed_process(
+        stream.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))).drop("ts"),
+        ["user_id"],
+        dedup_process_function(),
+        "user_id long, event_id string, ts_ms long, value double",
+        order_by="ts_ms",
+        output_mode="update",
+    )
+    run_to_memory(out, qname, mode="update")
+    got = sorted((r.user_id, r.event_id) for r in spark.table(qname).collect())
+    assert got == [(1, "e1"), (1, "e2"), (2, "e1")]
+
+
+def test_rate_source_builds(spark):
+    from stream_processing_platform_spark.sources.streaming import rate_source
+
+    df = rate_source(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
