@@ -14,6 +14,22 @@ from pyspark.sql import functions as F
 WS = r"\s+"
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once and reference it many times inside ``body``.
+
+    Column expressions are trees: every Python-side reference to a Column
+    splices a full copy of its subtree into the plan, so an expression
+    used k times is *evaluated* k times per row (catastrophic when the
+    body is itself a per-element lambda — e.g. ``element_at(toks, i)``
+    inside a ``transform`` re-runs the whole tokenizer per element,
+    making shingling O(tokens²)). Wrapping the value in a 1-element array
+    and going through ``transform`` turns it into a higher-order-function
+    lambda variable, which Spark evaluates once and then reads by
+    reference. The ``element_at(..., 1)`` unwraps the result.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens, empties removed."""
     return F.filter(F.split(F.lower(text), WS), lambda t: t != "")
@@ -33,16 +49,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     The standard MinHash document representation. Pure higher-order
     functions: transform over token offsets, then array_distinct.
     """
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    # Documents shorter than n tokens yield their whole text as one shingle.
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    def body(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        # Documents shorter than n tokens yield their whole text as one shingle.
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    # let-bind: every element_at above would otherwise re-run the tokenizer.
+    return let(tokens(text), body)
 
 
 # Marker stopwords per language for the n-gram/lexicon language-ID
@@ -97,11 +118,17 @@ def quality_score(text: Column) -> Column:
     A cheap, fully-columnar stand-in for model-based quality filters used
     in pretraining pipelines.
     """
-    n = token_count(text).cast("double")
-    diversity = F.when(n > 0, distinct_token_count(text) / n).otherwise(F.lit(0.0))
-    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(text) / F.lit(0.1), F.lit(1.0))
-    return F.round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
+    def body(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+        length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+        sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        sw_ratio = F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
+        sw_score = F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
+        return F.round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
+
+    # let-bind: tokenize once instead of once per sub-score.
+    return let(tokens(text), body)
 
 
 def normalize_text(text: Column) -> Column:

@@ -16,7 +16,10 @@ from stream_processing_platform_spark.functions.similarity import as_double_arra
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
-    return df.select(
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    # Vector math is CPU-bound; widen single-file scans before it.
+    return ensure_min_parallelism(df).select(
         F.col(id_col).alias(id_alias), as_double_array(F.col(vec_col)).alias(vec_alias)
     )
 

@@ -41,6 +41,11 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Shingling is the CPU-heavy stage — make sure it runs on every core
+    # even when the input scan is a single unsplittable file.
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
 
 
@@ -170,19 +175,27 @@ def minhash_lsh_pairs(
 def simhash_bits(toks: Column, num_bits: int = 64) -> Column:
     """SimHash as a bit array: bit i is 1 when the sum over tokens of ±1
     (sign of xxhash64(token, seed=i)) is positive. Seeded hashes replace
-    bit extraction — pure arithmetic, fully JVM-side."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_bits - 1)),
-        lambda i: F.when(
-            F.aggregate(
-                toks,
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1),
-            )
-            > 0,
-            1,
-        ).otherwise(0),
-    )
+    bit extraction — pure arithmetic, fully JVM-side.
+
+    The token array is let-bound so the (possibly expensive) tokenizer
+    expression runs once per row, not once per bit."""
+    from stream_processing_platform_spark.functions.text import let
+
+    def body(bound: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_bits - 1)),
+            lambda i: F.when(
+                F.aggregate(
+                    bound,
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1),
+                )
+                > 0,
+                1,
+            ).otherwise(0),
+        )
+
+    return let(toks, body)
 
 
 def simhash_pairs(
@@ -199,7 +212,9 @@ def simhash_pairs(
     distance. Candidates only meet inside a (band, chunk) bucket — no
     all-pairs shuffle. Output: id_a, id_b, hamming."""
     from stream_processing_platform_spark.functions.text import tokens as tok_fn
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
+    df = ensure_min_parallelism(df)
     width = num_bits // bands
     fp = df.select(
         F.col(id_col).alias("_id"), simhash_bits(tok_fn(F.col(text_col)), num_bits).alias("_fp")
@@ -247,8 +262,11 @@ def embedding_near_dup_pairs(
     ``block_mod`` (or use the IVF path in operators/ann.py) to bound
     candidates. Output: id_a, id_b, cos (rounded 6dp)."""
     from stream_processing_platform_spark.functions.similarity import as_double_array, cosine
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
-    base = df.select(F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v"))
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    )
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
