@@ -40,6 +40,44 @@ BENCH_QUERIES = [
 ]
 
 
+def stream_windowed_agg(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end Structured Streaming run over the events table: file
+    source → watermark → 1 h tumbling window per event_type → memory sink,
+    availableNow trigger. This is the reference's headline scenario
+    (Kafka→KeyBy→Window→Agg→Kafka, target 5K–30K rec/s; reported 45K) —
+    returns (elapsed_sec, input_rows) so the JSON can carry rec/s."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from stream_processing_platform_spark.sources.streaming import file_source
+    from stream_processing_platform_spark.streaming.windows import tumbling_agg
+
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    n_rows = static.count()
+    # The file stream source wants a directory; stage the table into one.
+    stage_dir = tempfile.mkdtemp(prefix="spp_bench_stream_src_")
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stream = file_source(spark, stage_dir, static.schema)
+    if isinstance(static.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_agg(stream, "ts", "1 hour", ["event_type"], [F.count("*").alias("n")])
+    ckpt = tempfile.mkdtemp(prefix="spp_bench_ckpt_")
+    t0 = time.time()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bench_stream_windowed_agg")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -56,6 +94,9 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.time() - t0, 3)
 
+    stream_sec, stream_rows = stream_windowed_agg(spark, sf_dir)
+    timings["stream_windowed_agg"] = round(stream_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -65,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "stream_rows_per_sec": int(stream_rows / stream_sec),
             }
         )
     )
