@@ -104,3 +104,36 @@ def as_of_join(
         .drop("_rn", "_l_id")
         .withColumnRenamed("_r_ts", right_ts_ms)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated shuffle join: split every join key into
+    ``salt_buckets`` sub-keys.
+
+    The big (skewed) side gets a deterministic per-row salt — a hash over
+    all of its columns, so the hot key's rows spread across buckets — and
+    the small side is replicated once per bucket. Joining on
+    ``on + [salt]`` makes the hottest partition 1/salt_buckets the size,
+    at the cost of shuffling the small side salt_buckets times. Result is
+    row-identical to the plain join (salting only changes distribution),
+    which is exactly what lets the duckdb oracle check it with plain SQL.
+
+    AQE's skew-join split (enabled in session.py) is the first line of
+    defense; explicit salting is for the cases AQE can't fix — e.g. a
+    single key too hot for any partition-level split, or a non-AQE
+    engine boundary. Reference has no answer to skew at all (its SHUFFLE
+    edge is a plain hash, jobmanager/job_graph.py:11-17).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_s.join(small_s, [*on, "_salt"], how)
+    return out.drop("_salt")

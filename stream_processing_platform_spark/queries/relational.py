@@ -812,3 +812,51 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(run), 2).alias("run_sum"),
         F.round(F.lag("value").over(w), 2).alias("prev_value"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT)        AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    description="Skew-mitigated salted shuffle join (operators/joins.py "
+    "salted_join): row-identical to the plain join — salting only changes "
+    "the shuffle distribution, so plain SQL is the oracle.",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, ["l_orderkey"], salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — checked in
+    # tests/test_oracle_parity-adjacent pytest against the exact count
+    # with a 5% relative-error bound instead of a hash match.
+    description="approx_count_distinct (HyperLogLog++) per event_type — "
+    "the sketch-aggregate scale path for COUNT(DISTINCT) at 100 TB "
+    "(fixed-size state, single shuffle, mergeable partials).",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

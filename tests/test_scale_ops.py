@@ -1,0 +1,39 @@
+"""Scale-pattern operators: salted join row-identity and sketch-aggregate
+error bounds (these back the oracle-less registry entries)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from stream_processing_platform_spark.registry import queries
+from stream_processing_platform_spark.tables import load_table
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in queries()["q_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_salted_join_row_identical_to_plain_join(spark, sf_dir):
+    from stream_processing_platform_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = salted_join(li, o, ["l_orderkey"], salt_buckets=4)
+    plain = li.join(o, "l_orderkey")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
