@@ -47,7 +47,24 @@ def interval_join(
         right[right_ts_ms] <= left[left_ts_ms] + upper_ms
     )
     cond = rng if cond is None else cond & rng
-    return left.join(right, cond, how)
+    out = left.join(right, cond, how)
+    # Using-join ergonomics: each equi-key appears once in the result
+    # (keep the side that is never null for the join type).
+    if how in ("inner", "left", "left_outer", "cross"):
+        for k in on:
+            out = out.drop(right[k])
+    elif how in ("right", "right_outer"):
+        for k in on:
+            out = out.drop(left[k])
+    else:  # full outer: neither side is total — coalesce
+        for k in on:
+            out = (
+                out.withColumn(f"__k_{k}", F.coalesce(left[k], right[k]))
+                .drop(left[k])
+                .drop(right[k])
+                .withColumnRenamed(f"__k_{k}", k)
+            )
+    return out
 
 
 def broadcast_join(
