@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_join_interval",           # interval equi-join (JoinOperator)
     "q_flatmap_wordcount",       # flatMap + shuffle-heavy groupBy
     "q_dedup_exact",             # keyed dedup
+    "q_percentiles",             # order-statistics aggregation
     "q_minhash_lsh_pairs",       # MinHash-LSH near-dup (LLM pipeline)
     "q_simhash_pairs",           # SimHash near-dup
     "q_cosine_topk",             # embedding similarity search

@@ -795,8 +795,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ts ASC, event_id ASC
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS run_sum,
-           round(lag(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts ASC, event_id ASC), 2) AS prev_value
+           round(coalesce(lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC), -1), 2) AS prev_value
     FROM events
     """,
     description="Analytic window functions: per-user running sum + lag "
@@ -810,7 +810,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(F.sum("value").over(run), 2).alias("run_sum"),
-        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1)), 2).alias("prev_value"),
     )
 
 
@@ -859,4 +859,62 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Exact interpolated percentiles (Spark percentile == "
+    "duckdb quantile_cont) — the order-statistics aggregate family.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    # Exact percentiles sort each group once in the final aggregate — the
+    # map-side partials parallelize, so widen a narrow scan. At 100 TB
+    # the scale answer is approx_percentile (t-digest sketch); exact is
+    # kept here because it is the oracle-checkable form.
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_window_navigation",
+    oracle="""
+    SELECT s_suppkey, n_name,
+           round(first_value(s_acctbal) OVER w, 2) AS top_bal,
+           round(coalesce(lead(s_acctbal) OVER w, -1), 2) AS next_bal,
+           CAST(ntile(4) OVER w AS INTEGER)        AS quartile
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    description="Navigation window functions (first_value/lead/ntile) — "
+    "SURVEY §2.10 analytic family beyond ranking.",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey",
+        "n_name",
+        F.round(F.first("s_acctbal").over(w), 2).alias("top_bal"),
+        F.round(F.coalesce(F.lead("s_acctbal").over(w), F.lit(-1)), 2).alias("next_bal"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
     )
