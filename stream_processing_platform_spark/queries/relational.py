@@ -866,9 +866,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2)  AS median_price,
-           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
-           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+           round(quantile_cont(round(l_extendedprice * 100), 0.5) / 100, 2)  AS median_price,
+           round(quantile_cont(round(l_extendedprice * 100), 0.95) / 100, 2) AS p95_price,
+           round(quantile_cont(round(l_extendedprice * 100), 0.99) / 100, 2) AS p99_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -886,10 +886,15 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ensure_min_parallelism(
         load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     )
+    # Percentiles are computed over integer cents: interpolation between
+    # integer-valued doubles is exact, so both engines produce the SAME
+    # double before the final round — interpolating raw 2dp prices lands
+    # medians on .005 boundaries where cross-engine rounding diverges.
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99_price"),
+        F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias("median_price"),
+        F.round(F.percentile(cents, F.lit(0.95)) / 100, 2).alias("p95_price"),
+        F.round(F.percentile(cents, F.lit(0.99)) / 100, 2).alias("p99_price"),
         F.count("*").alias("n"),
     )
 

@@ -200,3 +200,26 @@ def test_rate_source_builds(spark):
     df = rate_source(spark, rows_per_second=10)
     assert df.isStreaming
     assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_sliding_window_streaming(spark, tmp_path, qname):
+    """SlidingWindow (stateful.py:59-85): a record at t=12s with a
+    10s/5s window belongs to [5,15) and [10,20) — both fire at
+    watermark; overlap factor = size/slide = 2."""
+    batches = [
+        [(1, "a", T(12), 7.0)],
+        [(1, "flush", T(90), 0.0)],
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    windowed = W.sliding_agg(
+        stream, "ts", "10 seconds", "5 seconds", ["user_id"],
+        [F.sum("value").alias("total")],
+    )
+    run_to_memory(windowed, qname)
+    fired = {
+        (r.window_start.second, r.window_end.second)
+        for r in spark.table(qname).collect()
+        if r.total == 7.0
+    }
+    assert fired == {(5, 15), (10, 20)}
