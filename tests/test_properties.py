@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): window-assignment invariants and
+dedup/salting identities hold for arbitrary inputs, not just fixtures.
+One Spark job per example is slow, so each property generates a whole
+row-batch per example and keeps max_examples small.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators import windows_batch as WB
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ts_lists = st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50)
+
+
+@given(ts=ts_lists, size_ix=st.integers(0, 2))
+@settings(**SETTINGS)
+def test_tumbling_assignment_invariants(spark, ts, size_ix):
+    """Every event lands in exactly one window, window covers the event,
+    start is aligned: start = (ts // size) * size (stateful.py:54)."""
+    size = [1000, 3600_000, 7_200_000][size_ix]
+    df = spark.createDataFrame([(t,) for t in ts], "ts_ms long")
+    rows = WB.assign_tumbling(df, "ts_ms", size).collect()
+    assert len(rows) == len(ts)  # exactly one window per event
+    for r in rows:
+        assert r.window_start % size == 0
+        assert r.window_start <= r.ts_ms < r.window_start + size
+
+
+@given(ts=ts_lists, n=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_sliding_assignment_invariants(spark, ts, n):
+    """Every event appears in exactly size/slide windows, each covering
+    it, starts aligned to slide (stateful.py:59-85)."""
+    slide = 1000
+    size = n * slide
+    df = spark.createDataFrame([(t,) for t in ts], "ts_ms long")
+    rows = WB.assign_sliding(df, "ts_ms", size, slide).collect()
+    per_event: dict[int, int] = {}
+    for r in rows:
+        assert r.window_start % slide == 0
+        assert r.window_start <= r.ts_ms < r.window_start + size
+        per_event[r.ts_ms] = per_event.get(r.ts_ms, 0) + 1
+    counts = {t: ts.count(t) * n for t in set(ts)}
+    assert per_event == counts
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6)), min_size=1, max_size=60
+    ),
+    gap=st.integers(1, 10**5),
+)
+@settings(**SETTINGS)
+def test_sessionize_gap_invariant(spark, rows, gap):
+    """Within a session, consecutive gaps <= gap_ms; across consecutive
+    sessions of the same key the gap is > gap_ms; session ids are dense
+    from 1 per key."""
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rows)], "k long, ts_ms long, eid long"
+    )
+    out = WB.sessionize(df, "ts_ms", ["k"], gap, "eid").collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.k, r.ts_ms, r.eid)):
+        by_key.setdefault(r.k, []).append(r)
+    for _, rs in by_key.items():
+        assert rs[0].session_id == 1
+        for a, b in zip(rs, rs[1:]):
+            if b.session_id == a.session_id:
+                assert b.ts_ms - a.ts_ms <= gap
+            else:
+                assert b.session_id == a.session_id + 1
+                assert b.ts_ms - a.ts_ms > gap
+
+
+@given(
+    big=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=40),
+    small=st.lists(st.tuples(st.integers(0, 5), st.text("ab", max_size=2)), max_size=10),
+)
+@settings(**SETTINGS)
+def test_salted_join_identity(spark, big, small):
+    """salted_join ≡ plain inner join on arbitrary (skewed or not) data."""
+    from stream_processing_platform_spark.operators.joins import salted_join
+
+    b = spark.createDataFrame(big or [(99, 0)], "k long, v long")
+    s = spark.createDataFrame(small or [(98, "x")], "k long, w string")
+    salted = salted_join(b, s, ["k"], salt_buckets=3)
+    plain = b.join(s, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
