@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         streaming_batch,
+        streaming_live,
         text,
     )
 
