@@ -77,3 +77,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     res = ann.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5, num_cells=16, nprobe=4)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "q_multimodal_features",
+    oracle=None,  # the mapInPandas feature vector has no SQL twin;
+    # determinism + plumbing are asserted in tests/test_multimodal.py
+    description="Multimodal column path end-to-end on the documents "
+    "table: text payload -> binary content column -> Arrow-batched "
+    "mapInPandas decode/feature stub (multimodal/codecs.py) -> "
+    "(content_hash, 64-dim feature, n_bytes). Rows-only oracle; the "
+    "decode stage is the stubbed fake decoder (deterministic sha256 "
+    "expansion), the Spark plumbing is the real 100 TB path.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.multimodal.codecs import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    binary = docs.withColumns(
+        {
+            "content_hash": F.sha2(F.col("content"), 256),
+            "content_size": F.length(F.col("content")).cast("long"),
+        }
+    )
+    feats = extract_features(binary, dim=64)
+    return feats.select(
+        "content_hash",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
