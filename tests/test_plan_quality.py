@@ -1,0 +1,47 @@
+"""Plan-quality gates: the scale properties SCALE.md documents are
+asserted here so a regression in pushdown / join strategy / pruning
+fails CI, not just the benchmark."""
+
+from __future__ import annotations
+
+from stream_processing_platform_spark.registry import queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = queries()["q01_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 11 lineitem columns read — projection reaches the scan
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_star_joins_broadcast_all_dims(spark, sf_dir):
+    qs = queries()
+    for name, n_bcast in [("q03_shipping_priority", 2), ("q05_local_supplier_volume", 5)]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n_bcast, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_exists_rewrites_to_semi_anti_join(spark, sf_dir):
+    plan = _optimized(queries()["q_sql_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_minhash_has_no_cartesian_product(spark, sf_dir):
+    """The near-dup scale invariant: candidates meet only inside LSH
+    buckets — never an all-pairs product."""
+    plan = _plan(queries()["q_minhash_lsh_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
