@@ -100,29 +100,28 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature_agg(shingled: DataFrame, num_perms: int) -> DataFrame:
-    """MinHash signatures via explode + grouped min.
+    """MinHash signatures as a NARROW operation — zero shuffle.
 
     Input: (_id, _sh array). Output: (_id, _sig array<long>[num_perms]).
 
-    Explodes shingles to rows, hashes each against ``num_perms`` seeds
-    (one array expression), then takes per-seed column minimums with a
-    hash-aggregate — partial aggregation runs map-side, so the shuffle
-    carries only num_perms longs per document. (A naive nested
-    transform(perms, p -> array_min(transform(shingles, ...))) expression
-    re-builds the shingle array once per permutation after projection
-    collapse — 100× slower.)
+    sig[p] = min over shingles of xxhash64(shingle, seed=p), computed
+    inside one projection over the let-bound shingle array. At 100 TB the
+    signature stage therefore adds no exchange — the only shuffles in
+    the LSH pipeline are the band-bucket join and the verify join.
+    (Without ``let`` the shingle array would be re-built once per
+    permutation — the expression-tree duplication trap; and the previous
+    explode + 128-column groupBy formulation paid a full shuffle plus an
+    interpreted 128-buffer hash aggregate.)
     """
-    hashed = shingled.select(
-        "_id",
-        F.explode("_sh").alias("_s"),
-    ).select(
-        "_id",
-        *[F.xxhash64("_s", F.lit(p)).alias(f"_h{p}") for p in range(num_perms)],
-    )
-    agg = hashed.groupBy("_id").agg(
-        *[F.min(f"_h{p}").alias(f"_h{p}") for p in range(num_perms)]
-    )
-    return agg.select("_id", F.array(*[f"_h{p}" for p in range(num_perms)]).alias("_sig"))
+    from stream_processing_platform_spark.functions.text import let
+
+    def perm(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    def body(sh: Column) -> Column:
+        return F.array(*[F.array_min(F.transform(sh, perm(p))) for p in range(num_perms)])
+
+    return shingled.select("_id", let(F.col("_sh"), body).alias("_sig"))
 
 
 def minhash_lsh_pairs(
