@@ -80,20 +80,33 @@ def ngram_jaccard_pairs(
     if block_col is not None:
         blk = df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"))
         sh = sh.join(blk, "_id")
-    a = sh.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sh").alias("_sa"),
-        *([F.col("_blk")] if block_col else []),
+    # Inverted-index join instead of an all-pairs product: candidates are
+    # pairs sharing >=1 shingle (a pair with Jaccard > 0 must), the shared
+    # count IS |A∩B| (shingle arrays are distinct), and |A∪B| follows
+    # from the set sizes. Work scales with sum(freq(s)^2) over shingles —
+    # the exact-similarity-join idiom — not with |docs|^2.
+    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"), *(["_blk"] if block_col else []))
+    join_keys = ["_s", *(["_blk"] if block_col else [])]
+    a = ex.select(F.col("_id").alias("id_a"), *join_keys)
+    b = ex.select(F.col("_id").alias("id_b"), *join_keys)
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
     )
-    b = sh.select(
-        F.col("_id").alias("id_b"),
-        F.col("_sh").alias("_sb"),
-        *([F.col("_blk")] if block_col else []),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    joined = a.join(b, ["_blk"]).where(cond) if block_col else a.crossJoin(b).where(cond)
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
     return (
-        joined.withColumn("jac", F.round(jaccard(F.col("_sa"), F.col("_sb")), 6))
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6
+            ),
+        )
         .where(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
