@@ -1044,3 +1044,32 @@ def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
         """
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(l_quantity), 2)     AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    description="Explicit GROUPING SETS (beyond cube/rollup): chosen "
+    "aggregation levels in one expand pass.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               CAST(count(*) AS BIGINT)      AS n,
+               round(sum(l_quantity), 2)     AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

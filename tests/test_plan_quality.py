@@ -45,3 +45,19 @@ def test_minhash_has_no_cartesian_product(spark, sf_dir):
     plan = _plan(queries()["q_minhash_lsh_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """At 100 TB tables are hive-partitioned (e.g. by date/type); a
+    predicate on the partition column must prune directories at planning
+    time — PartitionFilters in the scan, only matching files read."""
+    out = str(tmp_path / "events_part")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    part = spark.read.parquet(out)
+    one = part.where(part.event_type == "purchase").select("event_id")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    n_purchase = one.count()
+    n_all = ev.where(ev.event_type == "purchase").count()
+    assert n_purchase == n_all
