@@ -36,6 +36,9 @@ HOUR_MS = 3_600_000
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table: stage the single parquet file into a
     directory (file source wants one), normalize the nanos-as-long ts."""
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     static = spark.read.parquet(path)
     stage = tempfile.mkdtemp(prefix="spp_stream_src_")

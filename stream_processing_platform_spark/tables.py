@@ -34,10 +34,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Dimension tables small enough to broadcast at any realistic scale factor.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
+# Correctness-critical session confs, runtime-settable. The driver hands
+# us ITS SparkSession (entry/queries contract), which may not carry our
+# builder config: without nanosAsLong the events scan throws
+# PARQUET_TYPE_ILLEGAL, and a non-UTC session zone shifts every
+# NTZ→timestamp cast and thus every epoch-ms window against the oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build — builder config must cover it
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is INT64 TIMESTAMP(NANOS); with
