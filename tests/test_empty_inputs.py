@@ -1,0 +1,39 @@
+"""Empty-input robustness: every operator must return an empty result of
+the right schema (not throw) when its input has no rows — the situation
+every partition-pruned or heavily-filtered 100 TB pipeline stage hits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_near_dup_family_on_empty(spark, empty_docs):
+    from stream_processing_platform_spark.operators import dedup
+
+    assert dedup.minhash_lsh_pairs(empty_docs, "doc_id", "text", 0.8).count() == 0
+    assert dedup.simhash_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, "doc_id", "text", 0.5).count() == 0
+
+
+def test_dedup_and_sessionize_on_empty(spark, empty_docs):
+    from stream_processing_platform_spark.operators import windows_batch
+    from stream_processing_platform_spark.operators.dedup import dedup_keep_first
+
+    assert dedup_keep_first(empty_docs, ["doc_id"], [F.col("text").asc()]).count() == 0
+    e = spark.createDataFrame([], "k long, ts_ms long, eid long")
+    out = windows_batch.sessionize(e, "ts_ms", ["k"], 1000, "eid")
+    assert out.count() == 0 and "session_id" in out.columns
+
+
+def test_topk_on_empty_corpus(spark):
+    from stream_processing_platform_spark.operators.ann import brute_force_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+    assert brute_force_topk(empty, q, k=3).count() == 0
