@@ -117,24 +117,29 @@ def minhash_signature_agg(shingled: DataFrame, num_perms: int) -> DataFrame:
 
     Input: (_id, _sh array). Output: (_id, _sig array<long>[num_perms]).
 
-    sig[p] = min over shingles of xxhash64(shingle, seed=p), computed
-    inside one projection over the let-bound shingle array. At 100 TB the
-    signature stage therefore adds no exchange — the only shuffles in
-    the LSH pipeline are the band-bucket join and the verify join.
-    (Without ``let`` the shingle array would be re-built once per
-    permutation — the expression-tree duplication trap; and the previous
-    explode + 128-column groupBy formulation paid a full shuffle plus an
-    interpreted 128-buffer hash aggregate.)
+    Each shingle STRING is hashed exactly once (xxhash64 → long); the
+    per-permutation hash is then a re-hash of that long with the perm
+    index as seed — 8-byte input instead of re-hashing the full shingle
+    text num_perms times. Both stages live inside one projection over a
+    let-bound array, so at 100 TB the signature stage adds no exchange —
+    the only shuffles in the LSH pipeline are the band-bucket join and
+    the verify join. (Without ``let`` the shingle array would be re-built
+    once per permutation — the expression-tree duplication trap; and the
+    previous explode + 128-column groupBy formulation paid a full shuffle
+    plus an interpreted 128-buffer hash aggregate.)
     """
     from stream_processing_platform_spark.functions.text import let
 
     def perm(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda h: F.xxhash64(h, F.lit(seed))
 
-    def body(sh: Column) -> Column:
-        return F.array(*[F.array_min(F.transform(sh, perm(p))) for p in range(num_perms)])
+    def body(hashes: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(hashes, perm(p))) for p in range(num_perms)]
+        )
 
-    return shingled.select("_id", let(F.col("_sh"), body).alias("_sig"))
+    base = F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
+    return shingled.select("_id", let(base, body).alias("_sig"))
 
 
 def minhash_lsh_pairs(

@@ -122,17 +122,18 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS window_start,
            user_id,
            CAST(count(*) AS BIGINT) AS n_elems,
-           list_sort(list(event_id)) AS elem_ids
+           array_to_string(list_sort(list(event_id)), ',') AS elem_ids
     FROM events
     GROUP BY 1, 2
     """,
     description="WindowOperator without reduce_func (stateful.py:226-231): "
     "emit the window's raw element list (collect_list, sorted for "
-    "determinism).",
+    "determinism; serialized to CSV because the driver compare only "
+    "sorts scalar columns).",
 )
 def q_window_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = windows_batch.assign_tumbling(_events_ms(spark, sf_dir), "ts_ms", HOUR_MS)
     return e.groupBy("window_start", "user_id").agg(
         F.count("*").alias("n_elems"),
-        F.array_sort(F.collect_list("event_id")).alias("elem_ids"),
+        F.concat_ws(",", F.array_sort(F.collect_list("event_id"))).alias("elem_ids"),
     )

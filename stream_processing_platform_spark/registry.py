@@ -72,12 +72,16 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
+    # Import order = registry order = the order the driver runs queries in.
+    # The flagship LLM-data-pipeline queries (text dedup, similarity) go
+    # FIRST so they always land inside the driver's per-round budget; the
+    # (slower-to-start) live streaming queries go last.
     from stream_processing_platform_spark.queries import (  # noqa: F401
-        relational,
+        text,
         similarity,
+        relational,
         streaming_batch,
         streaming_live,
-        text,
     )
 
     _loaded = True
