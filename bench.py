@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q_percentiles",             # order-statistics aggregation
     "q_minhash_lsh_pairs",       # MinHash-LSH near-dup (LLM pipeline)
     "q_simhash_pairs",           # SimHash near-dup
+    "q_embedding_near_dup",      # hyperplane-LSH embedding near-dup
     "q_cosine_topk",             # embedding similarity search
     "q_text_quality",            # text scoring battery
 ]

@@ -65,22 +65,30 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells.
 
-    Centroids are a deterministic sample of the corpus (every
-    ``n/num_cells``-th id) — at production scale you'd k-means them, but
-    the partition/probe plumbing (the part that matters for Spark scale)
-    is identical. Each corpus vector lands in one cell (broadcast join vs
-    centroids); each query probes its ``nprobe`` nearest cells and ranks
-    only those cells' members. Shuffle is bounded by cell id, never
-    all-pairs.
+    Centroids are a deterministic hash sample of the corpus: the
+    ``num_cells`` rows with the smallest ``xxhash64(id)`` — id-agnostic
+    (works on sparse, non-contiguous, or non-integer ids), no driver-side
+    action (the sample is a distributed top-k, not a ``count()``), and
+    stable across runs. At production scale you'd k-means the centroids,
+    but the partition/probe plumbing (the part that matters for Spark
+    scale) is identical. Each corpus vector lands in one cell (broadcast
+    join vs centroids); each query probes its ``nprobe`` nearest cells
+    and ranks only those cells' members. Shuffle is bounded by cell id,
+    never all-pairs.
 
     Output: query_id, neighbor_id, cos, rank (approximate; recall
     measured against brute_force_topk in tests).
     """
     c = _prep(corpus, id_col, vec_col, "cid", "_cv")
-    n = corpus.count()
-    stride = max(n // num_cells, 1)
-    centroids = c.where((F.col("cid") % stride == 0) & (F.col("cid") / stride < num_cells)).select(
-        (F.col("cid") / stride).cast("int").alias("cell"), F.col("_cv").alias("_centroid")
+    # num_cells rows is tiny — the single-partition window after limit()
+    # touches only those rows, not the corpus.
+    cell_w = Window.orderBy("_h", "cid")
+    centroids = (
+        c.withColumn("_h", F.xxhash64(F.col("cid"), F.lit(0xC3)))
+        .orderBy("_h", "cid")
+        .limit(num_cells)
+        .withColumn("cell", (F.row_number().over(cell_w) - 1).cast("int"))
+        .select("cell", F.col("_cv").alias("_centroid"))
     )
 
     # Assign every corpus vector to its nearest centroid (broadcast join).

@@ -50,20 +50,60 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("rank", F.col("rank").cast("int"))
 
 
+# Near-dup needs near-dups: the synthetic embeddings are ~random (pair
+# cosine tops out at 0.52 — the tail of the background distribution, no
+# planted duplicates), so the near-dup query builds its own ground truth
+# by unioning each vector with a deterministically perturbed twin
+# (v*1.5 + 0.01 per element — cosine ≈ 0.9986 to the original, built
+# identically on both engines). That gives a real margin (0.9986 vs
+# ≤ 0.52) at threshold 0.95, which is the regime hyperplane LSH is for;
+# the duckdb oracle is the exact all-pairs brute force over the same
+# augmented corpus, so banding recall is verified, not assumed.
+_TWIN_OFFSET = 10_000_000
+_SQL_AUG = f"""
+    SELECT vec_id, v FROM ({_SQL_VECS}) e
+    UNION ALL
+    SELECT vec_id + {_TWIN_OFFSET}, list_transform(v, x -> x * 1.5 + 0.01)
+    FROM ({_SQL_VECS}) e
+"""
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("embedding")
+    )
+    twins = e.select(
+        (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5) + F.lit(0.01)).alias("embedding"),
+    )
+    return e.unionByName(twins)
+
+
 @query(
     "q_embedding_near_dup",
     oracle=f"""
-    WITH e AS ({_SQL_VECS})
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS}, 6) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round({_SQL_COS}, 6) >= 0.4
+    WITH aug AS ({_SQL_AUG})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v)
+                / (sqrt(list_inner_product(a.v, a.v))
+                   * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.95
     """,
-    description="Embedding-cosine near-duplicate pairs (cos ≥ 0.4), "
-    "exact all-pairs baseline (IVF bounds candidates at scale).",
+    description="Embedding-cosine near-duplicate pairs (cos ≥ 0.95) over "
+    "the twin-augmented corpus via random-hyperplane LSH banding + exact "
+    "cosine verify (operators/dedup.py:hyperplane_lsh_pairs) — no "
+    "all-pairs product; the duckdb oracle IS the brute force, so the "
+    "hash-match proves banding recall.",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return dedup.hyperplane_lsh_pairs(
+        _augmented(spark, sf_dir), "vec_id", "embedding", threshold=0.95
+    )
 
 
 @query(

@@ -28,6 +28,29 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_works_on_sparse_noncontiguous_ids(spark, sf_dir):
+    """Centroid selection must not assume dense 0..n ids: remap ids to a
+    sparse space (×1000 + 7) and demand the same recall bound. The old
+    stride-based centroid pick (every n/num_cells-th id) silently
+    degenerates to <num_cells cells here; the hash-sample pick must not."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec_id", F.col("vec_id") * 1000 + 7
+    )
+    q = emb.where(F.col("vec_id") < 20_007)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, num_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # Chance level at nprobe=4/16 cells is ~0.25; the old stride pick
+    # yields near-zero here. 0.4 guards the plumbing without pinning
+    # centroid luck on random-ish vectors.
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low on sparse ids"
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {

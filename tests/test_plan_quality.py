@@ -47,6 +47,15 @@ def test_minhash_has_no_cartesian_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_dup_has_no_cartesian_product(spark, sf_dir):
+    """The registered embedding near-dup path is hyperplane-LSH banded:
+    candidates meet only inside (band, chunk) buckets, then exact-cosine
+    verify — the crossJoin brute force exists only as the oracle."""
+    plan = _plan(queries()["q_embedding_near_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     """At 100 TB tables are hive-partitioned (e.g. by date/type); a
     predicate on the partition column must prune directories at planning
