@@ -33,7 +33,8 @@ BENCH_QUERIES = [
     "q_join_interval",           # interval equi-join (JoinOperator)
     "q_flatmap_wordcount",       # flatMap + shuffle-heavy groupBy
     "q_dedup_exact",             # keyed dedup
-    "q_percentiles",             # order-statistics aggregation
+    "q_percentiles",             # order-statistics aggregation (exact)
+    "q_approx_percentile",       # t-digest sketch quantiles (scale path)
     "q_minhash_lsh_pairs",       # MinHash-LSH near-dup (LLM pipeline)
     "q_simhash_pairs",           # SimHash near-dup
     "q_embedding_near_dup",      # hyperplane-LSH embedding near-dup

@@ -900,6 +900,32 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_percentile",
+    oracle=None,  # sketch quantiles differ across engines — bounded
+    # against the exact percentiles in tests/test_scale_ops.py
+    # (test_approx_percentile_within_error_bound) instead of a hash match.
+    description="approx_percentile (t-digest-style quantile sketch) per "
+    "return flag — the 100 TB order-statistics path: fixed-size mergeable "
+    "state and map-side partials instead of q_percentiles' exact "
+    "memory-unbounded per-group sort.",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
+    pct = F.approx_percentile(cents, F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1) / 100, 2).alias("median_price"),
+        F.round(F.element_at(pct, 2) / 100, 2).alias("p95_price"),
+        F.round(F.element_at(pct, 3) / 100, 2).alias("p99_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "q_window_navigation",
     oracle="""
     SELECT s_suppkey, n_name,

@@ -52,6 +52,18 @@ def parquet_sink(
     return w.start()
 
 
+def kafka_writer_options(topic: str, bootstrap_servers: str, checkpoint_dir: str) -> dict[str, str]:
+    """The writer options kafka_sink wires — one place, so the contract
+    test fails if an option is dropped. checkpointLocation carries the
+    commit protocol that subsumes the reference's manual acks=all /
+    flush-on-checkpoint ordering (its sinks.py producer machinery)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_sink(
     df: DataFrame,
     topic: str,
@@ -62,14 +74,10 @@ def kafka_sink(
     """Exactly-once Kafka producer path; ``df`` needs ``key``/``value``
     (binary or string) columns — use ``to_json(struct(...))`` for JSON
     payloads (the reference's json.dumps sink, gui/app_gcp.py:274)."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .start()
-    )
+    w = df.writeStream.format("kafka")
+    for k, v in kafka_writer_options(topic, bootstrap_servers, checkpoint_dir).items():
+        w = w.option(k, v)
+    return w.outputMode(output_mode).start()
 
 
 def foreach_batch_sink(df: DataFrame, fn, checkpoint_dir: str | None = None) -> StreamingQuery:

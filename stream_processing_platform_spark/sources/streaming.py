@@ -21,6 +21,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+# The fixed relation schema Spark's kafka source produces (Structured
+# Streaming + Kafka integration guide). Contract tests build static
+# DataFrames with this schema so the decode projection is exercised
+# without a broker or the connector jar.
+KAFKA_RELATION_DDL = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int, "
+    "headers array<struct<key:string,value:binary>>"
+)
+
+
+def kafka_reader_options(
+    topic: str, bootstrap_servers: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The reader options kafka_source wires — one place, so the contract
+    test fails if an option is dropped. `includeHeaders` keeps the
+    reference's StreamRecord.headers (taskmanager/operators/sources.py
+    manual-offset consumer exposes them); offsets/recovery live in the
+    checkpoint, so `startingOffsets` only applies to first start."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "includeHeaders": "true",
+    }
+
+
+def decode_kafka_records(df: DataFrame, value_schema: StructType) -> DataFrame:
+    """Kafka relation → typed columns: cast key, parse the JSON value
+    payload (the reference's json.loads map), keep event timestamp and
+    headers. Separated from the reader so it is unit-testable on a
+    static kafka-shaped DataFrame."""
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("timestamp"),
+        F.col("headers"),
+    ).select("key", "v.*", "timestamp", "headers")
+
 
 def kafka_source(
     spark: SparkSession,
@@ -33,21 +72,12 @@ def kafka_source(
     typed columns (the reference's json.loads map). Key/headers are kept —
     StreamRecord(key, value, timestamp, headers) maps onto the Kafka
     source's native columns (SURVEY §1.4)."""
-    df = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("includeHeaders", "true")
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(topic, bootstrap_servers, starting_offsets).items():
+        reader = reader.option(k, v)
+    df = reader.load()
     if value_schema is not None:
-        df = df.select(
-            F.col("key").cast("string").alias("key"),
-            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-            F.col("timestamp"),
-            F.col("headers"),
-        ).select("key", "v.*", "timestamp", "headers")
+        df = decode_kafka_records(df, value_schema)
     return df
 
 

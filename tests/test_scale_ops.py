@@ -26,6 +26,24 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
 
 
+def test_approx_percentile_within_error_bound(spark, sf_dir):
+    """The sketch quantiles must track the exact ones: with accuracy
+    10000 the rank error is ~n/10000 rows, which on these price
+    distributions keeps the value within a small relative band."""
+    approx = {
+        r["l_returnflag"]: (r["median_price"], r["p95_price"], r["p99_price"])
+        for r in queries()["q_approx_percentile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["median_price"], r["p95_price"], r["p99_price"])
+        for r in queries()["q_percentiles"](spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, ex in exact.items():
+        for a, e in zip(approx[k], ex):
+            assert abs(a - e) <= max(0.05, 0.02 * abs(e)), (k, approx[k], ex)
+
+
 def test_salted_join_row_identical_to_plain_join(spark, sf_dir):
     from stream_processing_platform_spark.operators.joins import salted_join
 
