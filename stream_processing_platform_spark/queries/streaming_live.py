@@ -33,9 +33,21 @@ from stream_processing_platform_spark.streaming import windows as W
 HOUR_MS = 3_600_000
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+FLUSH_USER = -1
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, flush_files: int = 0) -> DataFrame:
     """Stream the events table: stage the single parquet file into a
-    directory (file source wants one), normalize the nanos-as-long ts."""
+    directory (file source wants one), normalize the nanos-as-long ts.
+
+    ``flush_files`` > 0 stages that many extra single-row files carrying
+    a dummy user (FLUSH_USER) with timestamps far past the real data,
+    processed one file per micro-batch AFTER the real data. Append-mode
+    stateful operators only emit state the watermark has passed, and the
+    watermark observed by batch N is the max event time of batch N-1 —
+    so two flush batches push the watermark beyond every real session
+    and force full emission, deterministically, inside one availableNow
+    run. Callers filter FLUSH_USER back out."""
     from stream_processing_platform_spark.tables import ensure_session_confs
 
     ensure_session_confs(spark)
@@ -43,8 +55,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = spark.read.parquet(path)
     stage = tempfile.mkdtemp(prefix="spp_stream_src_")
     os.symlink(path, os.path.join(stage, "events.parquet"))
-    stream = file_source(spark, stage, static.schema)
-    if isinstance(static.schema["ts"].dataType, LongType):
+    is_long_ts = isinstance(static.schema["ts"].dataType, LongType)
+    if flush_files:
+        import glob
+        import shutil
+
+        mx = static.groupBy().agg(F.max("ts").alias("_mx"))
+        for i in range(flush_files):
+            # one row, FLUSH_USER, ts = max(real ts) + (i+1) days
+            day = (i + 1) * 86_400
+            if is_long_ts:
+                ts_expr = F.col("_mx") + F.lit(day * 1_000_000_000)  # nanos
+            else:
+                ts_expr = F.timestamp_micros(
+                    F.unix_micros(F.col("_mx").cast("timestamp")) + F.lit(day * 1_000_000)
+                ).cast(static.schema["ts"].dataType)
+            flush = mx.select(
+                F.lit(-9_000_000 - i).cast("long").alias("event_id"),
+                ts_expr.alias("ts"),
+                F.lit(FLUSH_USER).cast("long").alias("user_id"),
+                F.lit("flush").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            ).select(*static.columns)
+            tmp = tempfile.mkdtemp(prefix="spp_flush_")
+            flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stage, f"zz_flush_{i + 1}.parquet"))
+    stream = file_source(
+        spark, stage, static.schema, max_files_per_trigger=1 if flush_files else None
+    )
+    if is_long_ts:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
@@ -115,6 +156,110 @@ def q_stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
     )
     return _run_to_table(agg)
+
+
+@query(
+    "q_stream_window_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) >= 1800000
+                         OR lag(epoch_ms(ts))
+                            OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts_ms, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+           CAST(max(ts_ms) + 1800000 AS BIGINT) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    description="LIVE streaming run of SessionWindow (documented-only in "
+    "the reference, docs/api_reference.md:257-262): session_window() with "
+    "30 min gap per user, APPEND mode (sessions emit only when the "
+    "watermark finalizes them — two staged flush batches push the "
+    "watermark past every real session). Spark session semantics: window "
+    "is [first_ts, last_ts + gap); an event merges iff it lands strictly "
+    "inside, so a gap of exactly 30 min starts a NEW session — the "
+    "oracle's gaps-and-islands encodes the same >= boundary.",
+)
+def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = W.session_agg(
+        _events_stream(spark, sf_dir, flush_files=2),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    out = _run_to_table(agg, mode="append")
+    return out.where(F.col("user_id") != FLUSH_USER).select(
+        "user_id",
+        epoch_ms(F.col("session_start")).alias("session_start_ms"),
+        epoch_ms(F.col("session_end")).alias("session_end_ms"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q_stream_join_interval",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS delta_ms
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND a.event_type = 'click'
+     AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+     AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 1800000
+    """,
+    description="LIVE stream-stream run of JoinOperator (stateful.py:"
+    "345-465): two file streams (clicks, purchases) joined on user_id "
+    "with a [0, 30 min] time-range condition — per-key time-bounded "
+    "buffers pruned by watermark, matched pairs emitted once; equals the "
+    "batch twin q_join_interval.",
+)
+def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.joins import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        "c",
+        "p",
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        projection=[
+            F.col("click_id"),
+            F.col("purchase_id"),
+            F.col("c.user_id").alias("user_id"),
+            (epoch_ms(F.col("purchase_ts")) - epoch_ms(F.col("click_ts"))).alias("delta_ms"),
+        ],
+    )
+    return _run_to_table(joined, mode="append")
 
 
 @query(

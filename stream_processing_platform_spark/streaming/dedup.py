@@ -18,12 +18,19 @@ def dedup_stream(
 ) -> DataFrame:
     """Exactly-once-per-key stream: first occurrence wins.
 
-    With ``ts_col``, state is bounded by the watermark (dropDuplicates
-    with the event-time column included); without it state grows
-    unboundedly (only for tests/small keyspaces).
+    With ``ts_col``, dedup is still on the key ALONE — state is bounded
+    by routing to ``dropDuplicatesWithinWatermark(key_cols)``, which
+    drops any later record with a seen key while its state lives (the
+    reference's per-key seen-set semantics, minus the 10k-cap data
+    loss). Without ``ts_col`` state grows unboundedly (only for
+    tests/small keyspaces).
+
+    Note ``dropDuplicates([*keys, ts_col])`` would NOT implement this:
+    it dedups per (key, timestamp) pair, so the same key at different
+    timestamps passes through — a different operator.
     """
     if ts_col is not None:
-        return df.withWatermark(ts_col, watermark_delay).dropDuplicates([*key_cols, ts_col])
+        return dedup_stream_within_watermark(df, key_cols, ts_col, watermark_delay)
     return df.dropDuplicates(key_cols)
 
 
