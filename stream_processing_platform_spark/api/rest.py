@@ -1,0 +1,184 @@
+"""REST job-control server — the reference's jobmanager HTTP surface
+(`jobmanager/api.py:169-626`: submit/list/status/cancel/savepoint/
+recover/metrics) served over the real `spark.streams` state via
+stdlib ``http.server`` (no web framework in the container; the handlers
+are the plain dicts from ``api/job_control.py``, so porting to FastAPI
+is a route-decorator exercise).
+
+Semantics mapping:
+- POST /jobs/submit      — body ``{"pipeline": name, "options": {...}}``
+  starts a registered pipeline builder (the reference deserializes an
+  uploaded job-graph file, api.py:169-253; here a pipeline IS a Python
+  builder ``(spark, checkpoint_dir, **options) -> StreamingQuery``).
+- POST /jobs/{id}/cancel?with_savepoint=true — Spark's checkpoint is
+  always a consistent savepoint; the response returns its location
+  (reference api.py:281-311 pauses the job to cut an explicit one).
+- POST /jobs/{id}/savepoint — reports the checkpoint location + last
+  committed batch without stopping (reference api.py:355-381).
+- POST /jobs/{id}/recover — restarts the SAME pipeline on the SAME
+  checkpoint: exactly-once resume (reference api.py:446-515).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from stream_processing_platform_spark.api import job_control as jc
+
+PipelineBuilder = Callable[..., StreamingQuery]
+
+
+class JobServer:
+    """Route handlers + the submitted-job registry (job_id → pipeline,
+    checkpoint, options) that lets cancel/savepoint/recover reference a
+    job after its StreamingQuery object is gone."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.pipelines: dict[str, PipelineBuilder] = {}
+        self.jobs: dict[str, dict[str, Any]] = {}
+        self._lock = threading.Lock()
+
+    def register_pipeline(self, name: str, builder: PipelineBuilder) -> None:
+        self.pipelines[name] = builder
+
+    # -- route handlers (all return (status_code, payload)) --------------
+
+    def health(self) -> tuple[int, dict]:
+        return 200, {"status": "ok", "active_jobs": len(self.spark.streams.active)}
+
+    def submit(self, body: dict) -> tuple[int, dict]:
+        name = body.get("pipeline")
+        if name not in self.pipelines:
+            return 404, {"error": f"unknown pipeline {name!r}",
+                         "registered": sorted(self.pipelines)}
+        checkpoint = body.get("checkpoint_dir") or tempfile.mkdtemp(prefix="spp_rest_ckpt_")
+        options = body.get("options") or {}
+        try:
+            q = self.pipelines[name](self.spark, checkpoint, **options)
+        except Exception as e:  # surface builder errors as a 400, not a 500
+            return 400, {"error": str(e)}
+        with self._lock:
+            self.jobs[str(q.id)] = {
+                "pipeline": name, "checkpoint": checkpoint, "options": options,
+                "name": q.name, "run_id": str(q.runId),
+            }
+        return 200, {"job_id": str(q.id), "run_id": str(q.runId),
+                     "state": jc.JobState.CREATED.value, "checkpoint_dir": checkpoint}
+
+    def list_jobs(self) -> tuple[int, dict]:
+        return 200, {"jobs": jc.list_jobs(self.spark)}
+
+    def status(self, job_id: str) -> tuple[int, dict]:
+        return 200, jc.job_status(self.spark, job_id)
+
+    def metrics(self, job_id: str) -> tuple[int, dict]:
+        return 200, jc.job_metrics(self.spark, job_id)
+
+    def cancel(self, job_id: str, with_savepoint: bool) -> tuple[int, dict]:
+        out = jc.cancel_job(self.spark, job_id)
+        if with_savepoint:
+            meta = self.jobs.get(job_id)
+            out["savepoint"] = meta["checkpoint"] if meta else None
+        return 200, out
+
+    def savepoint(self, job_id: str) -> tuple[int, dict]:
+        meta = self.jobs.get(job_id)
+        if meta is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        m = jc.job_metrics(self.spark, job_id)
+        return 200, {"job_id": job_id, "savepoint": meta["checkpoint"],
+                     "batch_id": m.get("batch_id")}
+
+    def recover(self, job_id: str) -> tuple[int, dict]:
+        meta = self.jobs.get(job_id)
+        if meta is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        live = [str(q.id) for q in self.spark.streams.active]
+        if job_id in live:
+            return 409, {"error": f"job {job_id!r} still active — cancel first"}
+        try:
+            q = self.pipelines[meta["pipeline"]](self.spark, meta["checkpoint"], **meta["options"])
+        except Exception as e:  # e.g. a sink that cannot resume this checkpoint
+            return 400, {"error": str(e)}
+        with self._lock:
+            self.jobs[str(q.id)] = {**meta, "run_id": str(q.runId), "recovered_from": job_id}
+        return 200, {"job_id": str(q.id), "recovered_from": job_id,
+                     "checkpoint_dir": meta["checkpoint"], "run_id": str(q.runId)}
+
+    def cluster_metrics(self) -> tuple[int, dict]:
+        return 200, jc.cluster_metrics(self.spark)
+
+
+_ROUTES: list[tuple[str, re.Pattern, str]] = [
+    ("GET", re.compile(r"^/health$"), "health"),
+    ("GET", re.compile(r"^/jobs$"), "list_jobs"),
+    ("GET", re.compile(r"^/jobs/([^/]+)/status$"), "status"),
+    ("GET", re.compile(r"^/jobs/([^/]+)/metrics$"), "metrics"),
+    ("GET", re.compile(r"^/cluster/metrics$"), "cluster_metrics"),
+    ("POST", re.compile(r"^/jobs/submit$"), "submit"),
+    ("POST", re.compile(r"^/jobs/([^/]+)/cancel$"), "cancel"),
+    ("POST", re.compile(r"^/jobs/([^/]+)/savepoint$"), "savepoint"),
+    ("POST", re.compile(r"^/jobs/([^/]+)/recover$"), "recover"),
+]
+
+
+def _make_handler(server: JobServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _dispatch(self, method: str) -> None:
+            parsed = urlparse(self.path)
+            for m, pat, fn in _ROUTES:
+                match = pat.match(parsed.path)
+                if m == method and match:
+                    args = list(match.groups())
+                    try:
+                        if fn == "submit":
+                            n = int(self.headers.get("Content-Length") or 0)
+                            body = json.loads(self.rfile.read(n) or b"{}")
+                            code, payload = server.submit(body)
+                        elif fn == "cancel":
+                            qs = parse_qs(parsed.query)
+                            wsp = (qs.get("with_savepoint", ["false"])[0]).lower() == "true"
+                            code, payload = server.cancel(args[0], wsp)
+                        else:
+                            code, payload = getattr(server, fn)(*args)
+                    except Exception as e:  # never drop the connection
+                        code, payload = 500, {"error": str(e)}
+                    data = json.dumps(payload, default=str).encode()
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+            self.send_response(404)
+            self.end_headers()
+
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+    return Handler
+
+
+def serve(server: JobServer, port: int = 0) -> ThreadingHTTPServer:
+    """Start the HTTP server on localhost:``port`` (0 = ephemeral) in a
+    daemon thread; returns the ThreadingHTTPServer (``.server_address``
+    for the bound port, ``.shutdown()`` to stop)."""
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(server))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd

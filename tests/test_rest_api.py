@@ -1,0 +1,107 @@
+"""End-to-end REST facade test: submit → status → metrics → savepoint →
+cancel-with-savepoint → recover → cancel, all over real HTTP against the
+in-process server, with a real Structured Streaming job underneath
+(rate source → running count → memory sink). The reference serves the
+same verbs from jobmanager/api.py but with hard-coded metric mocks
+(api.py:340-352); here every number comes from StreamingQuery progress.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from stream_processing_platform_spark.api.rest import JobServer, serve
+
+
+def _call(port, method, path, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def _rate_parquet_pipeline(spark, checkpoint_dir, path, rows_per_second=200):
+    """Rate source → parquet sink: the file sink commits through the
+    checkpoint, so cancel + recover resumes exactly-once (a memory sink
+    cannot recover a checkpoint — Spark refuses)."""
+    from stream_processing_platform_spark.sinks import parquet_sink
+    from stream_processing_platform_spark.sources.streaming import rate_source
+
+    df = rate_source(spark, rows_per_second)
+    return parquet_sink(df, path, checkpoint_dir)
+
+
+@pytest.fixture(scope="module")
+def rest(spark):
+    server = JobServer(spark)
+    server.register_pipeline("rate_parquet", _rate_parquet_pipeline)
+    httpd = serve(server)
+    yield httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _wait(predicate, timeout=30.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if predicate():
+            return True
+        time.sleep(0.25)
+    return False
+
+
+def test_rest_job_lifecycle(spark, rest, tmp_path):
+    port = rest
+    code, health = _call(port, "GET", "/health")
+    assert code == 200 and health["status"] == "ok"
+
+    code, out = _call(
+        port, "POST", "/jobs/submit",
+        {"pipeline": "rate_parquet", "options": {"path": str(tmp_path / "out")}},
+    )
+    assert code == 200, out
+    job_id, ckpt = out["job_id"], out["checkpoint_dir"]
+
+    assert any(j["job_id"] == job_id for j in _call(port, "GET", "/jobs")[1]["jobs"])
+
+    # metrics become real once a batch commits
+    assert _wait(lambda: _call(port, "GET", f"/jobs/{job_id}/metrics")[1].get("batch_id")
+                 is not None)
+    code, m = _call(port, "GET", f"/jobs/{job_id}/metrics")
+    assert m["job_id"] == job_id and m["num_input_rows"] >= 0
+
+    code, st = _call(port, "GET", f"/jobs/{job_id}/status")
+    assert st["state"] == "RUNNING" and st["active"]
+
+    code, sp = _call(port, "POST", f"/jobs/{job_id}/savepoint")
+    assert code == 200 and sp["savepoint"] == ckpt
+
+    # recover refuses while the job is live
+    code, _ = _call(port, "POST", f"/jobs/{job_id}/recover")
+    assert code == 409
+
+    code, c = _call(port, "POST", f"/jobs/{job_id}/cancel?with_savepoint=true")
+    assert code == 200 and c["found"] and c["savepoint"] == ckpt
+    assert _wait(lambda: not _call(port, "GET", f"/jobs/{job_id}/status")[1]["active"])
+
+    # recover resumes on the SAME checkpoint (exactly-once restart)
+    code, r = _call(port, "POST", f"/jobs/{job_id}/recover")
+    assert code == 200 and r["checkpoint_dir"] == ckpt and r["recovered_from"] == job_id
+    new_id = r["job_id"]
+    assert _wait(lambda: _call(port, "GET", f"/jobs/{new_id}/status")[1]["active"])
+    _call(port, "POST", f"/jobs/{new_id}/cancel")
+
+
+def test_rest_submit_unknown_pipeline_404(spark, rest):
+    code, out = _call(rest, "POST", "/jobs/submit", {"pipeline": "nope"})
+    assert code == 404 and "registered" in out
