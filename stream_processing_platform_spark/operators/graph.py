@@ -1,0 +1,91 @@
+"""Connected components — dedup clustering over near-dup pair edges.
+
+Near-dup detection emits PAIRS (operators/dedup.py); a dedup pipeline
+needs GROUPS with one keeper per group, i.e. the connected components of
+the pair graph. This is the standard iterative min-label propagation
+(what GraphX/GraphFrames run): every vertex starts labeled with its own
+id, each round takes the min of its own and its neighbors' labels, until
+fixpoint. Rounds needed = graph diameter; dup clusters are near-cliques,
+so 2-3 rounds in practice.
+
+Scale notes (the parts that matter at 100 TB):
+- Each round is one shuffle (join edges→labels + groupBy min) — the same
+  shape GraphFrames uses; no driver-side adjacency.
+- ``localCheckpoint`` per round truncates lineage — without it the plan
+  doubles every iteration and analysis time explodes exponentially.
+- Convergence check is a ``count`` of changed labels per round: one tiny
+  job on an already-materialized frame, the standard iterate-until-fixed
+  idiom for Spark graph algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex with the smallest vertex id reachable from it.
+
+    ``vertices``: one row per vertex (isolated vertices keep their own
+    label — clusters of size 1 stay visible). ``edges``: undirected pair
+    list. Output: (id, component) with component = min id in the
+    component. Deterministic.
+    """
+    sym = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = sym.union(sym.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = vertices.select(
+        F.col(id_col).alias("_v"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["_s"] == labels["_v"])
+            .select(F.col("_d").alias("_v"), "component")
+            .groupBy("_v")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "_v", "left")
+            .select("_v", F.least("component", F.coalesce("_nbr", "component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_v")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("_v").alias(id_col), "component")
+
+
+def dedup_clusters(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → dedup groups: component id (= keeper id, the
+    smallest member) and component size per document. Output:
+    (id_col, cluster_id, cluster_size)."""
+    cc = connected_components(vertices, pairs, id_col=id_col, src_col=src_col, dst_col=dst_col)
+    w = Window.partitionBy("component")
+    return cc.select(
+        id_col,
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )

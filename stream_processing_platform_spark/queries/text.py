@@ -221,6 +221,44 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sym AS (
+        SELECT id_a AS s, id_b AS d FROM ({_SQL_JACCARD_PAIRS}) WHERE jac >= 0.8
+        UNION
+        SELECT id_b AS s, id_a AS d FROM ({_SQL_JACCARD_PAIRS}) WHERE jac >= 0.8
+    ),
+    reach(v, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+    ),
+    cc AS (
+        SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY v
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc
+    """,
+    description="Dedup CLUSTERING: near-dup pairs (MinHash-LSH, exact-"
+    "Jaccard-verified at 0.8) → connected components via iterative "
+    "min-label propagation (operators/graph.py) → one keeper (min doc_id) "
+    "per duplicate group, singletons kept. The duckdb oracle computes the "
+    "same components with a recursive CTE, so the distributed iteration "
+    "is hash-checked end to end.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.8, n=3, num_perms=64, bands=16
+    )
+    return dedup_clusters(d.select("doc_id"), pairs)
+
+
+@query(
     "q_simhash_pairs",
     oracle=None,  # simhash bit-vote arithmetic has no faithful SQL twin
     description="SimHash(64-bit) near-dup candidates: banded fingerprint "
