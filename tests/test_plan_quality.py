@@ -56,6 +56,18 @@ def test_embedding_near_dup_has_no_cartesian_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_round2_join_shapes(spark, sf_dir):
+    """Q9: all three dims broadcast around the fact. Q18: the HAVING-
+    filtered per-order aggregate is the BROADCAST side of the join with
+    orders (aggregate-before-join) — no SortMergeJoin anywhere."""
+    qs = queries()
+    for name, n_bcast in [("q09_product_profit", 3), ("q18_large_volume", 2)]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n_bcast, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     """At 100 TB tables are hive-partitioned (e.g. by date/type); a
     predicate on the partition column must prune directories at planning
