@@ -1347,3 +1347,289 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped additions (round 2b): the remaining shapes expressible on
+# the reduced schema (no partsupp/shipmode/phone columns in testdata) —
+# per-group ratio over an 8-way star (Q8), outer-join count histogram
+# (Q13), agg-of-agg with a scalar-max subquery (Q15), correlated scalar
+# average (Q17), EXISTS + NOT-EXISTS self-joins (Q21), scalar-avg
+# threshold + anti join (Q22). Money sums use the exact-integer-cents
+# idiom (see q09) so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+def _cents() -> "F.Column":
+    """Per-row revenue as an exact integer: cents x discount-percent."""
+    return F.round(F.col("l_extendedprice") * 100, 0) * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             round(l.l_extendedprice * 100) * round((1 - l.l_discount) * 100) AS cents,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+                 / sum(cents), 4) AS mkt_share
+    FROM j GROUP BY o_year
+    """,
+    description="TPC-H Q8 shape: one nation's share of regional trade in a "
+    "part type, by year — 8-way star join with a conditional-sum ratio per "
+    "group. All five dims broadcast; both ratio terms are exact-integer "
+    "cents sums, so the division sees identical operands in both engines.",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_c_nkey"), F.col("n_regionkey").alias("_c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("_c_nkey"))
+        .join(F.broadcast(r), F.col("_c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("_s_nkey"))
+    )
+    cents = _cents()
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(0.0)).alias("_n"),
+            F.sum(cents).alias("_d"),
+        )
+        .select("o_year", F.round(F.col("_n") / F.col("_d"), 4).alias("mkt_share"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13 shape: distribution of customers by order count "
+    "— LEFT OUTER join with a predicate in the ON clause (filters the "
+    "right side without dropping customers), count(col) skipping NULLs, "
+    "then a histogram re-aggregation. Two shuffles total: custkey, then "
+    "the tiny c_count regroup.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(round(l_extendedprice * 100) * round((1 - l_discount) * 100)) AS cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, round(r.cents / 10000, 2) AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.cents = (SELECT max(cents) FROM revenue)
+    """,
+    description="TPC-H Q15 shape: top supplier by quarterly revenue — "
+    "aggregate-of-aggregate with a scalar MAX subquery. The per-supplier "
+    "revenue is computed ONCE, its 1-row max is broadcast back onto it "
+    "(no recompute, no window-over-everything), and the equality compares "
+    "exact integer cents so ties are bit-deterministic cross-engine.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_cents()).alias("_rev_cents"))
+    mx = rev.agg(F.max("_rev_cents").alias("_max_cents"))
+    return (
+        rev.join(F.broadcast(mx), rev._rev_cents == mx._max_cents)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev_cents") / 10000, 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (SELECT l.l_partkey, avg(l.l_quantity) AS avg_qty
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#7'
+                GROUP BY l.l_partkey)
+    SELECT round(sum(round(l.l_extendedprice * 100)) / 100.0 / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq    ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#7' AND l.l_quantity < 0.2 * pq.avg_qty
+    """,
+    description="TPC-H Q17 shape: revenue lost to small-quantity orders — "
+    "correlated scalar-average subquery decorrelated into a per-part "
+    "aggregate joined back on the correlation key. The brand filter is a "
+    "function of the key, so the average is computed AFTER pruning to the "
+    "brand's lineitems (identical rows per part, ~1/25 the aggregate "
+    "input — the decorrelation order that survives 100 TB). Quantities "
+    "are integers-as-double, so avg = exact-int / count is bit-identical "
+    "cross-engine and the threshold comparison cannot flip.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#7")
+    l = load_table(spark, sf_dir, "lineitem")
+    lf = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pq = lf.groupBy(F.col("l_partkey").alias("_pq_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lf.join(F.broadcast(pq), lf.l_partkey == F.col("_pq_key"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 100.0 / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, s_name ASC LIMIT 10
+    """,
+    description="TPC-H Q21 shape: suppliers who were the SOLE late shipper "
+    "on a multi-supplier order (shipdate vs orderdate stands in for the "
+    "missing commit/receipt dates) — the EXISTS + correlated NOT-EXISTS "
+    "pair planned as a left-semi then left-anti self-join on the order "
+    "key, both with residual non-equi conditions; never a per-row "
+    "subquery.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
+    )
+    l3 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("_k3"),
+        F.col("l_suppkey").alias("_s3"),
+        F.col("l_shipdate").alias("_ship3"),
+    )
+    sole_late = (
+        late.join(
+            l2,
+            (late.l_orderkey == l2._k2) & (late.l_suppkey != l2._s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3._k3)
+            & (F.col("l_suppkey") != l3._s3)
+            & (l3._ship3 > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_anti",
+        )
+    )
+    agg = (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return topk.top_k_global(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 10)
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c.c_custkey % 10 AS INTEGER) AS cust_group,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(round(c.c_acctbal * 100)) / 100.0, 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+    description="TPC-H Q22 shape: well-funded customers with no recent "
+    "orders (custkey buckets stand in for the missing phone prefix; "
+    "'no recent orders' for the empty-at-this-SF 'no orders ever') — a "
+    "1-row scalar-average broadcast as the filter threshold, then an "
+    "anti join against the date-pruned orders scan.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_ab"))
+    return (
+        c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("_ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("cust_group"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.round(F.col("c_acctbal") * 100, 0)) / 100.0, 2).alias("totacctbal"),
+        )
+    )

@@ -82,3 +82,22 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     n_purchase = one.count()
     n_all = ev.where(ev.event_type == "purchase").count()
     assert n_purchase == n_all
+
+
+def test_tpch_round2b_join_shapes(spark, sf_dir):
+    """Q8: all five dims broadcast around the fact spine. Q15/Q17: the
+    scalar subquery (max / per-part avg) is broadcast back, never a
+    cartesian re-join. Q21: EXISTS / NOT-EXISTS become left-semi and
+    left-anti self-joins. Q22: the dormancy check is a left-anti join."""
+    qs = queries()
+    plan8 = _plan(qs["q08_market_share"](spark, sf_dir))
+    assert plan8.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan8
+    for name in ("q15_top_supplier", "q17_small_quantity_revenue"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    opt21 = _optimized(qs["q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in opt21 and "LeftAnti" in opt21
+    opt22 = _optimized(qs["q22_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in opt22
