@@ -141,3 +141,51 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint = md5 of the normalized text
     (content-defined identity for exact dedup across formatting noise)."""
     return F.md5(normalize_text(text))
+
+
+def ngram_list(text: Column, n: int) -> Column:
+    """ALL n-token shingles in order (duplicates kept — the denominator
+    of the repetition ratio). Empty array when the document has fewer
+    than n tokens."""
+    def body(toks: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(text), body)
+
+
+def ngram_repetition_ratio(text: Column, n: int) -> Column:
+    """Gopher-style duplicate n-gram fraction: 1 - distinct/total n-grams
+    (0.0 for documents shorter than n tokens). High values flag the
+    boilerplate / looping generations a pretraining pipeline drops."""
+    def body(grams: Column) -> Column:
+        total = F.size(grams).cast("double")
+        distinct = F.size(F.array_distinct(grams)).cast("double")
+        return F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(F.lit(0.0))
+
+    return let(ngram_list(text, n), body)
+
+
+# PII patterns kept to syntax that parses identically in Java regex
+# (Spark) and RE2 (duckdb): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask email addresses then phone-like digit runs. Order matters:
+    emails are consumed first so their digits can't re-match as phones."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found by the redaction patterns."""
+    n_email = F.regexp_count(text, F.lit(EMAIL_RE))
+    n_phone = F.regexp_count(F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), F.lit(PHONE_RE))
+    return n_email, n_phone

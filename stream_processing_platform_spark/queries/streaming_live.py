@@ -275,3 +275,41 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir).select("user_id", "event_type")
     return _run_to_table(stream.dropDuplicates(["user_id", "event_type"]), mode="append")
+
+
+HALF_HOUR_MS = 1_800_000
+
+
+@query(
+    "q_stream_window_sliding",
+    oracle=f"""
+    SELECT CAST(CAST(floor(epoch_ms(e.ts) / {HALF_HOUR_MS}) AS BIGINT) * {HALF_HOUR_MS}
+                - g.k * {HALF_HOUR_MS} AS BIGINT) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2)   AS sum_value
+    FROM events e
+    CROSS JOIN generate_series(0, 1) AS g(k)
+    WHERE CAST(floor(epoch_ms(e.ts) / {HALF_HOUR_MS}) AS BIGINT) * {HALF_HOUR_MS}
+          - g.k * {HALF_HOUR_MS} > epoch_ms(e.ts) - {HOUR_MS}
+    GROUP BY 1
+    """,
+    description="LIVE streaming run of SlidingWindow (stateful.py:59-85): "
+    "1 h window / 30 min slide over the event stream, update mode — each "
+    "event lands in size/slide overlapping windows; final per-window "
+    "emission equals the batch assignment the oracle computes.",
+)
+def q_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    windowed = W.sliding_agg(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    out = _run_to_table(windowed)
+    return out.select(
+        epoch_ms(F.col("window_start")).alias("window_start"),
+        "n",
+        "sum_value",
+    )

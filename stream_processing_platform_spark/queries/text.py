@@ -269,3 +269,171 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+
+
+# --------------------------------------------------------------------------
+# Quality-filter pipeline additions (round 2): repetition ratios, the
+# composite keep/drop filter, corpus composition stats, token histogram.
+# All pure column expressions over `documents`; every intermediate double
+# is either derived from exact integer counts (identical IEEE ops both
+# engines) or rounded to 6 decimals before any comparison.
+# --------------------------------------------------------------------------
+
+# duckdb twins of functions/text.py::ngram_repetition_ratio (n=2, n=3)
+_SQL_REP2 = (
+    "CASE WHEN len(w) >= 2 THEN round(1.0 - CAST(len(list_distinct("
+    "[w[i] || ' ' || w[i+1] for i in range(1, len(w))]"
+    ")) AS DOUBLE) / (len(w) - 1), 6) ELSE 0.0 END"
+)
+_SQL_REP3 = (
+    "CASE WHEN len(w) >= 3 THEN round(1.0 - CAST(len(list_distinct("
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]"
+    ")) AS DOUBLE) / (len(w) - 2), 6) ELSE 0.0 END"
+)
+
+
+@query(
+    "q_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+    SELECT doc_id,
+           {_SQL_REP2} AS rep_bigram,
+           {_SQL_REP3} AS rep_trigram
+    FROM t
+    """,
+    description="Gopher-style repetition detection: duplicate bigram / "
+    "trigram fractions per document (1 - distinct/total n-grams) — the "
+    "boilerplate / looping-generation signal pretraining filters drop on.",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.ngram_repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
+        T.ngram_repetition_ratio(F.col("text"), 3).alias("rep_trigram"),
+    )
+
+
+# duckdb twin of functions/text.py::quality_score (rounded to 6, same as Spark)
+_SQL_QUALITY = f"""
+    round(0.4 * least(CAST(len(w) AS DOUBLE) / 200.0, 1.0)
+        + 0.3 * (CASE WHEN len(w) > 0
+                 THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END)
+        + 0.3 * least((CASE WHEN len(w) > 0
+                 THEN CAST(len(list_filter(w, x -> list_contains({_SQL_SW}, x))) AS DOUBLE) / len(w)
+                 ELSE 0.0 END) / 0.1, 1.0), 6)
+"""
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             {_SQL_QUALITY} AS quality,
+             {_SQL_REP2} AS rep_bigram
+      FROM t
+    )
+    SELECT doc_id, n_tokens, quality, rep_bigram,
+           CASE WHEN n_tokens < 25       THEN 'too_short'
+                WHEN rep_bigram > 0.10   THEN 'repetitive'
+                WHEN quality < 0.42      THEN 'low_quality'
+                ELSE 'ok' END AS reason,
+           CAST(CASE WHEN n_tokens >= 25 AND rep_bigram <= 0.10
+                      AND quality >= 0.42 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM m
+    """,
+    description="Composite C4/Gopher-style quality filter: token-count "
+    "floor, duplicate-bigram ceiling, composite-quality floor — emits the "
+    "keep decision AND the first failing rule per document. One narrow "
+    "projection, no shuffle; every threshold compares a 6-decimal-rounded "
+    "double so the decision is bit-deterministic cross-engine.",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.ngram_repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 25, "too_short")
+        .when(F.col("rep_bigram") > 0.10, "repetitive")
+        .when(F.col("quality") < 0.42, "low_quality")
+        .otherwise("ok")
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "rep_bigram",
+        reason.alias("reason"),
+        (reason == "ok").cast("int").alias("keep"),
+    )
+
+
+@query(
+    "q_corpus_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, {_SQL_TOKENS} AS w,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), m AS (
+      SELECT source, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+             {_SQL_QUALITY} AS quality, fp
+      FROM t
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(round(quality * 1000000)) / 1000000.0 / count(*), 4) AS avg_quality,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+    FROM m GROUP BY source, lang
+    """,
+    description="Corpus composition report (the first query a training-"
+    "data pipeline runs): per (source, lang) document counts, token "
+    "totals, mean quality, and distinct-fingerprint counts. Mean quality "
+    "is summed as exact integer micro-units so the cross-engine average "
+    "is bit-identical; one shuffle on the tiny (source, lang) key space.",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 1_000_000, 0)) / 1_000_000.0 / F.count("*"), 4
+        ).alias("avg_quality"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+
+
+@query(
+    "q_token_histogram",
+    oracle=f"""
+    SELECT CAST(floor(len({_SQL_TOKENS}) / 10) * 10 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Token-length histogram (width-10 buckets) — the length "
+    "distribution a pipeline inspects before setting filter bounds.",
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select((F.floor(T.token_count(F.col("text")) / 10) * 10).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1,0 +1,59 @@
+"""Quality-pipeline text functions that the synthetic corpus can't
+exercise (it contains no PII and no n<2 degenerate docs): redaction and
+repetition edge cases run on injected rows here; the corpus-level
+behavior is covered by the registered queries' duckdb oracles."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from stream_processing_platform_spark.functions import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(rows)], ["doc_id", "text"])
+
+
+def test_redact_pii_masks_emails_and_phones(spark):
+    df = _docs(
+        spark,
+        [
+            "contact alice@example.com or bob.smith+tag@sub.domain.org now",
+            "call +1 (555) 123-4567 or 020 7946 0958 today",
+            "mixed: carol@test.io then 555-867-5309 done",
+            "clean text with no identifiers at all",
+        ],
+    ).select("doc_id", T.redact_pii(F.col("text")).alias("red"))
+    out = {r["doc_id"]: r["red"] for r in df.collect()}
+    assert out[0] == "contact [EMAIL] or [EMAIL] now"
+    assert out[1] == "call [PHONE] or [PHONE] today"
+    assert out[2] == "mixed: [EMAIL] then [PHONE] done"
+    assert out[3] == "clean text with no identifiers at all"
+
+
+def test_pii_counts_email_digits_not_double_counted(spark):
+    n_email, n_phone = T.pii_counts(F.col("text"))
+    df = _docs(spark, ["x12345678@mail99.example.com but also 555-867-5309"]).select(
+        n_email.alias("e"), n_phone.alias("p")
+    )
+    row = df.collect()[0]
+    # the digits inside the email must not re-match as a phone
+    assert (row["e"], row["p"]) == (1, 1)
+
+
+def test_repetition_ratio_edge_cases(spark):
+    df = _docs(
+        spark,
+        [
+            "one",  # shorter than n: ratio 0
+            "a b a b a b a b",  # bigrams: 7 total, 2 distinct
+            "all words here are fully distinct tokens",  # no repeats
+        ],
+    ).select(
+        "doc_id",
+        T.ngram_repetition_ratio(F.col("text"), 2).alias("rep2"),
+    )
+    out = {r["doc_id"]: r["rep2"] for r in df.collect()}
+    assert out[0] == 0.0
+    assert abs(out[1] - (1 - 2 / 7)) < 1e-6
+    assert out[2] == 0.0
