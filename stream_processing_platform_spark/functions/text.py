@@ -189,3 +189,46 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
     n_email = F.regexp_count(text, F.lit(EMAIL_RE))
     n_phone = F.regexp_count(F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), F.lit(PHONE_RE))
     return n_email, n_phone
+
+
+def quality_metrics(text: Column) -> Column:
+    """struct(n_tokens, quality, rep_bigram) computed from ONE tokenizer
+    pass. Selecting the metrics as separate columns would splice the
+    tokenizer subtree once per column (3x eval per row — the dominant
+    cost of a quality-filter scan at scale); binding the token array with
+    ``let`` and emitting a struct runs it once. Callers expand with
+    ``.select(m["n_tokens"], ...)``."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+        length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+        sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        sw_ratio = F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+        sw_score = F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
+        quality = F.round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
+
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, (i + 1).cast("int")),
+                    F.element_at(toks, (i + 2).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def rep_body(g: Column) -> Column:
+            total = F.size(g).cast("double")
+            return F.when(
+                total > 0, F.round(1.0 - F.size(F.array_distinct(g)) / total, 6)
+            ).otherwise(F.lit(0.0))
+
+        return F.struct(
+            F.size(toks).cast("int").alias("n_tokens"),
+            quality.alias("quality"),
+            let(grams, rep_body).alias("rep_bigram"),
+        )
+
+    return let(tokens(text), body)

@@ -313,3 +313,47 @@ def q_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@query(
+    "q_stream_keyed_process",
+    oracle="""
+    SELECT user_id, event_id, round(value, 2) AS value
+    FROM (SELECT user_id, event_id, value,
+                 max(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts) ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+          FROM events)
+    WHERE prev_max IS NULL OR value > prev_max
+    """,
+    description="LIVE streaming run of KeyedProcessOperator (stateful.py:"
+    "88-144) via applyInPandasWithState: per-user record-breaking-maximum "
+    "detector — arbitrary Python state (running max) per key, an event "
+    "emits iff it strictly exceeds every earlier value for that user. "
+    "Events are processed in (ts, event_id) order, so the SQL oracle is "
+    "the running-max window predicate; comparisons are on the raw parquet "
+    "doubles, identical in both engines.",
+)
+def q_stream_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.keyed_process import keyed_process
+
+    def record_max(key, value, state):
+        mx = state.get("max")
+        if mx is None or value["value"] > mx:
+            state["max"] = value["value"]
+            return [
+                {"user_id": key, "event_id": value["event_id"], "value": value["value"]}
+            ]
+        return []
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = keyed_process(
+        stream,
+        ["user_id"],
+        record_max,
+        "user_id long, event_id long, value double",
+        order_by=["ts", "event_id"],
+    )
+    res = _run_to_table(out, mode="append")
+    return res.select("user_id", "event_id", F.round("value", 2).alias("value"))

@@ -353,11 +353,12 @@ _SQL_QUALITY = f"""
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    m = d.select(
+    # one tokenizer pass for all three metrics (see functions.text.quality_metrics)
+    m = d.select("doc_id", T.quality_metrics(F.col("text")).alias("_m")).select(
         "doc_id",
-        T.token_count(F.col("text")).cast("int").alias("n_tokens"),
-        T.quality_score(F.col("text")).alias("quality"),
-        T.ngram_repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
+        F.col("_m")["n_tokens"].alias("n_tokens"),
+        F.col("_m")["quality"].alias("quality"),
+        F.col("_m")["rep_bigram"].alias("rep_bigram"),
     )
     reason = (
         F.when(F.col("n_tokens") < 25, "too_short")

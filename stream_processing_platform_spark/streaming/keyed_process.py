@@ -38,7 +38,7 @@ def keyed_process(
     key_cols: list[str],
     process_func: ProcessFunc,
     output_schema: StructType | str,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
     output_mode: str = "append",
     timeout: str = GroupStateTimeout.NoTimeout,
 ) -> DataFrame:
