@@ -149,3 +149,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
     )
+
+
+@query(
+    "q_embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE aug AS ({_SQL_AUG}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.95
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT vec_id, vec_id FROM aug
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+    ),
+    cc AS (
+      SELECT v AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY v
+    )
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc
+    """,
+    description="Embedding dedup CLUSTERING: hyperplane-LSH near-dup "
+    "pairs (exact-cosine-verified at 0.95) → connected components → one "
+    "keeper (min vec_id) per duplicate group, singletons kept — the "
+    "embedding-modality twin of q_dedup_clusters, same iterative "
+    "min-label propagation, same recursive-CTE oracle.",
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.graph import dedup_clusters
+
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.hyperplane_lsh_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    return dedup_clusters(
+        aug.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
