@@ -1633,3 +1633,32 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.round(F.col("c_acctbal") * 100, 0)) / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="UDAF surface (SURVEY §2.11): per-priority geometric mean "
+    "of order value via an Arrow-batched pandas grouped-aggregate UDF — "
+    "the custom-aggregate escape hatch when no built-in expression fits. "
+    "Partial aggregation still applies (Spark splits grouped-agg pandas "
+    "UDFs into update/merge where possible); the log-domain mean is a "
+    "continuous value so a 4-decimal round is safely off any boundary.",
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG eval type: the module uses postponed annotation
+    # evaluation, so signature-based inference can't see pd.Series here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price")
+    )

@@ -57,3 +57,25 @@ def test_repetition_ratio_edge_cases(spark):
     assert out[0] == 0.0
     assert abs(out[1] - (1 - 2 / 7)) < 1e-6
     assert out[2] == 0.0
+
+
+def test_quality_metrics_struct_matches_standalone_functions(spark, sf_dir):
+    """quality_metrics fuses three formulas into one let-bound struct;
+    it must stay value-identical to the standalone functions it fuses
+    (q_quality_filter's oracle depends on it)."""
+    from stream_processing_platform_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    fused = d.select(
+        "doc_id",
+        T.quality_metrics(F.col("text")).alias("m"),
+        T.token_count(F.col("text")).cast("int").alias("n_ref"),
+        T.quality_score(F.col("text")).alias("q_ref"),
+        T.ngram_repetition_ratio(F.col("text"), 2).alias("r_ref"),
+    )
+    bad = fused.where(
+        (F.col("m")["n_tokens"] != F.col("n_ref"))
+        | (F.col("m")["quality"] != F.col("q_ref"))
+        | (F.col("m")["rep_bigram"] != F.col("r_ref"))
+    ).count()
+    assert bad == 0
