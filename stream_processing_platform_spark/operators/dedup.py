@@ -377,8 +377,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ threshold), exact.
 
-    Brute-force all-pairs is the correctness baseline (and the oracle for
-    the LSH path); the registered scale path is
+    Brute-force all-pairs is the correctness baseline — the recall oracle
+    for the LSH path, exercised by ``tests/test_ann_quality.py::
+    test_hyperplane_lsh_recall_vs_brute_force`` (threshold sweep
+    0.8/0.9/0.95); the registered scale path is
     :func:`hyperplane_lsh_pairs`. Pass ``block_mod`` to bound candidates
     when an approximate blocked variant is acceptable.
     Output: id_a, id_b, cos (rounded 6dp)."""

@@ -11,8 +11,14 @@ so 2-3 rounds in practice.
 Scale notes (the parts that matter at 100 TB):
 - Each round is one shuffle (join edges→labels + groupBy min) — the same
   shape GraphFrames uses; no driver-side adjacency.
-- ``localCheckpoint`` per round truncates lineage — without it the plan
+- Per-round checkpointing truncates lineage — without it the plan
   doubles every iteration and analysis time explodes exponentially.
+  Two modes: if the SparkContext has a checkpoint dir set
+  (``spark.sparkContext.setCheckpointDir``), use RELIABLE
+  ``.checkpoint()`` — blocks are re-readable from shared storage, so an
+  executor loss mid-iteration recomputes from the checkpoint instead of
+  aborting the job. Otherwise fall back to ``localCheckpoint`` (blocks
+  live on executors — fine on local[n], non-resilient on a cluster).
 - Convergence check is a ``count`` of changed labels per round: one tiny
   job on an already-materialized frame, the standard iterate-until-fixed
   idiom for Spark graph algorithms.
@@ -22,6 +28,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _checkpointer(df: DataFrame):
+    """Reliable ``.checkpoint()`` when a checkpoint dir is configured,
+    ``localCheckpoint`` otherwise. Both materialize eagerly and truncate
+    lineage; only the reliable form survives executor loss."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return lambda d: d.checkpoint(eager=True)
+    return lambda d: d.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -37,15 +53,17 @@ def connected_components(
     ``vertices``: one row per vertex (isolated vertices keep their own
     label — clusters of size 1 stay visible). ``edges``: undirected pair
     list. Output: (id, component) with component = min id in the
-    component. Deterministic.
+    component. Deterministic. Cluster-resilient when the caller has set
+    ``spark.sparkContext.setCheckpointDir(...)`` (see module docstring).
     """
+    ckpt = _checkpointer(edges)
     sym = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     sym = sym.union(sym.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = ckpt(sym)
 
-    labels = vertices.select(
-        F.col(id_col).alias("_v"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    labels = ckpt(
+        vertices.select(F.col(id_col).alias("_v"), F.col(id_col).alias("component"))
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -54,10 +72,9 @@ def connected_components(
             .groupBy("_v")
             .agg(F.min("component").alias("_nbr"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(nbr_min, "_v", "left")
             .select("_v", F.least("component", F.coalesce("_nbr", "component")).alias("component"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

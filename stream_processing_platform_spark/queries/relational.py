@@ -9,6 +9,7 @@ doubles rounded, timestamps exchanged as epoch ms/seconds BIGINT.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -16,6 +17,17 @@ from stream_processing_platform_spark.operators import joins, topk, windows_batc
 from stream_processing_platform_spark.operators.dedup import dedup_keep_first
 from stream_processing_platform_spark.registry import query
 from stream_processing_platform_spark.tables import load_table
+
+
+def _geo_mean_of_series(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF body for q_udaf_geomean. Module-level with a
+    real ``pd.Series -> float`` signature so ``pandas_udf`` infers the
+    GROUPED_AGG eval type from type hints (PandasUDFType is deprecated in
+    PySpark 4; postponed annotations resolve because ``pd`` is a module
+    global)."""
+    import numpy as np
+
+    return float(np.exp(np.log(v.to_numpy()).mean()))
 
 
 # --------------------------------------------------------------------------
@@ -1602,7 +1614,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_dormant_customers",
     oracle="""
-    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+    WITH avg_bal AS (SELECT sum(round(c_acctbal * 100)) / 100.0 / count(*) AS ab
+                     FROM customer WHERE c_acctbal > 0.0)
     SELECT CAST(c.c_custkey % 10 AS INTEGER) AS cust_group,
            CAST(count(*) AS BIGINT) AS numcust,
            round(sum(round(c.c_acctbal * 100)) / 100.0, 2) AS totacctbal
@@ -1623,7 +1636,12 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     ).select("o_custkey")
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_ab"))
+    # exact-integer-cents average: sum(round(cents))/count is bit-identical
+    # cross-engine, where avg(double) is summation-order-dependent and a
+    # balance near the threshold could flip keep/drop between engines
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.round(F.col("c_acctbal") * 100, 0)) / 100.0 / F.count("*")).alias("_ab")
+    )
     return (
         c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("_ab"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
@@ -1644,19 +1662,17 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="UDAF surface (SURVEY §2.11): per-priority geometric mean "
     "of order value via an Arrow-batched pandas grouped-aggregate UDF — "
     "the custom-aggregate escape hatch when no built-in expression fits. "
-    "Partial aggregation still applies (Spark splits grouped-agg pandas "
-    "UDFs into update/merge where possible); the log-domain mean is a "
-    "continuous value so a 4-decimal round is safely off any boundary.",
+    "NOTE this plans as AggregateInPandasExec: a COMPLETE aggregation that "
+    "shuffles all raw group rows to one task per group with no "
+    "update/merge split — acceptable for high-cardinality keys, a "
+    "scale-killer for coarse ones; prefer native exprs (exp(avg(ln)))"
+    " when one exists. The log-domain mean is a continuous value so a "
+    "4-decimal round is safely off any boundary.",
 )
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit GROUPED_AGG eval type: the module uses postponed annotation
-    # evaluation, so signature-based inference can't see pd.Series here
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def geo_mean(v):
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+    geo_mean = pandas_udf(_geo_mean_of_series, "double")
 
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(

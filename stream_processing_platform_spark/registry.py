@@ -66,22 +66,70 @@ def oracle_sql() -> dict[str, str]:
 
 _loaded = False
 
+# Registry order = the order the driver runs queries in, and the driver
+# verifies only the first ~50 per round. With >50 registered queries the
+# order IS the coverage policy, so it is explicit here (not an accident of
+# import order) and rotates per round: queries that have never had an
+# official CORRECTNESS row go first, then those whose last green row is
+# oldest, then the most-recently-verified set. Round-3 rotation:
+#   1-17:  never officially run (green in r1/r2 judge re-runs only)
+#   18-30: green in r1 but evicted from r2's 50-slot window
+#   31+:   new this round, then the r2-green set (registration order)
+_PRIORITY: list[str] = [
+    # -- never officially run (TPC-H round-2b shapes, live streaming, UDAF)
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q_udaf_geomean",
+    "q_stream_join_interval",
+    "q_stream_keyed_process",
+    "q_stream_window_session",
+    "q_stream_window_sliding",
+    # -- green in r1, evicted from r2's window
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_grouping_sets",
+    "q_string_agg",
+    "q_sql_exists",
+    "q_window_navigation",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_window_collect",
+    "q_stream_window_tumbling",
+    "q_stream_running_agg",
+    "q_stream_dedup",
+]
+
 
 def _ensure_loaded() -> None:
-    """Import every query module exactly once so decorators run."""
+    """Import every query module exactly once so decorators run, then
+    reorder the registry to the explicit coverage-rotation order."""
     global _loaded
     if _loaded:
         return
-    # Import order = registry order = the order the driver runs queries in.
-    # The flagship LLM-data-pipeline queries (text dedup, similarity) go
-    # FIRST so they always land inside the driver's per-round budget; the
-    # (slower-to-start) live streaming queries go last.
     from stream_processing_platform_spark.queries import (  # noqa: F401
-        text,
-        similarity,
         relational,
+        similarity,
         streaming_batch,
         streaming_live,
+        text,
     )
 
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, rq) for n, rq in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _loaded = True

@@ -4,10 +4,16 @@ exact-Jaccard planted pairs."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from stream_processing_platform_spark.operators.ann import brute_force_topk, ivf_topk
-from stream_processing_platform_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+from stream_processing_platform_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    hyperplane_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from stream_processing_platform_spark.tables import load_table
 
 
@@ -49,6 +55,35 @@ def test_ivf_works_on_sparse_noncontiguous_ids(spark, sf_dir):
     # yields near-zero here. 0.4 guards the plumbing without pinning
     # centroid luck on random-ish vectors.
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low on sparse ids"
+
+
+@pytest.mark.parametrize("threshold", [0.8, 0.9, 0.95])
+def test_hyperplane_lsh_recall_vs_brute_force(spark, sf_dir, threshold):
+    """The LSH family's recall curve: hyperplane_lsh_pairs vs the exact
+    all-pairs baseline (embedding_near_dup_pairs — this test is the
+    baseline's caller) on the twin-augmented corpus at several
+    thresholds. Both paths verify exact cosine, so LSH ⊆ exact and the
+    only question is banding recall."""
+    from stream_processing_platform_spark.queries.similarity import _augmented
+
+    aug = _augmented(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(aug, "vec_id", "embedding", threshold).collect()
+    }
+    n_vecs = aug.count() // 2
+    # every original pairs with its planted twin (cos≈0.9986 > 0.95);
+    # background pairs top out ~0.52, so exact == the twin pairs exactly
+    assert len(exact) == n_vecs, f"expected {n_vecs} planted twin pairs, got {len(exact)}"
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_lsh_pairs(aug, "vec_id", "embedding", threshold).collect()
+    }
+    assert lsh <= exact, "LSH verify stage must not pass sub-threshold pairs"
+    recall = len(lsh & exact) / len(exact)
+    # at cos≈0.9986 the per-pair miss probability with 12 bands of 16
+    # bits is ~4e-8 — demand near-perfect recall, not just "above chance"
+    assert recall >= 0.99, f"LSH recall {recall:.3f} at threshold {threshold}"
 
 
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
