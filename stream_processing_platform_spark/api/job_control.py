@@ -112,3 +112,62 @@ def cluster_metrics(spark: SparkSession) -> dict[str, Any]:
         "spark_version": spark.version,
         "app_id": sc.applicationId,
     }
+
+
+def job_checkpoints(spark: SparkSession, job_id: str, checkpoint_dir: str) -> dict[str, Any]:
+    """GET /jobs/{id}/checkpoints (reference api.py:401-429, which reads
+    the checkpoint coordinator's completed map). Spark's commit log IS
+    the completed-checkpoint list: one file per committed micro-batch
+    under ``<checkpoint>/commits/<batchId>``, written only after offsets
+    + state are durable. Listed via the Hadoop FileSystem API so any
+    scheme works (file://, hdfs://, s3a:// — where a checkpoint dir
+    actually lives at scale), not just the local filesystem."""
+    jvm = spark._jvm
+    commits = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "commits")
+    fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries: list[dict[str, Any]] = []
+    if fs.exists(commits):
+        for st in fs.listStatus(commits):
+            name = st.getPath().getName()
+            if name.isdigit():
+                entries.append(
+                    {
+                        "checkpoint_id": int(name),
+                        "timestamp": st.getModificationTime(),
+                        "status": "COMPLETED",
+                        "storage_path": st.getPath().toString(),
+                    }
+                )
+    entries.sort(key=lambda e: e["checkpoint_id"], reverse=True)
+    return {
+        "job_id": job_id,
+        "checkpoints": entries,
+        "latest_checkpoint_id": entries[0]["checkpoint_id"] if entries else None,
+    }
+
+
+def task_managers(spark: SparkSession) -> dict[str, Any]:
+    """GET /taskmanagers (reference api.py:517-539): the reference's
+    TaskManager = a Spark executor; list them from the status tracker.
+    In local mode the driver is the single executor holding every slot;
+    slots-per-executor is approximated as parallelism / executor count
+    (exact per-executor core counts aren't in the public tracker API)."""
+    sc = spark.sparkContext
+    infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+    slots = max(1, sc.defaultParallelism // max(1, len(infos)))
+    out = []
+    for info in infos:
+        running = info.numRunningTasks()
+        out.append(
+            {
+                "task_manager_id": f"{info.host()}:{info.port()}",
+                "host": info.host(),
+                "port": info.port(),
+                "status": "ACTIVE",  # the tracker only reports live executors
+                "total_slots": slots,
+                "available_slots": max(slots - running, 0),
+                "num_running_tasks": running,
+                "cache_memory_bytes": info.cacheSize(),
+            }
+        )
+    return {"task_managers": out}

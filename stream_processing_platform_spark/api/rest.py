@@ -17,6 +17,13 @@ Semantics mapping:
   committed batch without stopping (reference api.py:355-381).
 - POST /jobs/{id}/recover — restarts the SAME pipeline on the SAME
   checkpoint: exactly-once resume (reference api.py:446-515).
+- GET /jobs/{id}/metrics/stream — live per-job metrics push, one frame
+  per interval (reference WS /ws/jobs/{id}, api.py:612-626 +
+  websocket_server.py), as server-sent events (stdlib-only container).
+- GET /jobs/{id}/checkpoints — completed micro-batch commits from the
+  checkpoint's commit log (reference api.py:401-429).
+- GET /taskmanagers — live executors from the status tracker
+  (reference api.py:517-539).
 """
 
 from __future__ import annotations
@@ -118,12 +125,51 @@ class JobServer:
     def cluster_metrics(self) -> tuple[int, dict]:
         return 200, jc.cluster_metrics(self.spark)
 
+    def checkpoints(self, job_id: str) -> tuple[int, dict]:
+        meta = self.jobs.get(job_id)
+        if meta is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        return 200, jc.job_checkpoints(self.spark, job_id, meta["checkpoint"])
+
+    def taskmanagers(self) -> tuple[int, dict]:
+        return 200, jc.task_managers(self.spark)
+
+    def stream_metrics(self, wfile, job_id: str, interval: float, max_events: int) -> None:
+        """Server-sent-events body for GET /jobs/{id}/metrics/stream —
+        the reference's WS /ws/jobs/{id} push channel
+        (jobmanager/api.py:612-626 + websocket_server.py: one metrics
+        frame per second until disconnect), served as SSE because the
+        container has no websocket lib; same payloads, same cadence.
+        Ends on client disconnect, after ``max_events`` (0 = unbounded),
+        or one final frame after the job stops."""
+        import time
+
+        sent = 0
+        while True:
+            status = jc.job_status(self.spark, job_id)
+            frame = jc.job_metrics(self.spark, job_id)
+            frame["state"] = status["state"]
+            try:
+                wfile.write(f"data: {json.dumps(frame, default=str)}\n\n".encode())
+                wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                return
+            sent += 1
+            if max_events and sent >= max_events:
+                return
+            if not status.get("active", False):
+                return
+            time.sleep(interval)
+
 
 _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/health$"), "health"),
     ("GET", re.compile(r"^/jobs$"), "list_jobs"),
     ("GET", re.compile(r"^/jobs/([^/]+)/status$"), "status"),
     ("GET", re.compile(r"^/jobs/([^/]+)/metrics$"), "metrics"),
+    ("GET", re.compile(r"^/jobs/([^/]+)/metrics/stream$"), "stream_metrics"),
+    ("GET", re.compile(r"^/jobs/([^/]+)/checkpoints$"), "checkpoints"),
+    ("GET", re.compile(r"^/taskmanagers$"), "taskmanagers"),
     ("GET", re.compile(r"^/cluster/metrics$"), "cluster_metrics"),
     ("POST", re.compile(r"^/jobs/submit$"), "submit"),
     ("POST", re.compile(r"^/jobs/([^/]+)/cancel$"), "cancel"),
@@ -143,6 +189,17 @@ def _make_handler(server: JobServer):
                 match = pat.match(parsed.path)
                 if m == method and match:
                     args = list(match.groups())
+                    if fn == "stream_metrics":
+                        # SSE: headers now, then a long-lived chunked body
+                        qs = parse_qs(parsed.query)
+                        interval = float(qs.get("interval_ms", ["1000"])[0]) / 1000.0
+                        max_events = int(qs.get("max_events", ["0"])[0])
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+                        server.stream_metrics(self.wfile, args[0], interval, max_events)
+                        return
                     try:
                         if fn == "submit":
                             n = int(self.headers.get("Content-Length") or 0)

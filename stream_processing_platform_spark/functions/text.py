@@ -172,9 +172,21 @@ def ngram_repetition_ratio(text: Column, n: int) -> Column:
 
 
 # PII patterns kept to syntax that parses identically in Java regex
-# (Spark) and RE2 (duckdb): no backrefs, no lookaround.
+# (Spark) and RE2 (duckdb): no backrefs, no lookaround — that identity is
+# oracle-proven by q_pii_redaction (queries/text.py), which runs both
+# engines over the corpus plus injected PII rows.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+# Phone = optional +CC, then 2-3 digit groups with single separators:
+# the grouped structure (vs "any 8+ digit/sep run") keeps separated dates
+# (2024-01-01), numeric ranges (100-200) and ID lists out. Documented
+# false-positive surface: CONTIGUOUS digit runs of 7-14 digits (compact
+# dates 20240101, order ids) still match — without lookaround they are
+# indistinguishable from unformatted phone numbers; callers needing
+# stricter behavior should pre-mask their known id columns.
+PHONE_RE = (
+    r"(\+[0-9]{1,3}[ .-]?)?\(?[0-9]{1,4}\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,6}"
+    r"|[0-9]{3}[ .-][0-9]{4}"
+)
 
 
 def redact_pii(text: Column) -> Column:

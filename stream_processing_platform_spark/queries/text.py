@@ -420,6 +420,52 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_pii_redaction injects known-PII rows (the synthetic corpus contains
+# none) so the redaction regexes are oracle-proven to behave identically
+# in Java regex (Spark) and RE2 (duckdb) — including on every clean
+# corpus document, where any false positive would break the hash-match.
+_PII_ROWS = [
+    (9_000_001, "Contact bob.smith+spam@example.co.uk or call +1 (555) 123-4567 today"),
+    (9_000_002, "call 555-1234 or 020 7946 0958; mail a@b.io"),
+    (9_000_003, "range 100-200 and date 2024-01-01 survive, id 12345678 does not"),
+]
+_SQL_PII_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _PII_ROWS)
+
+
+@query(
+    "q_pii_redaction",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_SQL_PII_VALUES}) v(doc_id, text)
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{T.PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(text, '{T.EMAIL_RE}', '[EMAIL]', 'g'),
+                '{T.PHONE_RE}')) AS INTEGER) AS n_phones
+    FROM corpus
+    """,
+    description="PII redaction pass (emails then phone-shaped digit "
+    "groups) + per-document match counts over the corpus plus injected "
+    "PII rows — pure regexp expressions, one narrow scan, no shuffle.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.sparkSession.createDataFrame(_PII_ROWS, "doc_id long, text string")
+    corpus = d.unionByName(injected)
+    n_emails, n_phones = T.pii_counts(F.col("text"))
+    return corpus.select(
+        "doc_id",
+        T.redact_pii(F.col("text")).alias("redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
 @query(
     "q_token_histogram",
     oracle=f"""

@@ -108,6 +108,8 @@ _PRIORITY: list[str] = [
     "q_stream_window_tumbling",
     "q_stream_running_agg",
     "q_stream_dedup",
+    # -- new this round (no official row yet)
+    "q_pii_redaction",
 ]
 
 

@@ -90,10 +90,19 @@ def foreach_batch_sink(df: DataFrame, fn, checkpoint_dir: str | None = None) -> 
     return w.start()
 
 
-def json_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+def json_payload(
+    df: DataFrame, key_col: str | None = None, headers_col: str | None = None
+) -> DataFrame:
     """Pack all columns into a JSON ``value`` (+ optional ``key``) for
-    kafka_sink — to_json(struct(*)) replaces the reference's json.dumps."""
-    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    kafka_sink — to_json(struct(*)) replaces the reference's json.dumps.
+    ``headers_col`` forwards record headers to the producer frame (the
+    kafka sink's optional ``headers`` column, same
+    array<struct<key,value>> shape the source reads) instead of packing
+    them into the JSON value."""
+    payload_cols = [c for c in df.columns if c != headers_col]
+    cols = [F.to_json(F.struct(*payload_cols)).alias("value")]
     if key_col is not None:
         cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    if headers_col is not None:
+        cols.append(F.col(headers_col).alias("headers"))
     return df.select(*cols)

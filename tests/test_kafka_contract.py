@@ -81,6 +81,45 @@ def test_decode_kafka_records_schema_and_values(spark):
     assert rows[8].headers == [("h1", bytearray(b"v1"))]
 
 
+def test_kafka_wire_format_end_to_end_with_headers(spark):
+    """The full broker-free wire path: recorded kafka-relation rows
+    (binary key/value + headers) → decode_kafka_records → a pipeline
+    transform (filter + derived column) → json_payload producer frame.
+    Asserts (a) the producer frame has exactly the columns the kafka
+    sink accepts (key, value, headers), (b) headers survive byte-exact
+    in the source relation's array<struct<key,value:binary>> shape, and
+    (c) the JSON value decodes back to the transformed records."""
+    value_schema = StructType.fromDDL("user_id bigint, event_type string, value double")
+    raw = _kafka_shaped(
+        spark,
+        [
+            {"user_id": 1, "event_type": "click", "value": 0.5},
+            {"user_id": 2, "event_type": "click", "value": 1.5},
+            {"user_id": 3, "event_type": "view", "value": 2.5},
+        ],
+    )
+    decoded = decode_kafka_records(raw, value_schema)
+    transformed = decoded.where(F.col("value") >= 1.0).withColumn(
+        "flagged", F.col("value") > 2.0
+    )
+    frame = json_payload(
+        transformed.drop("timestamp"), key_col="key", headers_col="headers"
+    )
+    assert frame.columns == ["key", "value", "headers"]
+    # the sink-side headers type must equal the source-relation type —
+    # a consumer of our producer output sees what we consumed
+    expected = dict(zip(raw.schema.names, raw.schema.fields))
+    assert frame.schema["headers"].dataType == expected["headers"].dataType
+    rows = frame.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.key == "k1"
+        assert r.headers == [("h1", bytearray(b"v1"))]
+    payloads = {json.loads(r.value)["user_id"]: json.loads(r.value) for r in rows}
+    assert payloads[2]["flagged"] is False and payloads[3]["flagged"] is True
+    assert payloads[3]["event_type"] == "view" and payloads[3]["key"] == "k1"
+
+
 def test_json_payload_round_trips_through_decode(spark):
     """Producer encode (json_payload) and consumer decode must be
     inverses: pack rows to key/value, wrap in the kafka relation shape,

@@ -83,6 +83,33 @@ def test_rest_job_lifecycle(spark, rest, tmp_path):
     code, st = _call(port, "GET", f"/jobs/{job_id}/status")
     assert st["state"] == "RUNNING" and st["active"]
 
+    # checkpoints listing reflects the commit log (≥1 committed batch)
+    code, ck = _call(port, "GET", f"/jobs/{job_id}/checkpoints")
+    assert code == 200 and ck["latest_checkpoint_id"] is not None
+    assert ck["checkpoints"][0]["status"] == "COMPLETED"
+    assert ck["checkpoints"][0]["checkpoint_id"] == ck["latest_checkpoint_id"]
+
+    # taskmanagers = live executors (local mode: the driver, all slots)
+    code, tm = _call(port, "GET", "/taskmanagers")
+    assert code == 200 and len(tm["task_managers"]) >= 1
+    assert tm["task_managers"][0]["status"] == "ACTIVE"
+    assert tm["task_managers"][0]["total_slots"] >= 1
+
+    # SSE push channel: ≥2 live metric frames while the job runs
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/jobs/{job_id}/metrics/stream"
+        "?interval_ms=200&max_events=3"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        events = [
+            json.loads(line[len(b"data: "):])
+            for line in r
+            if line.startswith(b"data: ")
+        ]
+    assert len(events) >= 2, events
+    assert all(e["job_id"] == job_id and e["state"] == "RUNNING" for e in events)
+
     code, sp = _call(port, "POST", f"/jobs/{job_id}/savepoint")
     assert code == 200 and sp["savepoint"] == ckpt
 
