@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "q08_market_share",          # 8-way star + per-group conditional ratio
     "q13_customer_distribution", # outer join + count histogram
     "q_quality_filter",          # composite C4/Gopher-style doc filter
+    "q_doc_chunking",            # context-window chunk explode (narrow)
+    "q_contamination",           # benchmark n-gram containment join
     "q_minhash_lsh_pairs",       # MinHash-LSH near-dup (LLM pipeline)
     "q_simhash_pairs",           # SimHash near-dup
     "q_embedding_near_dup",      # hyperplane-LSH embedding near-dup

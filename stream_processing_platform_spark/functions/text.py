@@ -43,6 +43,20 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+# BPE-style pre-tokenizer (the GPT-2 pattern's portable core): letter
+# runs, digit runs, and single punctuation marks each become one
+# pre-token — the unit a byte-pair tokenizer would then merge over, and
+# a far better LLM token-budget estimate than whitespace words (which
+# undercount punctuation-heavy text). ASCII classes only so Java regex
+# (Spark) and RE2 (duckdb) agree byte-for-byte.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE-style pre-tokens (JVM-side regexp_count)."""
+    return F.regexp_count(text, F.lit(BPE_RE))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-token shingles (each shingle a space-joined string).
 

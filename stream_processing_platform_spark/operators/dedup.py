@@ -112,6 +112,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, the
+    fraction of its distinct n-gram shingles that also appear in a
+    benchmark document (containment |D∩B| / |D| — the standard
+    eval-set decontamination measure, directional unlike Jaccard).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`: explode
+    shingles, equi-join corpus→benchmark postings, count shared grams —
+    work scales with shingle co-occurrence, never |corpus|×|benchmark|.
+    At 100 TB the benchmark side is tiny (eval sets are ≪1 GB), so the
+    postings join broadcasts. Output: doc_id, bench_id, n_shared,
+    containment (rounded 6dp) for pairs at/above ``threshold``.
+    """
+    sh = _shingled(corpus, id_col, text_col, n)
+    bench_sh = _shingled(benchmark, id_col, text_col, n)
+    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    bex = bench_sh.select(F.col("_id").alias("bench_id"), F.explode("_sh").alias("_s"))
+    inter = (
+        ex.join(F.broadcast(bex), "_s")
+        .groupBy("_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes, "_id")
+        .where(F.col("n_shared") / F.col("_sz") >= threshold)
+        .select(
+            F.col("_id").alias(id_col),
+            "bench_id",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("_sz"), 6).alias("containment"),
+        )
+    )
+
+
+def incremental_dedup(
+    incoming: DataFrame, existing_keys: DataFrame, key_col: str, order_col: str
+) -> DataFrame:
+    """Incremental-ingest dedup: drop incoming rows whose ``key_col``
+    already exists in the corpus (anti join against the existing key
+    set), then keep one deterministic representative per key within the
+    batch. The steady-state shape of a continuously-fed training
+    pipeline — the corpus never rescans; only (batch × key-index) work.
+    """
+    fresh = incoming.join(existing_keys.select(key_col), key_col, "left_anti")
+    return dedup_keep_first(fresh, [key_col], [F.col(order_col).asc()])
+
+
 def minhash_signature_agg(shingled: DataFrame, num_perms: int) -> DataFrame:
     """MinHash signatures as a NARROW operation — zero shuffle.
 

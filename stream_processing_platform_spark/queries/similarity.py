@@ -107,6 +107,38 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           round(sum(round(x * 1000000)) / 1000000.0 / count(*), 5) AS centroid
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                 unnest(range(1, len(embedding) + 1)) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    description="Per-label embedding centroids (element-wise mean) via "
+    "posexplode → (label, dim) partial aggregation — the distributed "
+    "dimension-wise shape k-means/IVF training reduces to: one shuffle "
+    "keyed on (label, dim), map-side combine does most of the work, "
+    "state per task = labels × dims, independent of corpus size. Means "
+    "are summed as exact scaled integers so both engines agree "
+    "bit-for-bit.",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x")
+    )
+    return ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim")).agg(
+        F.round(
+            F.sum(F.round(F.col("x") * 1_000_000, 0)) / 1_000_000.0 / F.count("*"), 5
+        ).alias("centroid")
+    )
+
+
+@query(
     "q_ann_ivf",
     oracle=None,  # approximate by construction — recall vs brute force in pytest
     description="IVF approximate nearest neighbors (16 cells, probe 4): "

@@ -420,6 +420,208 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Training-data preparation: token budgeting, chunking, packing,
+# contamination, incremental ingest, stratified sampling
+# --------------------------------------------------------------------------
+
+@query(
+    "q_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_RE}')) AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+    description="LLM token budgeting: BPE-style pre-token count (letter "
+    "runs / digit runs / single punctuation — the GPT-2 pre-tokenizer's "
+    "portable core) next to the whitespace count it refines; one narrow "
+    "regexp scan, no shuffle.",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= {_CHUNK} THEN 1
+                      ELSE CAST(ceil((len(toks) - {_CHUNK}) / {_STRIDE}.0) AS INTEGER) + 1
+                 END AS n_chunks
+          FROM t)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(len(toks[(i*{_STRIDE}+1):(i*{_STRIDE}+{_CHUNK})]) AS INTEGER)
+               AS n_chunk_tokens,
+           array_to_string(toks[(i*{_STRIDE}+1):(i*{_STRIDE}+{_CHUNK})], ' ') AS chunk_text
+    FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c)
+    """,
+    description=f"Context-window chunking: split each document into "
+    f"{_CHUNK}-token chunks with a {_CHUNK - _STRIDE}-token overlap "
+    f"(stride {_STRIDE}) — tokenize once, explode a chunk-index "
+    f"sequence, slice per index. Narrow (no shuffle); output rows ∝ "
+    f"corpus tokens / stride.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    n_chunks = F.when(F.size("toks") <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((F.size("toks") - _CHUNK) / float(_STRIDE)).cast("int") + 1
+    )
+    ex = toks.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    # materialize the slice once — a Column referenced twice is spliced
+    # (and evaluated) twice per row otherwise
+    sliced = ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.slice(F.col("toks"), F.col("chunk_id") * _STRIDE + 1, _CHUNK).alias("chunk"),
+    )
+    return sliced.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n
+               FROM documents),
+    w AS (SELECT source, doc_id, n,
+                 COALESCE(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM t)
+    SELECT source, CAST(floor(cum_before / {_PACK_BUDGET}.0) AS INTEGER) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS pack_tokens
+    FROM w GROUP BY source, pack_id
+    """,
+    description=f"Training-sequence packing: greedy contiguous fill of "
+    f"{_PACK_BUDGET}-token packs (pack id = exclusive running token sum "
+    f"÷ budget, deterministic doc_id order) — the windowed running sum "
+    f"is PER SOURCE, so packing parallelizes across sources instead of "
+    f"one global sort; a doc straddling the boundary joins the earlier "
+    f"pack (documented overflow semantics).",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return packed.groupBy(
+        "source", F.floor(F.col("cum_before") / float(_PACK_BUDGET)).cast("int").alias("pack_id")
+    ).agg(F.count("*").alias("n_docs"), F.sum("n").alias("pack_tokens"))
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+    inter AS (
+      SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+      FROM (SELECT * FROM ex WHERE doc_id % 20 <> 0) c
+      JOIN (SELECT * FROM ex WHERE doc_id % 20 = 0) b ON c.s = b.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / sz, 6) AS containment
+    FROM inter JOIN sz USING (doc_id)
+    WHERE CAST(n_shared AS DOUBLE) / sz >= 0.2
+    """,
+    description="Eval-set decontamination: 3-gram containment "
+    "(|D∩B| / |D|) of every corpus document against a benchmark set "
+    "(stand-in: doc_id % 20 == 0), via a broadcast inverted-index join "
+    "on shingles — never corpus × benchmark.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return dedup.contamination_pairs(corpus, bench, "doc_id", "text", threshold=0.2)
+
+
+# duckdb twin of functions/text.py::fingerprint — also used inline by
+# q_fingerprint / q_dedup_exact_docs above.
+_SQL_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, {_SQL_FP} AS fp FROM documents),
+    fresh AS (
+      SELECT i.doc_id, i.fp
+      FROM (SELECT * FROM fp WHERE doc_id % 2 = 1) i
+      ANTI JOIN (SELECT fp FROM fp WHERE doc_id % 2 = 0) e USING (fp)
+    )
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM fresh
+    ) WHERE doc_id = keeper
+    """,
+    description="Incremental-ingest dedup: a new batch (odd doc_ids) "
+    "anti-joins the existing corpus fingerprint index (even doc_ids), "
+    "then keeps one representative per fingerprint within the batch — "
+    "steady-state ingestion touches batch × index, never rescans the "
+    "corpus.",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    incoming = d.where(F.col("doc_id") % 2 == 1)
+    existing = d.where(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup(incoming, existing, "fp", "doc_id").select("doc_id", "fp")
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source, substr({_SQL_FP}, 1, 1) AS h FROM documents
+    ) WHERE h < CASE lang WHEN 'en' THEN '4' WHEN 'zh' THEN 'g' ELSE '8' END
+    """,
+    description="Deterministic stratified sampling: per-language keep "
+    "rates (en 4/16, zh 16/16, rest 8/16) decided by the first hex digit "
+    "of the content fingerprint — reproducible across runs and engines, "
+    "no RNG state, embarrassingly parallel, and downsamples the "
+    "over-represented stratum the way a data-mixture recipe would.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(T.fingerprint(F.col("text")), 1, 1)
+    rate = (
+        F.when(F.col("lang") == "en", F.lit("4"))
+        .when(F.col("lang") == "zh", F.lit("g"))
+        .otherwise(F.lit("8"))
+    )
+    return d.where(h < rate).select("doc_id", "lang", "source")
+
+
 # q_pii_redaction injects known-PII rows (the synthetic corpus contains
 # none) so the redaction regexes are oracle-proven to behave identically
 # in Java regex (Spark) and RE2 (duckdb) — including on every clean

@@ -110,6 +110,14 @@ _PRIORITY: list[str] = [
     "q_stream_dedup",
     # -- new this round (no official row yet)
     "q_pii_redaction",
+    "q12_priority_shipments",
+    "q_bpe_token_count",
+    "q_doc_chunking",
+    "q_sequence_packing",
+    "q_contamination",
+    "q_incremental_dedup",
+    "q_stratified_sample",
+    "q_embedding_centroids",
 ]
 
 

@@ -41,6 +41,44 @@ def test_pii_counts_email_digits_not_double_counted(spark):
     assert (row["e"], row["p"]) == (1, 1)
 
 
+def test_contamination_pairs_planted_overlap(spark):
+    """A corpus doc sharing a verbatim passage with a benchmark doc must
+    surface with high containment; an unrelated doc must not."""
+    from stream_processing_platform_spark.operators.dedup import contamination_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    bench = spark.createDataFrame([(100, passage)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, passage + " with a short extra tail appended"),  # contaminated
+            (2, "completely different words about spark partitions and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           contamination_pairs(corpus, bench, "doc_id", "text", threshold=0.2).collect()}
+    assert set(got) == {1}
+    assert got[1].bench_id == 100
+    # doc 1: 19 tokens -> 17 shingles, the passage's 11 are all shared
+    assert got[1].n_shared == 11
+    assert abs(got[1].containment - 11 / 17) < 1e-5
+
+
+def test_incremental_dedup_drops_known_and_batch_dups(spark):
+    from stream_processing_platform_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame([("fpA",), ("fpB",)], "fp string")
+    incoming = spark.createDataFrame(
+        [(10, "fpA"), (11, "fpC"), (12, "fpC"), (13, "fpD")], "doc_id long, fp string"
+    )
+    got = sorted(
+        (r.doc_id, r.fp)
+        for r in incremental_dedup(incoming, existing, "fp", "doc_id").collect()
+    )
+    # fpA already known -> dropped; fpC keeps the batch-first row only
+    assert got == [(11, "fpC"), (13, "fpD")]
+
+
 def test_repetition_ratio_edge_cases(spark):
     df = _docs(
         spark,
