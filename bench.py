@@ -78,12 +78,12 @@ def stream_windowed_agg(spark, sf_dir: str) -> tuple[float, int]:
 
     # Stateful ops create one state-store instance per shuffle partition;
     # at this volume (~100k rows, a few hundred window-key states) 32
-    # state partitions are pure per-partition overhead — measured 2.7 s @
-    # 32 vs 1.1 s @ 8 after warm-up. Sizing shuffle partitions to the
-    # data is the same rule SCALE.md applies everywhere; a real cluster
-    # run would raise it with volume.
+    # state partitions are pure per-partition overhead. Median-of-3
+    # sweep: 2→77k, 4→89k, 8→82k, 16→64k rows/s — 4 wins. Sizing shuffle
+    # partitions to the data is the same rule SCALE.md applies
+    # everywhere; a real cluster run would raise it with volume.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         import uuid
 
@@ -119,13 +119,18 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = qs[name](spark, sf_dir)
-        df.count()  # warm-up pass: JIT/codegen/file-listing costs out of
-        # the measurement, same methodology as the streaming warm-up.
+        qs[name](spark, sf_dir).count()  # warm-up pass: JIT/codegen/
+        # file-listing costs out of the measurement, same methodology as
+        # the streaming warm-up.
         # Median of N runs — round-over-round deltas under ~0.2 s were
         # single-run jitter in r1→r2; the median makes them trustworthy.
+        # Each run REBUILDS the DataFrame: re-collecting the same
+        # instance lets the DAG scheduler skip completed shuffle map
+        # stages (measured 10x "speedups" that were just stage reuse);
+        # a fresh lineage forces every stage to actually run.
         samples = []
         for _ in range(runs):
+            df = qs[name](spark, sf_dir)
             t0 = time.time()
             df.collect()
             samples.append(time.time() - t0)
@@ -145,6 +150,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "stream_rows_per_sec": int(stream_rows / stream_sec),
+                # r3 methodology change: median-of-3 with a FRESH
+                # DataFrame per run. Earlier rounds timed a re-collect of
+                # the warm-up's DataFrame, which silently skipped
+                # completed shuffle map stages — shuffle-heavy queries
+                # (minhash/simhash/embedding LSH) were under-measured by
+                # 2-3x. r3 numbers are comparable to each other and to
+                # future rounds, not to r1/r2 for those queries.
+                "methodology": "median-of-3, fresh lineage per run",
             }
         )
     )

@@ -46,3 +46,17 @@ def test_job_lifecycle(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_metrics_conf_exposes_prometheus_surface():
+    """The monitoring artifacts (monitoring/prometheus.yml + grafana
+    dashboard) depend on these exact conf keys — pin them so a rename
+    breaks here, not silently in a deployment."""
+    from stream_processing_platform_spark.session import metrics_conf
+
+    conf = metrics_conf()
+    assert conf["spark.ui.prometheus.enabled"] == "true"
+    assert conf["spark.sql.streaming.metricsEnabled"] == "true"
+    assert conf["spark.metrics.conf.*.sink.prometheusServlet.path"] == (
+        "/metrics/prometheus"
+    )
