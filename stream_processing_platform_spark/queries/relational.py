@@ -346,22 +346,30 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT)  AS n,
-           round(sum(value), 2)      AS sum_value,
-           round(avg(value), 4)      AS avg_value,
+           floor(sum(round(value * 1000000)) / 10000.0 + 0.5) / 100.0 AS sum_value,
+           floor(sum(round(value * 1000000)) / (100.0 * count(*)) + 0.5) / 10000.0
+               AS avg_value,
            round(min(value), 2)      AS min_value,
            round(max(value), 2)      AS max_value
     FROM events
     GROUP BY user_id
     """,
     description="AggregateOperator (stateful.py:265-342): per-key "
-    "sum/count/avg/min/max — final state of the running aggregate.",
+    "sum/count/avg/min/max — final state of the running aggregate. "
+    "Sum/avg accumulate exact integer micro-units (round(avg(double)) "
+    "is summation-order-dependent — flipped the 4th decimal at sf0.1), "
+    "and the final quotients round via floor(x + 0.5): pure IEEE ops, "
+    "bit-identical cross-engine, where round() itself diverges on "
+    "half-boundary quotients (Spark rounds the shortest decimal repr "
+    "via BigDecimal HALF_UP; duckdb rounds the binary double).",
 )
 def q_agg_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    micro = F.sum(F.round(F.col("value") * 1_000_000, 0))
     return e.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        (F.floor(micro / 10_000.0 + 0.5) / 100.0).alias("sum_value"),
+        (F.floor(micro / (100.0 * F.count("*")) + 0.5) / 10_000.0).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )

@@ -141,19 +141,24 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2)     AS total
+           sum(round(value * 100)) / 100.0 AS total
     FROM events
     GROUP BY user_id
     """,
     description="LIVE streaming run of AggregateOperator (stateful.py:"
     "265-342): running per-key aggregate in update mode — final emission "
-    "per key equals the batch GROUP BY.",
+    "per key equals the batch GROUP BY. Accumulates exact integer cents "
+    "(order-independent; mergeable across micro-batch state updates) — "
+    "round(sum(double)) diverges cross-engine at .005 boundaries.",
 )
 def q_stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = W.running_agg(
         _events_stream(spark, sf_dir),
         ["user_id"],
-        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+        [
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0)) / 100.0).alias("total"),
+        ],
     )
     return _run_to_table(agg)
 
@@ -357,3 +362,39 @@ def q_stream_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _run_to_table(out, mode="append")
     return res.select("user_id", "event_id", F.round("value", 2).alias("value"))
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(round(e.value * 100)) / 100.0 AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    description="LIVE stream-static enrichment join — the third "
+    "Structured Streaming join family next to stream-stream "
+    "(q_stream_join_interval) and batch joins: the events stream "
+    "broadcast-joins the static customer dimension per micro-batch "
+    "(no watermark needed on the static side, the standard dimension-"
+    "enrichment shape), then aggregates per market segment in update "
+    "mode. Unmatched users coalesce to a sentinel segment — the "
+    "never-nullable-output invariant. At 100 TB the dim broadcast is "
+    "per-executor, not per-batch.",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"), "value"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0)) / 100.0).alias("sum_value"),
+    )
+    return _run_to_table(agg)

@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "q_incremental_dedup",
     "q_stratified_sample",
     "q_embedding_centroids",
+    "q_stream_enrich",
 ]
 
 

@@ -56,6 +56,36 @@ def test_embedding_near_dup_has_no_cartesian_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_broadcasts_benchmark_no_product(spark, sf_dir):
+    """The decontamination check must stay an inverted-index join with
+    the (small) benchmark side broadcast — never corpus × benchmark."""
+    plan = _plan(queries()["q_contamination"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_near_dup_matrix_constant_folds(spark, sf_dir):
+    """The SRP hyperplane matrix must reach execution as ONE folded
+    Literal — if it survives as a CreateArray of 12k elements (e.g.
+    someone wraps it in let()/a lambda variable again) it re-materializes
+    per row, a 10x signature regression."""
+    plan = _optimized(queries()["q_embedding_near_dup"](spark, sf_dir))
+    assert plan.count("1.0D") < 100, "hyperplane literals not constant-folded"
+
+
+def test_new_prep_queries_shapes(spark, sf_dir):
+    """Chunking stays narrow (zero exchanges before the collect);
+    packing shuffles only on its window/group keys; centroids keep a
+    partial aggregate before the exchange (map-side combine)."""
+    qs = queries()
+    chunk_plan = _plan(qs["q_doc_chunking"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in chunk_plan
+    cent_plan = _plan(qs["q_embedding_centroids"](spark, sf_dir))
+    assert "partial" in cent_plan.lower()
+    assert "CartesianProduct" not in cent_plan
+
+
 def test_tpch_round2_join_shapes(spark, sf_dir):
     """Q9: all three dims broadcast around the fact. Q18: the HAVING-
     filtered per-order aggregate is the BROADCAST side of the join with

@@ -79,6 +79,39 @@ def test_incremental_dedup_drops_known_and_batch_dups(spark):
     assert got == [(11, "fpC"), (13, "fpD")]
 
 
+def test_doc_chunking_covers_every_token(spark, sf_dir):
+    """Chunking invariants on the real corpus: stride coverage leaves no
+    token gap (non-first chunks re-cover the previous chunk's tail),
+    stitching the non-overlapping spans reproduces the document, and the
+    final chunk is never empty."""
+    from stream_processing_platform_spark.queries.text import _CHUNK, _STRIDE, q_doc_chunking
+    from stream_processing_platform_spark.functions.text import tokens
+    from stream_processing_platform_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = q_doc_chunking(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.toks
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        toks = docs[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.n_chunk_tokens > 0 for c in chunks)
+        # stitch: chunk 0 whole, then each chunk's non-overlap tail
+        stitched = chunks[0].chunk_text.split(" ") if chunks[0].chunk_text else []
+        for c in chunks[1:]:
+            stitched.extend(c.chunk_text.split(" ")[_CHUNK - _STRIDE:])
+        assert stitched == toks, doc_id
+
+
 def test_repetition_ratio_edge_cases(spark):
     df = _docs(
         spark,
