@@ -141,12 +141,116 @@ def extract_features(
     return df.mapInPandas(run, _FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — STUB: raises until an imaging library is
-    available; signature/batch shape match extract_features."""
-    raise NotImplementedError("image resize requires PIL/opencv (not in container)")
+_RESIZED_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
 
 
-def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame-sampling stage — STUB (needs ffmpeg)."""
-    raise NotImplementedError("frame sampling requires ffmpeg (not in container)")
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image resize stage: Arrow-batched mapInPandas, binary in → binary
+    out + final dimensions. The Spark-side plumbing (schema, batch shape,
+    1-row-in-1-row-out contract) is real and tested; the pixel work is
+    the stub layer — ``decoder="fake"`` emits a deterministic
+    width*height-byte payload derived from the input hash (what a real
+    ``PIL.Image.resize`` would slot into), other decoders raise until
+    the codec libs exist in the container."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            "image resize requires PIL/opencv (not in container); plumbing is "
+            "identical to decoder='fake'"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _fake_decode_features(
+                    bytes(p) if p is not None else b"", max(1, width * height // 4)
+                )
+                .view(np.uint8)
+                .tobytes()[: width * height]
+                for p in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "content_hash": pdf["content_hash"],
+                    "content": payloads,
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                }
+            )
+
+    return df.mapInPandas(run, _RESIZED_SCHEMA)
+
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int,
+    content_col: str = "content",
+    duration_col: str = "content_size",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Video frame-sampling stage: 1 input row → N frame rows via
+    Arrow-batched mapInPandas (the fan-out shape a real ffmpeg sampler
+    needs — per-frame rows, not an array column, so frames repartition
+    independently downstream). The stub treats ``duration_col`` (bytes)
+    as milliseconds and derives each frame's payload deterministically
+    from (hash, frame_idx); a real decoder swaps into the inner loop."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg (not in container); plumbing is "
+            "identical to decoder='fake'"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "content_hash": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame": [],
+            }
+            for h, payload, dur in zip(
+                pdf["content_hash"], pdf[content_col], pdf[duration_col]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = max(1, int(dur or 0) // every_ms)
+                for i in range(n_frames):
+                    out["content_hash"].append(h)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        _fake_decode_features(raw + i.to_bytes(4, "little"), 8)
+                        .view(np.uint8)
+                        .tobytes()
+                    )
+            yield pd.DataFrame(
+                {
+                    "content_hash": out["content_hash"],
+                    "frame_idx": np.array(out["frame_idx"], dtype=np.int32),
+                    "frame_ts_ms": np.array(out["frame_ts_ms"], dtype=np.int64),
+                    "frame": out["frame"],
+                }
+            )
+
+    return df.mapInPandas(run, _FRAMES_SCHEMA)

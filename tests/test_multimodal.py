@@ -10,6 +10,7 @@ from stream_processing_platform_spark.multimodal.codecs import (
     extract_features,
     read_binary_files,
     resize_images,
+    sample_video_frames,
     with_media_metadata,
 )
 
@@ -45,9 +46,39 @@ def test_glob_filter(spark, media_dir):
     assert df.count() == 1
 
 
+def test_resize_plumbing_shape_and_determinism(spark, media_dir):
+    df = with_media_metadata(read_binary_files(spark, media_dir))
+    r1 = {r.content_hash: r for r in resize_images(df, 16, 8).collect()}
+    r2 = {r.content_hash: r for r in resize_images(df, 16, 8).collect()}
+    assert len(r1) == 3  # 1-in-1-out contract
+    for h, row in r1.items():
+        assert (row.width, row.height) == (16, 8)
+        assert len(row.content) == 16 * 8  # resized payload is w*h bytes
+        assert bytes(row.content) == bytes(r2[h].content)  # deterministic
+
+
+def test_frame_sampling_fanout(spark, media_dir):
+    df = with_media_metadata(read_binary_files(spark, media_dir))
+    sizes = {r.content_hash: r.content_size for r in df.collect()}
+    frames = sample_video_frames(df, every_ms=5).collect()
+    by_hash: dict[str, list] = {}
+    for f in frames:
+        by_hash.setdefault(f.content_hash, []).append(f)
+    assert set(by_hash) == set(sizes)
+    for h, fs in by_hash.items():
+        # stub treats content_size as duration_ms: size//5 frames each
+        assert len(fs) == max(1, sizes[h] // 5)
+        fs.sort(key=lambda f: f.frame_idx)
+        assert [f.frame_idx for f in fs] == list(range(len(fs)))
+        assert all(f.frame_ts_ms == f.frame_idx * 5 for f in fs)
+        assert len({bytes(f.frame) for f in fs}) == len(fs)  # per-frame payloads
+
+
 def test_stubs_raise(spark, media_dir):
-    df = read_binary_files(spark, media_dir)
+    df = with_media_metadata(read_binary_files(spark, media_dir))
     with pytest.raises(NotImplementedError):
         extract_features(df, decoder="image")
     with pytest.raises(NotImplementedError):
-        resize_images(df, 224, 224)
+        resize_images(df, 224, 224, decoder="image")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(df, 40, decoder="video")
