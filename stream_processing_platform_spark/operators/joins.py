@@ -84,6 +84,31 @@ def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFra
     return left.join(right, on, "left_anti")
 
 
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Numeric range (band) join: match each fact row to the band whose
+    [lo, hi) interval contains its value — pricing tiers, size buckets,
+    SLA classes.
+
+    There is no equi key, so this is inherently a nested-loop shape; it
+    is only scale-sane when the band table is SMALL (it virtually always
+    is — tiers are human-defined). The band side is broadcast
+    explicitly, making the plan a BroadcastNestedLoopJoin: fact never
+    shuffles, cost = |fact| × |bands| comparisons, embarrassingly
+    parallel. For large band tables, bucketize the value into an equi
+    key instead (e.g. width_bucket) — that variant IS an equi-join and
+    belongs to the caller.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(broadcast(bands), cond, how)
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

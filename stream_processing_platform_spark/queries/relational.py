@@ -677,6 +677,43 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("standard", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 10_000_000.0),
+]
+_SQL_BANDS = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(round(o.o_totalprice * 100)) / 100.0, 2) AS band_revenue
+    FROM orders o
+    JOIN (VALUES {_SQL_BANDS}) b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+    description="Numeric range (band) join — orders matched to pricing "
+    "tiers by o_totalprice ∈ [lo, hi): no equi key exists, so the tiny "
+    "band table is broadcast and the plan is a deliberate "
+    "BroadcastNestedLoopJoin (fact never shuffles, |fact|×|bands| "
+    "comparisons). The operators/joins.range_join docstring covers when "
+    "to bucketize into an equi key instead.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    joined = joins.range_join(o, bands, "o_totalprice", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100, 0)) / 100.0, 2).alias(
+            "band_revenue"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup (§2.6), sorts/limits/top-k/set ops (§2.9), window functions (§2.10)
 # --------------------------------------------------------------------------
@@ -885,33 +922,40 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_percentiles",
     oracle="""
-    SELECT l_returnflag,
+    SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
            round(quantile_cont(round(l_extendedprice * 100), 0.5) / 100, 2)  AS median_price,
            round(quantile_cont(round(l_extendedprice * 100), 0.95) / 100, 2) AS p95_price,
            round(quantile_cont(round(l_extendedprice * 100), 0.99) / 100, 2) AS p99_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
-    GROUP BY l_returnflag
+    GROUP BY 1, 2
     """,
     description="Exact interpolated percentiles (Spark percentile == "
-    "duckdb quantile_cont) — the order-statistics aggregate family.",
+    "duckdb quantile_cont) — the order-statistics aggregate family. "
+    "Grouped by (returnflag, ship_year), a composite key: exact "
+    "percentile buffers every group value in one agg buffer, so the key "
+    "must bound the largest group — 3 coarse groups each buffering a "
+    "third of the table was an executor-memory scale-killer. The true "
+    "100 TB path is still q_approx_percentile.",
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
     # Exact percentiles sort each group once in the final aggregate — the
-    # map-side partials parallelize, so widen a narrow scan. At 100 TB
-    # the scale answer is approx_percentile (t-digest sketch); exact is
-    # kept here because it is the oracle-checkable form.
+    # map-side partials parallelize, so widen a narrow scan.
     li = ensure_min_parallelism(
-        load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_shipdate", "l_extendedprice"
+        )
     )
     # Percentiles are computed over integer cents: interpolation between
     # integer-valued doubles is exact, so both engines produce the SAME
     # double before the final round — interpolating raw 2dp prices lands
     # medians on .005 boundaries where cross-engine rounding diverges.
     cents = F.round(F.col("l_extendedprice") * 100, 0)
-    return li.groupBy("l_returnflag").agg(
+    return li.groupBy(
+        "l_returnflag", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
         F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias("median_price"),
         F.round(F.percentile(cents, F.lit(0.95)) / 100, 2).alias("p95_price"),
         F.round(F.percentile(cents, F.lit(0.99)) / 100, 2).alias("p99_price"),

@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "q_stratified_sample",
     "q_embedding_centroids",
     "q_stream_enrich",
+    "q_join_range",
 ]
 
 

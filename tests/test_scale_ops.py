@@ -34,9 +34,19 @@ def test_approx_percentile_within_error_bound(spark, sf_dir):
         r["l_returnflag"]: (r["median_price"], r["p95_price"], r["p99_price"])
         for r in queries()["q_approx_percentile"](spark, sf_dir).collect()
     }
+    # per-flag exact baseline computed inline (the registered
+    # q_percentiles now groups by the finer (flag, year) composite key)
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
     exact = {
         r["l_returnflag"]: (r["median_price"], r["p95_price"], r["p99_price"])
-        for r in queries()["q_percentiles"](spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias("median_price"),
+            F.round(F.percentile(cents, F.lit(0.95)) / 100, 2).alias("p95_price"),
+            F.round(F.percentile(cents, F.lit(0.99)) / 100, 2).alias("p99_price"),
+        )
+        .collect()
     }
     assert approx.keys() == exact.keys()
     for k, ex in exact.items():
