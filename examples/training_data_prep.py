@@ -23,11 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from stream_processing_platform_spark.functions.text import token_count, tokens
+from stream_processing_platform_spark.functions.text import tokens
 from stream_processing_platform_spark.operators.dedup import contamination_pairs
+from stream_processing_platform_spark.queries.text import (
+    _CHUNK as CHUNK,
+    _PACK_BUDGET as PACK_BUDGET,
+    _STRIDE as STRIDE,
+)
 from stream_processing_platform_spark.session import get_spark
-
-CHUNK, STRIDE, PACK_BUDGET = 64, 48, 2048
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:

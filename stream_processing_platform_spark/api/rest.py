@@ -190,10 +190,24 @@ def _make_handler(server: JobServer):
                 if m == method and match:
                     args = list(match.groups())
                     if fn == "stream_metrics":
-                        # SSE: headers now, then a long-lived chunked body
-                        qs = parse_qs(parsed.query)
-                        interval = float(qs.get("interval_ms", ["1000"])[0]) / 1000.0
-                        max_events = int(qs.get("max_events", ["0"])[0])
+                        # SSE: headers now, then a long-lived chunked body.
+                        # Param parsing must answer 400 (not a dropped
+                        # connection) on garbage; interval is floored so
+                        # interval_ms=0 can't busy-loop the server.
+                        try:
+                            qs = parse_qs(parsed.query)
+                            interval = max(
+                                0.05, float(qs.get("interval_ms", ["1000"])[0]) / 1000.0
+                            )
+                            max_events = int(qs.get("max_events", ["0"])[0])
+                        except ValueError as e:
+                            data = json.dumps({"error": str(e)}).encode()
+                            self.send_response(400)
+                            self.send_header("Content-Type", "application/json")
+                            self.send_header("Content-Length", str(len(data)))
+                            self.end_headers()
+                            self.wfile.write(data)
+                            return
                         self.send_response(200)
                         self.send_header("Content-Type", "text/event-stream")
                         self.send_header("Cache-Control", "no-cache")

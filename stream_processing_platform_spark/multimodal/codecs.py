@@ -175,7 +175,9 @@ def resize_images(
         for pdf in batches:
             payloads = [
                 _fake_decode_features(
-                    bytes(p) if p is not None else b"", max(1, width * height // 4)
+                    # ceil(w*h/4) float32s = at least w*h bytes, then trim
+                    # (w*h//4 under-produced when w*h wasn't divisible by 4)
+                    bytes(p) if p is not None else b"", max(1, (width * height + 3) // 4)
                 )
                 .view(np.uint8)
                 .tobytes()[: width * height]

@@ -149,7 +149,12 @@ def contamination_pairs(
             F.col("_id").alias(id_col),
             "bench_id",
             "n_shared",
-            F.round(F.col("n_shared") / F.col("_sz"), 6).alias("containment"),
+            # floor(x*1e6+0.5)/1e6, not round(x, 6): integer-quotient
+            # rounding must be bit-identical cross-engine (see CLAUDE.md)
+            (
+                F.floor(F.col("n_shared") * 1_000_000.0 / F.col("_sz") + 0.5)
+                / 1_000_000.0
+            ).alias("containment"),
         )
     )
 
@@ -381,8 +386,11 @@ def hyperplane_lsh_pairs(
     )
 
     # one 1-row job to learn the dimensionality (embedding columns are
-    # fixed-width; any row serves)
-    dims = df.select(F.size(as_double_array(F.col(vec_col))).alias("n")).head()["n"]
+    # fixed-width; any row serves). Empty/null-vector input degrades to a
+    # trivial 1-dim matrix — the pipeline then yields zero pairs instead
+    # of crashing at plan build.
+    head = df.select(F.size(as_double_array(F.col(vec_col))).alias("n")).head()
+    dims = head["n"] if head is not None and head["n"] and head["n"] > 0 else 1
     rng = np.random.default_rng(seed)
     planes = np.where(rng.standard_normal((num_bits, dims)) > 0, 1.0, -1.0)
     matrix = F.expr(

@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 def _checkpointer(df: DataFrame):
     """Reliable ``.checkpoint()`` when a checkpoint dir is configured,
     ``localCheckpoint`` otherwise. Both materialize eagerly and truncate
-    lineage; only the reliable form survives executor loss."""
+    lineage; only the reliable form survives executor loss.
+
+    Housekeeping: Spark does not delete reliable checkpoint files by
+    default — a long-running service calling this repeatedly should set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (removes
+    them when the RDD is GC'd) or prune the checkpoint dir between
+    batches; each connected_components run writes edges + one labels
+    dataset per round."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return lambda d: d.checkpoint(eager=True)

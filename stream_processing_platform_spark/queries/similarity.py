@@ -110,7 +110,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_centroids",
     oracle="""
     SELECT label, CAST(dim AS INTEGER) AS dim,
-           round(sum(round(x * 1000000)) / 1000000.0 / count(*), 5) AS centroid
+           floor(sum(round(x * 1000000)) / (10.0 * count(*)) + 0.5) / 100000.0
+               AS centroid
     FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
                  unnest(range(1, len(embedding) + 1)) AS dim
           FROM embeddings)
@@ -121,8 +122,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dimension-wise shape k-means/IVF training reduces to: one shuffle "
     "keyed on (label, dim), map-side combine does most of the work, "
     "state per task = labels × dims, independent of corpus size. Means "
-    "are summed as exact scaled integers so both engines agree "
-    "bit-for-bit.",
+    "are summed as exact scaled integers and the quotient rounds via "
+    "floor(x + 0.5) — round() itself diverges cross-engine on "
+    "half-boundary quotients (see CLAUDE.md).",
 )
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_platform_spark.functions.similarity import as_double_array
@@ -131,10 +133,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select(
         "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x")
     )
+    micro = F.sum(F.round(F.col("x") * 1_000_000, 0))
     return ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim")).agg(
-        F.round(
-            F.sum(F.round(F.col("x") * 1_000_000, 0)) / 1_000_000.0 / F.count("*"), 5
-        ).alias("centroid")
+        (F.floor(micro / (10.0 * F.count("*")) + 0.5) / 100_000.0).alias("centroid")
     )
 
 

@@ -549,7 +549,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared,
-           round(CAST(n_shared AS DOUBLE) / sz, 6) AS containment
+           floor(n_shared * 1000000.0 / sz + 0.5) / 1000000.0 AS containment
     FROM inter JOIN sz USING (doc_id)
     WHERE CAST(n_shared AS DOUBLE) / sz >= 0.2
     """,

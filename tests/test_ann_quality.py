@@ -86,6 +86,13 @@ def test_hyperplane_lsh_recall_vs_brute_force(spark, sf_dir, threshold):
     assert recall >= 0.99, f"LSH recall {recall:.3f} at threshold {threshold}"
 
 
+def test_hyperplane_lsh_empty_input_yields_no_pairs(spark):
+    """Regression guard: dimensionality probing head() returns None on an
+    empty frame — must degrade to zero pairs, not crash at plan build."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert hyperplane_lsh_pairs(empty, "vec_id", "embedding", 0.95).count() == 0
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {

@@ -48,12 +48,14 @@ def test_glob_filter(spark, media_dir):
 
 def test_resize_plumbing_shape_and_determinism(spark, media_dir):
     df = with_media_metadata(read_binary_files(spark, media_dir))
-    r1 = {r.content_hash: r for r in resize_images(df, 16, 8).collect()}
-    r2 = {r.content_hash: r for r in resize_images(df, 16, 8).collect()}
+    # 15x15 = 225 bytes, NOT divisible by 4 — catches the float32-block
+    # under-production bug (w*h//4 floats = 224 bytes)
+    r1 = {r.content_hash: r for r in resize_images(df, 15, 15).collect()}
+    r2 = {r.content_hash: r for r in resize_images(df, 15, 15).collect()}
     assert len(r1) == 3  # 1-in-1-out contract
     for h, row in r1.items():
-        assert (row.width, row.height) == (16, 8)
-        assert len(row.content) == 16 * 8  # resized payload is w*h bytes
+        assert (row.width, row.height) == (15, 15)
+        assert len(row.content) == 15 * 15  # resized payload is w*h bytes
         assert bytes(row.content) == bytes(r2[h].content)  # deterministic
 
 
