@@ -598,6 +598,46 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(incoming, existing, "fp", "doc_id").select("doc_id", "fp")
 
 
+# train/val/test boundaries over the fingerprint's first 2 hex chars
+# (256 buckets): train < 'cd' (205/256 ≈ 80%), val < 'e6' (+41 ≈ 16%),
+# test = rest (≈ 4%). Hex-string comparison orders correctly because
+# 0-9 < a-f in ASCII and md5 output is lowercase.
+_SPLIT_TRAIN_HI, _SPLIT_VAL_HI = "cd", "e6"
+
+
+@query(
+    "q_corpus_split",
+    oracle=f"""
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT lang,
+             CASE WHEN h < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                  WHEN h < '{_SPLIT_VAL_HI}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang, substr({_SQL_FP}, 1, 2) AS h FROM documents)
+    )
+    GROUP BY split, lang
+    """,
+    description="Deterministic train/val/test split: the content "
+    "fingerprint's first two hex chars place each document in one of "
+    "256 buckets partitioned ~80/16/4 — disjoint and exhaustive (vs "
+    "q_stratified_sample's per-stratum downsampling), reproducible "
+    "across engines and runs, stable under corpus growth (a document's "
+    "split never changes when others are added), and leakage-safe: "
+    "exact duplicates share a fingerprint, so they land in the SAME "
+    "split rather than straddling train and test.",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(T.fingerprint(F.col("text")), 1, 2)
+    split = (
+        F.when(h < _SPLIT_TRAIN_HI, "train")
+        .when(h < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(F.count("*").alias("n_docs"))
+
+
 @query(
     "q_stratified_sample",
     oracle=f"""

@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "q_embedding_centroids",
     "q_stream_enrich",
     "q_join_range",
+    "q_corpus_split",
 ]
 
 
