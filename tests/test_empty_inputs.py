@@ -31,6 +31,24 @@ def test_dedup_and_sessionize_on_empty(spark, empty_docs):
     assert out.count() == 0 and "session_id" in out.columns
 
 
+def test_prep_ops_on_empty(spark, empty_docs):
+    from stream_processing_platform_spark.operators.dedup import (
+        contamination_pairs,
+        incremental_dedup,
+    )
+
+    bench = spark.createDataFrame([(1, "some benchmark text here")], "doc_id long, text string")
+    assert contamination_pairs(empty_docs, bench, "doc_id", "text").count() == 0
+    # empty benchmark side too
+    assert contamination_pairs(bench, empty_docs, "doc_id", "text").count() == 0
+    empty_keys = spark.createDataFrame([], "fp string")
+    inc = spark.createDataFrame([], "doc_id long, fp string")
+    assert incremental_dedup(inc, empty_keys, "fp", "doc_id").count() == 0
+    # empty index: everything in the batch survives (minus in-batch dups)
+    batch = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, fp string")
+    assert incremental_dedup(batch, empty_keys, "fp", "doc_id").count() == 1
+
+
 def test_topk_on_empty_corpus(spark):
     from stream_processing_platform_spark.operators.ann import brute_force_topk
 
