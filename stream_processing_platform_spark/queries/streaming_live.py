@@ -380,8 +380,10 @@ def q_stream_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no watermark needed on the static side, the standard dimension-"
     "enrichment shape), then aggregates per market segment in update "
     "mode. Unmatched users coalesce to a sentinel segment — the "
-    "never-nullable-output invariant. At 100 TB the dim broadcast is "
-    "per-executor, not per-batch.",
+    "never-nullable-output invariant. Note the static side is "
+    "re-evaluated each micro-batch (that is how dimension updates flow "
+    "in); at scale, .cache() the dim to pin it, or accept the re-read "
+    "as the freshness mechanism.",
 )
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_platform_spark.tables import load_table

@@ -95,3 +95,39 @@ def test_salted_join_identity(spark, big, small):
     salted = salted_join(b, s, ["k"], salt_buckets=3)
     plain = b.join(s, "k")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40),
+    budget_ix=st.integers(0, 2),
+)
+@settings(**SETTINGS)
+def test_sequence_packing_matches_greedy_reference(spark, n_tokens, budget_ix):
+    """The windowed pack assignment (pack_id = exclusive running token
+    sum // budget, one source) must equal a plain Python greedy
+    contiguous fill over the same doc order — the semantics
+    q_sequence_packing declares."""
+    budget = [512, 2048, 8192][budget_ix]
+    rows = [(i, "s", n) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in df.withColumn(
+            "pack_id",
+            F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / float(budget)).cast("int"),
+        ).collect()
+    }
+
+    expect, cum = {}, 0
+    for i, n in enumerate(n_tokens):
+        expect[i] = cum // budget
+        cum += n
+    assert got == expect
