@@ -30,6 +30,19 @@ def let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def portable_round(x: Column, digits: int) -> Column:
+    """``floor(x * 10^d + 0.5) / 10^d`` — rounding that is bit-identical
+    across engines. ``round()`` itself diverges when x lands on a half
+    boundary (Spark rounds the shortest decimal repr via BigDecimal
+    HALF_UP; duckdb rounds the binary double), which integer-quotient
+    ratios like jaccard = inter/union or diversity = distinct/total hit
+    whenever the denominator has a factor of 5 (e.g. 1/640 = 0.0015625
+    exactly). SQL twins must use the literally-matching
+    ``floor((expr) * 10^d + 0.5) / 10^d``. See CLAUDE.md."""
+    scale = float(10**digits)
+    return F.floor(x * scale + 0.5) / scale
+
+
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens, empties removed."""
     return F.filter(F.split(F.lower(text), WS), lambda t: t != "")
@@ -139,7 +152,7 @@ def quality_score(text: Column) -> Column:
         sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
         sw_ratio = F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
         sw_score = F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
-        return F.round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
+        return portable_round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
 
     # let-bind: tokenize once instead of once per sub-score.
     return let(tokens(text), body)
@@ -180,7 +193,9 @@ def ngram_repetition_ratio(text: Column, n: int) -> Column:
     def body(grams: Column) -> Column:
         total = F.size(grams).cast("double")
         distinct = F.size(F.array_distinct(grams)).cast("double")
-        return F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(F.lit(0.0))
+        return F.when(
+            total > 0, portable_round(1.0 - distinct / total, 6)
+        ).otherwise(F.lit(0.0))
 
     return let(ngram_list(text, n), body)
 
@@ -232,7 +247,7 @@ def quality_metrics(text: Column) -> Column:
         sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
         sw_ratio = F.when(n > 0, sw / n).otherwise(F.lit(0.0))
         sw_score = F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
-        quality = F.round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
+        quality = portable_round(0.4 * length_score + 0.3 * diversity + 0.3 * sw_score, 6)
 
         grams = F.when(
             F.size(toks) >= 2,
@@ -248,7 +263,8 @@ def quality_metrics(text: Column) -> Column:
         def rep_body(g: Column) -> Column:
             total = F.size(g).cast("double")
             return F.when(
-                total > 0, F.round(1.0 - F.size(F.array_distinct(g)) / total, 6)
+                total > 0,
+                portable_round(1.0 - F.size(F.array_distinct(g)) / total, 6),
             ).otherwise(F.lit(0.0))
 
         return F.struct(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream_processing_platform_spark.functions.text import word_shingles
+from stream_processing_platform_spark.functions.text import portable_round, word_shingles
 
 
 def dedup_keep_first(df: DataFrame, key_cols: list[str], order_by: list[Column]) -> DataFrame:
@@ -56,7 +56,9 @@ def _verify_pairs(cands: DataFrame, shingled: DataFrame, threshold: float) -> Da
     b = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"))
     return (
         cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("jac", F.round(jaccard(F.col("_sa"), F.col("_sb")), 6))
+        # portable_round: jaccard is an integer quotient — round() itself
+        # splits cross-engine on half-boundary values (see CLAUDE.md)
+        .withColumn("jac", portable_round(jaccard(F.col("_sa"), F.col("_sb")), 6))
         .where(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
@@ -103,7 +105,7 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jac",
-            F.round(
+            portable_round(
                 F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6
             ),
         )

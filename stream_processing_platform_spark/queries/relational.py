@@ -42,20 +42,31 @@ def _geo_mean_of_series(v: pd.Series) -> float:
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           floor(sum(l_quantity) * 10000.0 / count(*) + 0.5) / 10000.0  AS avg_qty,
+           floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100.0
+                 / count(*) + 0.5) / 10000.0                            AS avg_price,
+           floor(sum(CAST(round(l_discount * 100) AS BIGINT)) * 100.0
+                 / count(*) + 0.5) / 10000.0                            AS avg_disc,
            CAST(count(*) AS BIGINT)                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
     """,
     description="TPC-H Q1 pricing summary: scan-heavy grouped aggregation "
-    "(MapOperator + AggregateOperator batch form; flagship).",
+    "(MapOperator + AggregateOperator batch form; flagship). The three "
+    "averages follow the exact-integer-units + floor(x+0.5) doctrine: "
+    "quantities are integer-valued (sum exact), price/discount sum as "
+    "integer cents (BIGINT — exact at any scale in both engines), and "
+    "the 4dp quotient rounds with pure IEEE ops, dodging both "
+    "summation-order drift and the cross-engine round() half-boundary "
+    "split (CLAUDE.md).",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count("*")
+    price_cents = F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+    disc_cents = F.sum(F.round(F.col("l_discount") * 100, 0).cast("long"))
     return (
         l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -64,9 +75,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.floor(F.sum("l_quantity") * 10_000.0 / cnt + 0.5) / 10_000.0).alias(
+                "avg_qty"
+            ),
+            (F.floor(price_cents * 100.0 / cnt + 0.5) / 10_000.0).alias("avg_price"),
+            (F.floor(disc_cents * 100.0 / cnt + 0.5) / 10_000.0).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -247,12 +260,16 @@ def q_flatmap_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN value > 350 THEN 'ANOMALY'
                 ELSE 'NORMAL' END AS label,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 4) AS avg_value
+           floor(sum(round(value * 1000000)) / (100.0 * count(*)) + 0.5) / 10000.0
+               AS avg_value
     FROM events
     GROUP BY 1
     """,
     description="GUI anomaly op (gui/app_gcp.py:351-367): threshold "
-    "labeling via when/otherwise + grouped stats.",
+    "labeling via when/otherwise + grouped stats. The average follows "
+    "the exact-integer-micro-units + floor(x+0.5) doctrine — "
+    "round(avg(double)) is the boundary class that flipped "
+    "q_agg_running at sf0.1.",
 )
 def q_case_when_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -261,9 +278,10 @@ def q_case_when_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") > 350, "ANOMALY")
         .otherwise("NORMAL")
     )
-    return (
-        e.groupBy(label.alias("label"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    micro = F.sum(F.round(F.col("value") * 1_000_000, 0))
+    return e.groupBy(label.alias("label")).agg(
+        F.count("*").alias("n"),
+        (F.floor(micro / (100.0 * F.count("*")) + 0.5) / 10_000.0).alias("avg_value"),
     )
 
 
@@ -381,7 +399,7 @@ def q_agg_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT)          AS n_rows,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
            round(sum(l_extendedprice), 2)    AS sum_price,
-           round(avg(l_quantity), 4)         AS avg_qty,
+           floor(sum(l_quantity) * 10000.0 / count(*) + 0.5) / 10000.0 AS avg_qty,
            round(min(l_extendedprice), 2)    AS min_price,
            round(max(l_extendedprice), 2)    AS max_price
     FROM lineitem
@@ -395,7 +413,9 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        (F.floor(F.sum("l_quantity") * 10_000.0 / F.count("*") + 0.5) / 10_000.0).alias(
+            "avg_qty"
+        ),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
@@ -1334,10 +1354,11 @@ def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT round(100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
+    SELECT floor(100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
                          THEN l.l_extendedprice * (1 - l.l_discount)
                          ELSE 0 END), 2)
-                 / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 4)
+                 / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 * 10000.0 + 0.5) / 10000.0
            AS promo_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -1362,7 +1383,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 2).alias("_d"),
         )
     )
-    return agg.select(F.round(100.0 * F.col("_n") / F.col("_d"), 4).alias("promo_revenue"))
+    return agg.select(
+        (F.floor(100.0 * F.col("_n") / F.col("_d") * 10_000.0 + 0.5) / 10_000.0).alias(
+            "promo_revenue"
+        )
+    )
 
 
 @query(
@@ -1484,14 +1509,16 @@ def _cents() -> "F.Column":
       WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
-                 / sum(cents), 4) AS mkt_share
+           floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+                 / sum(cents) * 10000.0 + 0.5) / 10000.0 AS mkt_share
     FROM j GROUP BY o_year
     """,
     description="TPC-H Q8 shape: one nation's share of regional trade in a "
     "part type, by year — 8-way star join with a conditional-sum ratio per "
     "group. All five dims broadcast; both ratio terms are exact-integer "
-    "cents sums, so the division sees identical operands in both engines.",
+    "cents sums, so the division sees identical operands in both engines, "
+    "and the 4dp ratio rounds via floor(x+0.5) — round() itself splits "
+    "cross-engine on half-boundary quotients (CLAUDE.md).",
 )
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -1522,7 +1549,12 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(0.0)).alias("_n"),
             F.sum(cents).alias("_d"),
         )
-        .select("o_year", F.round(F.col("_n") / F.col("_d"), 4).alias("mkt_share"))
+        .select(
+            "o_year",
+            (F.floor(F.col("_n") / F.col("_d") * 10_000.0 + 0.5) / 10_000.0).alias(
+                "mkt_share"
+            ),
+        )
     )
 
 

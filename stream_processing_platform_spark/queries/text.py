@@ -62,9 +62,10 @@ _SQL_SW = "['the','a','and','of','to','in','is','it','on','for']"
       FROM t
     )
     SELECT doc_id,
-           round(0.4 * least(n / 200.0, 1.0)
-               + 0.3 * diversity
-               + 0.3 * least(sw_ratio / 0.1, 1.0), 6) AS quality
+           floor((0.4 * least(n / 200.0, 1.0)
+                + 0.3 * diversity
+                + 0.3 * least(sw_ratio / 0.1, 1.0)) * 1000000.0 + 0.5) / 1000000.0
+               AS quality
     FROM m
     """,
     description="Quality scoring: length + lexical diversity + stopword "
@@ -179,7 +180,8 @@ _SQL_JACCARD_PAIRS = f"""
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jac
+           floor((CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter))
+                 * 1000000.0 + 0.5) / 1000000.0 AS jac
     FROM inter
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
@@ -279,16 +281,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines) or rounded to 6 decimals before any comparison.
 # --------------------------------------------------------------------------
 
-# duckdb twins of functions/text.py::ngram_repetition_ratio (n=2, n=3)
+# duckdb twins of functions/text.py::ngram_repetition_ratio (n=2, n=3);
+# floor(x*1e6+0.5)/1e6 mirrors portable_round — round() splits
+# cross-engine on half-boundary integer quotients
 _SQL_REP2 = (
-    "CASE WHEN len(w) >= 2 THEN round(1.0 - CAST(len(list_distinct("
+    "CASE WHEN len(w) >= 2 THEN floor((1.0 - CAST(len(list_distinct("
     "[w[i] || ' ' || w[i+1] for i in range(1, len(w))]"
-    ")) AS DOUBLE) / (len(w) - 1), 6) ELSE 0.0 END"
+    ")) AS DOUBLE) / (len(w) - 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END"
 )
 _SQL_REP3 = (
-    "CASE WHEN len(w) >= 3 THEN round(1.0 - CAST(len(list_distinct("
+    "CASE WHEN len(w) >= 3 THEN floor((1.0 - CAST(len(list_distinct("
     "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]"
-    ")) AS DOUBLE) / (len(w) - 2), 6) ELSE 0.0 END"
+    ")) AS DOUBLE) / (len(w) - 2)) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END"
 )
 
 
@@ -314,14 +318,14 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# duckdb twin of functions/text.py::quality_score (rounded to 6, same as Spark)
+# duckdb twin of functions/text.py::quality_score (portable_round form)
 _SQL_QUALITY = f"""
-    round(0.4 * least(CAST(len(w) AS DOUBLE) / 200.0, 1.0)
+    floor((0.4 * least(CAST(len(w) AS DOUBLE) / 200.0, 1.0)
         + 0.3 * (CASE WHEN len(w) > 0
                  THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END)
         + 0.3 * least((CASE WHEN len(w) > 0
                  THEN CAST(len(list_filter(w, x -> list_contains({_SQL_SW}, x))) AS DOUBLE) / len(w)
-                 ELSE 0.0 END) / 0.1, 1.0), 6)
+                 ELSE 0.0 END) / 0.1, 1.0)) * 1000000.0 + 0.5) / 1000000.0
 """
 
 
@@ -391,7 +395,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(sum(round(quality * 1000000)) / 1000000.0 / count(*), 4) AS avg_quality,
+           floor(sum(round(quality * 1000000)) / (100.0 * count(*)) + 0.5) / 10000.0
+               AS avg_quality,
            CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
     FROM m GROUP BY source, lang
     """,
@@ -413,8 +418,15 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            F.sum(F.round(F.col("quality") * 1_000_000, 0)) / 1_000_000.0 / F.count("*"), 4
+        # floor(x+0.5), not round(): quotient rounding must be pure IEEE
+        # ops to be bit-identical cross-engine (CLAUDE.md)
+        (
+            F.floor(
+                F.sum(F.round(F.col("quality") * 1_000_000, 0))
+                / (100.0 * F.count("*"))
+                + 0.5
+            )
+            / 10_000.0
         ).alias("avg_quality"),
         F.countDistinct("fp").alias("n_unique"),
     )
