@@ -74,6 +74,10 @@ def stream_windowed_agg(spark, sf_dir: str) -> tuple[float, int]:
     stream = file_source(spark, stage_dir, static.schema)
     if isinstance(static.schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # micros parquet loads as TIMESTAMP_NTZ, which watermarks reject;
+        # session zone is UTC so the cast preserves the instant
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = tumbling_agg(stream, "ts", "1 hour", ["event_type"], [F.count("*").alias("n")])
 
     # Stateful ops create one state-store instance per shuffle partition;

@@ -146,13 +146,17 @@ class JobServer:
 
         sent = 0
         while True:
-            status = jc.job_status(self.spark, job_id)
-            frame = jc.job_metrics(self.spark, job_id)
-            frame["state"] = status["state"]
+            # Frame construction can raise (e.g. a Spark error mid-poll);
+            # after SSE headers there is no way to report a status code,
+            # so any failure — socket or Spark — closes the stream cleanly
+            # instead of propagating into the HTTP handler.
             try:
+                status = jc.job_status(self.spark, job_id)
+                frame = jc.job_metrics(self.spark, job_id)
+                frame["state"] = status["state"]
                 wfile.write(f"data: {json.dumps(frame, default=str)}\n\n".encode())
                 wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
+            except Exception:
                 return
             sent += 1
             if max_events and sent >= max_events:
@@ -191,9 +195,21 @@ def _make_handler(server: JobServer):
                     args = list(match.groups())
                     if fn == "stream_metrics":
                         # SSE: headers now, then a long-lived chunked body.
-                        # Param parsing must answer 400 (not a dropped
-                        # connection) on garbage; interval is floored so
-                        # interval_ms=0 can't busy-loop the server.
+                        # Unknown ids must 404 BEFORE headers go out
+                        # (consistent with /checkpoints); param parsing
+                        # must answer 400 (not a dropped connection) on
+                        # garbage; interval is floored so interval_ms=0
+                        # can't busy-loop the server.
+                        if args[0] not in server.jobs:
+                            data = json.dumps(
+                                {"error": f"unknown job {args[0]!r}"}
+                            ).encode()
+                            self.send_response(404)
+                            self.send_header("Content-Type", "application/json")
+                            self.send_header("Content-Length", str(len(data)))
+                            self.end_headers()
+                            self.wfile.write(data)
+                            return
                         try:
                             qs = parse_qs(parsed.query)
                             interval = max(

@@ -61,8 +61,11 @@ def distinct_token_count(text: Column) -> Column:
 # pre-token — the unit a byte-pair tokenizer would then merge over, and
 # a far better LLM token-budget estimate than whitespace words (which
 # undercount punctuation-heavy text). ASCII classes only so Java regex
-# (Spark) and RE2 (duckdb) agree byte-for-byte.
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# (Spark) and RE2 (duckdb) agree byte-for-byte — including the
+# whitespace class, spelled explicitly: Java's \s contains \x0B
+# (vertical tab) but RE2's does not, so [^...\s] would diverge on
+# documents containing \x0B.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 
 def bpe_token_count(text: Column) -> Column:

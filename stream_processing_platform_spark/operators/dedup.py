@@ -388,11 +388,17 @@ def hyperplane_lsh_pairs(
     )
 
     # one 1-row job to learn the dimensionality (embedding columns are
-    # fixed-width; any row serves). Empty/null-vector input degrades to a
-    # trivial 1-dim matrix — the pipeline then yields zero pairs instead
-    # of crashing at plan build.
-    head = df.select(F.size(as_double_array(F.col(vec_col))).alias("n")).head()
-    dims = head["n"] if head is not None and head["n"] and head["n"] > 0 else 1
+    # fixed-width; any NON-EMPTY row serves — a leading null/empty vector
+    # must not shrink the matrix to 1 dim, or every signature collapses
+    # and LSH degrades to near-all-pairs candidates). All-empty input
+    # degrades to a trivial 1-dim matrix — the pipeline then yields zero
+    # pairs instead of crashing at plan build.
+    head = (
+        df.select(F.size(as_double_array(F.col(vec_col))).alias("n"))
+        .where(F.col("n") > 0)
+        .head()
+    )
+    dims = head["n"] if head is not None else 1
     rng = np.random.default_rng(seed)
     planes = np.where(rng.standard_normal((num_bits, dims)) > 0, 1.0, -1.0)
     matrix = F.expr(

@@ -23,7 +23,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from stream_processing_platform_spark.operators.windows_batch import epoch_ms
 from stream_processing_platform_spark.registry import query
@@ -87,6 +87,11 @@ def _events_stream(spark: SparkSession, sf_dir: str, flush_files: int = 0) -> Da
     )
     if is_long_ts:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(static.schema["ts"].dataType, TimestampNTZType):
+        # parquet micros without a UTC flag load as TIMESTAMP_NTZ, which
+        # withWatermark rejects; session zone is pinned UTC, so the cast
+        # is instant-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -738,3 +738,63 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Real BPE tokenization (functions/bpe.py): the fidelity upgrade over the
+# regex pre-token ESTIMATE used by q_bpe_token_count / q_doc_chunking /
+# q_sequence_packing. No SQL twin exists (greedy merge order is
+# inherently procedural), so these register oracle=None; correctness is
+# pinned by tests/test_bpe.py (known-merge encodings, lossless
+# round-trip, Spark-vs-pure-Python equality on the corpus).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bpe_real",
+    oracle=None,  # greedy BPE merges have no SQL twin — tests/test_bpe.py
+    description="Real byte-level BPE token count per document (trained "
+    "merge table broadcast to executors, Arrow pandas_udf encode) next "
+    "to the regex pre-token estimate it supersedes; estimate_err is the "
+    "budgeting error a regex-only pipeline would eat.",
+)
+def q_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    count_udf = bpe.token_count_udf(spark)
+    return d.select(
+        "doc_id",
+        count_udf(F.col("text")).alias("n_bpe_real"),
+        T.bpe_token_count(F.col("text")).cast("int").alias("n_bpe_estimate"),
+    ).withColumn("estimate_err", F.col("n_bpe_estimate") - F.col("n_bpe_real"))
+
+
+@query(
+    "q_sequence_packing_bpe",
+    oracle=None,  # real-BPE counts have no SQL twin — packing invariants
+    # (per-source token conservation, contiguous pack ids, budget bound)
+    # proven in tests/test_bpe.py::test_sequence_packing_bpe_invariants
+    description=f"Training-sequence packing on REAL BPE token counts "
+    f"(same greedy per-source running-sum pack rule as "
+    f"q_sequence_packing, {_PACK_BUDGET}-token budget) — the variant a "
+    f"production pipeline runs, since chunk/pack budgets are enforced "
+    f"by the actual tokenizer, not a regex estimate.",
+)
+def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stream_processing_platform_spark.functions import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    count_udf = bpe.token_count_udf(spark)
+    t = d.select("doc_id", "source", count_udf(F.col("text")).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return packed.groupBy(
+        "source", F.floor(F.col("cum_before") / float(_PACK_BUDGET)).cast("int").alias("pack_id")
+    ).agg(F.count("*").alias("n_docs"), F.sum("n").alias("pack_tokens"))

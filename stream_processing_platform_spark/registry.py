@@ -71,56 +71,60 @@ _loaded = False
 # order IS the coverage policy, so it is explicit here (not an accident of
 # import order) and rotates per round: queries that have never had an
 # official CORRECTNESS row go first, then those whose last green row is
-# oldest, then the most-recently-verified set. Round-3 rotation:
-#   1-17:  never officially run (green in r1/r2 judge re-runs only)
-#   18-30: green in r1 but evicted from r2's 50-slot window
-#   31+:   new this round, then the r2-green set (registration order)
+# oldest, then the most-recently-verified set. Round-4 rotation:
+#   1-4:   new this round (no official row yet)
+#   5-12:  edited since their r2 green row (judge re-verified by hand in
+#          r3; the official record should show a driver-green row)
+#   13-46: r2-green, not rotated into r3's window (official row a round old)
+#   47+:   the r3-green 50, registration order (freshest official rows)
 _PRIORITY: list[str] = [
-    # -- never officially run (TPC-H round-2b shapes, live streaming, UDAF)
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q_udaf_geomean",
-    "q_stream_join_interval",
-    "q_stream_keyed_process",
-    "q_stream_window_session",
-    "q_stream_window_sliding",
-    # -- green in r1, evicted from r2's window
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q_grouping_sets",
-    "q_string_agg",
-    "q_sql_exists",
-    "q_window_navigation",
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_window_session",
-    "q_window_collect",
-    "q_stream_window_tumbling",
-    "q_stream_running_agg",
-    "q_stream_dedup",
-    # -- new this round (no official row yet)
-    "q_pii_redaction",
-    "q12_priority_shipments",
-    "q_bpe_token_count",
-    "q_doc_chunking",
-    "q_sequence_packing",
-    "q_contamination",
-    "q_incremental_dedup",
-    "q_stratified_sample",
-    "q_embedding_centroids",
-    "q_stream_enrich",
-    "q_join_range",
-    "q_corpus_split",
+    # -- new in round 4
+    "q_bpe_real",
+    "q_sequence_packing_bpe",
+    # -- edited since r2 green (rounding-boundary hardening, let()-binding)
+    "q_agg_running",
+    "q_agg_global",
+    "q_corpus_stats",
+    "q_quality_filter",
+    "q_repetition_ratio",
+    "q_string_funcs",
+    "q_percentiles",
+    "q_join_asof",
+    # -- r2-green, evicted from r3's 50-slot window
+    "q_datetime_funcs",
+    "q_count_distinct",
+    "q_rollup_revenue",
+    "q_cube_orders",
+    "q_pivot_event_counts",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_interval",
+    "q_dedup_exact",
+    "q_orderby_limit",
+    "q_topk_per_group",
+    "q_set_ops",
+    "q_window_rank",
+    "q_window_running",
+    "q_join_salted",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_cosine_topk",
+    "q_embedding_near_dup",
+    "q_ann_ivf",
+    "q_multimodal_features",
+    "q_embedding_dedup_clusters",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_dedup_exact_docs",
+    "q_ngram_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_dedup_clusters",
+    "q_simhash_pairs",
+    "q_token_histogram",
 ]
 
 

@@ -93,6 +93,26 @@ def test_hyperplane_lsh_empty_input_yields_no_pairs(spark):
     assert hyperplane_lsh_pairs(empty, "vec_id", "embedding", 0.95).count() == 0
 
 
+def test_hyperplane_lsh_leading_empty_vector_keeps_dims(spark):
+    """A null/empty vector in the FIRST row must not shrink the probed
+    dimensionality to 1 (which would collapse every signature and turn
+    LSH into near-all-pairs). With real dims, the two orthogonal vectors
+    below land in different buckets almost surely and produce no
+    candidate pair; the identical pair still verifies at cos=1."""
+    rows = [
+        (0, []),  # poison row: empty vector first
+        (1, [1.0] + [0.0] * 63),
+        (2, [1.0] + [0.0] * 63),
+        (3, [0.0] * 63 + [1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_lsh_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    assert pairs == {(1, 2)}, pairs
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {

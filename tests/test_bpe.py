@@ -1,0 +1,144 @@
+"""Real byte-level BPE (functions/bpe.py): the oracle=None queries
+q_bpe_real / q_sequence_packing_bpe are pinned here instead of by a
+duckdb twin — greedy merge order is not SQL-expressible.
+
+Coverage: hand-computed encodings against a known merge table, training
+determinism on a hand-traceable corpus, lossless round-trip over tricky
+inputs (unicode, whitespace runs, \x0b), Spark-UDF == pure-Python on the
+real documents table, and the packing/budget invariants of the
+real-token packing query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions import bpe
+
+
+def test_train_bpe_hand_traceable():
+    # corpus = one pre-token "aaab": pairs (a,a)x2 beat (a,b)x1;
+    # then (aa,a) vs (a,b) tie at 1 → lexicographically larger pair
+    # (b"aa" > b"a") wins; then only (aaa,b) remains.
+    merges = bpe.train_bpe(["aaab"], 10)
+    assert merges == [(b"a", b"a"), (b"aa", b"a"), (b"aaa", b"b")]
+
+
+def test_train_bpe_deterministic():
+    assert bpe.train_bpe(bpe._SEED_CORPUS, 64) == bpe.train_bpe(bpe._SEED_CORPUS, 64)
+    # lru_cache'd shipped table is stable too
+    assert bpe.default_merges() == tuple(bpe.train_bpe(bpe._SEED_CORPUS, bpe._NUM_MERGES))
+
+
+def test_encode_known_merge_table():
+    merges = [(b"a", b"b"), (b"ab", b"c")]
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    # lowest-rank-first rule: "abc" → [ab, c] → [abc] → id 257
+    assert bpe.encode("abc", ranks, vocab) == [257]
+    # "cab" → c then ab: [99, 256]
+    assert bpe.encode("cab", ranks, vocab) == [ord("c"), 256]
+    # un-merged bytes stay byte ids
+    assert bpe.encode("xyz", ranks, vocab) == [ord("x"), ord("y"), ord("z")]
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "the quick brown fox",
+        "  leading and   multiple spaces\t\ttabs\nnewlines\x0bvtab",
+        "digits 1234567 mixed-with: punct!!!",
+        "unicode: naïve café — ß λ 中文 🙂",
+        "",
+    ],
+)
+def test_encode_decode_roundtrip(text):
+    merges = list(bpe.default_merges())
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    assert bpe.decode(bpe.encode(text, ranks, vocab), vocab) == text
+
+
+def test_merges_actually_compress():
+    merges = list(bpe.default_merges())
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    text = "the stream processing platform aggregates records"
+    ids = bpe.encode(text, ranks, vocab)
+    # far fewer tokens than bytes, and decode restores the text
+    assert len(ids) < len(text.encode()) * 0.6
+    assert any(i >= 256 for i in ids)
+
+
+def test_spark_udf_matches_pure_python(spark, sf_dir):
+    from stream_processing_platform_spark.tables import load_table
+
+    merges = list(bpe.default_merges())
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    ids_udf = bpe.token_ids_udf(spark)
+    got = {
+        r["doc_id"]: r["ids"]
+        for r in docs.select("doc_id", ids_udf(F.col("text")).alias("ids")).collect()
+    }
+    for r in docs.collect():
+        assert got[r["doc_id"]] == bpe.encode(r["text"], ranks, vocab), r["doc_id"]
+
+
+def test_q_bpe_real_estimate_relationship(spark, sf_dir):
+    from stream_processing_platform_spark.queries.text import q_bpe_real
+
+    rows = q_bpe_real(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # merges only ever JOIN bytes within a pre-token, and the regex
+        # estimate counts non-whitespace pre-tokens only — so the real
+        # count (which also tokenizes whitespace runs) is >= 0 and the
+        # estimate never exceeds total real tokens by more than the
+        # whitespace-token share; sanity: both positive for real docs
+        assert r["n_bpe_real"] > 0 and r["n_bpe_estimate"] > 0
+        assert r["estimate_err"] == r["n_bpe_estimate"] - r["n_bpe_real"]
+
+
+def test_sequence_packing_bpe_invariants(spark, sf_dir):
+    from stream_processing_platform_spark.queries.text import (
+        _PACK_BUDGET,
+        q_sequence_packing_bpe,
+    )
+    from stream_processing_platform_spark.tables import load_table
+
+    packs = q_sequence_packing_bpe(spark, sf_dir).collect()
+    assert packs
+    per_source: dict[str, list] = {}
+    for p in packs:
+        per_source.setdefault(p["source"], []).append(p)
+    # token conservation: per-source pack totals == per-source doc totals
+    docs = load_table(spark, sf_dir, "documents")
+    count_udf = bpe.token_count_udf(spark)
+    truth = {
+        r["source"]: (r["total"], r["n"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(count_udf(F.col("text")).cast("long")).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for src, ps in per_source.items():
+        assert sum(p["pack_tokens"] for p in ps) == truth[src][0]
+        assert sum(p["n_docs"] for p in ps) == truth[src][1]
+        # pack ids contiguous from 0 (greedy fill never skips a pack)
+        ids = sorted(p["pack_id"] for p in ps)
+        assert ids == list(range(len(ids)))
+        # every pack except the last stops only once the budget is
+        # reached: cumulative fill before the pack's last doc < budget
+        # is implied by the floor rule; check the weaker explicit bound
+        # that a pack never holds tokens it could not have started:
+        # pack_tokens < budget + max single-doc size
+        max_doc = max(
+            r["n"]
+            for r in docs.where(F.col("source") == src)
+            .select(count_udf(F.col("text")).cast("long").alias("n"))
+            .collect()
+        )
+        for p in ps:
+            assert p["pack_tokens"] < _PACK_BUDGET + max_doc

@@ -132,3 +132,10 @@ def test_rest_job_lifecycle(spark, rest, tmp_path):
 def test_rest_submit_unknown_pipeline_404(spark, rest):
     code, out = _call(rest, "POST", "/jobs/submit", {"pipeline": "nope"})
     assert code == 404 and "registered" in out
+
+
+def test_rest_stream_metrics_unknown_job_404(spark, rest):
+    # must 404 BEFORE SSE headers, consistent with /checkpoints — not a
+    # 200 followed by a bogus CANCELED frame
+    code, out = _call(rest, "GET", "/jobs/nope/metrics/stream")
+    assert code == 404 and "unknown job" in out["error"]
