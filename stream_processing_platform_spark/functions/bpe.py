@@ -198,3 +198,19 @@ def token_count_udf(spark: SparkSession):
         return s.map(lambda t: len(encode(t if t is not None else "", ranks, vocab)))
 
     return _count
+
+
+def decode_udf(spark: SparkSession):
+    """Arrow pandas_udf: array<int> token ids → text. Lossless inverse of
+    token_ids_udf — chunkers use it to re-materialize chunk TEXT from a
+    slice of real token ids (so chunk boundaries land between real
+    tokens, never mid-token)."""
+    bc = spark.sparkContext.broadcast(default_merges())
+
+    @F.pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        vocab = build_vocab(list(bc.value))
+        rev = {i: t for t, i in vocab.items()}
+        return s.map(lambda ids: b"".join(rev[i] for i in ids).decode("utf-8"))
+
+    return _dec

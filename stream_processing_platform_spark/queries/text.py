@@ -798,3 +798,40 @@ def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy(
         "source", F.floor(F.col("cum_before") / float(_PACK_BUDGET)).cast("int").alias("pack_id")
     ).agg(F.count("*").alias("n_docs"), F.sum("n").alias("pack_tokens"))
+
+
+@query(
+    "q_doc_chunking_bpe",
+    oracle=None,  # real-BPE ids have no SQL twin — chunk invariants and
+    # lossless text reconstruction proven in tests/test_bpe.py
+    description=f"Context-window chunking on REAL BPE token ids "
+    f"({_CHUNK}-token chunks, stride {_STRIDE}): encode once per doc "
+    f"(broadcast merge table), explode chunk indices, slice the id "
+    f"array, decode each slice back to text — boundaries fall between "
+    f"real tokens, never mid-token, so chunk budgets are exact for the "
+    f"tokenizer that will consume them.",
+)
+def q_doc_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    ids_udf = bpe.token_ids_udf(spark)
+    dec_udf = bpe.decode_udf(spark)
+    toks = d.select("doc_id", ids_udf(F.col("text")).alias("ids"))
+    n_chunks = F.when(F.size("ids") <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((F.size("ids") - _CHUNK) / float(_STRIDE)).cast("int") + 1
+    )
+    ex = toks.select(
+        "doc_id", "ids", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    sliced = ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.slice(F.col("ids"), F.col("chunk_id") * _STRIDE + 1, _CHUNK).alias("chunk_ids"),
+    )
+    return sliced.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_ids").cast("int").alias("n_chunk_tokens"),
+        dec_udf(F.col("chunk_ids")).alias("chunk_text"),
+    )

@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     # -- new in round 4
     "q_bpe_real",
     "q_sequence_packing_bpe",
+    "q_doc_chunking_bpe",
     # -- edited since r2 green (rounding-boundary hardening, let()-binding)
     "q_agg_running",
     "q_agg_global",

@@ -142,3 +142,35 @@ def test_sequence_packing_bpe_invariants(spark, sf_dir):
         )
         for p in ps:
             assert p["pack_tokens"] < _PACK_BUDGET + max_doc
+
+
+def test_doc_chunking_bpe_invariants(spark, sf_dir):
+    from stream_processing_platform_spark.queries.text import (
+        _CHUNK,
+        _STRIDE,
+        q_doc_chunking_bpe,
+    )
+    from stream_processing_platform_spark.tables import load_table
+
+    merges = list(bpe.default_merges())
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    chunks = q_doc_chunking_bpe(spark, sf_dir).collect()
+    assert chunks
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        assert 0 < c["n_chunk_tokens"] <= _CHUNK
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()}
+    for doc_id, cs in list(by_doc.items())[:25]:
+        cs.sort(key=lambda c: c["chunk_id"])
+        ids = bpe.encode(docs[doc_id], ranks, vocab)
+        n = len(ids)
+        expected = 1 if n <= _CHUNK else -(-(n - _CHUNK) // _STRIDE) + 1
+        assert [c["chunk_id"] for c in cs] == list(range(expected)), doc_id
+        # chunk 0's text decodes to the doc's first _CHUNK real tokens
+        assert cs[0]["chunk_text"] == bpe.decode(ids[:_CHUNK], vocab), doc_id
+        # stride semantics: chunk i starts at token i*_STRIDE
+        for c in cs:
+            start = c["chunk_id"] * _STRIDE
+            assert c["chunk_text"] == bpe.decode(ids[start : start + _CHUNK], vocab)
