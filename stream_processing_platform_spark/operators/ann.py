@@ -112,9 +112,16 @@ def ivf_topk(
         .select("query_id", "_qv", "cell")
     )
 
+    # Broadcast the PROBE side, stream the corpus: probes are q*nprobe rows
+    # (small by construction — the query set, not the corpus), while
+    # `assigned` is the full corpus and must never be broadcast. Streaming
+    # the corpus also means the final rank-limit sees a non-query_id
+    # partitioning, so Spark plants a map-side Partial WindowGroupLimit
+    # before the query_id exchange — only ~k rows per query per partition
+    # shuffle, instead of the whole probe-join candidate set.
     rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        probes.join(assigned, "cell")
+        F.broadcast(probes).join(assigned, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
         .withColumn("rank", F.row_number().over(rank_w))

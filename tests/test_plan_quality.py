@@ -133,22 +133,48 @@ def test_tpch_round2b_join_shapes(spark, sf_dir):
     assert "LeftAnti" in opt22
 
 
+def _window_group_limit_modes(plan: str) -> list[str]:
+    """Modes of every WindowGroupLimit node in a toString'd physical plan.
+
+    A node prints as ``WindowGroupLimit [part], [order], row_number(), k,
+    Partial`` (or ``Final``) — the mode is the last token of the node line.
+    """
+    import re
+
+    return re.findall(r"WindowGroupLimit .*?, (Partial|Final)\b", plan)
+
+
 def test_window_topk_rank_limit_pushdown(spark, sf_dir):
     """Per-group top-k must compile with WindowGroupLimit (Spark 3.5+
-    rank-limit pushdown): a PARTIAL group-limit runs map-side before the
-    shuffle, so only ~k rows per group per partition ever move — the
-    property that keeps per-query/per-group top-k scale-safe. Without it
-    the full scored set shuffles and sorts (at 100 TB, the difference
-    between q*k rows and q*corpus rows in flight)."""
+    rank-limit pushdown): every rank filter gets a FINAL group-limit, and
+    wherever a shuffle feeds the ranking window a PARTIAL group-limit runs
+    map-side before the exchange, so only ~k rows per group per partition
+    ever move — the property that keeps per-query/per-group top-k
+    scale-safe. Without it the full scored set shuffles and sorts (at
+    100 TB, the difference between q*k rows and q*corpus rows in flight).
+
+    n_finals = rank filters in the query (each must compile to a group
+    limit at all). n_partials = how many of those rankings sit above an
+    exchange in the intended plan and therefore need the map-side
+    truncation (a ranking whose input is already partitioned on the group
+    key legitimately plans Final-only — no shuffle to protect)."""
     qs = queries()
-    for name, n_limits in [
-        ("q_topk_per_group", 1),   # one rank filter
-        ("q_cosine_topk", 1),      # brute-force scored -> top-k
-        ("q_ann_ivf", 3),          # probe-cells + assign + final top-k
+    for name, n_finals, n_partials in [
+        ("q_topk_per_group", 1, 1),  # one rank filter over a scan -> shuffle
+        ("q_cosine_topk", 1, 1),     # brute-force scored -> top-k shuffle
+        ("q_ann_ivf", 3, 3),         # assign + probe + final top-k, each
+                                     # ranks across a non-aligned partitioning
     ]:
-        plan = _plan(qs[name](spark, sf_dir))
-        assert plan.count("WindowGroupLimit") >= 2 * n_limits, (
-            f"{name}: expected {n_limits} Partial+Final WindowGroupLimit "
-            f"pair(s), plan has {plan.count('WindowGroupLimit')} node(s)"
+        modes = _window_group_limit_modes(_plan(qs[name](spark, sf_dir)))
+        finals = modes.count("Final")
+        partials = modes.count("Partial")
+        assert finals >= n_finals, (
+            f"{name}: expected a Final WindowGroupLimit per rank filter "
+            f"({n_finals}), plan has {finals} (modes={modes})"
         )
-        assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or True
+        assert partials >= n_partials, (
+            f"{name}: expected {n_partials} map-side Partial "
+            f"WindowGroupLimit(s) ahead of the ranking exchange(s), plan "
+            f"has {partials} (modes={modes}) — a rank-limit lost its "
+            f"pre-shuffle truncation"
+        )
