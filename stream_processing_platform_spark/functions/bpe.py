@@ -134,6 +134,41 @@ def decode(ids: list[int], vocab: dict[bytes, int]) -> str:
     return b"".join(rev[i] for i in ids).decode("utf-8")
 
 
+def _trim_to_char_boundary(b: bytes) -> bytes:
+    """Clamp a byte string to UTF-8 character-complete edges.
+
+    Byte-level BPE ids map 1:1 to byte strings, so an id-array SLICE
+    (a chunk boundary) can start or end mid-character when the text is
+    non-ASCII: multi-byte chars whose bytes never merged are split
+    across single-byte tokens. Drop leading continuation bytes and any
+    incomplete trailing sequence — those partial chars belong to the
+    neighboring chunk — so the remainder strict-decodes. For a slice of
+    a valid encode() output the result is always an exact substring of
+    the original text."""
+    i = 0
+    while i < len(b) and (b[i] & 0xC0) == 0x80:
+        i += 1
+    b = b[i:]
+    k = len(b) - 1
+    while k >= 0 and (b[k] & 0xC0) == 0x80:
+        k -= 1
+    if k >= 0:
+        lead = b[k]
+        need = 4 if lead >= 0xF0 else 3 if lead >= 0xE0 else 2 if lead >= 0xC0 else 1
+        if len(b) - k < need:
+            b = b[:k]
+    return b
+
+
+def decode_slice(ids: list[int], vocab: dict[bytes, int]) -> str:
+    """Decode a SLICE of token ids (e.g. one chunk): like :func:`decode`
+    but tolerant of boundaries that land mid-character — partial edge
+    characters are trimmed (they are re-materialized by the adjacent
+    chunk), the interior decodes exactly."""
+    rev = {i: t for t, i in vocab.items()}
+    return _trim_to_char_boundary(b"".join(rev[i] for i in ids)).decode("utf-8")
+
+
 # Seed corpus for the shipped default merge table: fixed English text
 # with digits, punctuation, and code-ish fragments so the learned merges
 # cover the documents table's register. Embedded (not read from disk) so
@@ -201,16 +236,21 @@ def token_count_udf(spark: SparkSession):
 
 
 def decode_udf(spark: SparkSession):
-    """Arrow pandas_udf: array<int> token ids → text. Lossless inverse of
+    """Arrow pandas_udf: array<int> token ids → text. Inverse of
     token_ids_udf — chunkers use it to re-materialize chunk TEXT from a
-    slice of real token ids (so chunk boundaries land between real
-    tokens, never mid-token)."""
+    slice of real token ids. Slices of byte-level ids can start/end
+    mid-character on non-ASCII text, so edges are clamped to UTF-8
+    character boundaries (:func:`decode_slice`): full-sequence decode
+    stays lossless, chunk-edge partial chars are carried by the
+    neighboring chunk instead of raising UnicodeDecodeError."""
     bc = spark.sparkContext.broadcast(default_merges())
 
     @F.pandas_udf("string")
     def _dec(s: pd.Series) -> pd.Series:
         vocab = build_vocab(list(bc.value))
         rev = {i: t for t, i in vocab.items()}
-        return s.map(lambda ids: b"".join(rev[i] for i in ids).decode("utf-8"))
+        return s.map(
+            lambda ids: _trim_to_char_boundary(b"".join(rev[i] for i in ids)).decode("utf-8")
+        )
 
     return _dec

@@ -169,8 +169,52 @@ def test_doc_chunking_bpe_invariants(spark, sf_dir):
         expected = 1 if n <= _CHUNK else -(-(n - _CHUNK) // _STRIDE) + 1
         assert [c["chunk_id"] for c in cs] == list(range(expected)), doc_id
         # chunk 0's text decodes to the doc's first _CHUNK real tokens
-        assert cs[0]["chunk_text"] == bpe.decode(ids[:_CHUNK], vocab), doc_id
+        assert cs[0]["chunk_text"] == bpe.decode_slice(ids[:_CHUNK], vocab), doc_id
         # stride semantics: chunk i starts at token i*_STRIDE
         for c in cs:
             start = c["chunk_id"] * _STRIDE
-            assert c["chunk_text"] == bpe.decode(ids[start : start + _CHUNK], vocab)
+            assert c["chunk_text"] == bpe.decode_slice(ids[start : start + _CHUNK], vocab)
+
+
+def test_decode_slice_multibyte_boundaries():
+    """Byte-level id slices can split a multi-byte UTF-8 char across a
+    chunk boundary (CJK/emoji chars whose bytes never merged are one
+    token per byte). decode_slice must never raise, must decode the
+    interior exactly, and every slice's text must be a substring of the
+    original — for EVERY split point."""
+    merges = list(bpe.default_merges())
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    text = "前处理 pipeline 的 данные: café 🙂🙃 中文字符串 — end."
+    ids = bpe.encode(text, ranks, vocab)
+    assert bpe.decode(ids, vocab) == text  # full-sequence decode stays lossless
+    for i in range(len(ids) + 1):
+        left, right = bpe.decode_slice(ids[:i], vocab), bpe.decode_slice(ids[i:], vocab)
+        assert left in text and right in text, i
+        # nothing is lost at the seam: at most one char is trimmed from
+        # each side, and left + (trimmed char) + right re-covers the text
+        assert len(left) + len(right) >= len(text) - 1, i
+
+
+def test_chunking_bpe_multibyte_doc_does_not_crash(spark):
+    """ADVICE r4 (high): a CJK doc whose 48-token stride boundary lands
+    mid-character crashed decode_udf with UnicodeDecodeError (latent —
+    testdata is ASCII-only). Pin the fix end-to-end through the same
+    slice→decode plumbing the chunking query uses."""
+    from stream_processing_platform_spark.queries.text import _CHUNK, _STRIDE
+
+    text = "中文字符串测试," * 40 + " some ascii tail to mix registers. 🙂"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ids_udf, dec_udf = bpe.token_ids_udf(spark), bpe.decode_udf(spark)
+    toks = df.select("doc_id", ids_udf(F.col("text")).alias("ids"))
+    n_chunks = F.when(F.size("ids") <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((F.size("ids") - _CHUNK) / float(_STRIDE)).cast("int") + 1
+    )
+    rows = (
+        toks.select("doc_id", "ids", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"))
+        .select(F.slice(F.col("ids"), F.col("i") * _STRIDE + 1, _CHUNK).alias("chunk_ids"))
+        .select(dec_udf(F.col("chunk_ids")).alias("chunk_text"))
+        .collect()
+    )
+    assert len(rows) > 3
+    for r in rows:
+        assert r["chunk_text"] and r["chunk_text"] in text
