@@ -8,12 +8,18 @@ row objects, and batch size is bounded by
 repartition by a content-hash bucket before decode so skewed file sizes
 spread across executors.
 
-The actual codec work (JPEG decode, audio resample, video frame
-extraction) requires libraries not present in this container — those
-calls are STUBBED: ``decode_media`` raises ``NotImplementedError``
-unless the deterministic fake decoder is selected, which synthesizes
-pixel/sample features from the payload bytes (stable, testable, same
-schema and batch shape as a real decoder).
+Decoder tiers:
+
+- ``decoder="image"`` / ``decoder="audio"`` — REAL decode via the
+  dependency-free codecs in :mod:`imagecodec` (netpbm P5/P6,
+  uncompressed BMP, PCM WAV): actual pixels/samples drive resize and
+  feature extraction. JPEG/PNG/MP4 payloads still need codec libraries
+  not present in this container and raise at sniff time.
+- ``decoder="fake"`` — deterministic stub that synthesizes features
+  from the payload's sha256 (stable, testable, same schema and batch
+  shape as a real decoder); the default so pipelines over arbitrary
+  binary payloads stay runnable.
+- ``decoder="video"`` frame sampling remains STUBBED (ffmpeg required).
 """
 
 from __future__ import annotations
@@ -64,6 +70,8 @@ def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFram
     mime = (
         F.when(F.col("path").endswith(".jpg") | F.col("path").endswith(".jpeg"), "image/jpeg")
         .when(F.col("path").endswith(".png"), "image/png")
+        .when(F.col("path").endswith(".ppm") | F.col("path").endswith(".pgm"), "image/x-portable-pixmap")
+        .when(F.col("path").endswith(".bmp"), "image/bmp")
         .when(F.col("path").endswith(".wav"), "audio/wav")
         .when(F.col("path").endswith(".mp4"), "video/mp4")
         .otherwise("application/octet-stream")
@@ -115,10 +123,26 @@ def extract_features(
     batch_hash_col: str = "content_hash",
 ) -> DataFrame:
     """Decode + feature-extract media payloads via Arrow-batched
-    mapInPandas. ``decoder="fake"`` runs the deterministic stub;
-    ``decoder="image"``/``"audio"``/``"video"`` mark where real codecs
-    plug in and raise ``NotImplementedError`` in this container."""
-    if decoder != "fake":
+    mapInPandas. ``decoder="image"`` decodes real pixels (PPM/PGM/BMP →
+    Rec. 601 luma grid, :mod:`imagecodec`), ``decoder="audio"`` real
+    samples (PCM WAV → RMS energy envelope); ``decoder="fake"`` runs
+    the deterministic stub; ``decoder="video"`` still requires ffmpeg
+    and raises ``NotImplementedError``."""
+    if decoder == "fake":
+        extract = _fake_decode_features
+    elif decoder == "image":
+        from stream_processing_platform_spark.multimodal import imagecodec
+
+        def extract(payload: bytes, d: int) -> np.ndarray:
+            return imagecodec.image_features(imagecodec.decode_image(payload), d)
+
+    elif decoder == "audio":
+        from stream_processing_platform_spark.multimodal import imagecodec
+
+        def extract(payload: bytes, d: int) -> np.ndarray:
+            return imagecodec.audio_features(imagecodec.decode_wav(payload)[1], d)
+
+    else:
         raise NotImplementedError(
             f"{decoder!r} decoding needs codec libraries not present in this "
             "container; the Spark-side plumbing is identical to decoder='fake'"
@@ -127,8 +151,7 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode_features(bytes(p) if p is not None else b"", dim)
-                for p in pdf[content_col]
+                extract(bytes(p) if p is not None else b"", dim) for p in pdf[content_col]
             ]
             yield pd.DataFrame(
                 {
@@ -159,21 +182,23 @@ def resize_images(
     decoder: str = "fake",
 ) -> DataFrame:
     """Image resize stage: Arrow-batched mapInPandas, binary in → binary
-    out + final dimensions. The Spark-side plumbing (schema, batch shape,
-    1-row-in-1-row-out contract) is real and tested; the pixel work is
-    the stub layer — ``decoder="fake"`` emits a deterministic
-    width*height-byte payload derived from the input hash (what a real
-    ``PIL.Image.resize`` would slot into), other decoders raise until
-    the codec libs exist in the container."""
-    if decoder != "fake":
-        raise NotImplementedError(
-            "image resize requires PIL/opencv (not in container); plumbing is "
-            "identical to decoder='fake'"
-        )
+    out + final dimensions. ``decoder="image"`` does REAL pixel work:
+    decode (PPM/PGM/BMP, :mod:`imagecodec`) → nearest-neighbor resize →
+    re-encode as binary PPM. ``decoder="fake"`` emits a deterministic
+    width*height-byte payload derived from the input hash (same schema
+    and batch shape); JPEG/PNG payloads raise until codec libs exist in
+    the container."""
+    if decoder == "image":
+        from stream_processing_platform_spark.multimodal import imagecodec
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
+        def resize_one(p) -> bytes:
+            img = imagecodec.decode_image(bytes(p) if p is not None else b"")
+            return imagecodec.encode_ppm(imagecodec.resize_nearest(img, width, height))
+
+    elif decoder == "fake":
+
+        def resize_one(p) -> bytes:
+            return (
                 _fake_decode_features(
                     # ceil(w*h/4) float32s = at least w*h bytes, then trim
                     # (w*h//4 under-produced when w*h wasn't divisible by 4)
@@ -181,8 +206,17 @@ def resize_images(
                 )
                 .view(np.uint8)
                 .tobytes()[: width * height]
-                for p in pdf[content_col]
-            ]
+            )
+
+    else:
+        raise NotImplementedError(
+            "decoder must be 'image' (PPM/PGM/BMP) or 'fake'; JPEG/PNG resize "
+            "requires PIL/opencv (not in container)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [resize_one(p) for p in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     "content_hash": pdf["content_hash"],

@@ -185,6 +185,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_real_decode",
+    oracle=None,  # pixel decode has no SQL twin; codec correctness is
+    # pinned in tests/test_imagecodec.py + tests/test_multimodal.py
+    description="REAL image decode end-to-end (multimodal/imagecodec.py): "
+    "synthesize a binary PPM payload per document JVM-side (header + "
+    "text bytes as a 16x16 raster), then decode ACTUAL pixels -> "
+    "nearest-neighbor resize to 8x8 -> Rec.601 luma-grid features, all "
+    "Arrow-batched mapInPandas. Deterministic, rows-only oracle.",
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.multimodal.codecs import (
+        extract_features,
+        resize_images,
+    )
+
+    raster = 16 * 16 * 3  # 768 raster bytes per 16x16 RGB image
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit(b"P6\n16 16\n255\n"),
+            F.expr(f"substring(encode(rpad(text, {raster}, 'x'), 'utf-8'), 1, {raster})"),
+        ).alias("content")
+    )
+    binary = docs.withColumn("content_hash", F.sha2(F.col("content"), 256))
+    resized = resize_images(binary, 8, 8, decoder="image")
+    feats = extract_features(resized, dim=16, decoder="image")
+    return feats.select(
+        "content_hash",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
+@query(
     "q_embedding_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE aug AS ({_SQL_AUG}),
