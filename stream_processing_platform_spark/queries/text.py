@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from stream_processing_platform_spark.functions import text as T
 from stream_processing_platform_spark.operators import dedup
+from stream_processing_platform_spark.operators.mixture import mixture_targets
 from stream_processing_platform_spark.registry import query
 from stream_processing_platform_spark.tables import load_table
 
@@ -717,6 +718,92 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.redact_pii(F.col("text")).alias("redacted"),
         n_emails.cast("int").alias("n_emails"),
         n_phones.cast("int").alias("n_phones"),
+    )
+
+
+# Mixture recipe: parts-per-source (integer weights; src0..src19 get
+# parts 1..5 cyclically, total 60) under a fixed token budget. Targets
+# are exact integer shares (budget * parts // 60) so Spark and duckdb
+# agree bit-for-bit; admission order is the content fingerprint, so the
+# selection is a pure function of corpus content.
+_MIX_WEIGHTS = {f"src{i}": 1 + i % 5 for i in range(20)}
+_MIX_BUDGET = 24_000
+_SQL_MIX_TGT = ", ".join(
+    f"('{s}', {t})"
+    for s, t in sorted(mixture_targets(_MIX_WEIGHTS, _MIX_BUDGET).items())
+)
+
+
+@query(
+    "q_corpus_mixture",
+    oracle=f"""
+    WITH tgt(source, mix_target) AS (VALUES {_SQL_MIX_TGT}),
+    t AS (SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n,
+                 {_SQL_FP} AS h
+          FROM documents),
+    w AS (SELECT t.source, t.n, tgt.mix_target,
+                 COALESCE(sum(t.n) OVER (PARTITION BY t.source
+                          ORDER BY t.h, t.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM t JOIN tgt USING (source))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS mix_tokens,
+           CAST(max(mix_target) AS BIGINT) AS mix_target
+    FROM w WHERE cum_before < mix_target GROUP BY source
+    """,
+    description="Corpus mixture weighting (operators/mixture.py): a "
+    "20-source recipe (integer parts, exact-integer token targets = "
+    "budget*parts//60) realized by broadcast-joining the recipe and "
+    "admitting documents per source in content-fingerprint order until "
+    "the target is met — deterministic across engines/runs, one "
+    "window shuffle, no global sort; boundary doc admitted whole.",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n"),
+        T.fingerprint(F.col("text")).alias("h"),
+    )
+    kept = mixture.corpus_mixture(t, _MIX_WEIGHTS, _MIX_BUDGET, "n", hash_col="h")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("mix_tokens"),
+        F.max("mix_target").alias("mix_target"),
+    )
+
+
+@query(
+    "q_corpus_mixture_bpe",
+    oracle=None,  # real-BPE counts have no SQL twin — selection
+    # invariants + pure-Python greedy cross-check in tests/test_bpe.py
+    description="Corpus mixture weighting on REAL BPE token counts "
+    "(same recipe/operator as q_corpus_mixture, counts from the "
+    "broadcast-vocab Arrow tokenizer) — the production variant: the "
+    "mixture a training run actually ingests is budgeted in tokenizer "
+    "tokens, not regex estimates.",
+)
+def q_corpus_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions import bpe
+    from stream_processing_platform_spark.operators import mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    count_udf = bpe.token_count_udf(spark)
+    t = d.select(
+        "doc_id",
+        "source",
+        count_udf(F.col("text")).cast("long").alias("n"),
+        T.fingerprint(F.col("text")).alias("h"),
+    )
+    kept = mixture.corpus_mixture(t, _MIX_WEIGHTS, _MIX_BUDGET, "n", hash_col="h")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("mix_tokens"),
+        F.max("mix_target").alias("mix_target"),
     )
 
 

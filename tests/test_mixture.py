@@ -1,0 +1,102 @@
+"""Corpus mixture weighting (operators/mixture.py): integer target
+math, admission semantics on a hand-built corpus, and a pure-Python
+greedy cross-check of the real-BPE query variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators.mixture import (
+    corpus_mixture,
+    mixture_targets,
+)
+
+
+def test_mixture_targets_integer_shares():
+    t = mixture_targets({"a": 1, "b": 2, "c": 3}, 6000)
+    assert t == {"a": 1000, "b": 2000, "c": 3000}
+    # floor semantics: shares need not exhaust the budget
+    t = mixture_targets({"a": 1, "b": 1, "c": 1}, 100)
+    assert t == {"a": 33, "b": 33, "c": 33}
+
+
+def test_corpus_mixture_admission_semantics(spark):
+    rows = [
+        # (doc_id, source, n): web docs admitted in doc_id order
+        (1, "web", 40),
+        (2, "web", 40),
+        (3, "web", 40),  # cum_before=80 >= target 100? no, 80 < 100 -> admitted whole
+        (4, "web", 40),  # cum_before=120 >= 100 -> dropped
+        (1, "books", 10),
+        (2, "books", 10),
+        (9, "junk", 5),  # source not in recipe -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    kept = corpus_mixture(df, {"web": 1, "books": 1}, 200, "n").collect()
+    by_src: dict[str, list] = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    # web target 100: docs 1,2,3 admitted (boundary doc whole, 120 tokens)
+    assert sorted(r["doc_id"] for r in by_src["web"]) == [1, 2, 3]
+    assert sum(r["n"] for r in by_src["web"]) == 120
+    # books target 100: everything fits
+    assert sorted(r["doc_id"] for r in by_src["books"]) == [1, 2]
+    assert "junk" not in by_src
+    assert all(r["mix_target"] == 100 for r in kept)
+
+
+def test_corpus_mixture_hash_order_is_content_stable(spark):
+    """With hash_col, admission order follows the hash, not doc_id."""
+    rows = [(1, "s", 60, "zz"), (2, "s", 60, "aa"), (3, "s", 60, "mm")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long, h string")
+    kept = corpus_mixture(df, {"s": 1}, 100, "n", hash_col="h").collect()
+    # hash order aa(2), mm(3), zz(1); target 100: aa whole, mm straddles -> admitted
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
+
+
+def test_corpus_mixture_bpe_matches_pure_python_greedy(spark, sf_dir):
+    """The rows-only BPE variant, cross-checked: collect the per-doc
+    (source, n, h) the query is built on, replay the greedy admission in
+    plain Python, and compare per-source aggregates."""
+    from stream_processing_platform_spark.functions import bpe
+    from stream_processing_platform_spark.functions import text as T
+    from stream_processing_platform_spark.queries.text import (
+        _MIX_BUDGET,
+        _MIX_WEIGHTS,
+        q_corpus_mixture_bpe,
+    )
+    from stream_processing_platform_spark.tables import load_table
+
+    got = {
+        r["source"]: (r["n_docs"], r["mix_tokens"], r["mix_target"])
+        for r in q_corpus_mixture_bpe(spark, sf_dir).collect()
+    }
+
+    count_udf = bpe.token_count_udf(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            count_udf(F.col("text")).cast("long").alias("n"),
+            T.fingerprint(F.col("text")).alias("h"),
+        )
+        .collect()
+    )
+    targets = mixture_targets(_MIX_WEIGHTS, _MIX_BUDGET)
+    expected: dict[str, tuple[int, int, int]] = {}
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        if src not in targets:
+            continue
+        rs.sort(key=lambda r: (r["h"], r["doc_id"]))
+        cum = n_docs = tok = 0
+        for r in rs:
+            if cum >= targets[src]:
+                break
+            n_docs, tok, cum = n_docs + 1, tok + r["n"], cum + r["n"]
+        if n_docs:
+            expected[src] = (n_docs, tok, targets[src])
+    assert got == expected
