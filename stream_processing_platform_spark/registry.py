@@ -71,61 +71,72 @@ _loaded = False
 # order IS the coverage policy, so it is explicit here (not an accident of
 # import order) and rotates per round: queries that have never had an
 # official CORRECTNESS row go first, then those whose last green row is
-# oldest, then the most-recently-verified set. Round-4 rotation:
-#   1-4:   new this round (no official row yet)
-#   5-12:  edited since their r2 green row (judge re-verified by hand in
-#          r3; the official record should show a driver-green row)
-#   13-46: r2-green, not rotated into r3's window (official row a round old)
-#   47+:   the r3-green 50, registration order (freshest official rows)
+# oldest, then the most-recently-verified set. Round-5 rotation — the 48
+# queries with no r4 row plus the 2 r4-row queries edited this round fill
+# the window exactly:
+#   1-3:   new this round (no official row yet)
+#   4-5:   r4 rows exist but the code changed this round (IVF broadcast
+#          flip, BPE chunk-boundary decode fix)
+#   6-17:  edited in r4 AFTER their official row (BPE_RE, NTZ watermark
+#          cast) — judge re-verified at sf0.01, record should catch up
+#   18-50: r3-green, not rotated into r4's window (official row two
+#          rounds old)
+#   51+:   the r4-green set, registration order (freshest official rows)
 _PRIORITY: list[str] = [
-    # -- new in round 4
-    "q_bpe_real",
-    "q_sequence_packing_bpe",
-    "q_doc_chunking_bpe",
-    # -- edited since r2 green (rounding-boundary hardening, let()-binding)
-    "q_agg_running",
-    "q_agg_global",
-    "q_corpus_stats",
-    "q_quality_filter",
-    "q_repetition_ratio",
-    "q_string_funcs",
-    "q_percentiles",
-    "q_join_asof",
-    # -- r2-green, evicted from r3's 50-slot window
-    "q_datetime_funcs",
-    "q_count_distinct",
-    "q_rollup_revenue",
-    "q_cube_orders",
-    "q_pivot_event_counts",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_interval",
-    "q_dedup_exact",
-    "q_orderby_limit",
-    "q_topk_per_group",
-    "q_set_ops",
-    "q_window_rank",
-    "q_window_running",
-    "q_join_salted",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_cosine_topk",
-    "q_embedding_near_dup",
+    # -- new in round 5
+    "q_corpus_mixture",
+    "q_corpus_mixture_bpe",
+    "q_multimodal_real_decode",
+    # -- r4-verified but edited in round 5
     "q_ann_ivf",
-    "q_multimodal_features",
-    "q_embedding_dedup_clusters",
-    "q_text_tokens",
-    "q_text_quality",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_dedup_exact_docs",
-    "q_ngram_jaccard_pairs",
-    "q_minhash_lsh_pairs",
-    "q_dedup_clusters",
-    "q_simhash_pairs",
-    "q_token_histogram",
+    "q_doc_chunking_bpe",
+    # -- edited in round 4 after their last official row
+    "q_bpe_token_count",
+    "q_doc_chunking",
+    "q_sequence_packing",
+    "q_contamination",
+    "q_stream_window_tumbling",
+    "q_stream_running_agg",
+    "q_stream_window_session",
+    "q_stream_join_interval",
+    "q_stream_dedup",
+    "q_stream_window_sliding",
+    "q_stream_keyed_process",
+    "q_stream_enrich",
+    # -- r3-green, evicted from r4's 50-slot window
+    "q_flatmap_wordcount",
+    "q_case_when_anomaly",
+    "q_json_extract",
+    "q_join_range",
+    "q_window_navigation",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_string_agg",
+    "q_sql_exists",
+    "q_grouping_sets",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q09_product_profit",
+    "q12_priority_shipments",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q_udaf_geomean",
+    "q_embedding_centroids",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_window_collect",
+    "q_incremental_dedup",
+    "q_corpus_split",
+    "q_stratified_sample",
+    "q_pii_redaction",
 ]
 
 
