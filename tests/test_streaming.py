@@ -121,6 +121,42 @@ def test_session_window_streaming(spark, tmp_path, qname):
     assert any(s == T(40) and n == 1 for s, n in sessions)
 
 
+def test_session_window_drops_late_data(spark, tmp_path, qname):
+    """Late-data semantics pinned for session windows (VERDICT r3 #7):
+    once the watermark has passed a session's gap and the session fired,
+    a record arriving with an event time below the watermark is DROPPED
+    — it neither reopens the emitted session nor starts a new one. The
+    reference silently loses late rows inside its stateful operator
+    (taskmanager/operators/stateful.py:213-242); this engine makes the
+    same outcome an explicit watermark contract, asserted here.
+
+    Staging subtlety: since SPARK-42376 the LATE-ROW FILTER uses the
+    previous micro-batch's watermark while EVICTION uses the current
+    one, so the watermark must advance two batches before the late
+    record arrives — one batch is enough to fire the session but the
+    late row would still be admitted and silently merged."""
+    batches = [
+        [(1, "a", T(0), 1.0), (1, "b", T(5), 1.0)],  # session [0, 15)
+        [(1, "wm", T(100), 1.0)],  # eviction watermark -> 95
+        [(1, "wm2", T(120), 1.0)],  # late-filter watermark now 95 too
+        [(1, "late", T(3), 1.0)],  # event time 3 << watermark: dropped
+        [(1, "flush", T(300), 1.0)],  # watermark -> 295: wm sessions fire
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    sess = W.session_agg(stream, "ts", "10 seconds", ["user_id"], [F.count("*").alias("n")])
+    run_to_memory(sess, qname)
+    sessions = [(r.session_start, r.n) for r in spark.table(qname).collect()]
+    # the a+b session fired exactly once, with exactly 2 events — the
+    # late row at T(3) did not extend, reopen, or duplicate it
+    assert sessions.count((T(0), 2)) == 1
+    assert not any(s == T(3) for s, _ in sessions)  # no session born from the late row
+    assert (T(100), 1) in sessions and (T(120), 1) in sessions
+    # every emitted event is accounted for WITHOUT the late row:
+    # a+b (2) + wm (1) + wm2 (1); flush's session stays open at stream end
+    assert sum(n for _, n in sessions) == 4
+
+
 def test_dedup_stream_drops_duplicates(spark, tmp_path, qname):
     """dropDuplicates with watermark: same event_id in later batch is
     dropped (stateful_deduplication.py semantics, minus the lossy cap)."""
