@@ -1,0 +1,93 @@
+"""Percentile aggregates with the scale guards learned by profiling.
+
+Two rules this module encodes once (previously living only in
+q_percentiles' docstring):
+
+1. **Composite-key bounding (exact path).** Spark's exact
+   ``percentile`` buffers EVERY value of a group in one aggregation
+   buffer on one executor. The group key must therefore bound the
+   largest group: 3 coarse groups each buffering a third of a 100 TB
+   table is an executor-OOM, while (flag, year) caps any buffer at a
+   day's-worth scale. ``exact_percentiles`` refuses an empty grouping
+   unless the caller passes ``allow_global=True`` and answers for the
+   buffer — the true 100 TB path is ``approx_percentiles`` (t-digest
+   style sketch: fixed-size mergeable state, map-side partials).
+
+2. **Integer-cents interpolation (cross-engine exactness).**
+   Interpolating raw 2dp doubles lands medians on .005 boundaries where
+   engines' rounding diverges; percentiles over ``round(x * 100)``
+   interpolate between integer-valued doubles, which is exact, so both
+   engines round the SAME double (CLAUDE.md invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+
+def _scaled(value_col: str, scale_decimals: int) -> Column:
+    return F.round(F.col(value_col) * float(10**scale_decimals), 0)
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: dict[str, float],
+    group_cols: list[Column | str],
+    scale_decimals: int = 2,
+    out_decimals: int = 2,
+    allow_global: bool = False,
+) -> DataFrame:
+    """Exact interpolated percentiles (``percentile`` ≡ duckdb
+    ``quantile_cont``) over integer-scaled values, grouped by a
+    composite key that must bound per-group buffer size.
+
+    ``probs`` maps output alias → quantile. Output: group cols +
+    one rounded column per prob + ``n``.
+    """
+    if not group_cols and not allow_global:
+        raise ValueError(
+            "exact_percentiles without a grouping key buffers the ENTIRE "
+            "input in one aggregation buffer — pass allow_global=True only "
+            "if the input is provably small, or use approx_percentiles"
+        )
+    scaled = _scaled(value_col, scale_decimals)
+    div = float(10**scale_decimals)
+    aggs = [
+        F.round(F.percentile(scaled, F.lit(p)) / div, out_decimals).alias(alias)
+        for alias, p in probs.items()
+    ]
+    # map-side partials parallelize the gather; the final per-group sort
+    # is the bounded part — widen narrow single-file scans first
+    return ensure_min_parallelism(df).groupBy(*group_cols).agg(
+        *aggs, F.count("*").alias("n")
+    )
+
+
+def approx_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: dict[str, float],
+    group_cols: list[Column | str],
+    accuracy: int = 10000,
+    scale_decimals: int = 2,
+    out_decimals: int = 2,
+) -> DataFrame:
+    """The 100 TB order-statistics path: ``approx_percentile`` sketch —
+    fixed-size mergeable state, any grouping (or none) is safe. Same
+    output surface as :func:`exact_percentiles`."""
+    scaled = _scaled(value_col, scale_decimals)
+    div = float(10**scale_decimals)
+    pct = F.approx_percentile(
+        scaled, F.array(*[F.lit(p) for p in probs.values()]), F.lit(accuracy)
+    )
+    aggs = [
+        F.round(F.element_at(pct, i + 1) / div, out_decimals).alias(alias)
+        for i, alias in enumerate(probs)
+    ]
+    return ensure_min_parallelism(df).groupBy(*group_cols).agg(
+        *aggs, F.count("*").alias("n")
+    )

@@ -959,27 +959,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB path is still q_approx_percentile.",
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+    from stream_processing_platform_spark.operators.percentiles import exact_percentiles
 
-    # Exact percentiles sort each group once in the final aggregate — the
-    # map-side partials parallelize, so widen a narrow scan.
-    li = ensure_min_parallelism(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_shipdate", "l_extendedprice"
-        )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
     )
-    # Percentiles are computed over integer cents: interpolation between
-    # integer-valued doubles is exact, so both engines produce the SAME
-    # double before the final round — interpolating raw 2dp prices lands
-    # medians on .005 boundaries where cross-engine rounding diverges.
-    cents = F.round(F.col("l_extendedprice") * 100, 0)
-    return li.groupBy(
-        "l_returnflag", F.year("l_shipdate").cast("int").alias("ship_year")
-    ).agg(
-        F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias("median_price"),
-        F.round(F.percentile(cents, F.lit(0.95)) / 100, 2).alias("p95_price"),
-        F.round(F.percentile(cents, F.lit(0.99)) / 100, 2).alias("p99_price"),
-        F.count("*").alias("n"),
+    return exact_percentiles(
+        li,
+        "l_extendedprice",
+        {"median_price": 0.5, "p95_price": 0.95, "p99_price": 0.99},
+        ["l_returnflag", F.year("l_shipdate").cast("int").alias("ship_year")],
     )
 
 
@@ -994,18 +983,14 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "memory-unbounded per-group sort.",
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+    from stream_processing_platform_spark.operators.percentiles import approx_percentiles
 
-    li = ensure_min_parallelism(
-        load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    )
-    cents = F.round(F.col("l_extendedprice") * 100, 0)
-    pct = F.approx_percentile(cents, F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000))
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.element_at(pct, 1) / 100, 2).alias("median_price"),
-        F.round(F.element_at(pct, 2) / 100, 2).alias("p95_price"),
-        F.round(F.element_at(pct, 3) / 100, 2).alias("p99_price"),
-        F.count("*").alias("n"),
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return approx_percentiles(
+        li,
+        "l_extendedprice",
+        {"median_price": 0.5, "p95_price": 0.95, "p99_price": 0.99},
+        ["l_returnflag"],
     )
 
 

@@ -65,3 +65,21 @@ def test_salted_join_row_identical_to_plain_join(spark, sf_dir):
     plain = li.join(o, "l_orderkey")
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_exact_percentiles_refuses_unbounded_buffer(spark, sf_dir):
+    """The composite-key guard (operators/percentiles.py): an exact
+    percentile with no grouping key buffers the whole input in one agg
+    buffer — refused unless the caller explicitly opts in."""
+    import pytest
+
+    from stream_processing_platform_spark.operators.percentiles import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    with pytest.raises(ValueError, match="approx_percentiles"):
+        exact_percentiles(li, "l_extendedprice", {"median": 0.5}, [])
+    # explicit opt-in works (input provably small at test SF)
+    [row] = exact_percentiles(
+        li, "l_extendedprice", {"median": 0.5}, [], allow_global=True
+    ).collect()
+    assert row["n"] > 0 and row["median"] > 0
