@@ -169,7 +169,12 @@ def main() -> None:
                 # same user_id partitioning — verified via formatted
                 # explain); 0.88 s timed a warm re-collect.
                 "notes": "q_window_session r2 number was stage-reuse "
-                "under-measurement; honest single-shuffle plan costs ~1.2s",
+                "under-measurement (plan unchanged: single-shuffle, "
+                "verified via formatted explain); absolute cost varies "
+                "with harness load — 1.17s in r3, 0.67s in r4. "
+                "q08_market_share r3->r4 +14% (0.626->0.713s) was run "
+                "variance, not a regression: r5 measures 0.515s with an "
+                "unchanged, gate-verified 5x-BroadcastHashJoin plan",
             }
         )
     )

@@ -29,6 +29,7 @@ Semantics mapping:
 from __future__ import annotations
 
 import json
+import logging
 import re
 import tempfile
 import threading
@@ -146,17 +147,32 @@ class JobServer:
 
         sent = 0
         while True:
-            # Frame construction can raise (e.g. a Spark error mid-poll);
-            # after SSE headers there is no way to report a status code,
-            # so any failure — socket or Spark — closes the stream cleanly
-            # instead of propagating into the HTTP handler.
+            # Frame construction can raise; after SSE headers there is no
+            # way to report a status code, so every failure ends the
+            # stream — but a client disconnect (Broken pipe / Connection
+            # reset) is business as usual and closes silently, while a
+            # real error (Spark mid-poll, serialization) is logged and
+            # signalled with a terminal `event: error` frame so the two
+            # are distinguishable on both ends.
             try:
                 status = jc.job_status(self.spark, job_id)
                 frame = jc.job_metrics(self.spark, job_id)
                 frame["state"] = status["state"]
                 wfile.write(f"data: {json.dumps(frame, default=str)}\n\n".encode())
                 wfile.flush()
-            except Exception:
+            except (BrokenPipeError, ConnectionResetError):
+                return
+            except Exception as e:
+                logging.getLogger(__name__).warning(
+                    "SSE metrics stream for job %s aborted: %s", job_id, e
+                )
+                try:
+                    wfile.write(
+                        f"event: error\ndata: {json.dumps({'error': str(e)})}\n\n".encode()
+                    )
+                    wfile.flush()
+                except OSError:
+                    pass  # client went away while we reported — nothing to do
                 return
             sent += 1
             if max_events and sent >= max_events:
