@@ -721,6 +721,42 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_doc_commonness",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(tf) AS BIGINT) AS sum_tf,
+           floor(sum(tf) * 1000.0 / count(*) + 0.5) / 1000.0 AS mean_tf
+    FROM tok JOIN tf USING (tok)
+    GROUP BY doc_id
+    """,
+    description="Per-document token commonness (IDF-family quality "
+    "signal): join each token against the corpus-wide term-frequency "
+    "table and aggregate per doc — low mean_tf flags rare-token-heavy "
+    "gibberish, high flags boilerplate. Exact-integer accounting "
+    "(counts, not log-probs) so the oracle hash-matches; the mean uses "
+    "the floor(x*1000+0.5) cross-engine rounding form. Scale shape: two "
+    "token-keyed shuffles (tf agg + join) — both partial-aggregated "
+    "map-side; stopword keys are the documented skew (AQE skew-join or "
+    "a broadcast stopword split are the standard mitigations).",
+)
+def q_doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    return (
+        tok.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tf").alias("sum_tf"),
+            (F.floor(F.sum("tf") * 1000.0 / F.count("*") + 0.5) / 1000.0).alias("mean_tf"),
+        )
+    )
+
+
 # Mixture recipe: parts-per-source (integer weights; src0..src19 get
 # parts 1..5 cyclically, total 60) under a fixed token budget. Targets
 # are exact integer shares (budget * parts // 60) so Spark and duckdb

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "q_corpus_mixture",
     "q_corpus_mixture_bpe",
     "q_multimodal_real_decode",
+    "q_doc_commonness",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",

@@ -48,6 +48,17 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC ingest — the second columnar format with native predicate
+    pushdown / column pruning (Spark ships the reader; no extra deps).
+    Same contract as read_parquet; interchange with warehouses that
+    default to ORC."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def from_collection(
     spark: SparkSession, data: Iterable, schema: StructType | list[str] | None = None
 ) -> DataFrame:

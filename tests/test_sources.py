@@ -41,3 +41,16 @@ def test_read_json_lines_and_array(spark, tmp_path):
 def test_from_collection(spark):
     df = B.from_collection(spark, [("k1", 1), ("k2", 2)], schema=["key", "n"])
     assert df.count() == 2 and df.columns == ["key", "n"]
+
+
+def test_read_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip + the columnar contract: a filtered scan shows a
+    pushed-down predicate, same as parquet."""
+    p = str(tmp_path / "orc")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.orc(p)
+    df = B.read_orc(spark, p)
+    assert df.count() == 100
+    filtered = df.where("id < 10").select("v")
+    assert filtered.count() == 10
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), LessThan(id,10)]" in plan
