@@ -1,10 +1,15 @@
-"""Similarity search over embedding columns — brute-force and IVF.
+"""Similarity search over embedding columns — brute-force, IVF, and PQ.
 
 Brute-force cosine top-k is the exactness baseline (and the oracle-checked
 query); IVF (inverted-file) is the 100 TB path: partition the corpus into
 cells around centroids, probe only the nearest cells per query. Cell
 assignment is a broadcast join against the (small) centroid set, so the
-corpus is never shuffled all-pairs.
+corpus is never shuffled all-pairs. PQ (product quantization, Jégou et
+al. 2011) is the 100 TB MEMORY path: vectors compress to one small code
+per subspace (64 float32 dims → 16 one-byte codes at the defaults, 16×),
+and queries score candidates through a broadcast distance table without
+ever touching the original vectors until the final exact re-rank of a
+bounded candidate set.
 """
 
 from __future__ import annotations
@@ -13,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_processing_platform_spark.functions.similarity import as_double_array, cosine
+from stream_processing_platform_spark.functions.text import let
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
@@ -123,6 +129,157 @@ def ivf_topk(
     return (
         F.broadcast(probes).join(assigned, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _l2_normalized(col):
+    """Unit-normalize so sub-space L2 ordering matches cosine ordering.
+    The norm is let()-bound — referenced per element, evaluated once."""
+    return let(
+        F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)),
+        lambda norm: F.transform(col, lambda x: x / norm),
+    )
+
+
+def _subvectors(col, dim: int, num_subspaces: int):
+    d = dim // num_subspaces
+    return F.array(*[F.slice(col, m * d + 1, d) for m in range(num_subspaces)])
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_subspaces: int = 16,
+    num_codes: int = 64,
+    refine: int = 16,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization + exact re-rank.
+
+    Pipeline (every stage scale-shaped):
+
+    1. **Codebooks** — ``num_codes`` deterministic hash-sample rows; the
+       m-th subvector of sample j is code j of subspace m (at production
+       scale you'd k-means per subspace; the distributed plumbing is
+       identical). Tiny: ``num_subspaces × num_codes`` rows, broadcast.
+    2. **Encode** — each corpus vector → one code per subspace (argmin
+       L2 over the broadcast codebook, rank-limited window per
+       (vector, subspace)). The encoded corpus is ``num_subspaces``
+       ints per vector — the memory path that lets 100 TB of float
+       vectors sit in ~1.5 TB of codes.
+    3. **ADC scoring** — per query, a (subspace × code) distance table,
+       built against the same broadcast codebook and itself broadcast to
+       the encoded corpus scan; approximate distance is
+       ``sum_m table[m][code_m]`` via zip_with/aggregate, no Python.
+    4. **Refine** — the top ``k*refine`` PQ candidates per query (window
+       rank-limit) join BACK to the original vectors (broadcast of the
+       bounded candidate set, corpus streams) for exact cosine, then the
+       final top-k. Output schema matches ivf_topk:
+       (query_id, neighbor_id, cos, rank).
+    """
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_cv")
+    q = _prep(queries, id_col, vec_col, "query_id", "_qv")
+
+    c_subs = c.select(
+        "neighbor_id",
+        F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
+            "m", "sub"
+        ),
+    )
+    # num_codes sample rows -> (m, code, csub) per subspace, broadcast.
+    code_w = Window.orderBy("_h", "neighbor_id")
+    codebook = (
+        c.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x51)))
+        .orderBy("_h", "neighbor_id")
+        .limit(num_codes)
+        .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
+        .select(
+            "code",
+            F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
+                "m", "csub"
+            ),
+        )
+    )
+
+    # Encode: nearest code per (vector, subspace); rank-limited window.
+    assign_w = Window.partitionBy("neighbor_id", "m").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    encoded = (
+        c_subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .where(F.col("_rn") == 1)
+        .groupBy("neighbor_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes")
+        )
+    )
+
+    # Per-query ADC table: dtable[m][code] = L2^2(q_sub_m, code vector).
+    q_subs = q.select(
+        "query_id",
+        F.posexplode(_subvectors(_l2_normalized(F.col("_qv")), dim, num_subspaces)).alias(
+            "m", "sub"
+        ),
+    )
+    qtab = (
+        q_subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .groupBy("query_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
+            ).alias("dtable")
+        )
+    )
+
+    # ADC scan: encoded corpus streams, per-query tables broadcast.
+    pq_w = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(), F.col("neighbor_id").asc())
+    cands = (
+        encoded.crossJoin(F.broadcast(qtab))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pq_dist",
+            F.aggregate(
+                F.zip_with("codes", "dtable", lambda code, row: F.element_at(row, code + 1)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(pq_w))
+        .where(F.col("_rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    # Exact re-rank of the bounded candidate set: candidates broadcast,
+    # corpus streams; queries broadcast for the cosine.
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(cands)
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)

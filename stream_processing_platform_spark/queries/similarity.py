@@ -153,6 +153,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_pq",
+    oracle=None,  # approximate by construction — recall vs brute force
+    # in tests/test_ann_quality.py::test_pq_recall_vs_brute_force
+    description="Product-quantization approximate nearest neighbors "
+    "(16 subspaces x 64 codes, 16x refine): the 100 TB MEMORY path — "
+    "corpus encodes to 16 one-byte codes per vector (16x smaller than "
+    "float32), queries score via a broadcast ADC distance table, and "
+    "only the bounded top-k*refine candidate set touches the original "
+    "vectors for the exact cosine re-rank.",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ann.pq_topk(e, e.where(F.col("vec_id") < 20), k=5)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
     "q_multimodal_features",
     oracle=None,  # the mapInPandas feature vector has no SQL twin;
     # determinism + plumbing are asserted in tests/test_multimodal.py

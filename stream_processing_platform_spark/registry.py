@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "q_corpus_mixture_bpe",
     "q_multimodal_real_decode",
     "q_doc_commonness",
+    "q_ann_pq",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",
