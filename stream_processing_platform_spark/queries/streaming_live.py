@@ -273,6 +273,72 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_left",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id,
+           CAST(COALESCE(p.purchase_id, -1) AS BIGINT) AS purchase_id,
+           c.user_id,
+           CAST(COALESCE(epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts), -1)
+                AS BIGINT) AS delta_ms
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND epoch_ms(p.purchase_ts) >= epoch_ms(c.click_ts)
+     AND epoch_ms(p.purchase_ts) <= epoch_ms(c.click_ts) + 1800000
+    """,
+    description="LIVE stream-stream LEFT OUTER interval join (beyond the "
+    "reference's inner-only JoinOperator): clicks with no purchase in "
+    "[0, 30 min] emit null-extended (sentinel -1) once the watermark "
+    "passes their join window. Flush rows ride BOTH streams so every "
+    "real click's window provably closes inside one availableNow run — "
+    "the full batch LEFT JOIN is the oracle, no trailing-edge carve-out. "
+    "State bound: watermark + range condition prune both buffers, same "
+    "as the inner variant.",
+)
+def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.joins import stream_interval_join
+
+    # keep flush rows IN each stream: the watermark column is observed
+    # after this filter, and only the flush timestamps push it past the
+    # last real click's [ts, ts+30min] window
+    clicks = (
+        _events_stream(spark, sf_dir, flush_files=2)
+        .where(F.col("event_type").isin("click", "flush"))
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir, flush_files=2)
+        .where(F.col("event_type").isin("purchase", "flush"))
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        "c",
+        "p",
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="left_outer",
+        projection=[
+            F.col("click_id"),
+            F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.coalesce(
+                epoch_ms(F.col("purchase_ts")) - epoch_ms(F.col("click_ts")), F.lit(-1)
+            ).alias("delta_ms"),
+        ],
+    )
+    out = _run_to_table(joined, mode="append")
+    return out.where(F.col("user_id") != FLUSH_USER)
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type
