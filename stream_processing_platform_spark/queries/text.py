@@ -722,6 +722,33 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_top_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 50
+    """,
+    description="Corpus heavy hitters: top-50 tokens by frequency — the "
+    "vocabulary/stopword inspection step before building filters or "
+    "commonness scores. Scale shape: map-side partial counts, one "
+    "token-keyed shuffle, then TakeOrderedAndProject (per-partition "
+    "top-50 partials merged on the driver — never a global sort of the "
+    "vocabulary).",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
+@query(
     "q_doc_commonness",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),

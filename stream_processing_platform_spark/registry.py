@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "q_doc_commonness",
     "q_ann_pq",
     "q_stream_join_left",
+    "q_top_tokens",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",
