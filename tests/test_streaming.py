@@ -259,3 +259,31 @@ def test_sliding_window_streaming(spark, tmp_path, qname):
         if r.total == 7.0
     }
     assert fired == {(5, 15), (10, 20)}
+
+
+def test_exactly_once_parquet_sink_restart_no_duplicates(spark, tmp_path):
+    """The exactly-once contract across a restart: run → stop → stage
+    more data → run again with the SAME checkpoint. Old batches are not
+    re-emitted (offsets), and a replayed batch would overwrite its own
+    batch_id directory rather than append (idempotency). Total sink rows
+    == total staged rows, each exactly once."""
+    from stream_processing_platform_spark.sinks import exactly_once_parquet_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(1, "a", T(1), 1.0), (2, "b", T(2), 2.0)]
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA)
+    q = exactly_once_parquet_sink(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert {r.event_id for r in spark.read.option("recursiveFileLookup", "true").parquet(out).collect()} == {"a", "b"}
+
+    # restart with the same checkpoint after staging one more file
+    b2 = [(3, "c", T(3), 3.0)]
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream2 = file_source(spark, src, EVENT_SCHEMA)
+    q2 = exactly_once_parquet_sink(stream2, out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.option("recursiveFileLookup", "true").parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == ["a", "b", "c"]  # no duplicates
