@@ -1,0 +1,140 @@
+"""State-v2 (transformWithStateInPandas) contract tests.
+
+The runtime needs the Python protobuf package (absent in this
+container), so execution tests skip unless it's importable; what IS
+pinned unconditionally: the streaming plan compiles with the
+TransformWithStateInPySpark operator, the RocksDB provider conf is set,
+and the processor's pure-Python state logic is correct (exercised
+directly, the same way the driver worker would call it)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from stream_processing_platform_spark.sources.streaming import file_source
+from stream_processing_platform_spark.streaming.stateful_v2 import (
+    ROCKSDB_PROVIDER,
+    RunningStatsProcessor,
+    requires_state_v2_runtime,
+    running_stats,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def T(seconds: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=seconds)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttl=None):
+        self.states[name] = _FakeValueState()
+        return self.states[name]
+
+
+def test_processor_state_logic_pure_python():
+    """Drive the StatefulProcessor exactly as the state server would:
+    init with a handle, feed Arrow batches per key, check emissions and
+    persisted state across calls."""
+    p = RunningStatsProcessor("value")
+    p.init(_FakeHandle())
+    [out1] = list(
+        p.handleInputRows((1,), iter([pd.DataFrame({"value": [10.0, 2.0]})]), None)
+    )
+    assert out1.iloc[0].to_dict() == {"key": 1, "cnt": 2, "total": 12.0, "mn": 2.0, "mx": 10.0}
+    # second batch folds into persisted state
+    [out2] = list(p.handleInputRows((1,), iter([pd.DataFrame({"value": [5.0]})]), None))
+    assert out2.iloc[0].to_dict() == {"key": 1, "cnt": 3, "total": 17.0, "mn": 2.0, "mx": 10.0}
+    # empty batch re-emits current state unchanged
+    [out3] = list(p.handleInputRows((1,), iter([pd.DataFrame({"value": []})]), None))
+    assert out3.iloc[0]["cnt"] == 3
+
+
+def test_plan_compiles_with_transform_with_state(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "a", T(1), 10.0)], EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = file_source(spark, src, EVENT_SCHEMA)
+        out = running_stats(stream, "user_id", "value")
+        assert out.isStreaming
+        assert out.schema.simpleString() == (
+            "struct<key:bigint,cnt:bigint,total:double,mn:double,mx:double>"
+        )
+        # the conf the operator requires is set on the session
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+    finally:
+        # other streaming tests in the shared session keep the default
+        # HDFS-backed provider
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@pytest.mark.skipif(
+    not requires_state_v2_runtime(),
+    reason="transformWithState state server needs python protobuf (not in container)",
+)
+def test_running_stats_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    for rows in [[(1, "a", T(1), 10.0), (2, "b", T(2), 1.0)], [(1, "c", T(3), 5.0)]]:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    out = running_stats(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("v2stats")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = {r.key: (r.cnt, r.total, r.mn, r.mx) for r in spark.table("v2stats").collect()}
+    assert latest[1] == (2, 15.0, 5.0, 10.0)
+    assert latest[2] == (1, 1.0, 1.0, 1.0)
