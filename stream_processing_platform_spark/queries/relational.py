@@ -524,6 +524,35 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_unpivot_event_counts",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t(event_type) AS (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')),
+    c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """,
+    description="Unpivot (melt): the wide per-user event-count matrix "
+    "back to long (user_id, event_type, n) rows — pivot's inverse, with "
+    "the zero cells the wide form materialized. Narrow transform per "
+    "row after the pivot's single shuffle.",
+)
+def q_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = e.groupBy("user_id").pivot("event_type", types).count()
+    wide = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+    return wide.unpivot(
+        ["user_id"], [f"n_{t}" for t in types], "event_type", "n"
+    ).withColumn("event_type", F.expr("substring(event_type, 3)"))
+
+
 # --------------------------------------------------------------------------
 # Joins (§2.5) — full matrix the reference lacks, plus its interval join
 # --------------------------------------------------------------------------

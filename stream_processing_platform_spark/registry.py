@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "q_ann_pq",
     "q_stream_join_left",
     "q_top_tokens",
+    "q_unpivot_event_counts",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",
