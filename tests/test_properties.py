@@ -131,3 +131,41 @@ def test_sequence_packing_matches_greedy_reference(spark, n_tokens, budget_ix):
         expect[i] = cum // budget
         cum += n
     assert got == expect
+
+
+# ---------------------------------------------------------------- BPE
+# Pure-Python properties (no Spark job per example — these can afford
+# real hypothesis example counts).
+
+_BPE_SETTINGS = dict(max_examples=200, deadline=None)
+
+
+@given(text=st.text(max_size=200))
+@settings(**_BPE_SETTINGS)
+def test_bpe_roundtrip_arbitrary_unicode(text):
+    """decode(encode(x)) == x for ARBITRARY unicode — surrogates
+    excluded by st.text(), everything else (CJK, emoji, control chars,
+    combining marks) must survive the byte-level round trip."""
+    from stream_processing_platform_spark.functions import bpe
+
+    merges = list(bpe.default_merges())
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    assert bpe.decode(bpe.encode(text, ranks, vocab), vocab) == text
+
+
+@given(text=st.text(min_size=1, max_size=120), data=st.data())
+@settings(**_BPE_SETTINGS)
+def test_bpe_decode_slice_properties(text, data):
+    """For any split point: decode_slice never raises, each side is a
+    substring of the original, and at most one character is lost at the
+    seam (the split can bisect one multi-byte char)."""
+    from stream_processing_platform_spark.functions import bpe
+
+    merges = list(bpe.default_merges())
+    ranks, vocab = bpe.build_ranks(merges), bpe.build_vocab(merges)
+    ids = bpe.encode(text, ranks, vocab)
+    i = data.draw(st.integers(0, len(ids)))
+    left = bpe.decode_slice(ids[:i], vocab)
+    right = bpe.decode_slice(ids[i:], vocab)
+    assert left in text and right in text
+    assert len(left) + len(right) >= len(text) - 1
