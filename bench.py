@@ -145,6 +145,27 @@ def main() -> None:
     timings["stream_windowed_agg"] = round(stream_sec, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Round-5 additions, timed the same way but kept OUT of the headline
+    # total so `value` stays comparable across rounds on the fixed
+    # 21-query set.
+    extended: dict[str, float] = {}
+    for name in (
+        "q_ann_pq",
+        "q_corpus_mixture",
+        "q_doc_commonness",
+        "q_top_tokens",
+        "q_unpivot_event_counts",
+    ):
+        qs[name](spark, sf_dir).count()
+        samples = []
+        for _ in range(runs):
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.collect()
+            samples.append(time.time() - t0)
+        samples.sort()
+        extended[name] = round(samples[len(samples) // 2], 3)
     print(
         json.dumps(
             {
@@ -162,6 +183,10 @@ def main() -> None:
                 # 2-3x. r3 numbers are comparable to each other and to
                 # future rounds, not to r1/r2 for those queries.
                 "methodology": "median-of-3, fresh lineage per run",
+                # r5 operators measured identically but excluded from
+                # `value` so the headline total stays the fixed 21-query
+                # set comparable to r3/r4.
+                "extended_queries": extended,
                 # q_window_session r2->r3 delta (0.88->1.17 s) is fully
                 # accounted for by that methodology fix: the plan was and
                 # is single-shuffle (one Exchange+Sort feeds both window
