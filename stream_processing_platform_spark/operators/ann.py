@@ -214,15 +214,16 @@ def pq_topk(
         )
     )
 
-    # Encode: nearest code per (vector, subspace); rank-limited window.
-    assign_w = Window.partitionBy("neighbor_id", "m").orderBy(
-        F.col("_d").asc(), F.col("code").asc()
-    )
+    # Encode: nearest code per (vector, subspace). argmin as
+    # min(struct(dist, code)) — struct ordering is (dist asc, code asc),
+    # so the result is deterministic AND the aggregate partials combine
+    # map-side; a window-rank argmin would shuffle and sort the full
+    # N x subspaces x codes expansion instead.
     encoded = (
         c_subs.join(F.broadcast(codebook), "m")
         .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
-        .withColumn("_rn", F.row_number().over(assign_w))
-        .where(F.col("_rn") == 1)
+        .groupBy("neighbor_id", "m")
+        .agg(F.min(F.struct("_d", "code"))["code"].alias("code"))
         .groupBy("neighbor_id")
         .agg(
             F.transform(

@@ -164,8 +164,9 @@ def test_window_topk_rank_limit_pushdown(spark, sf_dir):
         ("q_cosine_topk", 1, 1),     # brute-force scored -> top-k shuffle
         ("q_ann_ivf", 3, 3),         # assign + probe + final top-k, each
                                      # ranks across a non-aligned partitioning
-        ("q_ann_pq", 3, 3),          # PQ encode argmin + ADC candidate
-                                     # cut + exact re-rank
+        ("q_ann_pq", 2, 2),          # ADC candidate cut + exact re-rank
+                                     # (encode argmin is a min(struct)
+                                     # aggregate, not a rank-limit)
     ]:
         modes = _window_group_limit_modes(_plan(qs[name](spark, sf_dir)))
         finals = modes.count("Final")
