@@ -97,13 +97,20 @@ def ivf_topk(
         .select("cell", F.col("_cv").alias("_centroid"))
     )
 
-    # Assign every corpus vector to its nearest centroid (broadcast join).
-    assign_w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    # Assign every corpus vector to its nearest centroid (broadcast
+    # join). argmax as min(struct(-sim, cell)) — (sim desc, cell asc)
+    # determinism preserved, and the aggregate combines map-side instead
+    # of sorting the N x num_cells expansion through a rank window. _cv
+    # rides along via first(): every expansion row of a cid carries the
+    # identical vector, so first() is value-deterministic.
     assigned = (
         c.crossJoin(F.broadcast(centroids))
         .withColumn("_sim", cosine(F.col("_cv"), F.col("_centroid")))
-        .withColumn("_rn", F.row_number().over(assign_w))
-        .where(F.col("_rn") == 1)
+        .groupBy("cid")
+        .agg(
+            F.min(F.struct((-F.col("_sim")).alias("_neg"), F.col("cell")))["cell"].alias("cell"),
+            F.first("_cv").alias("_cv"),
+        )
         .select("cell", F.col("cid").alias("neighbor_id"), F.col("_cv"))
     )
 

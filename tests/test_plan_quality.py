@@ -162,8 +162,8 @@ def test_window_topk_rank_limit_pushdown(spark, sf_dir):
     for name, n_finals, n_partials in [
         ("q_topk_per_group", 1, 1),  # one rank filter over a scan -> shuffle
         ("q_cosine_topk", 1, 1),     # brute-force scored -> top-k shuffle
-        ("q_ann_ivf", 3, 3),         # assign + probe + final top-k, each
-                                     # ranks across a non-aligned partitioning
+        ("q_ann_ivf", 2, 2),         # probe + final top-k (assign argmin
+                                     # is a min(struct) aggregate)
         ("q_ann_pq", 2, 2),          # ADC candidate cut + exact re-rank
                                      # (encode argmin is a min(struct)
                                      # aggregate, not a rank-limit)
