@@ -721,6 +721,41 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing parameters: 8-char grams, window of 4 hashes.
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(
+          range(1, greatest(greatest(len(t) - {_WINNOW_K - 1}, 1) - {_WINNOW_W - 1}, 1) + 1),
+          j -> list_min(list_transform(range(j, j + {_WINNOW_W}),
+                        i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
+        ))) AS fp
+      FROM n)
+    SELECT doc_id, fp FROM fps
+    """,
+    description=f"Winnowed k-gram fingerprints (MOSS): md5 every "
+    f"{_WINNOW_K}-char gram of the normalized text, keep each "
+    f"{_WINNOW_W}-hash window's minimum, dedupe, explode to (doc_id, "
+    f"fp) rows — the copy-detection index robust to edits that break "
+    f"whole-document hashing. All-JVM HOFs, one narrow scan, no "
+    f"shuffle; at 100 TB the (fp, doc_id) output is the input to a "
+    f"bucket-join candidate stage exactly like MinHash bands.",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints(F.col("text"), _WINNOW_K, _WINNOW_W)).alias("fp"),
+    )
+
+
 @query(
     "q_top_tokens",
     oracle=f"""

@@ -150,3 +150,35 @@ def test_quality_metrics_struct_matches_standalone_functions(spark, sf_dir):
         | (F.col("m")["rep_bigram"] != F.col("r_ref"))
     ).count()
     assert bad == 0
+
+
+def test_winnow_fingerprints_detect_shared_run(spark):
+    """Winnowing's reason to exist: two documents sharing a long run
+    share fingerprints even when everything around it differs (and
+    whole-document md5 differs); unrelated docs share ~none. Guarantee
+    from the algorithm: any shared substring of length >= k + w - 1
+    contributes at least one common window-minimum."""
+    from stream_processing_platform_spark.functions.text import (
+        fingerprint,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "PREFIX AAA " + shared + " SUFFIX BBB"),
+        (2, "totally different lead-in. " + shared + " and another tail."),
+        (3, "no overlap here at all; completely unrelated content xyzzy."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text")).alias("fps"),
+        fingerprint(F.col("text")).alias("whole"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    f1, f2, f3 = (set(by_id[i].fps) for i in (1, 2, 3))
+    assert by_id[1].whole != by_id[2].whole  # exact fingerprint blind to this
+    assert len(f1 & f2) >= 5  # winnowing sees the shared run
+    assert not (f1 & f3) and not (f2 & f3)  # no false overlap
+    # dedup within each doc's print set
+    assert all(len(by_id[i].fps) == len(set(by_id[i].fps)) for i in (1, 2, 3))
