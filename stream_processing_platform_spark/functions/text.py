@@ -173,7 +173,7 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(text: Column, k: int = 12, w: int = 6) -> Column:
     """Winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): hash every k-char gram of the normalized text,
     slide a w-hash window, keep each window's minimum, dedupe. Robust

@@ -722,7 +722,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Winnowing parameters: 8-char grams, window of 4 hashes.
-_WINNOW_K, _WINNOW_W = 8, 4
+_WINNOW_K, _WINNOW_W = 12, 6
 
 
 @query(
@@ -753,6 +753,52 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.explode(T.winnow_fingerprints(F.col("text"), _WINNOW_K, _WINNOW_W)).alias("fp"),
+    )
+
+
+_WINNOW_MIN_SHARED = 10
+
+
+@query(
+    "q_winnow_dup_pairs",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(
+          range(1, greatest(greatest(len(t) - {_WINNOW_K - 1}, 1) - {_WINNOW_W - 1}, 1) + 1),
+          j -> list_min(list_transform(range(j, j + {_WINNOW_W}),
+                        i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
+        ))) AS fp
+      FROM n)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    description=f"Copy-detection pairs from winnowed fingerprints: "
+    f"documents sharing >= {_WINNOW_MIN_SHARED} window-min prints, via "
+    f"the (fp -> doc) inverted-index self-join — candidates meet only "
+    f"on shared prints, never all-pairs (the same bucket-join shape as "
+    f"MinHash bands / contamination). At 100 TB, hot prints (boilerplate "
+    f"grams) are the skew knob: cap per-print posting lists or drop "
+    f"top-frequency prints, the standard inverted-index mitigation.",
+)
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints(F.col("text"), _WINNOW_K, _WINNOW_W)).alias("fp"),
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
 
 

@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "q_top_tokens",
     "q_unpivot_event_counts",
     "q_winnow_fingerprints",
+    "q_winnow_dup_pairs",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",
