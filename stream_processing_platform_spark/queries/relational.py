@@ -1050,6 +1050,92 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_event_sequence",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_id, 2)   OVER w AS end_id,
+             lead(ts, 2)         OVER w AS end_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)
+    )
+    SELECT user_id, event_id AS start_id, end_id,
+           CAST(epoch_ms(end_ts) - epoch_ms(ts) AS BIGINT) AS span_ms
+    FROM o
+    WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+    """,
+    description="CEP-style pattern detection (the Flink-CEP capability a "
+    "Flink-clone reference implies): find click -> view -> purchase as "
+    "three CONSECUTIVE events per user in (ts, event_id) order, via "
+    "lead() navigation — one user-keyed window shuffle, no joins, no "
+    "state machine; emits (start, end, span_ms) per match.",
+)
+def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.windows_batch import epoch_ms
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_ms(F.col("ts")).asc(), F.col("event_id").asc())
+    o = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("end_id"),
+        F.lead(epoch_ms(F.col("ts")), 2).over(w).alias("end_ms"),
+    )
+    return o.where(
+        (F.col("event_type") == "click") & (F.col("t1") == "view") & (F.col("t2") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_id"),
+        "end_id",
+        (F.col("end_ms") - epoch_ms(F.col("ts"))).alias("span_ms"),
+    )
+
+
+@query(
+    "q_interevent_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) ASC, event_id ASC) AS gap_ms
+      FROM events
+    )
+    SELECT user_id, CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+           CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+    description="Per-user inter-event gap statistics (lag + aggregate): "
+    "the session-gap / activity-cadence profile a sessionizer is tuned "
+    "from. Exact integer milliseconds end to end — no float boundary "
+    "risk; one user-keyed window shuffle feeding a same-key aggregate "
+    "(no second exchange: the agg rides the window's partitioning).",
+)
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.windows_batch import epoch_ms
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_ms(F.col("ts")).asc(), F.col("event_id").asc())
+    g = e.select(
+        "user_id", (epoch_ms(F.col("ts")) - F.lag(epoch_ms(F.col("ts"))).over(w)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+    )
+
+
+@query(
     "q06_forecast_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -96,6 +96,8 @@ _PRIORITY: list[str] = [
     "q_unpivot_event_counts",
     "q_winnow_fingerprints",
     "q_winnow_dup_pairs",
+    "q_event_sequence",
+    "q_interevent_gaps",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",
