@@ -436,6 +436,71 @@ def q_stream_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_event_sequence",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_id, 2)   OVER w AS end_id,
+             lead(ts, 2)         OVER w AS end_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)
+    )
+    SELECT user_id, event_id AS start_id, end_id,
+           CAST(epoch_ms(end_ts) - epoch_ms(ts) AS BIGINT) AS span_ms
+    FROM o
+    WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+    """,
+    description="LIVE CEP: the click -> view -> purchase consecutive-"
+    "triple detector running as a stateful stream (keyed_process): "
+    "per-user state carries the last two events ACROSS micro-batches, a "
+    "match emits (start, end, span_ms) the moment the third event "
+    "arrives. Same oracle as the batch q_event_sequence — the streaming "
+    "state machine and the lead()-window formulation must agree exactly.",
+)
+def q_stream_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.keyed_process import keyed_process
+
+    def detect(key, value, state):
+        prev = state.get("w") or []  # last two (type, id, ms) triples
+        cur = (value["event_type"], value["event_id"], value["ms"])
+        out = []
+        if (
+            len(prev) == 2
+            and prev[0][0] == "click"
+            and prev[1][0] == "view"
+            and cur[0] == "purchase"
+        ):
+            out.append(
+                {
+                    "user_id": key,
+                    "start_id": prev[0][1],
+                    "end_id": cur[1],
+                    "span_ms": cur[2] - prev[0][2],
+                }
+            )
+        state["w"] = (prev + [cur])[-2:]
+        return out
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    out = keyed_process(
+        stream,
+        ["user_id"],
+        detect,
+        "user_id long, start_id long, end_id long, span_ms long",
+        order_by=["ts", "event_id"],
+    )
+    return _run_to_table(out, mode="append")
+
+
+@query(
     "q_stream_enrich",
     oracle="""
     SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
