@@ -1098,6 +1098,49 @@ def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) OVER w AS BIGINT)            AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS ss
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id, cents, n
+    FROM c
+    WHERE (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)
+    """,
+    description="Statistical anomaly detection: events more than 3 "
+    "population standard deviations from their user's mean — the "
+    "z-score upgrade over q_case_when_anomaly's fixed threshold. The "
+    "3-sigma test is cross-multiplied into pure BIGINT arithmetic "
+    "((n*x - s)^2 > 9*(n*ss - s^2), exact in both engines; overflow "
+    "bound documented: safe to ~3e9 cents*rows per user). One "
+    "unordered per-user window — partial aggregation map-side, no "
+    "sort, no join-back.",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    c = e.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.count("*").over(w).alias("n"),
+        F.sum(cents).over(w).alias("s"),
+        F.sum(cents * cents).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    return c.where(
+        dev * dev > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    ).select("user_id", "event_id", "cents", "n")
+
+
+@query(
     "q_interevent_gaps",
     oracle="""
     WITH g AS (
