@@ -156,6 +156,9 @@ def main() -> None:
         "q_doc_commonness",
         "q_top_tokens",
         "q_unpivot_event_counts",
+        "q_winnow_dup_pairs",
+        "q_event_sequence",
+        "q_anomaly_zscore",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
