@@ -90,6 +90,29 @@ def foreach_batch_sink(df: DataFrame, fn, checkpoint_dir: str | None = None) -> 
     return w.start()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED (and optionally sort-ordered) table: rows
+    are hash-distributed into ``num_buckets`` files per partition by
+    ``bucket_cols`` at WRITE time, so a later join or aggregation on
+    those columns needs no shuffle at READ time — the pre-shuffle is
+    amortized across every downstream query. The 100 TB pattern for
+    fact-to-fact joins too big to broadcast: bucket both sides on the
+    join key with the same bucket count and the join compiles with zero
+    Exchange (gated in test_plan_quality). Bucketing requires the table
+    catalog (``saveAsTable``), not a bare path."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def exactly_once_parquet_sink(
     df: DataFrame, path: str, checkpoint_dir: str, trigger_available_now: bool = True
 ) -> StreamingQuery:

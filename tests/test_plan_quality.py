@@ -181,3 +181,39 @@ def test_window_topk_rank_limit_pushdown(spark, sf_dir):
             f"has {partials} (modes={modes}) — a rank-limit lost its "
             f"pre-shuffle truncation"
         )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketing is the co-located-join tool for fact-to-fact joins too
+    big to broadcast: both sides bucketed on the join key with the same
+    bucket count must join with ZERO Exchange (the write pre-shuffled),
+    while the same join on plain tables shuffles both sides. Broadcast
+    is disabled inside the test so the shuffle-vs-bucket difference is
+    what's measured."""
+    from stream_processing_platform_spark.sinks import write_bucketed
+    from stream_processing_platform_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders, "bq_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "bq_lineitem", ["o_orderkey"], 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bq_orders").join(spark.table("bq_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert "SortMergeJoin" in plan
+        # sanity: result matches the plain-table join
+        plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert joined.count() == plain.count()
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan  # the unbucketed baseline shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bq_orders")
+        spark.sql("DROP TABLE IF EXISTS bq_lineitem")
