@@ -1,0 +1,50 @@
+"""Table maintenance utilities — the operational side of 100 TB.
+
+Streaming sinks and incremental ingests accrete small files; scan cost
+is per-file (open/footer/seek), so a million 1 MB files reads far
+slower than eight thousand 128 MB files even at identical bytes.
+``compact_parquet`` rewrites a parquet directory into size-targeted
+files. It writes to a NEW directory: atomically swapping a live table
+is a catalog/metastore transaction (or a Delta/Iceberg commit), not a
+filesystem rename — callers flip their readers to the new path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parquet_bytes(path: str) -> int:
+    """Total bytes of parquet data files under ``path`` (local FS)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> DataFrame:
+    """Rewrite ``src_path`` into ``dst_path`` with files sized toward
+    ``target_file_mb``. File count = ceil(input_bytes / target) — a
+    byte-based estimate (post-compaction encoding usually shrinks files
+    further; the target is an upper-bound steer, not a guarantee).
+    Uses ``coalesce`` when shrinking the file count (no shuffle — the
+    whole point of compaction is to avoid paying one) and falls back to
+    ``repartition`` only when the source has FEWER partitions than the
+    target (splitting requires a shuffle). Returns the compacted
+    DataFrame reading from ``dst_path``."""
+    df = spark.read.parquet(src_path)
+    n_files = max(1, math.ceil(parquet_bytes(src_path) / (target_file_mb * 1024 * 1024)))
+    n_input = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_input >= n_files else df.repartition(n_files)
+    out.write.mode("error").parquet(dst_path)
+    return spark.read.parquet(dst_path)
