@@ -24,10 +24,18 @@ from pyspark.sql import functions as F
 from stream_processing_platform_spark.functions.text import portable_round, word_shingles
 
 
-def dedup_keep_first(df: DataFrame, key_cols: list[str], order_by: list[Column]) -> DataFrame:
+def dedup_keep_first(
+    df: DataFrame, key_cols: list[str] | str, order_by: list[Column | str] | Column | str
+) -> DataFrame:
     """Exact dedup keeping a deterministic representative per key
     (``dropDuplicates`` picks an arbitrary row; ordering makes it stable —
-    required for oracle comparison and generally good hygiene)."""
+    required for oracle comparison and generally good hygiene). Bare
+    strings are accepted for both params — ``*"doc_id"`` would otherwise
+    silently splat into per-CHARACTER column references."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if isinstance(order_by, (str, Column)):
+        order_by = [order_by]
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
