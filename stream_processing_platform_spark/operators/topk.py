@@ -14,18 +14,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from stream_processing_platform_spark.functions.cols import as_col_list
 
-def top_k_global(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+
+def top_k_global(df: DataFrame, order_by, k: int) -> DataFrame:
     """Global top-k — physical plan is TakeOrderedAndProject, not a sort."""
-    return df.orderBy(*order_by).limit(k)
+    return df.orderBy(*as_col_list(order_by)).limit(k)
 
 
 def top_k_per_group(
-    df: DataFrame, partition_cols: list[str], order_by: list[Column], k: int, rank_col: str = "rk"
+    df: DataFrame, partition_cols, order_by, k: int, rank_col: str = "rk"
 ) -> DataFrame:
     """Top-k rows per group via row_number (deterministic given a total
     order in ``order_by``)."""
-    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    w = Window.partitionBy(*as_col_list(partition_cols)).orderBy(*as_col_list(order_by))
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
 
 
