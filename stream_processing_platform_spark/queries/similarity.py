@@ -170,6 +170,45 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embedding_quantize",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+      FROM ({_SQL_VECS}) e
+    ),
+    rng AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim)
+    SELECT ex.vec_id, CAST(ex.dim AS INTEGER) AS dim,
+           CAST(CASE WHEN rng.mx = rng.mn THEN 0
+                ELSE floor((ex.x - rng.mn) * 255.0 / (rng.mx - rng.mn) + 0.5)
+                END AS INTEGER) AS code
+    FROM ex JOIN rng USING (dim)
+    """,
+    description="Scalar INT8 embedding quantization (the simplest "
+    "compression tier under PQ): per-dimension global min/max, each "
+    "value maps to floor((x-mn)*255/(mx-mn)+0.5) — pure IEEE ops on "
+    "identical doubles, so Spark and duckdb agree bit-for-bit and the "
+    "oracle hash-matches. Scale shape: one narrow posexplode, a "
+    "64-row min/max aggregate (map-side partials), broadcast join "
+    "back — 4 bytes/dim float32 becomes 1 byte/dim.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(as_double_array(F.col("embedding"))).alias("dim0", "x"),
+    ).select("vec_id", (F.col("dim0") + 1).cast("int").alias("dim"), "x")
+    rng = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.floor((F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")) + 0.5)
+    )
+    return ex.join(F.broadcast(rng), "dim").select(
+        "vec_id", "dim", code.cast("int").alias("code")
+    )
+
+
+@query(
     "q_multimodal_features",
     oracle=None,  # the mapInPandas feature vector has no SQL twin;
     # determinism + plumbing are asserted in tests/test_multimodal.py
