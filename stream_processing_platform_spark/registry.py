@@ -71,20 +71,21 @@ _loaded = False
 # order IS the coverage policy, so it is explicit here (not an accident of
 # import order) and rotates per round: queries that have never had an
 # official CORRECTNESS row go first, then those whose last green row is
-# oldest, then the most-recently-verified set. Round-5 rotation (61
-# listed; a 50-slot window runs 1-50, the tail spills to head r6):
-#   1-14:  new this round (no official row yet): mixture x2, real-decode
-#          multimodal, commonness, PQ ANN, left-outer stream join, top
-#          tokens, unpivot, winnow x2, CEP sequence batch+live, gaps,
-#          z-score anomaly
-#   15-16: r4 rows exist but the code changed this round (IVF broadcast
-#          flip, BPE chunk-boundary decode fix)
-#   17-28: edited in r4 AFTER their official row (BPE_RE, NTZ watermark
-#          cast) — judge re-verified at sf0.01, record should catch up
-#   29-61: r3-green, not rotated into r4's window (official row two
-#          rounds old); the last ~11 spill past the window and lead the
-#          r6 rotation
-#   62+:   the r4-green set, registration order (freshest official rows)
+# oldest, then the most-recently-verified set. Round-5 rotation, four
+# groups in order (a ~50-slot window runs the head; the tail of the
+# last group spills and should LEAD the r6 rotation):
+#   (a) new this round, no official row yet — mixture x2, real-decode
+#       multimodal, commonness, PQ ANN, left-outer stream join, top
+#       tokens, unpivot, winnow x2, CEP sequence batch+live, gaps,
+#       z-score anomaly, INT8 quantize
+#   (b) r4 rows exist but the code changed this round (IVF broadcast
+#       flip, BPE chunk-boundary decode fix)
+#   (c) edited in r4 AFTER their official row (BPE_RE, NTZ watermark
+#       cast) — judge re-verified at sf0.01, record should catch up
+#   (d) r3-green, not rotated into r4's window (official rows two
+#       rounds old)
+# Unlisted queries (the r4-green set) follow in registration order —
+# freshest official rows, lowest re-verification priority.
 _PRIORITY: list[str] = [
     # -- new in round 5
     "q_corpus_mixture",
