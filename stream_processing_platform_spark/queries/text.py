@@ -721,6 +721,44 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dup_ngram_rate",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    freq AS (SELECT s, count(*) AS n_docs FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE freq.n_docs >= 2) AS BIGINT) AS n_dup,
+           floor(count(*) FILTER (WHERE freq.n_docs >= 2) * 1000000.0
+                 / count(*) + 0.5) / 1000000.0 AS dup_rate
+    FROM ex JOIN freq USING (s)
+    GROUP BY ex.doc_id
+    """,
+    description="Per-document duplicate-shingle rate: the fraction of a "
+    "doc's distinct 3-token shingles that also appear in at least one "
+    "OTHER document — the memorization-risk / boilerplate report run "
+    "after dedup (high rate = the doc is mostly shared text even if no "
+    "single near-dup pair fired). Shingle lists are per-doc distinct, "
+    "so corpus frequency = containing-doc count. Two shingle-keyed "
+    "shuffles (freq agg + join), exact-integer accounting, "
+    "floor(x*1e6+0.5) rate.",
+)
+def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    freq = ex.groupBy("s").agg(F.count("*").alias("n_docs"))
+    j = ex.join(freq, "s")
+    n_dup = F.count(F.when(F.col("n_docs") >= 2, True))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        n_dup.alias("n_dup"),
+        (F.floor(n_dup * 1000000.0 / F.count("*") + 0.5) / 1000000.0).alias("dup_rate"),
+    )
+
+
 # Winnowing parameters: 8-char grams, window of 4 hashes.
 _WINNOW_K, _WINNOW_W = 12, 6
 

@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "q_stream_event_sequence",
     "q_anomaly_zscore",
     "q_embedding_quantize",
+    "q_dup_ngram_rate",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",
