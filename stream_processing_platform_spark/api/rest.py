@@ -205,6 +205,16 @@ def _make_handler(server: JobServer):
 
         def _dispatch(self, method: str) -> None:
             parsed = urlparse(self.path)
+            if method == "GET" and parsed.path in ("/", "/dashboard"):
+                from stream_processing_platform_spark.api.dashboard import DASHBOARD_HTML
+
+                data = DASHBOARD_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             for m, pat, fn in _ROUTES:
                 match = pat.match(parsed.path)
                 if m == method and match:

@@ -139,3 +139,18 @@ def test_rest_stream_metrics_unknown_job_404(spark, rest):
     # 200 followed by a bogus CANCELED frame
     code, out = _call(rest, "GET", "/jobs/nope/metrics/stream")
     assert code == 404 and "unknown job" in out["error"]
+
+
+def test_dashboard_served_at_root(spark, rest):
+    """GET / (and /dashboard) returns the embedded single-file GUI —
+    the engine-side answer to the reference's Flask dashboard."""
+    port = rest
+    for path in ("/", "/dashboard"):
+        req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode()
+    assert "EventSource" in html          # SSE live-metrics wiring
+    assert "/cluster/metrics" in html     # cluster panel
+    assert "cancel" in html               # job actions
