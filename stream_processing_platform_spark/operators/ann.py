@@ -293,3 +293,160 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 16,
+    num_codes: int = 64,
+    refine: int = 16,
+) -> DataFrame:
+    """IVF-PQ: the combined index — IVF cells bound WHICH candidates are
+    scored (``nprobe/num_cells`` of the corpus), PQ codes bound WHAT
+    scoring a candidate costs (``num_subspaces`` table lookups instead
+    of ``dim`` multiply-adds), and the exact re-rank restores cosine
+    fidelity on the surviving ``k*refine`` per query. This is the
+    FAISS-style composition: at 100 TB the scored structure is
+    (cell, 16 one-byte codes) per vector — the float vectors are read
+    only by the build stage and the final re-rank join.
+
+    Both sub-indexes are built from the same deterministic hash samples
+    as ivf_topk / pq_topk; the one extra build-time cost is a corpus-
+    keyed join attaching codes to cell assignments (amortized: at scale
+    both live in one precomputed index table).
+
+    Output schema matches the other tiers: query_id, neighbor_id, cos,
+    rank. Recall vs brute force tested in test_ann_quality.
+    """
+    c = _prep(corpus, id_col, vec_col, "cid", "_cv")
+
+    # --- IVF side: centroids, cell assignment, query probes ----------
+    cell_w = Window.orderBy("_h", "cid")
+    centroids = (
+        c.withColumn("_h", F.xxhash64(F.col("cid"), F.lit(0xC3)))
+        .orderBy("_h", "cid")
+        .limit(num_cells)
+        .withColumn("cell", (F.row_number().over(cell_w) - 1).cast("int"))
+        .select("cell", F.col("_cv").alias("_centroid"))
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col("_cv"), F.col("_centroid")))
+        .groupBy("cid")
+        .agg(
+            F.min(F.struct((-F.col("_sim")).alias("_neg"), F.col("cell")))["cell"].alias("cell"),
+        )
+        .select(F.col("cid").alias("neighbor_id"), "cell")
+    )
+
+    # --- PQ side: codebook + corpus codes ----------------------------
+    code_w = Window.orderBy("_h", "neighbor_id")
+    cn = c.select(F.col("cid").alias("neighbor_id"), "_cv")
+    codebook = (
+        cn.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x51)))
+        .orderBy("_h", "neighbor_id")
+        .limit(num_codes)
+        .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
+        .select(
+            "code",
+            F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
+                "m", "csub"
+            ),
+        )
+    )
+    c_subs = cn.select(
+        "neighbor_id",
+        F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
+            "m", "sub"
+        ),
+    )
+    encoded = (
+        c_subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .groupBy("neighbor_id", "m")
+        .agg(F.min(F.struct("_d", "code"))["code"].alias("code"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes")
+        )
+    )
+
+    # the index table: (neighbor_id, cell, codes) — corpus-keyed join,
+    # built once (precomputed and reused at production scale)
+    index = assigned.join(encoded, "neighbor_id")
+
+    # --- query side: probes + ADC tables -----------------------------
+    q = _prep(queries, id_col, vec_col, "query_id", "_qv")
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    q_subs = q.select(
+        "query_id",
+        F.posexplode(_subvectors(_l2_normalized(F.col("_qv")), dim, num_subspaces)).alias(
+            "m", "sub"
+        ),
+    )
+    qtab = (
+        q_subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .groupBy("query_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
+            ).alias("dtable")
+        )
+    )
+    probe_tabs = probes.join(qtab, "query_id")  # q*nprobe rows, tiny
+
+    # --- candidate scoring: ADC inside probed cells only --------------
+    pq_w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        F.broadcast(probe_tabs)
+        .join(index, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pq_dist",
+            F.aggregate(
+                F.zip_with("codes", "dtable", lambda code, row: F.element_at(row, code + 1)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(pq_w))
+        .where(F.col("_rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact re-rank of the bounded candidate set -------------------
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(cands)
+        .join(cn, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

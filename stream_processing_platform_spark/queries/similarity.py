@@ -170,6 +170,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivfpq",
+    oracle=None,  # approximate by construction — recall (absolute and
+    # relative to IVF-alone) in tests/test_ann_quality.py
+    description="IVF-PQ combined index (16 cells probe 6, 16x64 PQ "
+    "codes, 16x refine): cells bound WHICH candidates are scored, PQ "
+    "codes bound WHAT scoring costs (16 table lookups vs 64 multiply-"
+    "adds), exact re-rank restores cosine fidelity — the FAISS-style "
+    "composition; float vectors touched only at build and re-rank.",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ann.ivfpq_topk(e, e.where(F.col("vec_id") < 20), k=5, nprobe=6)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
     "q_embedding_quantize",
     oracle=f"""
     WITH ex AS (

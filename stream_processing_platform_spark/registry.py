@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "q_anomaly_zscore",
     "q_embedding_quantize",
     "q_dup_ngram_rate",
+    "q_ann_ivfpq",
     # -- r4-verified but edited in round 5
     "q_ann_ivf",
     "q_doc_chunking_bpe",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from stream_processing_platform_spark.operators.ann import (
     brute_force_topk,
     ivf_topk,
+    ivfpq_topk,
     pq_topk,
 )
 from stream_processing_platform_spark.operators.dedup import (
@@ -153,3 +154,27 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
     }
     recall = len(exact & sim) / len(exact)
     assert recall >= 0.6, f"SimHash recall {recall:.2f} vs exact pairs too low"
+
+
+def test_ivfpq_recall_tracks_ivf(spark, sf_dir):
+    """The combined index's defining property: the PQ candidate stage +
+    exact re-rank must lose (almost) NOTHING beyond the IVF cell
+    restriction — ivfpq recall tracks ivf-alone recall at the same
+    nprobe (measured equal at sf0.01), and stays above the plumbing-
+    break floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, num_cells=16, nprobe=6).collect()
+    }
+    comb = {
+        (r.query_id, r.neighbor_id) for r in ivfpq_topk(emb, q, k=5, nprobe=6).collect()
+    }
+    r_ivf = len(exact & ivf) / len(exact)
+    r_comb = len(exact & comb) / len(exact)
+    assert r_comb >= r_ivf - 0.05, f"PQ stage lost recall: {r_comb:.2f} vs ivf {r_ivf:.2f}"
+    assert r_comb >= 0.4, f"IVFPQ recall {r_comb:.2f} below plumbing floor"
