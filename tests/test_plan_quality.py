@@ -167,6 +167,7 @@ def test_window_topk_rank_limit_pushdown(spark, sf_dir):
         ("q_ann_pq", 2, 2),          # ADC candidate cut + exact re-rank
                                      # (encode argmin is a min(struct)
                                      # aggregate, not a rank-limit)
+        ("q_ann_ivfpq", 3, 3),       # probes + ADC cut + exact re-rank
     ]:
         modes = _window_group_limit_modes(_plan(qs[name](spark, sf_dir)))
         finals = modes.count("Final")
