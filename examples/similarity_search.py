@@ -35,6 +35,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "brute_force": lambda: ann.brute_force_topk(emb, queries, k=5),
         "ivf": lambda: ann.ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4),
         "pq": lambda: ann.pq_topk(emb, queries, k=5),
+        "ivfpq": lambda: ann.ivfpq_topk(emb, queries, k=5, nprobe=6),
     }
     exact: set | None = None
     for name, build in tiers.items():
