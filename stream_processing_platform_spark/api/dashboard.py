@@ -48,11 +48,22 @@ async function refresh() {
   const tb = document.getElementById('jobs');
   tb.innerHTML = '';
   for (const j of (jobs.jobs || [])) {
+    // pipeline/state come from user-supplied POST /jobs bodies: build
+    // cells with textContent, never innerHTML (stored-XSS sink).
     const tr = document.createElement('tr');
-    tr.innerHTML = `<td>${j.job_id}</td><td>${j.pipeline}</td>` +
-      `<td>${j.state}</td>` +
-      `<td><button onclick="watch('${j.job_id}')">watch</button> ` +
-      `<button onclick="cancel('${j.job_id}')">cancel</button></td>`;
+    for (const v of [j.job_id, j.pipeline, j.state]) {
+      const td = document.createElement('td');
+      td.textContent = v;
+      tr.appendChild(td);
+    }
+    const actions = document.createElement('td');
+    for (const [label, fn] of [['watch', watch], ['cancel', cancel]]) {
+      const b = document.createElement('button');
+      b.textContent = label;
+      b.addEventListener('click', () => fn(j.job_id));
+      actions.appendChild(b);
+    }
+    tr.appendChild(actions);
     tb.appendChild(tr);
   }
   const cm = await (await fetch('/cluster/metrics')).json();

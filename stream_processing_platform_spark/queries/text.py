@@ -759,7 +759,7 @@ def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Winnowing parameters: 8-char grams, window of 4 hashes.
+# Winnowing parameters: 12-char grams, windows of 6 gram hashes.
 _WINNOW_K, _WINNOW_W = 12, 6
 
 
@@ -772,8 +772,11 @@ _WINNOW_K, _WINNOW_W = 12, 6
       SELECT doc_id, unnest(list_distinct(
         list_transform(
           range(1, greatest(greatest(len(t) - {_WINNOW_K - 1}, 1) - {_WINNOW_W - 1}, 1) + 1),
-          j -> list_min(list_transform(range(j, j + {_WINNOW_W}),
-                        i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
+          -- inner positions clamped to the full-gram count so short docs
+          -- (len < K+W-1) min over the SAME grams Spark's clipped slice does
+          j -> list_min(list_transform(
+                 range(j, least(j + {_WINNOW_W}, greatest(len(t) - {_WINNOW_K - 1}, 1) + 1)),
+                 i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
         ))) AS fp
       FROM n)
     SELECT doc_id, fp FROM fps
@@ -811,8 +814,10 @@ _WINNOW_MAX_POSTINGS = 200
       SELECT doc_id, unnest(list_distinct(
         list_transform(
           range(1, greatest(greatest(len(t) - {_WINNOW_K - 1}, 1) - {_WINNOW_W - 1}, 1) + 1),
-          j -> list_min(list_transform(range(j, j + {_WINNOW_W}),
-                        i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
+          -- same short-doc clamp as q_winnow_fingerprints
+          j -> list_min(list_transform(
+                 range(j, least(j + {_WINNOW_W}, greatest(len(t) - {_WINNOW_K - 1}, 1) + 1)),
+                 i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
         ))) AS fp
       FROM n),
     buckets AS (

@@ -111,7 +111,11 @@ def running_stats(
 ) -> DataFrame:
     """Per-key running stats via transformWithState. Output columns:
     (key, cnt, total, mn, mx); use update output mode — the last emitted
-    row per key is the final state."""
+    row per key is the final state.
+
+    Spark only allows state TTL under ``TimeMode.ProcessingTime`` (it
+    raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+    otherwise), so requesting ``ttl_ms`` switches the time mode."""
     ensure_rocksdb_state_store(df.sparkSession)
     return (
         df.groupBy(key_col)
@@ -119,6 +123,6 @@ def running_stats(
             RunningStatsProcessor(value_col, ttl_ms),
             outputStructType="key long, cnt long, total double, mn double, mx double",
             outputMode="Update",
-            timeMode="None",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )

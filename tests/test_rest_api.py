@@ -154,3 +154,5 @@ def test_dashboard_served_at_root(spark, rest):
     assert "EventSource" in html          # SSE live-metrics wiring
     assert "/cluster/metrics" in html     # cluster panel
     assert "cancel" in html               # job actions
+    # XSS hardening: job fields must never be interpolated into innerHTML
+    assert "${j.pipeline}" not in html and "${j.state}" not in html

@@ -138,3 +138,28 @@ def test_running_stats_end_to_end(spark, tmp_path):
     latest = {r.key: (r.cnt, r.total, r.mn, r.mx) for r in spark.table("v2stats").collect()}
     assert latest[1] == (2, 15.0, 5.0, 10.0)
     assert latest[2] == (1, 1.0, 1.0, 1.0)
+
+
+def test_ttl_request_switches_time_mode_to_processing_time(spark, tmp_path):
+    """Spark rejects state TTL outside TimeMode.ProcessingTime
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so
+    running_stats(ttl_ms=...) must build its TransformWithState operator
+    in ProcessingTime mode — pinned on the analyzed plan, which records
+    the time mode."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "a", T(1), 10.0)], EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = file_source(spark, src, EVENT_SCHEMA)
+        with_ttl = running_stats(stream, "user_id", "value", ttl_ms=60_000)
+        plan = with_ttl._jdf.queryExecution().analyzed().toString()
+        assert "ProcessingTime" in plan
+        without = running_stats(stream, "user_id", "value")
+        assert "ProcessingTime" not in without._jdf.queryExecution().analyzed().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

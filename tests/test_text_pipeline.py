@@ -182,3 +182,43 @@ def test_winnow_fingerprints_detect_shared_run(spark):
     assert not (f1 & f3) and not (f2 & f3)  # no false overlap
     # dedup within each doc's print set
     assert all(len(by_id[i].fps) == len(set(by_id[i].fps)) for i in (1, 2, 3))
+
+
+def test_winnow_oracle_parity_on_short_docs(spark, tmp_path):
+    """Cross-engine boundary case the sf corpora never exercise: docs
+    with normalized length < K + W - 1 (17 chars). Spark mins over a
+    CLIPPED slice of the gram-hash array; an unclamped SQL window would
+    hash partial tail grams past the last full k-gram and diverge on
+    ~half of short docs. Pins the oracle's inner-position clamp by
+    running the REGISTERED oracles of both winnow queries against a
+    corpus of every length 0..24 plus edge shapes."""
+    import duckdb
+
+    from stream_processing_platform_spark.registry import REGISTRY, queries
+    from tests.conftest import assert_matches_oracle
+
+    queries()
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789 the quick brown fox"
+    rows = [(i, "synthetic", alpha[:i]) for i in range(25)]  # lengths 0..24
+    rows += [
+        (100, "synthetic", "a" * 16),          # repeated char, len K+W-2
+        (101, "synthetic", "ab" * 8),          # len 16, periodic
+        (102, "synthetic", "  spaced   out  "),  # normalizes to 10 chars
+        (103, "synthetic", alpha),             # one long doc for contrast
+        (104, "synthetic", alpha[:17]),        # exactly K+W-1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf_dir = str(tmp_path / "shortsf")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "shortsf" / "documents.parquet"))
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        for name in ("q_winnow_fingerprints", "q_winnow_dup_pairs"):
+            rq = REGISTRY[name]
+            assert_matches_oracle(rq.fn(spark, sf_dir), con, rq.oracle)
+    finally:
+        con.close()
