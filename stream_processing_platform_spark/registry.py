@@ -71,76 +71,28 @@ _loaded = False
 # order IS the coverage policy, so it is explicit here (not an accident of
 # import order) and rotates per round: queries that have never had an
 # official CORRECTNESS row go first, then those whose last green row is
-# oldest, then the most-recently-verified set. Round-5 rotation, four
-# groups in order (a ~50-slot window runs the head; the tail of the
-# last group spills and should LEAD the r6 rotation):
-#   (a) new this round, no official row yet — mixture x2, real-decode
-#       multimodal, commonness, PQ ANN, left-outer stream join, top
-#       tokens, unpivot, winnow x2, CEP sequence batch+live, gaps,
-#       z-score anomaly, INT8 quantize
-#   (b) r4 rows exist but the code changed this round (IVF broadcast
-#       flip, BPE chunk-boundary decode fix)
-#   (c) edited in r4 AFTER their official row (BPE_RE, NTZ watermark
-#       cast) — judge re-verified at sf0.01, record should catch up
-#   (d) r3-green, not rotated into r4's window (official rows two
-#       rounds old)
-# Unlisted queries (the r4-green set) follow in registration order —
+# oldest, then the most-recently-verified set. Round-6 rotation, four
+# groups in order:
+#   (a) new in round 6 (no official row yet) / oracle edited in round 6
+#       (winnow short-doc clamp invalidates the r5 rows' oracle text)
+#   (b) the 14 queries whose last official row is round 3 — the stale
+#       tail the r5 verdict flagged; stale-first is the whole point of
+#       this round's rotation
+#   (c) the r4-green set (rows one round older than the r5 set); the
+#       ~50-slot window covers (a)+(b) and the head of (c), the tail
+#       spills to r7
+# Unlisted queries (the r5-green set) follow in registration order —
 # freshest official rows, lowest re-verification priority.
 _PRIORITY: list[str] = [
-    # -- new in round 5
-    "q_corpus_mixture",
-    "q_corpus_mixture_bpe",
-    "q_multimodal_real_decode",
-    "q_doc_commonness",
-    "q_ann_pq",
-    "q_stream_join_left",
-    "q_top_tokens",
-    "q_unpivot_event_counts",
+    # -- (a) new in r6 / oracle edited in r6
     "q_winnow_fingerprints",
     "q_winnow_dup_pairs",
-    "q_event_sequence",
-    "q_interevent_gaps",
-    "q_stream_event_sequence",
-    "q_anomaly_zscore",
-    "q_embedding_quantize",
-    "q_dup_ngram_rate",
-    "q_ann_ivfpq",
-    # -- r4-verified but edited in round 5
-    "q_ann_ivf",
-    "q_doc_chunking_bpe",
-    # -- edited in round 4 after their last official row
-    "q_bpe_token_count",
-    "q_doc_chunking",
-    "q_sequence_packing",
-    "q_contamination",
-    "q_stream_window_tumbling",
-    "q_stream_running_agg",
-    "q_stream_window_session",
-    "q_stream_join_interval",
-    "q_stream_dedup",
-    "q_stream_window_sliding",
-    "q_stream_keyed_process",
-    "q_stream_enrich",
-    # -- r3-green, evicted from r4's 50-slot window
-    "q_flatmap_wordcount",
-    "q_case_when_anomaly",
-    "q_json_extract",
-    "q_join_range",
-    "q_window_navigation",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q_string_agg",
-    "q_sql_exists",
-    "q_grouping_sets",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q09_product_profit",
-    "q12_priority_shipments",
-    "q14_promo_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q08_market_share",
-    "q13_customer_distribution",
+    # -- (b) last official row r3
+    "q_window_collect",
+    "q_incremental_dedup",
+    "q_corpus_split",
+    "q_stratified_sample",
+    "q_pii_redaction",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
@@ -150,11 +102,55 @@ _PRIORITY: list[str] = [
     "q_window_tumbling",
     "q_window_sliding",
     "q_window_session",
-    "q_window_collect",
-    "q_incremental_dedup",
-    "q_corpus_split",
-    "q_stratified_sample",
-    "q_pii_redaction",
+    # -- (c) last official row r4, registration order
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q_filter_threshold",
+    "q_map_scalar",
+    "q_datetime_funcs",
+    "q_string_funcs",
+    "q_agg_running",
+    "q_agg_global",
+    "q_count_distinct",
+    "q_rollup_revenue",
+    "q_cube_orders",
+    "q_pivot_event_counts",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_interval",
+    "q_join_asof",
+    "q_dedup_exact",
+    "q_orderby_limit",
+    "q_topk_per_group",
+    "q_set_ops",
+    "q_window_rank",
+    "q_window_running",
+    "q_join_salted",
+    "q_approx_distinct",
+    "q_percentiles",
+    "q_approx_percentile",
+    "q_cosine_topk",
+    "q_embedding_near_dup",
+    "q_multimodal_features",
+    "q_embedding_dedup_clusters",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_dedup_exact_docs",
+    "q_ngram_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_dedup_clusters",
+    "q_simhash_pairs",
+    "q_repetition_ratio",
+    "q_quality_filter",
+    "q_corpus_stats",
+    "q_token_histogram",
+    "q_bpe_real",
+    "q_sequence_packing_bpe",
 ]
 
 
