@@ -202,7 +202,15 @@ def main() -> None:
                 "with harness load — 1.17s in r3, 0.67s in r4. "
                 "q08_market_share r3->r4 +14% (0.626->0.713s) was run "
                 "variance, not a regression: r5 measures 0.515s with an "
-                "unchanged, gate-verified 5x-BroadcastHashJoin plan",
+                "unchanged, gate-verified 5x-BroadcastHashJoin plan. "
+                "r5's flagged q_embedding_near_dup +23% / q_dedup_exact "
+                "+24% were likewise variance: r6 re-measured both "
+                "median-of-5 against the r4 code in a worktree on the "
+                "same harness — q_dedup_exact's r4 code measured SLOWER "
+                "(0.318s) than current (0.279s), and the near-dup "
+                "normalized formatted plan is hash-identical r4<->r6 "
+                "(shape now pinned: 1 shuffle Exchange + broadcast "
+                "verify join in test_plan_quality)",
             }
         )
     )

@@ -50,10 +50,22 @@ def test_minhash_has_no_cartesian_product(spark, sf_dir):
 def test_embedding_near_dup_has_no_cartesian_product(spark, sf_dir):
     """The registered embedding near-dup path is hyperplane-LSH banded:
     candidates meet only inside (band, chunk) buckets, then exact-cosine
-    verify — the crossJoin brute force exists only as the oracle."""
+    verify — the crossJoin brute force exists only as the oracle.
+
+    Shape pin (added after the r5 bench flagged a +23% that turned out
+    to be harness variance — the normalized formatted plan was hash-
+    identical to r4's): exactly ONE hash-partitioned shuffle (the
+    band-bucket grouping; the RoundRobin repartitions are
+    ensure_min_parallelism no-ops at scale) and the verify join is a
+    BroadcastHashJoin of the bounded candidate set — a second keyed
+    shuffle or a sort-merge flip is a real plan change, not noise."""
     plan = _plan(queries()["q_embedding_near_dup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    keyed = plan.count("Exchange hashpartitioning")
+    assert keyed == 1, f"expected 1 hash-partitioned Exchange, plan has {keyed}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_contamination_broadcasts_benchmark_no_product(spark, sf_dir):
