@@ -763,34 +763,71 @@ def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K, _WINNOW_W = 12, 6
 
 
+def _winnow_sql_hash(j_expr: str) -> str:
+    """duckdb twin of functions.text._poly_gram_hash: the same
+    fixed-power polynomial over the codepoint list, per-term mod, chars
+    past the end contributing 0 (codes[out-of-range] is NULL)."""
+    from stream_processing_platform_spark.functions.text import (
+        WINNOW_HASH_B,
+        WINNOW_HASH_M,
+    )
+
+    terms = " + ".join(
+        f"((coalesce(codes[CAST({j_expr} + {i} AS INTEGER)], 0)"
+        f" * {pow(WINNOW_HASH_B, _WINNOW_K - 1 - i, WINNOW_HASH_M)})"
+        f" % {WINNOW_HASH_M})"
+        for i in range(_WINNOW_K)
+    )
+    return f"(({terms}) % {WINNOW_HASH_M})"
+
+
+# Shared fps stage for both winnow oracles: normalize -> codepoint list
+# -> per-position polynomial gram hashes -> clipped w-window minima ->
+# distinct. duckdb list slicing hs[a:b] clips to bounds exactly like
+# Spark's F.slice, so short docs (< K+W-1 chars) min over the same
+# grams on both engines.
+_WINNOW_SQL_FPS = f"""
+    n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents),
+    c AS (SELECT doc_id, len(t) AS L,
+                 list_transform(range(1, len(t) + 1),
+                   i -> CAST(unicode(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)
+                 ) AS codes
+          FROM n),
+    h AS (SELECT doc_id, greatest(L - {_WINNOW_K - 1}, 1) AS G,
+                 list_transform(range(1, greatest(L - {_WINNOW_K - 1}, 1) + 1),
+                   j -> {_winnow_sql_hash('j')}) AS hs
+          FROM c),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(G - {_WINNOW_W - 1}, 1) + 1),
+          jw -> list_min(hs[CAST(jw AS INTEGER):CAST(jw + {_WINNOW_W - 1} AS INTEGER)])
+        ))) AS fp
+      FROM h)
+"""
+
+
 @query(
     "q_winnow_fingerprints",
     oracle=f"""
-    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-               FROM documents),
-    fps AS (
-      SELECT doc_id, unnest(list_distinct(
-        list_transform(
-          range(1, greatest(greatest(len(t) - {_WINNOW_K - 1}, 1) - {_WINNOW_W - 1}, 1) + 1),
-          -- inner positions clamped to the full-gram count so short docs
-          -- (len < K+W-1) min over the SAME grams Spark's clipped slice does
-          j -> list_min(list_transform(
-                 range(j, least(j + {_WINNOW_W}, greatest(len(t) - {_WINNOW_K - 1}, 1) + 1)),
-                 i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
-        ))) AS fp
-      FROM n)
+    WITH {_WINNOW_SQL_FPS}
     SELECT doc_id, fp FROM fps
     """,
-    description=f"Winnowed k-gram fingerprints (MOSS): md5 every "
-    f"{_WINNOW_K}-char gram of the normalized text, keep each "
+    description=f"Winnowed k-gram fingerprints (MOSS): polynomial-hash "
+    f"every {_WINNOW_K}-char gram of the normalized text, keep each "
     f"{_WINNOW_W}-hash window's minimum, dedupe, explode to (doc_id, "
     f"fp) rows — the copy-detection index robust to edits that break "
-    f"whole-document hashing. All-JVM HOFs, one narrow scan, no "
+    f"whole-document hashing. All-JVM int64 arithmetic (the duckdb "
+    f"oracle evaluates the identical expression), one narrow scan, no "
     f"shuffle; at 100 TB the (fp, doc_id) output is the input to a "
     f"bucket-join candidate stage exactly like MinHash bands.",
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    # CPU-bound fingerprint stage over a single-row-group parquet scan:
+    # fan the 1-task scan out first (no-op at real scale — see CLAUDE.md)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.explode(T.winnow_fingerprints(F.col("text"), _WINNOW_K, _WINNOW_W)).alias("fp"),
@@ -808,18 +845,7 @@ _WINNOW_MAX_POSTINGS = 200
 @query(
     "q_winnow_dup_pairs",
     oracle=f"""
-    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-               FROM documents),
-    fps AS (
-      SELECT doc_id, unnest(list_distinct(
-        list_transform(
-          range(1, greatest(greatest(len(t) - {_WINNOW_K - 1}, 1) - {_WINNOW_W - 1}, 1) + 1),
-          -- same short-doc clamp as q_winnow_fingerprints
-          j -> list_min(list_transform(
-                 range(j, least(j + {_WINNOW_W}, greatest(len(t) - {_WINNOW_K - 1}, 1) + 1)),
-                 i -> md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K}))))
-        ))) AS fp
-      FROM n),
+    WITH {_WINNOW_SQL_FPS},
     buckets AS (
       SELECT fp, list_sort(list(doc_id)) AS ds FROM fps GROUP BY fp
       HAVING count(*) BETWEEN 2 AND {_WINNOW_MAX_POSTINGS}
@@ -844,7 +870,9 @@ _WINNOW_MAX_POSTINGS = 200
     f"skew cap that bounds the m^2 expansion at 100 TB.",
 )
 def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     fps = d.select(
         "doc_id",
         F.explode(T.winnow_fingerprints(F.col("text"), _WINNOW_K, _WINNOW_W)).alias("fp"),

@@ -222,3 +222,31 @@ def test_winnow_oracle_parity_on_short_docs(spark, tmp_path):
             assert_matches_oracle(rq.fn(spark, sf_dir), con, rq.oracle)
     finally:
         con.close()
+
+
+def test_winnow_arrow_path_equals_declarative_expr(spark, sf_dir):
+    """The Arrow/numpy winnow path and the all-JVM HOF expression are
+    two implementations of the same polynomial-hash winnowing; they
+    must produce identical print SETS per document (the declarative
+    twin is the reference semantics the duckdb oracle mirrors)."""
+    from stream_processing_platform_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_expr,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    both = d.select(
+        "doc_id",
+        F.array_sort(winnow_fingerprints(F.col("text"))).alias("arrow"),
+        F.array_sort(winnow_fingerprints_expr(F.col("text"))).alias("expr"),
+    )
+    assert both.where(F.col("arrow") != F.col("expr")).count() == 0
+    # and on adversarial short strings
+    short = spark.createDataFrame(
+        [(i, "abcdefghijklmnopq"[:i]) for i in range(18)], "doc_id long, text string"
+    )
+    sb = short.select(
+        F.array_sort(winnow_fingerprints(F.col("text"))).alias("arrow"),
+        F.array_sort(winnow_fingerprints_expr(F.col("text"))).alias("expr"),
+    )
+    assert sb.where(F.col("arrow") != F.col("expr")).count() == 0
