@@ -536,3 +536,51 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("value") * 100, 0)) / 100.0).alias("sum_value"),
     )
     return _run_to_table(agg)
+
+
+@query(
+    "q_stream_state_v2",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
+           CAST(min(round(value * 100)) AS BIGINT) AS mn_cents,
+           CAST(max(round(value * 100)) AS BIGINT) AS mx_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    description="LIVE run of the state-v2 operator surface "
+    "(transformWithStateInPandas + RocksDB provider, the modern twin "
+    "of the reference's typed state primitives, taskmanager/state/"
+    "state_types.py:31-357): per-user running (count, total, min, max) "
+    "held in a named ValueState, update output mode — the final "
+    "emission per key equals the batch GROUP BY. Values accumulate as "
+    "exact integer cents (order-independent across micro-batch folds; "
+    "< 2^53 so float-exact), emitted as BIGINT. Runs on the vendored "
+    "minipb protobuf shim where the real runtime is absent.",
+)
+def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.stateful_v2 import running_stats
+
+    s = _events_stream(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0)
+    )
+    # running_stats flips the session to the RocksDB provider (required
+    # by transformWithState); restore afterwards so sibling streaming
+    # queries in the same sweep keep the default HDFS-backed store.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        stats = running_stats(s, "user_id", "value_cents")
+        out = _run_to_table(stats)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select(
+        "key",
+        "cnt",
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.col("mn").cast("bigint").alias("mn_cents"),
+        F.col("mx").cast("bigint").alias("mx_cents"),
+    )

@@ -15,18 +15,22 @@ instances (changelog-checkpointed to the checkpoint location) — no
 driver state, no full-store rewrite per batch, per-key TTL eviction
 handled by the store itself.
 
-CONTAINER GATE: executing a transformWithState query requires the
-Python ``protobuf`` package (the state-server wire protocol), which is
-not installed here — plan construction and the operator contract are
-tested (`tests/test_stateful_v2.py`), runtime execution is skipped via
-``requires_state_v2_runtime()``. On a normal cluster image (protobuf
-ships with pyspark[connect]) the operator runs as-is;
-``keyed_process`` (applyInPandasWithState) remains the container-
-executable stateful path and covers the same reference semantics.
+RUNTIME: executing a transformWithState query needs the Python
+``protobuf`` runtime (the state-server wire protocol). Where the real
+package is absent (this container), ``ensure_state_v2_runtime``
+activates the vendored minimal runtime
+(``stream_processing_platform_spark/_vendor/google/protobuf`` — a
+pure-Python implementation of exactly the wire-format subset pyspark's
+generated ``StateMessage_pb2`` exercises; see its module docstring) on
+the driver via sys.path and on the Python workers via
+``SparkContext.addPyFile``. With the real protobuf installed the shim
+is never activated.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,16 +43,72 @@ from pyspark.sql.streaming.stateful_processor import (
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+_VENDOR_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_vendor")
+_shipped_to_workers = False
+
+
+def _protobuf_runtime_kind() -> str | None:
+    """None (absent) | 'real' (installed package) | 'shim' (our vendored
+    minipb already on sys.path). The distinction matters: once the shim
+    is importable on the DRIVER (e.g. a pytest skipif probed it at
+    import time), a bare importability check would wrongly conclude the
+    workers have protobuf too and skip shipping the shim to them."""
+    try:
+        import google.protobuf as gp
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return None
+    return "shim" if getattr(gp, "__version__", "").endswith("minipb-shim") else "real"
+
+
+def ensure_state_v2_runtime(spark=None) -> bool:
+    """Make a protobuf runtime available for transformWithState; returns
+    True when one is usable. Prefers an installed ``google.protobuf``;
+    falls back to the vendored minipb shim — added to the driver's
+    sys.path, and (when a live session is passed) zipped and shipped to
+    the Python workers with ``addPyFile`` so the state-server client
+    can import it inside UDF execution."""
+    global _shipped_to_workers
+    kind = _protobuf_runtime_kind()
+    if kind is None:
+        if _VENDOR_DIR not in sys.path:
+            sys.path.insert(0, _VENDOR_DIR)
+        kind = _protobuf_runtime_kind()
+        if kind is None:  # pragma: no cover — vendor dir missing
+            return False
+    if spark is not None and kind == "shim" and not _shipped_to_workers:
+        import tempfile
+        import zipfile
+
+        sc = spark.sparkContext
+        # Task workers AND the transformWithState *driver worker* (a
+        # separate python process the JVM spawns for state-schema
+        # validation) both get their sys.path from the PythonFunction's
+        # env map — seed PYTHONPATH there with the vendor dir.
+        prev = sc.environment.get("PYTHONPATH")
+        sc.environment["PYTHONPATH"] = (
+            _VENDOR_DIR if not prev else f"{_VENDOR_DIR}{os.pathsep}{prev}"
+        )
+        # Belt-and-suspenders for executors without this filesystem
+        # (real cluster, no protobuf): ship the shim as a py-file too.
+        zip_path = os.path.join(
+            tempfile.mkdtemp(prefix="spp_minipb_"), "minipb_google_shim.zip"
+        )
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(os.path.join(_VENDOR_DIR, "google")):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, _VENDOR_DIR))
+        sc.addPyFile(zip_path)
+        _shipped_to_workers = True
+    return True
+
 
 def requires_state_v2_runtime() -> bool:
-    """True when the Python protobuf package needed by the
-    transformWithState state server is importable."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    """True when a protobuf runtime for the transformWithState state
+    server is available (installed, or the vendored minipb shim)."""
+    return ensure_state_v2_runtime(None)
 
 
 def ensure_rocksdb_state_store(spark) -> None:
@@ -116,6 +176,7 @@ def running_stats(
     Spark only allows state TTL under ``TimeMode.ProcessingTime`` (it
     raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
     otherwise), so requesting ``ttl_ms`` switches the time mode."""
+    ensure_state_v2_runtime(df.sparkSession)
     ensure_rocksdb_state_store(df.sparkSession)
     return (
         df.groupBy(key_col)

@@ -1,11 +1,13 @@
-"""State-v2 (transformWithStateInPandas) contract tests.
+"""State-v2 (transformWithStateInPandas) contract + runtime tests.
 
-The runtime needs the Python protobuf package (absent in this
-container), so execution tests skip unless it's importable; what IS
-pinned unconditionally: the streaming plan compiles with the
+The runtime needs a Python protobuf implementation for the state-server
+wire protocol; where the real package is absent (this container) the
+vendored minipb shim provides it, so the e2e test RUNS here —
+``requires_state_v2_runtime()`` only skips it on an environment with
+neither. Also pinned: the streaming plan compiles with the
 TransformWithStateInPySpark operator, the RocksDB provider conf is set,
 and the processor's pure-Python state logic is correct (exercised
-directly, the same way the driver worker would call it)."""
+directly, the same way the state server would call it)."""
 
 from __future__ import annotations
 
@@ -118,7 +120,7 @@ def test_plan_compiles_with_transform_with_state(spark, tmp_path):
 
 @pytest.mark.skipif(
     not requires_state_v2_runtime(),
-    reason="transformWithState state server needs python protobuf (not in container)",
+    reason="no protobuf runtime (installed or vendored minipb shim)",
 )
 def test_running_stats_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
