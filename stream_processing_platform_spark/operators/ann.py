@@ -283,6 +283,17 @@ def pq_topk(
 
     # Exact re-rank of the bounded candidate set: candidates broadcast,
     # corpus streams; queries broadcast for the cosine.
+    return _exact_rerank(cands, c, q, k)
+
+
+def _exact_rerank(cands: DataFrame, c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared final stage of every approximate tier: exact cosine over
+    the bounded (query_id, neighbor_id) candidate set — candidates and
+    queries broadcast, corpus streams — then the true top-k. Directly
+    oracle-checked by q_ann_rerank (a fixed candidate rule both engines
+    can generate), so the scoring math of the PQ/IVF-PQ tiers has a
+    DuckDB hash-MATCH even though their candidate GENERATION is
+    approximate (recall-gated in pytest instead)."""
     rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         F.broadcast(cands)
@@ -293,6 +304,24 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def rerank_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Public form of the exact re-rank stage: given an explicit
+    candidate set (columns ``query_id``, ``neighbor_id``), score each
+    pair with exact cosine and keep the top ``k`` per query. This is
+    the composable primitive under pq_topk/ivfpq_topk — usable on its
+    own to re-rank candidates from any external retriever."""
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_cv")
+    q = _prep(queries, id_col, vec_col, "query_id", "_qv")
+    return _exact_rerank(candidates, c, q, k)
 
 
 def ivfpq_topk(
@@ -440,13 +469,4 @@ def ivfpq_topk(
     )
 
     # --- exact re-rank of the bounded candidate set -------------------
-    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        F.broadcast(cands)
-        .join(cn, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-        .withColumn("rank", F.row_number().over(rank_w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _exact_rerank(cands, cn, q, k)

@@ -186,6 +186,57 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_rerank",
+    oracle=f"""
+    WITH e AS ({_SQL_VECS}),
+         q AS (SELECT * FROM e WHERE vec_id < 20),
+         cand AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM q, e c
+           WHERE c.vec_id % 10 = q.vec_id % 10 AND c.vec_id <> q.vec_id
+         ),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+                  round(list_inner_product(a.v, b.v)
+                        / (sqrt(list_inner_product(a.v, a.v))
+                           * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+           FROM cand
+           JOIN e a ON a.vec_id = cand.query_id
+           JOIN e b ON b.vec_id = cand.neighbor_id
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+    description="Exact re-rank stage of the approximate ANN tiers "
+    "(operators/ann.py:_exact_rerank — the shared final join of "
+    "pq_topk/ivfpq_topk) over a FIXED deterministic candidate rule "
+    "(neighbor_id % 10 == query_id % 10) both engines generate "
+    "identically: the candidate sets of the approximate tiers are "
+    "recall-gated in pytest, this pins their exact-cosine scoring and "
+    "top-k math to a DuckDB hash-MATCH. Scale shape identical to the "
+    "production path: candidates + queries broadcast, corpus streams.",
+)
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    cands = (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(e.select(F.col("vec_id").alias("neighbor_id")))
+        .where(
+            (F.col("neighbor_id") % 10 == F.col("query_id") % 10)
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+    )
+    res = ann.rerank_candidates(e, q, cands, k=5)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
     "q_embedding_quantize",
     oracle=f"""
     WITH ex AS (

@@ -86,6 +86,7 @@ _loaded = False
 _PRIORITY: list[str] = [
     # -- (a) new in r6 / oracle edited in r6
     "q_stream_state_v2",
+    "q_ann_rerank",
     "q_winnow_fingerprints",
     "q_winnow_dup_pairs",
     # -- (b) last official row r3
