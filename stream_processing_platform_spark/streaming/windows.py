@@ -86,7 +86,20 @@ def session_agg(
     watermark_delay: str = "5 seconds",
 ) -> DataFrame:
     """SessionWindow(gap) — implementing what the reference only
-    documented (docs/api_reference.md:257-262)."""
+    documented (docs/api_reference.md:257-262).
+
+    ``watermark_delay`` is the ALLOWED-LATENESS knob. The reference
+    silently drops any row arriving after its session fired
+    (taskmanager/operators/stateful.py:213-242 deletes fired windows);
+    Spark expresses the same policy as a watermark contract: a row
+    whose event time is below the watermark is dropped, and the
+    watermark trails the max seen event time by exactly this delay. So
+    delay ≈ 0 reproduces the reference's drop-after-fire semantics
+    (sessions also FIRE promptly), while a large delay admits and
+    merges late rows at the cost of holding sessions open longer —
+    both pinned live in tests/test_streaming.py
+    (test_session_window_drops_late_data /
+    test_session_window_allowed_lateness_admits_late_row)."""
     out = (
         with_watermark(df, ts_col, watermark_delay)
         .groupBy(F.session_window(ts_col, gap).alias("session_window"), *key_cols)

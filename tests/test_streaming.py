@@ -157,6 +157,38 @@ def test_session_window_drops_late_data(spark, tmp_path, qname):
     assert sum(n for _, n in sessions) == 4
 
 
+def test_session_window_allowed_lateness_admits_late_row(spark, tmp_path, qname):
+    """The other half of the late-data contract: watermark_delay is the
+    ALLOWED-LATENESS knob. The exact arrival pattern that
+    test_session_window_drops_late_data proves is DROPPED under a tight
+    watermark (5 s) is ADMITTED and merged into its original session
+    under a 200 s delay — the session simply stays open (and unfired)
+    until the watermark finally passes it. Same staging, opposite
+    outcome, so the knob's semantics are pinned from both sides."""
+    batches = [
+        [(1, "a", T(0), 1.0), (1, "b", T(5), 1.0)],  # session [0, 15)
+        [(1, "wm", T(100), 1.0)],   # watermark -> -100 (still admits everything)
+        [(1, "wm2", T(120), 1.0)],  # late-filter watermark still below 0
+        [(1, "late", T(3), 1.0)],   # 3 > watermark: ADMITTED, merges into [0, 15)
+        [(1, "flush", T(300), 1.0)],   # watermark -> 100
+        [(1, "flush2", T(515), 1.0)],  # watermark -> 315: all closed sessions fire
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    sess = W.session_agg(
+        stream, "ts", "10 seconds", ["user_id"], [F.count("*").alias("n")],
+        watermark_delay="200 seconds",
+    )
+    run_to_memory(sess, qname)
+    sessions = [(r.session_start, r.n) for r in spark.table(qname).collect()]
+    # the late row at T(3) EXTENDED the a+b session: fired once with 3 events
+    assert sessions.count((T(0), 3)) == 1
+    assert not any(s == T(3) for s, _ in sessions)  # merged, not a new session
+    # wm/wm2/flush sessions fired as singletons; flush2's stays open
+    assert (T(100), 1) in sessions and (T(120), 1) in sessions and (T(300), 1) in sessions
+    assert sum(n for _, n in sessions) == 6
+
+
 def test_dedup_stream_drops_duplicates(spark, tmp_path, qname):
     """dropDuplicates with watermark: same event_id in later batch is
     dropped (stateful_deduplication.py semantics, minus the lossy cap)."""
