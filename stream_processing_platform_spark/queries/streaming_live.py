@@ -584,3 +584,95 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").cast("bigint").alias("mn_cents"),
         F.col("mx").cast("bigint").alias("mx_cents"),
     )
+
+
+@query(
+    "q_stream_state_v2_map",
+    oracle="""
+    SELECT user_id AS key, event_type AS cat, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="LIVE MapState run (reference MapState, state_types.py:"
+    "116-215): per-user map of event_type -> running count held in a "
+    "named MapState (getValue/updateValue/iterator through the real "
+    "state server), emitted as one (key, cat, n) row per live entry in "
+    "update mode — final emission equals the batch GROUP BY.",
+)
+def q_stream_state_v2_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.stateful_v2 import map_state_counts
+
+    s = _events_stream(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(map_state_counts(s, "user_id", "event_type"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select("key", "cat", "n")
+
+
+@query(
+    "q_stream_state_v2_list",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id AS key,
+           string_agg(event_id, ',' ORDER BY ts_ms ASC, event_id ASC) AS recent
+    FROM ranked WHERE rn <= 5
+    GROUP BY user_id
+    """,
+    description="LIVE ListState run (reference ListState, state_types."
+    "py:63-112): last-5 events per user by (ts, event_id) in a named "
+    "ListState ring buffer (get/put through the real state server), "
+    "emitted as the comma-joined id list. The processor orders before "
+    "truncating, so the retained window is data-deterministic despite "
+    "arbitrary within-batch arrival order.",
+)
+def q_stream_state_v2_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.stateful_v2 import recent_events
+
+    s = _events_stream(spark, sf_dir).withColumn("ts_ms", epoch_ms(F.col("ts")))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(recent_events(s, "user_id", "ts_ms", "event_id", n=5))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select("key", "recent")
+
+
+@query(
+    "q_stream_state_v2_reduce",
+    oracle="""
+    SELECT user_id AS key, max(value) AS acc
+    FROM events
+    GROUP BY user_id
+    """,
+    description="LIVE ReducingState run (reference ReducingState/"
+    "AggregatingState, state_types.py:217-325): a caller-supplied "
+    "associative+commutative reduce (max) folds every value into a "
+    "ValueState accumulator. max is order-independent and exact on "
+    "doubles, so the final emission is bit-identical to the batch "
+    "aggregate on both engines — no rounding needed.",
+)
+def q_stream_state_v2_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.stateful_v2 import reducing_state
+
+    s = _events_stream(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(reducing_state(s, "user_id", max, "value"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select("key", "acc")

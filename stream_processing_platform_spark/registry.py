@@ -86,6 +86,9 @@ _loaded = False
 _PRIORITY: list[str] = [
     # -- (a) new in r6 / oracle edited in r6
     "q_stream_state_v2",
+    "q_stream_state_v2_map",
+    "q_stream_state_v2_list",
+    "q_stream_state_v2_reduce",
     "q_ann_rerank",
     "q_winnow_fingerprints",
     "q_winnow_dup_pairs",

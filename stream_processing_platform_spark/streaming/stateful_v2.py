@@ -187,3 +187,137 @@ def running_stats(
             timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )
+
+
+class TypeCountsProcessor(StatefulProcessor):
+    """Per-key MapState demo (reference MapState,
+    state_types.py:116-215): a map of category -> running count per
+    grouping key, updated per batch via getValue/updateValue and emitted
+    by iterating the map — one (key, category, n) row per live map
+    entry. Update output mode; the last emission per (key, category) is
+    the final count."""
+
+    def __init__(self, cat_col: str = "event_type"):
+        self._cat_col = cat_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "cat string", "n long")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            for cat, cnt in pdf.groupby(self._cat_col).size().items():
+                prev = self._counts.getValue((cat,))
+                self._counts.updateValue(
+                    (cat,), ((0 if prev is None else int(prev[0])) + int(cnt),)
+                )
+        cats, ns = [], []
+        for (cat,), (n,) in self._counts.iterator():
+            cats.append(cat)
+            ns.append(int(n))
+        yield pd.DataFrame({"key": [key[0]] * len(cats), "cat": cats, "n": ns})
+
+    def close(self) -> None:
+        pass
+
+
+def map_state_counts(df: DataFrame, key_col: str, cat_col: str) -> DataFrame:
+    """Per-key per-category running counts in a named MapState. Output
+    (key, cat, n); update output mode."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        TypeCountsProcessor(cat_col),
+        outputStructType="key long, cat string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+class RecentEventsProcessor(StatefulProcessor):
+    """Per-key ListState demo (reference ListState,
+    state_types.py:63-112): the last ``n`` events per key by
+    (ts_ms, id) — a bounded ring buffer held with get/put. Rows within a
+    micro-batch arrive in arbitrary partition order, so the processor
+    orders by (ts_ms, id) before truncating: the retained window is a
+    deterministic function of the data, not of scheduling."""
+
+    def __init__(self, n: int = 5, ts_col: str = "ts_ms", id_col: str = "event_id"):
+        self._n = n
+        self._ts_col = ts_col
+        self._id_col = id_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState("recent", "ts_ms long, id string")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        items = [(int(ts), str(i)) for ts, i in self._recent.get()]
+        for pdf in rows:
+            items.extend(
+                (int(t), str(i))
+                for t, i in zip(pdf[self._ts_col], pdf[self._id_col])
+            )
+        items.sort()
+        items = items[-self._n :]
+        self._recent.put(items)
+        yield pd.DataFrame(
+            {"key": [key[0]], "recent": [",".join(i for _, i in items)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def recent_events(df: DataFrame, key_col: str, ts_ms_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Last-n events per key in a named ListState; output (key, recent)
+    where recent is the comma-joined ids in (ts, id) order."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        RecentEventsProcessor(n, ts_ms_col, id_col),
+        outputStructType="key long, recent string",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+class ReducingProcessor(StatefulProcessor):
+    """Reference ReducingState/AggregatingState (state_types.py:217-325)
+    over a single ValueState: fold every value into an accumulator with
+    a caller-supplied ASSOCIATIVE + COMMUTATIVE reduce function —
+    within-batch arrival order is arbitrary, so non-commutative folds
+    would be scheduling-dependent. The function must be picklable (it
+    ships to the workers inside the processor)."""
+
+    def __init__(self, reduce_fn, value_col: str = "value"):
+        self._fn = reduce_fn
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._acc = handle.getValueState("acc", "acc double")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        acc = self._acc.get()[0] if self._acc.exists() else None
+        for pdf in rows:
+            for v in pdf[self._value_col]:
+                acc = float(v) if acc is None else float(self._fn(acc, float(v)))
+        if acc is not None:
+            self._acc.update((acc,))
+        yield pd.DataFrame({"key": [key[0]], "acc": [acc]})
+
+    def close(self) -> None:
+        pass
+
+
+def reducing_state(df: DataFrame, key_col: str, reduce_fn, value_col: str = "value") -> DataFrame:
+    """Per-key reduce into a ValueState accumulator (ReducingState
+    semantics). Output (key, acc); update output mode."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        ReducingProcessor(reduce_fn, value_col),
+        outputStructType="key long, acc double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -165,3 +165,63 @@ def test_ttl_request_switches_time_mode_to_processing_time(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@pytest.mark.skipif(
+    not requires_state_v2_runtime(),
+    reason="no protobuf runtime (installed or vendored minipb shim)",
+)
+def test_map_and_list_state_fold_across_batches(spark, tmp_path):
+    """MapState counts and the ListState ring buffer must FOLD across
+    micro-batches (state round-trips through the real state server
+    between batches), not just within one."""
+    from stream_processing_platform_spark.streaming.stateful_v2 import (
+        map_state_counts,
+        recent_events,
+    )
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, "a", T(1), 1.0), (1, "b", T(2), 2.0)],
+        [(1, "c", T(3), 3.0), (2, "d", T(4), 4.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+
+    from pyspark.sql import functions as F
+
+    cat_stream = stream.withColumn("cat", F.lit("all"))
+    counted = map_state_counts(cat_stream, "user_id", "cat")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("v2map")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.table("v2map").collect():
+        latest[(r.key, r.cat)] = r.n  # update mode: last write wins
+    assert latest[(1, "all")] == 3  # 2 from batch 1 + 1 from batch 2
+    assert latest[(2, "all")] == 1
+
+    # ListState: ring buffer of last 2 ids, merged across batches
+    ts_stream = stream.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+    recent = recent_events(ts_stream, "user_id", "ts_ms", "event_id", n=2)
+    q2 = (
+        recent.writeStream.format("memory")
+        .queryName("v2list")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    latest2 = {r.key: r.recent for r in spark.table("v2list").collect()}
+    assert latest2[1] == "b,c"  # a evicted by the n=2 cap across batches
+    assert latest2[2] == "d"
