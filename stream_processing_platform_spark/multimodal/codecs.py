@@ -13,7 +13,8 @@ Decoder tiers:
 - ``decoder="image"`` / ``decoder="audio"`` — REAL decode via the
   dependency-free codecs in :mod:`imagecodec` (netpbm P5/P6,
   uncompressed BMP, PCM WAV): actual pixels/samples drive resize and
-  feature extraction. JPEG/PNG/MP4 payloads still need codec libraries
+  feature extraction (PNG included — stdlib-zlib decode in imagecodec).
+JPEG/MP4 payloads still need codec libraries
   not present in this container and raise at sniff time.
 - ``decoder="fake"`` — deterministic stub that synthesizes features
   from the payload's sha256 (stable, testable, same schema and batch
@@ -123,7 +124,7 @@ def extract_features(
     batch_hash_col: str = "content_hash",
 ) -> DataFrame:
     """Decode + feature-extract media payloads via Arrow-batched
-    mapInPandas. ``decoder="image"`` decodes real pixels (PPM/PGM/BMP →
+    mapInPandas. ``decoder="image"`` decodes real pixels (PPM/PGM/BMP/PNG →
     Rec. 601 luma grid, :mod:`imagecodec`), ``decoder="audio"`` real
     samples (PCM WAV → RMS energy envelope); ``decoder="fake"`` runs
     the deterministic stub; ``decoder="video"`` still requires ffmpeg
@@ -186,7 +187,7 @@ def resize_images(
     decode (PPM/PGM/BMP, :mod:`imagecodec`) → nearest-neighbor resize →
     re-encode as binary PPM. ``decoder="fake"`` emits a deterministic
     width*height-byte payload derived from the input hash (same schema
-    and batch shape); JPEG/PNG payloads raise until codec libs exist in
+    and batch shape); JPEG payloads raise until codec libs exist in
     the container."""
     if decoder == "image":
         from stream_processing_platform_spark.multimodal import imagecodec
@@ -210,7 +211,7 @@ def resize_images(
 
     else:
         raise NotImplementedError(
-            "decoder must be 'image' (PPM/PGM/BMP) or 'fake'; JPEG/PNG resize "
+            "decoder must be 'image' (PPM/PGM/BMP/PNG) or 'fake'; JPEG resize "
             "requires PIL/opencv (not in container)"
         )
 

@@ -1,10 +1,12 @@
 """Dependency-free media codecs for the multimodal pipeline.
 
 Real decoders for the formats that need no external libraries: binary
-PPM/PGM (netpbm P6/P5), uncompressed 24/32-bit BMP, and PCM WAV. These
-make ``decoder="image"`` / ``decoder="audio"`` in ``codecs.py`` operate
-on ACTUAL pixels/samples; JPEG/PNG/MP4 still require codec libraries
-absent from this container and raise a clear error at sniff time.
+PPM/PGM (netpbm P6/P5), uncompressed 24/32-bit BMP, PNG (stdlib-zlib
+inflate + spec filters, 8-bit gray/RGB/palette/alpha), and PCM WAV.
+These make ``decoder="image"`` / ``decoder="audio"`` in ``codecs.py``
+operate on ACTUAL pixels/samples; JPEG/MP4 still require codec
+libraries absent from this container and raise a clear error at sniff
+time.
 
 Everything is numpy-vectorized per payload: decode → H×W×3 uint8 (or
 1-D float32 samples), nearest-neighbor resize by index sampling, and
@@ -108,16 +110,148 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + raster
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(b: bytes):
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth). Left-referencing filters are an inherently
+    sequential per-byte recurrence, so those rows run as Python loops —
+    fine for the thumbnail/feature sizes this pipeline decodes; filter-0
+    and Up rows (what most encoders emit for flat images, and all this
+    module's encoder emits) stay vectorized."""
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (int(row[i]) + int(row[i - channels])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - channels]) if i >= channels else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - channels]) if i >= channels else 0
+                bb = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = row
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Real PNG decode with only stdlib zlib: critical chunks
+    (IHDR/PLTE/IDAT/IEND), 8-bit depth, color types gray(0)/RGB(2)/
+    palette(3)/gray+alpha(4)/RGBA(6), filters 0-4, non-interlaced.
+    Alpha is dropped and gray replicated → H×W×3 uint8, the same
+    contract as the other decoders. 16-bit depth and Adam7 interlace
+    raise (rare in training corpora; a documented cut, not a stub)."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG: only 8-bit depth supported (got {bit_depth})")
+    if interlace != 0:
+        raise NotImplementedError("PNG: Adam7 interlace not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG: unknown color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    grid = _png_unfilter(raw, height, width, channels).reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        return palette[grid[:, :, 0]]
+    if color_type == 0:
+        return np.repeat(grid, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(grid[:, :, :1], 3, axis=2)
+    return grid[:, :, :3]  # RGB / RGBA (alpha dropped)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal RGB PNG writer (color type 2, filter 0 rows, one zlib
+    IDAT) — gives the pipeline a compressed-format round-trip fixture
+    without any codec library."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(b: bytes) -> np.ndarray:
-    """Sniff the payload magic and decode: netpbm (P5/P6) and
-    uncompressed BMP are decoded here; JPEG/PNG need codec libraries
-    not present in this container."""
+    """Sniff the payload magic and decode: netpbm (P5/P6), uncompressed
+    BMP, and PNG (stdlib-zlib inflate + unfilter) are decoded here;
+    JPEG's DCT entropy coding still needs codec libraries absent from
+    this container."""
     if b[:2] in (b"P6", b"P5"):
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
-    if b[:3] == b"\xff\xd8\xff" or b[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("JPEG/PNG decode requires PIL/opencv (not in container)")
+    if b[:8] == _PNG_MAGIC:
+        return decode_png(b)
+    if b[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode requires PIL/opencv (not in container)")
     raise ValueError(f"unrecognized image payload (magic {b[:4]!r})")
 
 

@@ -103,3 +103,110 @@ def test_wav_stereo_downmix_and_8bit():
     ) + pcm8
     _, d8 = ic.decode_wav(wav8)
     assert np.abs(d8 - sine).max() < 0.02
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def _ref_filtered_scanlines(img, ftypes):
+    """Spec-literal PNG filtering (RFC 2083 §6) — the independent
+    reference the decoder's unfilter is checked against."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(int)
+    out = b""
+    prev = [0] * stride
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        row = flat[y]
+        enc = []
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            b_ = prev[i]
+            c = flat[y - 1][i - ch] if (y > 0 and i >= ch) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b_
+            elif ft == 3:
+                pred = (a + b_) // 2
+            else:
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+            enc.append((row[i] - pred) & 0xFF)
+        out += bytes([ft]) + bytes(enc)
+        prev = row
+    return out
+
+
+def _build_png(img, ftypes, color_type, palette=None):
+    import zlib
+
+    h, w = img.shape[:2]
+    raw = _ref_filtered_scanlines(img, ftypes)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    plte = chunk(b"PLTE", palette.tobytes()) if palette is not None else b""
+    return (
+        ic._PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + plte
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_through_own_encoder(img):
+    assert (ic.decode_png(ic.encode_png(img)) == img).all()
+    # and via the magic sniffer
+    assert (ic.decode_image(ic.encode_png(img)) == img).all()
+
+
+def test_png_all_filter_types_unfilter_correctly(img):
+    """Every PNG filter (Sub/Up/Average/Paeth, plus mixed rows) decoded
+    against an independently-built spec-literal filtered stream."""
+    for ftypes in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        png = _build_png(img, ftypes, color_type=2)
+        assert (ic.decode_png(png) == img).all(), f"filters {ftypes}"
+
+
+def test_png_color_types():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (5, 7, 1), dtype=np.uint8)
+    dec = ic.decode_png(_build_png(gray, [4], color_type=0))
+    assert dec.shape == (5, 7, 3)
+    assert (dec[:, :, 0] == gray[:, :, 0]).all() and (dec[:, :, 1] == dec[:, :, 0]).all()
+
+    rgba = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    assert (ic.decode_png(_build_png(rgba, [2, 4], color_type=6)) == rgba[:, :, :3]).all()
+
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (8, 8, 1), dtype=np.uint8)
+    dec = ic.decode_png(_build_png(idx, [1], color_type=3, palette=pal))
+    assert (dec == pal[idx[:, :, 0]]).all()
+
+
+def test_png_unsupported_shapes_raise_cleanly():
+    import pytest as _pytest
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    png = bytearray(ic.encode_png(img))
+    # flip bit depth byte in IHDR (offset: 8 magic + 8 len/type + 8 w/h)
+    png[24] = 16
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        ic.decode_png(bytes(png))
+    png[24] = 8
+    png[28] = 1  # interlace byte
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        ic.decode_png(bytes(png))

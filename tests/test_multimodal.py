@@ -106,6 +106,7 @@ def real_media_dir(tmp_path_factory):
     img = np.stack([x * 4, y * 6, (x + y) * 2], axis=2).astype(np.uint8)
     (d / "grad.ppm").write_bytes(ic.encode_ppm(img))
     (d / "grad.bmp").write_bytes(ic.encode_bmp(img))
+    (d / "grad.png").write_bytes(ic.encode_png(img))
     t = np.arange(8000) / 16000
     (d / "tone.wav").write_bytes(
         ic.encode_wav((0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), 16000)
@@ -122,15 +123,18 @@ def test_real_image_resize_roundtrip(spark, real_media_dir):
     from stream_processing_platform_spark.multimodal import imagecodec as ic
 
     path, img = real_media_dir
-    df = with_media_metadata(read_binary_files(spark, path, glob="*.ppm")).unionByName(
-        with_media_metadata(read_binary_files(spark, path, glob="*.bmp"))
+    df = (
+        with_media_metadata(read_binary_files(spark, path, glob="*.ppm"))
+        .unionByName(with_media_metadata(read_binary_files(spark, path, glob="*.bmp")))
+        .unionByName(with_media_metadata(read_binary_files(spark, path, glob="*.png")))
     )
     rows = resize_images(df, 16, 10, decoder="image").collect()
-    assert len(rows) == 2
+    assert len(rows) == 3
     expected = ic.encode_ppm(ic.resize_nearest(img, 16, 10))
     for r in rows:
         assert (r.width, r.height) == (16, 10)
-        assert bytes(r.content) == expected  # PPM and BMP agree pixel-exact
+        # PPM, BMP and PNG (zlib inflate + unfilter) agree pixel-exact
+        assert bytes(r.content) == expected
     # resized payload (binary PPM) feeds straight back into the feature
     # stage — the resize → features chain VERDICT r4 #2 asks for
     feats = extract_features(resize_images(df, 16, 10, decoder="image"), dim=16, decoder="image")
