@@ -321,3 +321,65 @@ def reducing_state(df: DataFrame, key_col: str, reduce_fn, value_col: str = "val
         outputMode="Update",
         timeMode="None",
     )
+
+
+class ExpiringCountProcessor(StatefulProcessor):
+    """Timer surface demo (reference KeyedProcessOperator timers /
+    state eviction): every input batch updates a per-key count and
+    registers a processing-time timer ``delay_ms`` ahead;
+    ``handleExpiredTimer`` emits a (key, 'timeout', n) marker and
+    CLEARS the state — the reference's on_timer eviction.
+
+    Tests use ``delay_ms`` <= 0 (already expired at registration):
+    Spark processes expired timers at the end of the same micro-batch,
+    so each batch yields a 'data' row then a 'timeout' row per key, and
+    counts restart every batch because the timer evicted the state.
+
+    Two Spark surprises this operator documents: (1) fired timers are
+    NOT auto-deleted on the Python TWS surface — handleExpiredTimer
+    must deleteTimer() or the timer refires every subsequent batch;
+    (2) ProcessingTime time mode makes shouldRunAnotherBatch always
+    true, so an availableNow trigger NEVER terminates — run queries in
+    this mode on the default trigger and stop them explicitly."""
+
+    def __init__(self, delay_ms: int = 0):
+        self._delay_ms = delay_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._cnt = handle.getValueState("cnt", "cnt long")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        n = sum(len(pdf) for pdf in rows)
+        prev = int(self._cnt.get()[0]) if self._cnt.exists() else 0
+        total = prev + n
+        self._cnt.update((total,))
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._delay_ms
+        )
+        yield pd.DataFrame({"key": [key[0]], "kind": ["data"], "cnt": [total]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        total = int(self._cnt.get()[0]) if self._cnt.exists() else 0
+        self._cnt.clear()
+        # fired timers are NOT auto-deleted on the Python TWS surface:
+        # leaving it registered makes it refire every micro-batch and the
+        # availableNow run never drains (observed: 500+ empty batches)
+        self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+        yield pd.DataFrame({"key": [key[0]], "kind": ["timeout"], "cnt": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def expiring_counts(df: DataFrame, key_col: str, delay_ms: int = 0) -> DataFrame:
+    """Per-key counts with timer-driven eviction (ProcessingTime mode).
+    Output (key, kind, cnt) where kind is 'data' | 'timeout'."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        ExpiringCountProcessor(delay_ms),
+        outputStructType="key long, kind string, cnt long",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

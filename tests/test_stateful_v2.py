@@ -225,3 +225,63 @@ def test_map_and_list_state_fold_across_batches(spark, tmp_path):
     latest2 = {r.key: r.recent for r in spark.table("v2list").collect()}
     assert latest2[1] == "b,c"  # a evicted by the n=2 cap across batches
     assert latest2[2] == "d"
+
+
+@pytest.mark.skipif(
+    not requires_state_v2_runtime(),
+    reason="no protobuf runtime (installed or vendored minipb shim)",
+)
+def test_timer_fires_and_evicts_state(spark, tmp_path):
+    """registerTimer + handleExpiredTimer through the real state server:
+    an already-expired processing-time timer fires at the end of its own
+    micro-batch, emits the timeout marker, and evicts the state — so the
+    count RESTARTS in the next batch instead of folding.
+
+    ProcessingTime time mode makes shouldRunAnotherBatch always true, so
+    an availableNow trigger NEVER drains (observed: hundreds of empty
+    batches) — the query must run on the default trigger and be stopped
+    once the expected rows are visible."""
+    import time
+
+    from stream_processing_platform_spark.streaming.stateful_v2 import expiring_counts
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, "a", T(1), 1.0), (1, "b", T(2), 2.0)],
+        [(1, "c", T(3), 3.0), (2, "d", T(4), 4.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    out = expiring_counts(stream, "user_id", delay_ms=-1000)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    expected = {
+        (1, "data", 2), (1, "timeout", 2),
+        (1, "data", 1), (1, "timeout", 1),
+        (2, "data", 1), (2, "timeout", 1),
+    }
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("v2timer")
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        deadline = time.time() + 180
+        rows = set()
+        while time.time() < deadline:
+            rows = {(r.key, r.kind, r.cnt) for r in spark.table("v2timer").collect()}
+            if expected <= rows:
+                break
+            time.sleep(1)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # batch 1: key 1 sees 2 rows, then its timer evicts; batch 2: the
+    # count RESTARTS at 1 (not 3) proving the eviction, key 2 appears
+    assert expected <= rows, rows
+    assert (1, "data", 3) not in rows  # state did NOT fold through the timer
