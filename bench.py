@@ -146,9 +146,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Round-5 additions, timed the same way but kept OUT of the headline
-    # total so `value` stays comparable across rounds on the fixed
-    # 21-query set.
+    # Round-5/6 additions, timed the same way but kept OUT of the
+    # headline total so `value` stays comparable across rounds on the
+    # fixed 21-query set.
     extended: dict[str, float] = {}
     for name in (
         "q_ann_pq",
@@ -159,6 +159,8 @@ def main() -> None:
         "q_winnow_dup_pairs",
         "q_event_sequence",
         "q_anomaly_zscore",
+        "q_ann_rerank",
+        "q_winnow_fingerprints",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
