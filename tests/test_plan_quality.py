@@ -230,3 +230,16 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bq_orders")
         spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+
+
+def test_ann_rerank_candidate_rule_compiles_to_hash_joins(spark, sf_dir):
+    """The q_ann_rerank fixed candidate rule (neighbor % 10 == query
+    % 10) must reach execution as broadcast HASH joins — Catalyst
+    extracts the modular expressions as join keys; a regression to
+    BroadcastNestedLoopJoin or CartesianProduct re-introduces the
+    all-pairs scan the re-rank stage exists to avoid."""
+    plan = _plan(queries()["q_ann_rerank"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # rule + corpus-vec + query-vec
+    assert "SortMergeJoin" not in plan
