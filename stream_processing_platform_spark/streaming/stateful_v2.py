@@ -383,3 +383,71 @@ def expiring_counts(df: DataFrame, key_col: str, delay_ms: int = 0) -> DataFrame
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Event-time timer demo (timeMode='EventTime'): per key, track the
+    max event time and (re-)register an event-time timer at
+    ``last_ts + gap_ms``; when the WATERMARK passes it the key's session
+    has gone quiet — emit a (key, 'session_closed', n) marker and evict.
+    The Flink-style inactivity-timeout CEP the reference's
+    KeyedProcessOperator timer API exists for, deterministic under
+    availableNow because event-time timers fire off the watermark, not
+    the wall clock. Stale timers are deleted before re-registering (and
+    fired ones inside handleExpiredTimer — see ExpiringCountProcessor)."""
+
+    def __init__(self, gap_ms: int, ts_col: str = "ts_ms"):
+        self._gap_ms = gap_ms
+        self._ts_col = ts_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", "cnt long, last_ts long, expiry long")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        prev = self._sess.get() if self._sess.exists() else None
+        cnt, last_ts, old_expiry = prev if prev is not None else (0, 0, None)
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            cnt += int(len(pdf))
+            last_ts = max(last_ts, int(pdf[self._ts_col].max()))
+        if old_expiry:
+            self._handle.deleteTimer(int(old_expiry))
+        expiry = last_ts + self._gap_ms
+        self._handle.registerTimer(expiry)
+        self._sess.update((cnt, last_ts, expiry))
+        yield pd.DataFrame(
+            {"key": [key[0]], "kind": ["open"], "cnt": [cnt]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        cnt = int(self._sess.get()[0]) if self._sess.exists() else 0
+        self._sess.clear()
+        self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+        yield pd.DataFrame({"key": [key[0]], "kind": ["session_closed"], "cnt": [cnt]})
+
+    def close(self) -> None:
+        pass
+
+
+def session_timeouts(
+    df: DataFrame, key_col: str, ts_col: str, gap_ms: int, watermark_delay: str = "2 seconds"
+) -> DataFrame:
+    """Inactivity-timeout sessions on event-time timers: requires an
+    event-time column (timestamp type) named ``ts_col``; emits
+    (key, kind, cnt) with kind 'open' per batch and 'session_closed'
+    when the watermark passes last_ts + gap_ms."""
+    from pyspark.sql import functions as F
+
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    wm = df.withWatermark(ts_col, watermark_delay).withColumn(
+        "ts_ms", F.unix_millis(F.col(ts_col).cast("timestamp"))
+    )
+    return wm.groupBy(key_col).transformWithStateInPandas(
+        SessionTimeoutProcessor(gap_ms, "ts_ms"),
+        outputStructType="key long, kind string, cnt long",
+        outputMode="Update",
+        timeMode="EventTime",
+    )

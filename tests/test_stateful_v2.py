@@ -285,3 +285,49 @@ def test_timer_fires_and_evicts_state(spark, tmp_path):
     # count RESTARTS at 1 (not 3) proving the eviction, key 2 appears
     assert expected <= rows, rows
     assert (1, "data", 3) not in rows  # state did NOT fold through the timer
+
+
+@pytest.mark.skipif(
+    not requires_state_v2_runtime(),
+    reason="no protobuf runtime (installed or vendored minipb shim)",
+)
+def test_event_time_timer_closes_idle_session(spark, tmp_path):
+    """EventTime time mode: the inactivity timer fires when the
+    WATERMARK passes last_ts + gap — deterministic under availableNow
+    (watermark advances with data, terminates when it stops). Two-batch
+    staging per SPARK-42376: the watermark visible to batch N is batch
+    N-1's max event time."""
+    from stream_processing_platform_spark.streaming.stateful_v2 import session_timeouts
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, "a", T(0), 1.0), (1, "b", T(5), 2.0)],   # session: last_ts=5s, gap 10s -> expiry 15s
+        [(9, "wm", T(100), 0.0)],                      # max event 100s
+        [(9, "wm2", T(200), 0.0)],                     # watermark now 98s > 15s: key 1 closes
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    out = session_timeouts(stream, "user_id", "ts", gap_ms=10_000)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("v2evt")
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        terminated = q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert terminated, "event-time mode should drain under availableNow"
+    rows = {(r.key, r.kind, r.cnt) for r in spark.table("v2evt").collect()}
+    assert (1, "open", 2) in rows
+    assert (1, "session_closed", 2) in rows  # watermark passed 15s -> closed with both events
+    # the watermark driver's own session stays OPEN (watermark never passes it)
+    assert not any(k == 9 and kind == "session_closed" for k, kind, _ in rows)
