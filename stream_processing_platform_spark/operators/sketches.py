@@ -1,0 +1,78 @@
+"""Frequency-sketch operators: exact distributed heavy hitters.
+
+Reference parity: the reference has no sketch operators at all — this is
+part of the LLM-pipeline surface (SURVEY.md §7.6): finding the tokens /
+domains / fingerprints that exceed a frequency share of a 100 TB corpus
+without shuffling the full vocabulary.
+
+Design (two passes, the classic sketch-then-verify shape):
+
+1. **Candidate generation** — per-partition Misra-Gries with
+   ``k = phi_denom`` counters, run as an Arrow ``mapInPandas`` that folds
+   batch ``value_counts`` into the summary (the mergeable-summaries
+   merge: union-add, then subtract the (k+1)-th largest count and drop
+   non-positive). MG guarantees undercount ≤ n_p/k per partition, so any
+   item with GLOBAL count·phi_denom > total must exceed its share in at
+   least one partition and therefore survives that partition's summary:
+   the candidate set is a strict superset of the true heavy hitters.
+   Cost: one linear scan, O(k) memory per partition, and at most
+   k·num_partitions candidate rows emitted — no vocabulary shuffle.
+
+2. **Exact verify** — broadcast the (bounded) candidate set back as a
+   left-semi filter on the item stream, aggregate exact counts for
+   candidates only, and keep items with ``cnt * phi_denom > total``
+   (strict, matching the MG guarantee). Because the candidates are a
+   superset, the output is EXACTLY the true heavy-hitter set with EXACT
+   counts — which is why this operator can carry a full DuckDB oracle
+   despite being sketch-based.
+
+At 100 TB the verify pass re-scans the input; when that matters, feed
+both passes from a cached/checkpointed token stream or accept the
+sketch-only candidates (superset with approximate counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summary keys (≤ k items per partition)."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: pd.Series | None = None
+        for pdf in batches:
+            batch = pdf[item_col].value_counts()  # vectorized exact batch counts
+            counts = batch if counts is None else counts.add(batch, fill_value=0)
+            if len(counts) > k:
+                # Mergeable-summaries decrement: subtract the (k+1)-th
+                # largest count from everything, keep the positive rest.
+                pivot = counts.nlargest(k + 1).iloc[-1]
+                counts = counts - pivot
+                counts = counts[counts > 0]
+        if counts is not None and len(counts):
+            yield pd.DataFrame({item_col: counts.index})
+
+    return df.select(item_col).mapInPandas(summarize, schema=f"{item_col} string")
+
+
+def heavy_hitters(df: DataFrame, item_col: str, phi_denom: int) -> DataFrame:
+    """Items occurring strictly more than ``total / phi_denom`` times,
+    with exact counts. Columns: ``(item_col, cnt)``.
+
+    ``phi_denom`` is the share denominator (e.g. 100 → items above 1% of
+    the stream) and doubles as the Misra-Gries counter budget.
+    """
+    cands = _mg_candidates(df, item_col, phi_denom).distinct()
+    total = df.agg(F.count("*").alias("_total"))
+    return (
+        df.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total), F.col("cnt") * phi_denom > F.col("_total"))
+        .select(item_col, "cnt")
+    )

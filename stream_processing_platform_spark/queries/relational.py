@@ -1941,3 +1941,249 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H round-3: the four shapes whose official form needs PARTSUPP
+# (absent from the reduced schema) — recast over lineitem as the
+# part-supplier relation so the PLAN shape survives: Q2's decorrelated
+# argmin, Q11's scalar-subquery HAVING, Q16's anti-joined distinct
+# count, Q20's nested semi-join chain. With these, all 22 TPC-H query
+# shapes are registered.
+# --------------------------------------------------------------------------
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+                            / CAST(l_quantity AS BIGINT)) AS BIGINT)) AS unit_micros
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eur AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    ec AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_micros
+      FROM cost c JOIN eur ON eur.s_suppkey = c.l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_micros) AS min_micros FROM ec GROUP BY l_partkey),
+    pick AS (
+      SELECT ec.l_partkey, b.min_micros, min(ec.l_suppkey) AS s_suppkey
+      FROM ec JOIN best b ON b.l_partkey = ec.l_partkey AND ec.unit_micros = b.min_micros
+      GROUP BY ec.l_partkey, b.min_micros)
+    SELECT s.s_acctbal, s.s_name, p.p_partkey, p.p_name,
+           round(pick.min_micros / 10000.0, 2) AS unit_price
+    FROM pick
+    JOIN eur s ON s.s_suppkey = pick.s_suppkey
+    JOIN part p ON p.p_partkey = pick.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+    ORDER BY s.s_acctbal DESC, p.p_partkey ASC LIMIT 100
+    """,
+    description="TPC-H Q2 shape: cheapest EUROPE supplier per part "
+    "(lineitem unit price stands in for ps_supplycost) — the correlated "
+    "min-cost subquery decorrelated into a per-part aggregate, the "
+    "winning supplier picked with a single map-side min(struct(cost, "
+    "tiebreak)) argmin (never row_number over the expansion), supplier/"
+    "nation/region dims broadcast. Unit price is exact integer micros "
+    "(floor of a <2^53 integer quotient — bit-identical cross-engine), "
+    "so the min and the equality tie-break cannot flip engines.",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    unit_micros = F.floor(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long") * 10000
+        / F.col("l_quantity").cast("long")
+    ).cast("long")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_micros).alias("unit_micros")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    ec = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+    # argmin: one map-side-combinable aggregate picks (min cost, min suppkey)
+    pick = ec.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("unit_micros"), F.col("l_suppkey"))).alias("_best")
+    ).select(
+        "l_partkey",
+        F.col("_best.unit_micros").alias("min_micros"),
+        F.col("_best.l_suppkey").alias("s_suppkey"),
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    out = (
+        pick.join(F.broadcast(p), pick.l_partkey == p.p_partkey)
+        .join(F.broadcast(eur), "s_suppkey")
+        .select(
+            "s_acctbal",
+            "s_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("min_micros") / 10000.0, 2).alias("unit_price"),
+        )
+    )
+    return topk.top_k_global(out, [F.col("s_acctbal").desc(), F.col("p_partkey").asc()], 100)
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey AS p_partkey, round(cents / 10000.0, 2) AS part_value
+    FROM val
+    WHERE cents * 2000 > (SELECT sum(cents) FROM val)
+    """,
+    description="TPC-H Q11 shape: parts holding an outsized share of "
+    "ASIA-supplied value (lineitem revenue stands in for ps_supplycost * "
+    "ps_availqty) — group aggregate HAVING a scalar-subquery threshold. "
+    "The per-part aggregate is computed ONCE, its 1-row global sum "
+    "broadcast back as the filter; the share test multiplies exact "
+    "integer cents (value > 1/2000 of total ⇔ 2000*value > total), so "
+    "no division and no boundary row can flip engines.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    val = (
+        l.join(F.broadcast(asia_sup), l.l_suppkey == asia_sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    total = val.agg(F.sum("cents").alias("_total"))
+    return (
+        val.join(F.broadcast(total), F.col("cents") * 2000 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("cents") / 10000.0, 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_types",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#7' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    description="TPC-H Q16 shape: how many suppliers can serve each "
+    "(brand, type, size) bucket (lineitem as the part-supplier relation; "
+    "negative account balance stands in for the 'Customer Complaints' "
+    "exclusion) — NOT IN planned as a broadcast left-anti join, the part "
+    "filter pruned before the fact join, then a distinct count. "
+    "All-integer output, no rounding concerns.",
+)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#7")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_concentrated_suppliers",
+    oracle="""
+    WITH small_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    persup AS (
+      SELECT l.l_suppkey,
+             sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS qty_1997,
+             sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+                       AND l.l_shipdate < TIMESTAMP '1999-01-01'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS qty_1998
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM small_parts)
+      GROUP BY l.l_suppkey)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN
+          (SELECT l_suppkey FROM persup WHERE qty_1997 > qty_1998)
+    """,
+    description="TPC-H Q20 shape: suppliers whose 'small%'-part volume "
+    "declined year-over-year (1997 > 1998; the shipped-quantity "
+    "comparison stands in for ps_availqty > half the year's demand) — "
+    "the nested IN chain planned as semi joins: part-name filter "
+    "semi-joins the fact scan, the per-supplier conditional aggregate "
+    "feeds a left-semi against supplier, nation broadcast for the final "
+    "projection. Comparing two equal-width year windows keeps the "
+    "predicate ~50% selective at EVERY scale factor (a fixed share-of-"
+    "total threshold would go empty as per-supplier shares concentrate "
+    "by the law of large numbers), and exact integer quantities mean no "
+    "engine can disagree on the comparison.",
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    in_1998 = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("long")
+    persup = (
+        l.join(F.broadcast(parts), l.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_1997, qty).otherwise(F.lit(0))).alias("qty_1997"),
+            F.sum(F.when(in_1998, qty).otherwise(F.lit(0))).alias("qty_1998"),
+        )
+    )
+    winners = persup.where(F.col("qty_1997") > F.col("qty_1998")).select("l_suppkey")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(winners), s.s_suppkey == winners.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+    )

@@ -85,6 +85,10 @@ _loaded = False
 # freshest official rows, lowest re-verification priority.
 _PRIORITY: list[str] = [
     # -- (a) new in r6 / oracle edited in r6
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_types",
+    "q20_concentrated_suppliers",
     "q_stream_state_v2",
     "q_stream_state_v2_map",
     "q_stream_state_v2_list",

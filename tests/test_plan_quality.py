@@ -145,6 +145,26 @@ def test_tpch_round2b_join_shapes(spark, sf_dir):
     assert "LeftAnti" in opt22
 
 
+def test_tpch_round3_partsupp_shapes(spark, sf_dir):
+    """Q2: the per-part argmin is one hash aggregate (min(struct)), never a
+    ranking window over the cost expansion; dims broadcast. Q11: the
+    scalar-subquery HAVING broadcasts the 1-row total back (no cartesian).
+    Q16: NOT IN plans as a broadcast left-anti join. Q20: both nested INs
+    become left-semi joins."""
+    qs = queries()
+    plan2 = _plan(qs["q02_min_cost_supplier"](spark, sf_dir))
+    assert "Window" not in plan2  # argmin via min(struct), not row_number
+    assert plan2.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan2
+    plan11 = _plan(qs["q11_important_stock"](spark, sf_dir))
+    assert "CartesianProduct" not in plan11
+    assert "BroadcastHashJoin" in plan11
+    opt16 = _optimized(qs["q16_supplier_part_types"](spark, sf_dir))
+    assert "LeftAnti" in opt16
+    opt20 = _optimized(qs["q20_concentrated_suppliers"](spark, sf_dir))
+    assert opt20.count("LeftSemi") >= 2
+
+
 def _window_group_limit_modes(plan: str) -> list[str]:
     """Modes of every WindowGroupLimit node in a toString'd physical plan.
 
