@@ -2187,3 +2187,56 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "q_zorder_events",
+    oracle=None,  # set just below — the interleave fragment is generated
+    description="Z-order (Morton) clustering key over (user_id, value) "
+    "on the events table — the data-layout step that makes parquet "
+    "min/max stats selective on BOTH filter columns at once (Delta/"
+    "Iceberg OPTIMIZE ZORDER, as a pure DataFrame transform; "
+    "operators/layout.py). Bounds come from a 1-row global min/max "
+    "broadcast back onto the scan; normalization and bit-interleaving "
+    "are engine-portable integer/IEEE ops, so the Morton key itself "
+    "hash-matches the DuckDB twin built from the same shift/mask "
+    "terms. The pruning payoff is pinned in tests/test_layout.py.",
+)
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import layout
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("user_id").alias("_ulo"),
+        F.max("user_id").alias("_uhi"),
+        F.min("value").alias("_vlo"),
+        F.max("value").alias("_vhi"),
+    )
+    nu = layout.normalize_to_bits(F.col("user_id"), F.col("_ulo"), F.col("_uhi"), 16)
+    nv = layout.normalize_to_bits(F.col("value"), F.col("_vlo"), F.col("_vhi"), 16)
+    z = layout.zorder_value([nu, nv], 16)
+    return e.join(F.broadcast(b)).select("event_id", z.alias("zval"))
+
+
+# Generated oracle: identical shift/mask interleave terms on both engines.
+def _zorder_oracle() -> str:
+    from stream_processing_platform_spark.operators.layout import zorder_value_sql
+
+    interleave = zorder_value_sql(["nu", "nv"], 16)
+    return f"""
+    WITH b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                      min(value) AS vlo, max(value) AS vhi FROM events),
+    norm AS (SELECT e.event_id,
+      greatest(CAST(0 AS BIGINT), least(CAST(65535 AS BIGINT),
+        CAST(floor((e.user_id - b.ulo) * 65535.0 / (b.uhi - b.ulo)) AS BIGINT))) AS nu,
+      greatest(CAST(0 AS BIGINT), least(CAST(65535 AS BIGINT),
+        CAST(floor((e.value - b.vlo) * 65535.0 / (b.vhi - b.vlo)) AS BIGINT))) AS nv
+    FROM events e, b)
+    SELECT event_id, {interleave} AS zval FROM norm
+    """
+
+
+from stream_processing_platform_spark.registry import REGISTRY as _REG  # noqa: E402
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+_REG["q_zorder_events"] = _dc_replace(_REG["q_zorder_events"], oracle=_zorder_oracle())

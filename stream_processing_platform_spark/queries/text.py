@@ -1163,3 +1163,30 @@ def q_doc_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk_ids").cast("int").alias("n_chunk_tokens"),
         dec_udf(F.col("chunk_ids")).alias("chunk_text"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY tok
+    HAVING count(*) * 100 > (SELECT count(*) FROM tok)
+    """,
+    description="Exact heavy hitters (tokens above 1% of the corpus "
+    "stream) via distributed Misra-Gries sketch-then-verify "
+    "(operators/sketches.py): per-partition MG summaries (O(k) memory, "
+    "no vocabulary shuffle) produce a guaranteed-superset candidate "
+    "set, a broadcast semi-join verifies exact counts for candidates "
+    "only — so a sketch-based operator still carries a full hash "
+    "oracle. The eviction path is exercised by a large-vocab synthetic "
+    "corpus in tests/test_scale_ops.py (the fixture vocabulary is "
+    "smaller than the counter budget).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.sketches import heavy_hitters
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(tok, "tok", phi_denom=100)

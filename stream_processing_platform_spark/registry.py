@@ -89,6 +89,8 @@ _PRIORITY: list[str] = [
     "q11_important_stock",
     "q16_supplier_part_types",
     "q20_concentrated_suppliers",
+    "q_heavy_hitters",
+    "q_zorder_events",
     "q_stream_state_v2",
     "q_stream_state_v2_map",
     "q_stream_state_v2_list",

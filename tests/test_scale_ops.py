@@ -83,3 +83,33 @@ def test_exact_percentiles_refuses_unbounded_buffer(spark, sf_dir):
         li, "l_extendedprice", {"median": 0.5}, [], allow_global=True
     ).collect()
     assert row["n"] > 0 and row["median"] > 0
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Misra-Gries candidate generation must survive eviction pressure:
+    a corpus whose vocabulary (50k rare items) vastly exceeds the
+    counter budget (k=100) still yields EXACTLY the true heavy-hitter
+    set with exact counts, because MG candidates are a guaranteed
+    superset and the verify pass recounts them exactly."""
+    from stream_processing_platform_spark.operators.sketches import heavy_hitters
+
+    n_rare = 50_000
+    # 3 heavy items at ~4%/2%/1.2% of the stream + 50k singletons.
+    heavy = spark.range(0, 4000).select(
+        F.concat(F.lit("hh_"), (F.col("id") % 3 * 0 + 0).cast("string")).alias("item")
+    )
+    heavy2 = spark.range(0, 2000).select(F.lit("hh_1").alias("item"))
+    heavy3 = spark.range(0, 1200).select(F.lit("hh_2").alias("item"))
+    rare = spark.range(0, n_rare).select(
+        F.concat(F.lit("rare_"), F.col("id").cast("string")).alias("item")
+    )
+    stream = heavy.union(heavy2).union(heavy3).union(rare).repartition(8)
+
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(stream, "item", phi_denom=50).collect()
+    }
+    total = 4000 + 2000 + 1200 + n_rare  # 57,200; threshold > 1144
+    expect = {k: v for k, v in {"hh_0": 4000, "hh_1": 2000, "hh_2": 1200}.items()
+              if v * 50 > total}
+    assert got == expect  # hh_2 (1200 > 1144) included, nothing spurious
