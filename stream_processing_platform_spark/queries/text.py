@@ -1190,3 +1190,51 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     tok = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     return heavy_hitters(tok, "tok", phi_denom=100)
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(sum(ln(n.total) - ln(tf.tf)) * 10000.0 / count(*) + 0.5)
+             / 10000.0 AS mean_nll
+    FROM tok t JOIN tf USING (tok) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+    description="Unigram language-model quality score (CCNet-style "
+    "perplexity filter): per-document mean negative log-probability "
+    "under the corpus's own unigram LM — high mean_nll flags rare-"
+    "token-heavy gibberish, unusually low flags boilerplate; the "
+    "standard cheap LM filter before a real perplexity model. Scale "
+    "shape: token-keyed tf aggregate (map-side partials) + one join "
+    "back, 1-row corpus total broadcast. Per-row ln() is evaluated on "
+    "bit-identical inputs in both engines and the 4dp mean uses the "
+    "floor(x+0.5) form, keeping the ~1-ulp libm divergence five orders "
+    "of magnitude under the rounding step (same doctrine that keeps "
+    "q_udaf_geomean green).",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = tok.agg(F.count("*").alias("_total"))
+    return (
+        tok.join(tf, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.ln(F.col("_total")) - F.ln(F.col("tf"))) * 10000.0
+                    / F.count("*")
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("mean_nll"),
+        )
+    )

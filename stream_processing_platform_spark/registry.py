@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "q20_concentrated_suppliers",
     "q_heavy_hitters",
     "q_zorder_events",
+    "q_unigram_logprob",
     "q_stream_state_v2",
     "q_stream_state_v2_map",
     "q_stream_state_v2_list",
