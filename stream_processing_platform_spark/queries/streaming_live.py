@@ -676,3 +676,65 @@ def q_stream_state_v2_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     return out.select("key", "acc")
+
+
+@query(
+    "q_stream_join_full",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT CAST(COALESCE(c.click_id, -1) AS BIGINT) AS click_id,
+           CAST(COALESCE(p.purchase_id, -1) AS BIGINT) AS purchase_id,
+           CAST(COALESCE(c.user_id, p.user_id) AS BIGINT) AS user_id,
+           CAST(COALESCE(epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts), -1)
+                AS BIGINT) AS delta_ms
+    FROM c FULL JOIN p
+      ON c.user_id = p.user_id
+     AND epoch_ms(p.purchase_ts) >= epoch_ms(c.click_ts)
+     AND epoch_ms(p.purchase_ts) <= epoch_ms(c.click_ts) + 1800000
+    """,
+    description="LIVE stream-stream FULL OUTER interval join — completes "
+    "the outer-join matrix over the reference's inner-only JoinOperator: "
+    "clicks with no purchase in [0, 30 min] AND purchases no click "
+    "attributed to both emit null-extended (sentinel -1) once the "
+    "watermark closes their window. Flush rows ride both streams so "
+    "every real row's buffer provably drains inside one availableNow "
+    "run; the full batch FULL JOIN is the oracle, no carve-outs.",
+)
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.joins import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir, flush_files=2)
+        .where(F.col("event_type").isin("click", "flush"))
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir, flush_files=2)
+        .where(F.col("event_type").isin("purchase", "flush"))
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        "c",
+        "p",
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="full_outer",
+        projection=[
+            F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+            F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+            F.coalesce(
+                epoch_ms(F.col("purchase_ts")) - epoch_ms(F.col("click_ts")), F.lit(-1)
+            ).alias("delta_ms"),
+        ],
+    )
+    out = _run_to_table(joined, mode="append")
+    return out.where(F.col("user_id") != FLUSH_USER)

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "q_heavy_hitters",
     "q_zorder_events",
     "q_unigram_logprob",
+    "q_stream_join_full",
     "q_stream_state_v2",
     "q_stream_state_v2_map",
     "q_stream_state_v2_list",
