@@ -26,3 +26,34 @@ def ensure_min_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def enable_runtime_bloom_filters(
+    spark,
+    creation_side_threshold: str = "50MB",
+    application_side_threshold: str = "1GB",
+) -> None:
+    """Turn on Catalyst's injected runtime bloom filters for shuffle joins.
+
+    At 100 TB the win: when a selective filter sits on one join side
+    (e.g. ``orders WHERE status='F'`` joining lineitem), Spark builds a
+    ``bloom_filter_agg`` over the filtered side's join keys and injects
+    ``might_contain(...)`` as a pre-shuffle filter on the FACT side — fact
+    rows whose keys cannot match are dropped before the exchange, often
+    the single biggest shuffle-bytes reduction available on a star join
+    too big to broadcast. The thresholds bound sketch-build cost:
+    ``creation_side_threshold`` caps the filtered build side's size,
+    ``application_side_threshold`` is the minimum fact-scan size worth
+    protecting (defaults here are cluster-shaped; tests lower them to
+    force injection at local scale — the gate is
+    tests/test_plan_quality.py::test_runtime_bloom_filter_injected).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )

@@ -263,3 +263,46 @@ def test_ann_rerank_candidate_rule_compiles_to_hash_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # rule + corpus-vec + query-vec
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With runtime bloom filters enabled (partitioning.
+    enable_runtime_bloom_filters), a selective dim filter on a
+    non-broadcastable shuffle join must inject might_contain() as a
+    pre-shuffle fact-side filter fed by a bloom_filter_agg on the build
+    side — the shuffle-bytes reducer for star joins too big to
+    broadcast. Thresholds are lowered (and broadcast disabled) to force
+    the shape at local scale; the assert is on the optimizer's output,
+    which is scale-independent."""
+    import pyspark.sql.functions as F
+
+    from stream_processing_platform_spark.partitioning import enable_runtime_bloom_filters
+    from stream_processing_platform_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom_filters(
+            spark, creation_side_threshold="10MB", application_side_threshold="1KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        opt = _optimized(j)
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
