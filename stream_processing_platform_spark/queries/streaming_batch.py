@@ -137,3 +137,49 @@ def q_window_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_elems"),
         F.concat_ws(",", F.array_sort(F.collect_list("event_id"))).alias("elem_ids"),
     )
+
+
+@query(
+    "q_hierarchical_rollup",
+    oracle=f"""
+    SELECT l.level_ms, e.event_type,
+           CAST(epoch_ms(e.ts) - epoch_ms(e.ts) % l.level_ms AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(round(e.value * 100)) AS BIGINT) AS min_cents,
+           CAST(max(round(e.value * 100)) AS BIGINT) AS max_cents
+    FROM events e
+    CROSS JOIN (VALUES ({HOUR_MS}), ({HOUR_MS} * 6), ({HOUR_MS} * 24)) AS l(level_ms)
+    GROUP BY 1, 2, 3
+    """,
+    description="Hierarchical rollup pyramid (continuous-aggregate "
+    "pattern, operators/rollup.py): hour -> 6 h -> day resolutions where "
+    "each coarser level aggregates the PREVIOUS level's partials — one "
+    "fact scan total, partial-to-partial shuffles of |buckets| rows. The "
+    "oracle computes every level DIRECTLY from raw events, so the MATCH "
+    "proves sum-of-sums == direct sum at each resolution (exact integer "
+    "cents; min/max fold losslessly). The one-scan plan property is "
+    "gated in tests/test_rollup.py.",
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.rollup import hierarchical_rollup
+
+    e = _events_ms(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    levels = hierarchical_rollup(
+        e, "ts_ms", ["event_type"], "cents", [HOUR_MS, HOUR_MS * 6, HOUR_MS * 24]
+    )
+    out = None
+    for size, lvl in zip([HOUR_MS, HOUR_MS * 6, HOUR_MS * 24], levels):
+        one = lvl.select(
+            F.lit(size).cast("int").alias("level_ms"),
+            "event_type",
+            "bucket",
+            "cnt",
+            F.col("sum_v").alias("sum_cents"),
+            F.col("min_v").alias("min_cents"),
+            F.col("max_v").alias("max_cents"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

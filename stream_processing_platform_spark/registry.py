@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "q_zorder_events",
     "q_unigram_logprob",
     "q_stream_join_full",
+    "q_hierarchical_rollup",
     "q_stream_state_v2",
     "q_stream_state_v2_map",
     "q_stream_state_v2_list",
