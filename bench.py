@@ -161,6 +161,11 @@ def main() -> None:
         "q_anomaly_zscore",
         "q_ann_rerank",
         "q_winnow_fingerprints",
+        "q02_min_cost_supplier",
+        "q_heavy_hitters",
+        "q_hierarchical_rollup",
+        "q_unigram_logprob",
+        "q_zorder_events",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

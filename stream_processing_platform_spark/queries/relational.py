@@ -2240,3 +2240,102 @@ from stream_processing_platform_spark.registry import REGISTRY as _REG  # noqa: 
 from dataclasses import replace as _dc_replace  # noqa: E402
 
 _REG["q_zorder_events"] = _dc_replace(_REG["q_zorder_events"], oracle=_zorder_oracle())
+
+
+@query(
+    "q_scd2_customers",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             c_mktsegment
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, acctbal_cents + 10000 AS acctbal_cents, c_mktsegment,
+             CAST(1000000 AS BIGINT) AS eff
+      FROM cust WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, acctbal_cents, c_mktsegment, CAST(1000000 AS BIGINT)
+      FROM cust WHERE c_custkey % 10 = 5
+      UNION ALL
+      SELECT c_custkey + 1000000, c_custkey, 'NEW', CAST(2000000 AS BIGINT)
+      FROM cust WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT c_custkey, acctbal_cents + 20000, 'MOVED', CAST(3000000 AS BIGINT)
+      FROM cust WHERE c_custkey % 20 = 3),
+    latest AS (
+      SELECT u.c_custkey, u.acctbal_cents, u.c_mktsegment, u.eff
+      FROM upd u JOIN (SELECT c_custkey, max(eff) AS eff FROM upd GROUP BY 1) m
+        ON m.c_custkey = u.c_custkey AND m.eff = u.eff),
+    j AS (
+      SELECT c.c_custkey, c.acctbal_cents, c.c_mktsegment,
+             l.acctbal_cents AS new_cents, l.c_mktsegment AS new_seg, l.eff,
+             (l.eff IS NOT NULL AND (l.acctbal_cents <> c.acctbal_cents
+                                     OR l.c_mktsegment <> c.c_mktsegment)) AS closes
+      FROM cust c LEFT JOIN latest l USING (c_custkey))
+    SELECT c_custkey, acctbal_cents, c_mktsegment,
+           CAST(0 AS BIGINT) AS valid_from_ms,
+           CAST(CASE WHEN closes THEN eff ELSE 253402300800000 END AS BIGINT)
+             AS valid_to_ms,
+           CAST(CASE WHEN closes THEN 0 ELSE 1 END AS INTEGER) AS is_current
+    FROM j
+    UNION ALL
+    SELECT c_custkey, new_cents, new_seg, eff, CAST(253402300800000 AS BIGINT), 1
+    FROM j WHERE closes
+    UNION ALL
+    SELECT l.c_custkey, l.acctbal_cents, l.c_mktsegment, l.eff,
+           CAST(253402300800000 AS BIGINT), 1
+    FROM latest l WHERE l.c_custkey NOT IN (SELECT c_custkey FROM cust)
+    """,
+    description="SCD2 dimension maintenance (operators/scd.py): one CDC "
+    "batch against the customer dimension — changed keys close their "
+    "open row and append a new one, no-op updates pass through, unseen "
+    "keys insert; in-batch duplicates collapse to the latest effective "
+    "time. One left join of dimension × latest-per-key updates (argmax "
+    "via map-side max(struct), no ranking window); balances as exact "
+    "integer cents so both engines agree on 'changed'. The update batch "
+    "is derived deterministically from the dimension itself (mod-class "
+    "rules) so the oracle is self-contained.",
+)
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    current = scd.scd2_init(cust, ["c_custkey"], ["acctbal_cents", "c_mktsegment"])
+    k = F.col("c_custkey")
+    upd = (
+        cust.where(k % 10 == 3).select(
+            k.alias("c_custkey"),
+            (F.col("acctbal_cents") + 10000).alias("acctbal_cents"),
+            "c_mktsegment",
+            F.lit(1_000_000).cast("long").alias("effective_ms"),
+        )
+        .unionAll(
+            cust.where(k % 10 == 5).select(
+                k, "acctbal_cents", "c_mktsegment",
+                F.lit(1_000_000).cast("long").alias("effective_ms"),
+            )
+        )
+        .unionAll(
+            cust.where(k % 100 == 0).select(
+                (k + 1_000_000).alias("c_custkey"),
+                k.cast("long").alias("acctbal_cents"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(2_000_000).cast("long").alias("effective_ms"),
+            )
+        )
+        .unionAll(
+            cust.where(k % 20 == 3).select(
+                k,
+                (F.col("acctbal_cents") + 20000).alias("acctbal_cents"),
+                F.lit("MOVED").alias("c_mktsegment"),
+                F.lit(3_000_000).cast("long").alias("effective_ms"),
+            )
+        )
+    )
+    return scd.scd2_apply(
+        current, upd, ["c_custkey"], ["acctbal_cents", "c_mktsegment"]
+    )

@@ -1,0 +1,60 @@
+"""SCD2 multi-batch semantics: history chains correctly across
+successive CDC batches (the oracle query covers a single batch)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from stream_processing_platform_spark.operators import scd
+
+
+def _rows(df):
+    return sorted(
+        (
+            r["k"],
+            r["v"],
+            r["valid_from_ms"],
+            r["valid_to_ms"],
+            r["is_current"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_scd2_two_batches_chain_history(spark):
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    t0 = scd.scd2_init(dim, ["k"], ["v"])
+
+    # Batch 1: k=1 changes a->x at t=100; k=3 is new at t=150; k=2 no-op.
+    b1 = spark.createDataFrame(
+        [(1, "x", 100), (2, "b", 100), (3, "c", 150)], "k int, v string, effective_ms long"
+    )
+    t1 = scd.scd2_apply(t0, b1, ["k"], ["v"])
+    E = scd.OPEN_END_MS
+    assert _rows(t1) == [
+        (1, "a", 0, 100, 0),
+        (1, "x", 100, E, 1),
+        (2, "b", 0, E, 1),
+        (3, "c", 150, E, 1),
+    ]
+
+    # Batch 2: k=1 changes again x->y at t=200 — history must chain
+    # (closed rows pass through untouched); in-batch dupes collapse to
+    # the latest effective time (the t=180 value never lands).
+    b2 = spark.createDataFrame(
+        [(1, "ignored", 180), (1, "y", 200)], "k int, v string, effective_ms long"
+    )
+    t2 = scd.scd2_apply(t1, b2, ["k"], ["v"])
+    assert _rows(t2) == [
+        (1, "a", 0, 100, 0),
+        (1, "x", 100, 200, 0),
+        (1, "y", 200, E, 1),
+        (2, "b", 0, E, 1),
+        (3, "c", 150, E, 1),
+    ]
+
+    # As-of reads fall out of the interval columns.
+    asof_150 = t2.where(
+        (F.col("valid_from_ms") <= 150) & (F.col("valid_to_ms") > 150) & (F.col("k") == 1)
+    )
+    assert [r["v"] for r in asof_150.collect()] == ["x"]
