@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "q_unigram_logprob",
     "q_stream_join_full",
     "q_hierarchical_rollup",
+    "q_scd2_customers",
     "q_stream_state_v2",
     "q_stream_state_v2_map",
     "q_stream_state_v2_list",
