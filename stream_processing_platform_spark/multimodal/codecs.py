@@ -12,10 +12,11 @@ Decoder tiers:
 
 - ``decoder="image"`` / ``decoder="audio"`` — REAL decode via the
   dependency-free codecs in :mod:`imagecodec` (netpbm P5/P6,
-  uncompressed BMP, PCM WAV): actual pixels/samples drive resize and
-  feature extraction (PNG included — stdlib-zlib decode in imagecodec).
-JPEG/MP4 payloads still need codec libraries
-  not present in this container and raise at sniff time.
+  uncompressed BMP, PNG via stdlib zlib, baseline JPEG via the
+  from-scratch :mod:`jpegcodec`, PCM WAV): actual pixels/samples drive
+  resize and feature extraction. MP4 (and progressive/subsampled JPEG)
+  still need codec libraries not present in this container and raise
+  with a clear message.
 - ``decoder="fake"`` — deterministic stub that synthesizes features
   from the payload's sha256 (stable, testable, same schema and batch
   shape as a real decoder); the default so pipelines over arbitrary
@@ -187,8 +188,7 @@ def resize_images(
     decode (PPM/PGM/BMP, :mod:`imagecodec`) → nearest-neighbor resize →
     re-encode as binary PPM. ``decoder="fake"`` emits a deterministic
     width*height-byte payload derived from the input hash (same schema
-    and batch shape); JPEG payloads raise until codec libs exist in
-    the container."""
+    and batch shape)."""
     if decoder == "image":
         from stream_processing_platform_spark.multimodal import imagecodec
 
@@ -211,8 +211,7 @@ def resize_images(
 
     else:
         raise NotImplementedError(
-            "decoder must be 'image' (PPM/PGM/BMP/PNG) or 'fake'; JPEG resize "
-            "requires PIL/opencv (not in container)"
+            "decoder must be 'image' (PPM/PGM/BMP/PNG/baseline-JPEG) or 'fake'"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -241,9 +241,9 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_image(b: bytes) -> np.ndarray:
     """Sniff the payload magic and decode: netpbm (P5/P6), uncompressed
-    BMP, and PNG (stdlib-zlib inflate + unfilter) are decoded here;
-    JPEG's DCT entropy coding still needs codec libraries absent from
-    this container."""
+    BMP, PNG (stdlib-zlib inflate + unfilter), and baseline JPEG (from-
+    scratch Huffman + IDCT, :mod:`jpegcodec`) all decode for real;
+    progressive/subsampled JPEG raises NotImplementedError there."""
     if b[:2] in (b"P6", b"P5"):
         return decode_ppm(b)
     if b[:2] == b"BM":
@@ -251,7 +251,9 @@ def decode_image(b: bytes) -> np.ndarray:
     if b[:8] == _PNG_MAGIC:
         return decode_png(b)
     if b[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires PIL/opencv (not in container)")
+        from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg
+
+        return decode_jpeg(b)
     raise ValueError(f"unrecognized image payload (magic {b[:4]!r})")
 
 

@@ -45,7 +45,9 @@ def test_bmp_roundtrip_with_row_padding(img):
 def test_decode_image_sniffs_magic(img):
     assert np.array_equal(ic.decode_image(ic.encode_ppm(img)), img)
     assert np.array_equal(ic.decode_image(ic.encode_bmp(img)), img)
-    with pytest.raises(NotImplementedError):
+    # JPEG dispatches to the real jpegcodec decoder now — garbage after
+    # the magic is a parse error, not a missing-library gate
+    with pytest.raises(ValueError, match="JPEG"):
         ic.decode_image(b"\xff\xd8\xff fake jpeg")
     with pytest.raises(ValueError):
         ic.decode_image(b"garbage")

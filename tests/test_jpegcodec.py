@@ -1,0 +1,113 @@
+"""Baseline JPEG codec: round-trips through our own spec-following
+encoder (the decoder trusts only the stream — tables come from DQT/DHT),
+analytic block cases, bit-layer properties, and honest gates for the
+unsupported JPEG variants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stream_processing_platform_spark.multimodal import imagecodec
+from stream_processing_platform_spark.multimodal.jpegcodec import (
+    _BitReader,
+    _BitWriter,
+    _extend,
+    _huff_decode_table,
+    _huff_encode_table,
+    _magnitude,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_flat_fields_survive_exactly():
+    """A constant image is DC-only after the DCT; quantization cannot
+    touch it, so decode must reproduce it bit-exactly."""
+    gray = np.full((16, 24), 130, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(gray, 90)), gray)
+    color = np.empty((8, 8, 3), np.uint8)
+    color[...] = (200, 50, 120)
+    dec = decode_jpeg(encode_jpeg(color, 95))
+    assert np.abs(dec.astype(int) - color.astype(int)).max() <= 1  # YCbCr round
+
+
+def test_gradient_roundtrip_psnr_and_odd_dims():
+    yy, xx = np.mgrid[0:33, 0:25]  # deliberately not multiples of 8
+    img = np.stack([(yy * 7) % 256, (xx * 11) % 256, ((yy + xx) * 5) % 256], -1).astype(
+        np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(img, 90))
+    assert dec.shape == img.shape  # edge padding cropped back off
+    assert _psnr(img, dec) > 35
+
+
+def test_grayscale_single_component_scan():
+    yy, xx = np.mgrid[0:17, 0:31]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, 90))
+    assert dec.shape == img.shape and dec.ndim == 2
+    assert _psnr(img, dec) > 35
+
+
+def test_quality_knob_trades_size_for_fidelity():
+    rng = np.random.default_rng(7)
+    img = np.kron(rng.integers(0, 255, (4, 4, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    lo, hi = encode_jpeg(img, 30), encode_jpeg(img, 95)
+    assert len(lo) < len(hi)
+    assert _psnr(img, decode_jpeg(hi)) > _psnr(img, decode_jpeg(lo))
+
+
+def test_bit_layer_stuffing_roundtrip():
+    """0xFF bytes in the entropy stream must be stuffed with 0x00 on
+    write and transparently dropped on read."""
+    bw = _BitWriter()
+    bw.write(0xFF, 8)
+    bw.write(0xFF, 8)
+    bw.write(0b101, 3)
+    bw.flush()
+    assert bytes(bw.out[:4]) == b"\xff\x00\xff\x00"
+    br = _BitReader(bytes(bw.out))
+    assert br.read_bits(8) == 0xFF and br.read_bits(8) == 0xFF
+    assert br.read_bits(3) == 0b101
+
+
+def test_magnitude_extend_inverse():
+    for v in list(range(-40, 41)) + [-1023, 1023, -512, 511]:
+        size, raw = _magnitude(v)
+        assert _extend(raw, size) == v
+
+
+def test_huffman_tables_canonical_and_invertible():
+    bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    from stream_processing_platform_spark.multimodal.jpegcodec import _AC_LUMA_VALS
+
+    enc = _huff_encode_table(bits, _AC_LUMA_VALS)
+    dec = _huff_decode_table(bits, _AC_LUMA_VALS)
+    assert len(enc) == sum(bits) == len(_AC_LUMA_VALS)
+    # prefix-free: decoding every encoded symbol returns the symbol
+    for sym, (code, ln) in enc.items():
+        assert dec[(ln, code)] == sym
+
+
+def test_decode_image_dispatches_jpeg():
+    img = np.full((8, 8, 3), 99, np.uint8)
+    out = imagecodec.decode_image(encode_jpeg(img, 90))
+    assert out.shape == (8, 8, 3)
+    assert np.abs(out.astype(int) - 99).max() <= 1
+
+
+def test_unsupported_jpeg_variants_gate_cleanly():
+    img = np.full((8, 8), 50, np.uint8)
+    b = bytearray(encode_jpeg(img, 85))
+    sof = b.find(b"\xff\xc0")
+    b[sof + 1] = 0xC2  # rebrand as progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(b))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01not a jpeg")

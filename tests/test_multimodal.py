@@ -84,9 +84,10 @@ def test_stubs_raise(spark, media_dir):
         resize_images(df, 224, 224, decoder="weird")
     with pytest.raises(NotImplementedError):
         sample_video_frames(df, 40, decoder="video")
-    # real image decoder exists now, but JPEG payloads still need codec
-    # libs — the error surfaces from inside the executor batch
-    with pytest.raises(Exception, match="PIL|opencv|NotImplemented"):
+    # JPEG now decodes for real (jpegcodec) — a garbage payload with a
+    # JPEG magic fails as a parse error from inside the executor batch,
+    # not as a missing-library gate
+    with pytest.raises(Exception, match="JPEG|marker"):
         extract_features(df.where("path like '%.jpg'"), decoder="image").collect()
 
 
@@ -164,3 +165,37 @@ def test_real_audio_features(spark, real_media_dir):
     [row] = extract_features(df, dim=8, decoder="audio").collect()
     # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.3536 in every frame
     assert np.allclose(row.feature, 0.3536, atol=0.01)
+
+
+def test_real_jpeg_payload_through_spark_pipeline(spark, real_media_dir):
+    """A from-scratch-encoded baseline JPEG rides the same Spark
+    resize→features path as the lossless formats: decode is lossy but
+    must stay close (high PSNR vs the source gradient), and the feature
+    stage must see real pixels (non-constant features)."""
+    import numpy as np
+
+    from stream_processing_platform_spark.multimodal import imagecodec as ic
+    from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg, encode_jpeg
+
+    path, img = real_media_dir
+    payload = encode_jpeg(img, quality=90)
+    dec = decode_jpeg(payload)
+    mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) > 35
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spp_jpeg_media_")
+    with open(os.path.join(d, "grad.jpg"), "wb") as f:
+        f.write(payload)
+    df = with_media_metadata(read_binary_files(spark, d, glob="*.jpg"))
+    rows = resize_images(df, 16, 10, decoder="image").collect()
+    assert len(rows) == 1 and (rows[0].width, rows[0].height) == (16, 10)
+    # resized JPEG pixels ≈ resized source pixels (nearest-neighbor of a
+    # high-PSNR decode stays within a tight per-pixel band)
+    got = ic.decode_ppm(bytes(rows[0].content)).astype(int)
+    want = ic.resize_nearest(img, 16, 10).astype(int)
+    assert np.abs(got - want).max() <= 16
+    feats = extract_features(df, dim=16, decoder="image").collect()
+    assert len(feats) == 1 and len(set(feats[0].feature)) > 1
