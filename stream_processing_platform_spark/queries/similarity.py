@@ -383,3 +383,30 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         aug.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
     )
+
+
+@query(
+    "q_pagerank_near_dups",
+    oracle=None,  # iterative float PageRank has no recursive-SQL twin the
+    # compare can trust; exactness is pinned by
+    # tests/test_graph.py::test_pagerank_matches_power_iteration
+    # (Spark == dense numpy power iteration to 1e-9)
+    description="PageRank over the embedding near-dup graph "
+    "(operators/graph.pagerank): hyperplane-LSH pairs as undirected "
+    "edges, 3 power-iteration rounds with dangling-mass redistribution "
+    "— ranks centrality inside duplicate clusters (the keeper-selection "
+    "signal 'most-connected copy' instead of min-id). Iterative "
+    "join+groupBy per round, per-round checkpointing truncates lineage; "
+    "no driver-side adjacency. Rows-only: deterministic count/schema, "
+    "numeric exactness pinned against numpy in tests/test_graph.py.",
+)
+def q_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.graph import pagerank
+
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.hyperplane_lsh_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    ranked = pagerank(aug.select("vec_id"), edges, id_col="vec_id", num_iter=3)
+    return ranked.select("vec_id", F.round(F.col("rank") * 1e6, 4).alias("rank_ppm"))

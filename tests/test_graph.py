@@ -52,3 +52,36 @@ def test_dedup_clusters_sizes_and_keepers(spark):
     rows = {r.doc_id: (r.cluster_id, r.cluster_size) for r in
             dedup_clusters(vertices, pairs).collect()}
     assert rows == {10: (10, 3), 11: (10, 3), 12: (10, 3), 20: (20, 1), 30: (30, 1)}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Spark PageRank == dense numpy power iteration with identical
+    dangling-mass redistribution, on a graph with a hub, a chain, a
+    dangling sink, and an isolated vertex."""
+    import numpy as np
+
+    from stream_processing_platform_spark.operators.graph import pagerank
+
+    ids = [0, 1, 2, 3, 4, 5]
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 3)]  # 5 isolated, 2->0 cycle
+    vertices = spark.createDataFrame([(i,) for i in ids], "id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    d, n, iters = 0.85, len(ids), 10
+    r = np.full(n, 1.0 / n)
+    out = {i: [b for a, b in edge_list if a == i] for i in ids}
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = sum(r[i] for i in ids if not out[i])
+        for i in ids:
+            for j in out[i]:
+                nxt[j] += r[i] / len(out[i])
+        r = (1 - d) / n + d * dangling / n + d * nxt
+
+    got = {row["id"]: row["rank"] for row in pagerank(vertices, edges, num_iter=iters).collect()}
+    assert set(got) == set(ids)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    for i in ids:
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # hub-pointed vertex 2 outranks the chain tail
+    assert got[2] > got[3] > got[5]
