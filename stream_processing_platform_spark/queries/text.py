@@ -1238,3 +1238,66 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+_HTML_PRE = (
+    '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>p { color: red; }</style></head><body><h1>"
+)
+_HTML_MID = "</h1><!-- boilerplate --><p>"
+_HTML_POST = "</p><p>Tom &amp; Jerry &lt;3&nbsp;</p></body></html>"
+
+
+def _html_oracle() -> str:
+    from stream_processing_platform_spark.functions.html import strip_html_sql
+
+    raw = f"'{_HTML_PRE}' || source || '{_HTML_MID}' || text || '{_HTML_POST}'"
+    stripped = strip_html_sql(raw)
+    return f"""
+    WITH x AS (SELECT doc_id, {stripped} AS extracted,
+                      CAST(length({raw}) AS BIGINT) AS raw_len
+               FROM documents)
+    SELECT doc_id, extracted,
+           floor(length(extracted) * 10000.0 / raw_len + 0.5) / 10000.0
+             AS density
+    FROM x
+    """
+
+
+@query(
+    "q_html_extract",
+    oracle=None,  # generated below from the same step table
+    description="HTML boilerplate removal (functions/html.py): wrap each "
+    "document in deterministic page chrome (script with a bare '<', "
+    "style, comment, entities incl. the &amp;lt; double-decode trap), "
+    "then extract visible text with the regexp_replace chain shared — "
+    "step for step — with the DuckDB oracle (patterns valid in both "
+    "Java regex and RE2; global flag explicit on the SQL side), plus "
+    "the text-density boilerplate signal on exact integer lengths. "
+    "Pure JVM column expressions: whole-stage codegen, no UDF.",
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.html import strip_html, text_density
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit(_HTML_PRE), F.col("source"), F.lit(_HTML_MID), F.col("text"), F.lit(_HTML_POST)
+    )
+    # two-step projection so the regex chain is declared once; density
+    # then needs only the lengths
+    step1 = d.select(
+        "doc_id", strip_html(raw).alias("extracted"), F.length(raw).alias("_raw_len")
+    )
+    return step1.select(
+        "doc_id",
+        "extracted",
+        (F.floor(F.length("extracted") * 10000.0 / F.col("_raw_len") + 0.5) / 10000.0).alias(
+            "density"
+        ),
+    )
+
+
+_REG2 = __import__("stream_processing_platform_spark.registry", fromlist=["REGISTRY"]).REGISTRY
+from dataclasses import replace as _dc_replace2  # noqa: E402
+
+_REG2["q_html_extract"] = _dc_replace2(_REG2["q_html_extract"], oracle=_html_oracle())

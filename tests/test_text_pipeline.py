@@ -250,3 +250,27 @@ def test_winnow_arrow_path_equals_declarative_expr(spark, sf_dir):
         F.array_sort(winnow_fingerprints_expr(F.col("text"))).alias("expr"),
     )
     assert sb.where(F.col("arrow") != F.col("expr")).count() == 0
+
+
+def test_strip_html_edge_cases(spark):
+    from stream_processing_platform_spark.functions.html import strip_html, text_density
+
+    cases = [
+        # script body with a bare '<' must vanish entirely
+        ('<p>a</p><script>if (1 < 2) { x("</p>"); }</script><p>b</p>', "a b"),
+        # &amp;lt; decodes to the LITERAL &lt;, never to '<'
+        ("x &amp;lt; y", "x &lt; y"),
+        ("<style>p{color:red}</style>text", "text"),
+        ("<!-- <p>hidden</p> -->shown", "shown"),
+        ("a&nbsp;&quot;b&quot;&#39;c&#39;", "a \"b\"'c'"),
+        ("<div\nclass='x'>multi\nline</div>", "multi line"),
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(cases)], "i int, raw string")
+    got = {r["i"]: r["out"] for r in df.select("i", strip_html(F.col("raw")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+    dens = df.where("i = 0").select(
+        text_density(F.col("raw"), strip_html(F.col("raw"))).alias("d")
+    ).collect()[0]["d"]
+    assert 0 < dens < 0.1  # 'a b' out of a chrome-heavy payload
