@@ -306,3 +306,14 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_verify_join_broadcasts_candidates(spark, sf_dir):
+    """The sketch-then-verify shape: the (bounded) MG candidate set must
+    come back as a BROADCAST left-semi filter on the token stream — a
+    sort-merge flip here would shuffle the full token stream by token,
+    exactly what the sketch exists to avoid."""
+    plan = _plan(queries()["q_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
