@@ -68,9 +68,11 @@ def scd2_apply(
     )
     j = current.join(latest, key_cols, "left_outer")
     has_upd = F.col("_eff").isNotNull()
+    # null-safe comparison: NULL -> value (or back) counts as a change,
+    # where a plain != would yield NULL and silently drop the close
     differs = None
     for c in tracked_cols:
-        d = F.col(c) != F.col(f"_new_{c}")
+        d = ~F.col(c).eqNullSafe(F.col(f"_new_{c}"))
         differs = d if differs is None else (differs | d)
     closes = (F.col("is_current") == 1) & has_upd & differs
 

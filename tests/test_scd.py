@@ -11,13 +11,16 @@ from stream_processing_platform_spark.operators import scd
 def _rows(df):
     return sorted(
         (
-            r["k"],
-            r["v"],
-            r["valid_from_ms"],
-            r["valid_to_ms"],
-            r["is_current"],
-        )
-        for r in df.collect()
+            (
+                r["k"],
+                r["v"],
+                r["valid_from_ms"],
+                r["valid_to_ms"],
+                r["is_current"],
+            )
+            for r in df.collect()
+        ),
+        key=lambda t: (t[0], t[2], t[1] or ""),  # None-safe sort
     )
 
 
@@ -58,3 +61,19 @@ def test_scd2_two_batches_chain_history(spark):
         (F.col("valid_from_ms") <= 150) & (F.col("valid_to_ms") > 150) & (F.col("k") == 1)
     )
     assert [r["v"] for r in asof_150.collect()] == ["x"]
+
+
+def test_scd2_null_transitions_count_as_changes(spark):
+    """NULL -> value and value -> NULL must close the open row; a plain
+    != comparison would yield NULL and silently drop the close."""
+    dim = spark.createDataFrame([(1, None), (2, "b")], "k int, v string")
+    t0 = scd.scd2_init(dim, ["k"], ["v"])
+    b = spark.createDataFrame([(1, "x", 10), (2, None, 10)], "k int, v string, effective_ms long")
+    t1 = scd.scd2_apply(t0, b, ["k"], ["v"])
+    E = scd.OPEN_END_MS
+    assert _rows(t1) == [
+        (1, None, 0, 10, 0),
+        (1, "x", 10, E, 1),
+        (2, "b", 0, 10, 0),
+        (2, None, 10, E, 1),
+    ]
