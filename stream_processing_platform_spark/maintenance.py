@@ -48,3 +48,36 @@ def compact_parquet(
     out = df.coalesce(n_files) if n_input >= n_files else df.repartition(n_files)
     out.write.mode("error").parquet(dst_path)
     return spark.read.parquet(dst_path)
+
+
+def compact_parquet_zorder(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    zorder_cols: list[tuple[str, float, float]],
+    target_file_mb: int = 128,
+    bits: int = 16,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Compaction + Z-order clustering in one rewrite (the OPTIMIZE
+    ZORDER BY maintenance op): each ``(col, lo, hi)`` is normalized to
+    ``bits`` bits and bit-interleaved into a Morton key; output files are
+    range-partitioned and sorted on it, so every listed column gets
+    file- AND row-group-level min/max skipping (tests/test_layout.py
+    pins the row-group effect; test_maintenance pins the file-level
+    stats). Unlike plain compaction this pays one range shuffle — the
+    price of re-clustering, same cost class as any sorted write."""
+    from stream_processing_platform_spark.operators import layout
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    n_files = num_files or max(
+        1, math.ceil(parquet_bytes(src_path) / (target_file_mb * 1024 * 1024))
+    )
+    z = layout.zorder_value(
+        [layout.normalize_to_bits(F.col(c), lo, hi, bits) for c, lo, hi in zorder_cols],
+        bits,
+    )
+    layout.zorder_repartition(df, z, n_files).write.mode("error").parquet(dst_path)
+    return spark.read.parquet(dst_path)

@@ -27,3 +27,41 @@ def test_compact_parquet_shrink_plan_has_no_shuffle(spark, tmp_path):
     df = spark.read.parquet(src).coalesce(1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # coalesce path: compaction never shuffles down
+
+
+def test_compact_zorder_gives_file_level_stats(spark, tmp_path):
+    """Z-order compaction must produce files whose per-file min/max on
+    BOTH interleaved columns are selective: for a box predicate, most
+    output files are skippable by their footer stats alone."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from stream_processing_platform_spark.maintenance import compact_parquet_zorder
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(40_000).select(
+        ((F.xxhash64("id") % 1024 + 1024) % 1024).alias("x"),
+        ((F.xxhash64("id", F.lit(1)) % 1024 + 1024) % 1024).alias("y"),
+    ).repartition(8).write.parquet(src)
+
+    out = compact_parquet_zorder(
+        spark, src, dst, [("x", 0, 1023), ("y", 0, 1023)], bits=10, num_files=8
+    )
+    assert out.count() == 40_000
+
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(dst, "*.parquet")))
+    assert len(files) >= 4  # enough files for skipping to mean anything
+    touched = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        xmin = min(md.row_group(g).column(cols["x"]).statistics.min for g in range(md.num_row_groups))
+        xmax = max(md.row_group(g).column(cols["x"]).statistics.max for g in range(md.num_row_groups))
+        ymin = min(md.row_group(g).column(cols["y"]).statistics.min for g in range(md.num_row_groups))
+        ymax = max(md.row_group(g).column(cols["y"]).statistics.max for g in range(md.num_row_groups))
+        if xmin <= 200 and xmax >= 100 and ymin <= 400 and ymax >= 300:
+            touched += 1
+    assert touched <= len(files) // 2, (touched, len(files))
