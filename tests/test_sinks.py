@@ -38,3 +38,46 @@ def test_foreach_batch_sink_sees_each_batch_once(spark, tmp_path):
     q.stop()
     assert sorted(n for _, n in seen) == [1, 1]
     assert len({e for e, _ in seen}) == 2  # distinct epochs, no re-delivery
+
+
+def test_scd2_sink_streaming_cdc_matches_sequential_apply(spark, tmp_path):
+    """CDC stream -> maintained SCD2 dimension: two staged micro-batches
+    through scd2_sink must yield the same snapshot as applying the
+    batches sequentially with scd2_apply, and every version must stay
+    readable (time travel)."""
+    import os
+
+    from stream_processing_platform_spark.operators import scd
+    from stream_processing_platform_spark.sinks import scd2_latest_path, scd2_sink
+    from stream_processing_platform_spark.sources.streaming import file_source, stage_collection
+
+    stage = str(tmp_path / "cdc")
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k int, v string, effective_ms long"
+    # batch 0 bootstraps; batch 1 changes k=1, no-ops k=2, inserts k=3
+    stage_collection(spark, [(1, "a", 0), (2, "b", 0)], schema, stage)
+    stage_collection(spark, [(1, "x", 100), (2, "b", 100), (3, "c", 150)], schema, stage)
+
+    stream = file_source(spark, stage, spark.createDataFrame([], schema).schema,
+                         max_files_per_trigger=1)
+    q = scd2_sink(stream, dim, ["k"], ["v"], ckpt)
+    q.awaitTermination(120)
+
+    versions = sorted(d for d in os.listdir(dim) if d.startswith("v="))
+    assert len(versions) == 2  # one snapshot per micro-batch, all readable
+
+    # sequential reference: init from batch 0, apply batch 1
+    t0 = scd.scd2_init(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+                       ["k"], ["v"])
+    b1 = spark.createDataFrame([(1, "x", 100), (2, "b", 100), (3, "c", 150)], schema)
+    got = {tuple(r) for r in spark.read.parquet(scd2_latest_path(dim))
+           .select("k", "v", "valid_from_ms", "valid_to_ms", "is_current").collect()}
+    want = {tuple(r) for r in scd.scd2_apply(t0, b1, ["k"], ["v"])
+            .select("k", "v", "valid_from_ms", "valid_to_ms", "is_current").collect()}
+    assert got == want
+    # history chained: k=1 has a closed row ending at 100 and an open 'x'
+    rows = {(r.k, r.v): (r.valid_from_ms, r.valid_to_ms, r.is_current)
+            for r in spark.read.parquet(scd2_latest_path(dim)).collect()}
+    assert rows[(1, "a")] == (0, 100, 0)
+    assert rows[(1, "x")][2] == 1 and rows[(3, "c")][0] == 150
