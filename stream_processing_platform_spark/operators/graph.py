@@ -145,6 +145,8 @@ def pagerank(
     """
     ckpt = _checkpointer(vertices)
     n = vertices.count()
+    if n == 0:
+        return vertices.select(F.col(id_col), F.lit(0.0).alias("rank"))
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
     deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
     # Edge list annotated with the source's out-degree, reused every round.

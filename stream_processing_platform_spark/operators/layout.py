@@ -39,6 +39,8 @@ def normalize_to_bits(col: Column, lo: Column | int, hi: Column | int, bits: int
     hi_c = F.lit(hi).cast("double") if not isinstance(hi, Column) else hi.cast("double")
     top = F.lit((1 << bits) - 1).cast("double")
     scaled = F.floor((col.cast("double") - lo_c) * top / (hi_c - lo_c)).cast("long")
+    # degenerate range (constant column): 0/0 is NaN — pin to bucket 0
+    scaled = F.when(hi_c == lo_c, F.lit(0).cast("long")).otherwise(scaled)
     return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << bits) - 1).cast("long"), scaled))
 
 

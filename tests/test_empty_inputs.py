@@ -55,3 +55,40 @@ def test_topk_on_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     q = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
     assert brute_force_topk(empty, q, k=3).count() == 0
+
+
+def test_round6_operators_degenerate_inputs(spark):
+    """Empty / constant-column inputs through the round-6 operators:
+    no NaN keys, no division crashes, empty in -> empty out."""
+    import pyspark.sql.functions as F
+
+    from stream_processing_platform_spark.operators import layout, scd
+    from stream_processing_platform_spark.operators.graph import pagerank
+    from stream_processing_platform_spark.operators.rollup import hierarchical_rollup
+    from stream_processing_platform_spark.operators.sketches import heavy_hitters
+
+    empty_items = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty_items, "item", 100).count() == 0
+
+    # constant column: degenerate 0/0 normalize must pin to bucket 0
+    const = spark.range(4).select(F.lit(7).alias("x"))
+    z = layout.zorder_value([layout.normalize_to_bits(F.col("x"), 7, 7, 8)], 8)
+    assert [r[0] for r in const.select(z).collect()] == [0, 0, 0, 0]
+
+    # empty graph
+    ev = spark.createDataFrame([], "id long")
+    ee = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(ev, ee).count() == 0
+
+    # empty rollup pyramid
+    e = spark.createDataFrame([], "ts_ms long, g string, v long")
+    levels = hierarchical_rollup(e, "ts_ms", ["g"], "v", [1000, 2000])
+    assert levels[1].count() == 0
+
+    # SCD2 with an empty update batch is a no-op snapshot
+    dim = spark.createDataFrame([(1, "a")], "k int, v string")
+    t0 = scd.scd2_init(dim, ["k"], ["v"])
+    b = spark.createDataFrame([], "k int, v string, effective_ms long")
+    assert sorted(map(tuple, scd.scd2_apply(t0, b, ["k"], ["v"]).collect())) == sorted(
+        map(tuple, t0.collect())
+    )
