@@ -738,3 +738,40 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(joined, mode="append")
     return out.where(F.col("user_id") != FLUSH_USER)
+
+
+@query(
+    "q_stream_window_collect",
+    oracle=f"""
+    SELECT CAST(floor(epoch_ms(ts) / {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS window_start,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_elems,
+           array_to_string(list_sort(list(event_id)), ',') AS elem_ids
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="LIVE streaming run of WindowOperator WITHOUT a reduce "
+    "function (stateful.py:226-231 — emit the window's raw elements): "
+    "1 h tumbling window buffering event_ids via collect_list, sorted "
+    "for determinism and CSV-serialized (the driver compare sorts only "
+    "scalar columns). Completes the no-reduce row with a live form; the "
+    "batch twin is q_window_collect.",
+)
+def q_stream_window_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    windowed = W.tumbling_agg(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "1 hour",
+        ["user_id"],
+        [
+            F.count("*").alias("n_elems"),
+            F.concat_ws(",", F.array_sort(F.collect_list("event_id"))).alias("elem_ids"),
+        ],
+    )
+    out = _run_to_table(windowed)
+    return out.select(
+        epoch_ms(F.col("window_start")).alias("window_start"),
+        "user_id",
+        "n_elems",
+        "elem_ids",
+    )

@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "q_scd2_customers",
     "q_pagerank_near_dups",
     "q_html_extract",
+    "q_stream_window_collect",
     "q_stream_state_v2",
     "q_stream_state_v2_map",
     "q_stream_state_v2_list",
