@@ -218,9 +218,13 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
     """Baseline JFIF bytes for an (H, W) grayscale or (H, W, 3) RGB
-    uint8 array. 4:4:4 — every MCU is one 8×8 block per component."""
+    uint8 array. 4:4:4 — every MCU is one 8×8 block per component.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every N MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature real-world encoders use, here mainly to
+    exercise the decoder's restart path in tests."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -263,7 +267,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     bw = _BitWriter()
     n_blocks = quantized[0].shape[0]
     pred = [0] * len(planes)
+    rst = 0
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.flush()  # byte-align (pad bits are 1s; a 0xFF pad is stuffed)
+            bw.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            pred = [0] * len(planes)
         for ci in range(len(planes)):
             ti = 0 if ci == 0 else 1
             zz = quantized[ci][bi].reshape(64)[ZIGZAG]
@@ -315,6 +325,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     for tc, bits, vals in huffs:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])  # dc/ac table ids
@@ -408,10 +420,19 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         for bx in range(mw):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.byte_align()
-                # skip the RST marker bytes
-                while br.pos < len(br.data) and br.data[br.pos] == 0xFF and 0xD0 <= br.data[br.pos + 1] <= 0xD7:
+                # skip stuffed pad bytes (0xFF00) then the RST marker
+                while (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and br.data[br.pos + 1] == 0x00
+                ):
                     br.pos += 2
-                    break
+                if (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
                 pred = {cid: 0 for cid in pred}
             for ci, (cid, tdc, tac) in enumerate(scan):
                 zz = np.zeros(64, dtype=np.int64)

@@ -111,3 +111,17 @@ def test_unsupported_jpeg_variants_gate_cleanly():
         decode_jpeg(bytes(b))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_restart_markers_roundtrip_identical():
+    """DRI + RSTn every 2 MCUs: byte-aligned markers, DC predictors
+    reset on both sides — decode must be IDENTICAL to the non-restart
+    encoding of the same image (restart changes framing, not values)."""
+    yy, xx = np.mgrid[0:33, 0:25]
+    img = np.stack([(yy * 7) % 256, (xx * 11) % 256, ((yy + xx) * 5) % 256], -1).astype(
+        np.uint8
+    )
+    b = encode_jpeg(img, 90, restart_interval=2)
+    assert b"\xff\xdd" in b  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))  # RSTn emitted
+    assert np.array_equal(decode_jpeg(b), decode_jpeg(encode_jpeg(img, 90)))
