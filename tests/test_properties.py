@@ -169,3 +169,81 @@ def test_bpe_decode_slice_properties(text, data):
     right = bpe.decode_slice(ids[i:], vocab)
     assert left in text and right in text
     assert len(left) + len(right) >= len(text) - 1
+
+
+# ------------------------------------------------------- round-6 operators
+
+
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    phi_denom=st.sampled_from([5, 10, 20]),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_equals_exact_filter(spark, items, phi_denom):
+    """For ANY stream and threshold, sketch-then-verify output == the
+    exact groupBy-count filtered at the same strict threshold."""
+    from collections import Counter
+
+    from stream_processing_platform_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(f"i{x}",) for x in items], "item string").repartition(4)
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "item", phi_denom).collect()}
+    n = len(items)
+    want = {
+        (f"i{x}", c) for x, c in Counter(items).items() if c * phi_denom > n
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10**9), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**SETTINGS)
+def test_rollup_pyramid_equals_direct_at_every_level(spark, vals):
+    """sum-of-sums == direct sum, min/max fold, counts add — for ANY
+    input at EVERY level of the pyramid."""
+    import pyspark.sql.functions as F
+
+    from stream_processing_platform_spark.operators.rollup import bucket_ms, hierarchical_rollup
+
+    df = spark.createDataFrame(
+        [(g, t, v) for g, t, v in vals], "g int, ts_ms long, v long"
+    )
+    levels_ms = [1000, 4000, 16000]
+    levels = hierarchical_rollup(df, "ts_ms", ["g"], "v", levels_ms)
+    for size, lvl in zip(levels_ms, levels):
+        direct = df.groupBy("g", bucket_ms(F.col("ts_ms"), size).alias("bucket")).agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        assert lvl.exceptAll(direct).count() == 0 and direct.exceptAll(lvl).count() == 0
+
+
+@given(
+    img_seed=st.integers(0, 2**31 - 1),
+    h=st.integers(4, 24),
+    w=st.integers(4, 24),
+    quality=st.sampled_from([70, 85, 95]),
+)
+@settings(max_examples=6, deadline=None)
+def test_jpeg_roundtrip_arbitrary_blocky_images(img_seed, h, w, quality):
+    """Random blocky (low-frequency) images of arbitrary odd sizes
+    round-trip with bounded error at any quality; output shape always
+    matches input."""
+    import numpy as np
+
+    from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(img_seed)
+    base = rng.integers(0, 255, ((h + 7) // 8 + 1, (w + 7) // 8 + 1, 3))
+    img = np.kron(base, np.ones((8, 8, 1)))[:h, :w].astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality))
+    assert dec.shape == img.shape
+    mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+    assert mse < 400  # blocky images are DC-dominated: stays close at q>=70
