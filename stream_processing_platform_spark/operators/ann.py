@@ -68,34 +68,27 @@ def ivf_topk(
     k: int = 5,
     num_cells: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells.
 
-    Centroids are a deterministic hash sample of the corpus: the
+    Default centroids are a deterministic hash sample of the corpus: the
     ``num_cells`` rows with the smallest ``xxhash64(id)`` — id-agnostic
     (works on sparse, non-contiguous, or non-integer ids), no driver-side
     action (the sample is a distributed top-k, not a ``count()``), and
-    stable across runs. At production scale you'd k-means the centroids,
-    but the partition/probe plumbing (the part that matters for Spark
-    scale) is identical. Each corpus vector lands in one cell (broadcast
-    join vs centroids); each query probes its ``nprobe`` nearest cells
-    and ranks only those cells' members. Shuffle is bounded by cell id,
-    never all-pairs.
+    stable across runs. ``train_iters > 0`` refines that same starting
+    set with Lloyd's k-means iterations (``operators/clustering.py`` —
+    one Arrow-vectorized scan + one k-group aggregate per iteration);
+    the partition/probe plumbing is identical either way. Each corpus
+    vector lands in one cell (broadcast join vs centroids); each query
+    probes its ``nprobe`` nearest cells and ranks only those cells'
+    members. Shuffle is bounded by cell id, never all-pairs.
 
     Output: query_id, neighbor_id, cos, rank (approximate; recall
     measured against brute_force_topk in tests).
     """
     c = _prep(corpus, id_col, vec_col, "cid", "_cv")
-    # num_cells rows is tiny — the single-partition window after limit()
-    # touches only those rows, not the corpus.
-    cell_w = Window.orderBy("_h", "cid")
-    centroids = (
-        c.withColumn("_h", F.xxhash64(F.col("cid"), F.lit(0xC3)))
-        .orderBy("_h", "cid")
-        .limit(num_cells)
-        .withColumn("cell", (F.row_number().over(cell_w) - 1).cast("int"))
-        .select("cell", F.col("_cv").alias("_centroid"))
-    )
+    centroids = _ivf_centroids(c, num_cells, train_iters)
 
     # Assign every corpus vector to its nearest centroid (broadcast
     # join). argmax as min(struct(-sim, cell)) — (sim desc, cell asc)
@@ -140,6 +133,28 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _ivf_centroids(c: DataFrame, num_cells: int, train_iters: int) -> DataFrame:
+    """Shared IVF centroid builder over the prepped corpus (``cid``,
+    ``_cv``). ``train_iters == 0``: the deterministic hash sample
+    (num_cells rows is tiny — the single-partition window after limit()
+    touches only those rows, not the corpus). ``train_iters > 0``:
+    k-means-refined from that exact starting set (same salt)."""
+    if train_iters > 0:
+        from stream_processing_platform_spark.operators.clustering import trained_centroids
+
+        return trained_centroids(
+            c, id_col="cid", vec_col="_cv", num_cells=num_cells, train_iters=train_iters
+        )
+    cell_w = Window.orderBy("_h", "cid")
+    return (
+        c.withColumn("_h", F.xxhash64(F.col("cid"), F.lit(0xC3)))
+        .orderBy("_h", "cid")
+        .limit(num_cells)
+        .withColumn("cell", (F.row_number().over(cell_w) - 1).cast("int"))
+        .select("cell", F.col("_cv").alias("_centroid"))
     )
 
 
@@ -336,6 +351,7 @@ def ivfpq_topk(
     num_subspaces: int = 16,
     num_codes: int = 64,
     refine: int = 16,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ: the combined index — IVF cells bound WHICH candidates are
     scored (``nprobe/num_cells`` of the corpus), PQ codes bound WHAT
@@ -357,14 +373,7 @@ def ivfpq_topk(
     c = _prep(corpus, id_col, vec_col, "cid", "_cv")
 
     # --- IVF side: centroids, cell assignment, query probes ----------
-    cell_w = Window.orderBy("_h", "cid")
-    centroids = (
-        c.withColumn("_h", F.xxhash64(F.col("cid"), F.lit(0xC3)))
-        .orderBy("_h", "cid")
-        .limit(num_cells)
-        .withColumn("cell", (F.row_number().over(cell_w) - 1).cast("int"))
-        .select("cell", F.col("_cv").alias("_centroid"))
-    )
+    centroids = _ivf_centroids(c, num_cells, train_iters)
     assigned = (
         c.crossJoin(F.broadcast(centroids))
         .withColumn("_sim", cosine(F.col("_cv"), F.col("_centroid")))

@@ -1,0 +1,211 @@
+"""Distributed k-means clustering over embedding columns.
+
+Closes the honest local-vs-cluster delta documented in ``operators/
+ann.py``: the IVF/PQ tiers ship with deterministic hash-sample
+centroids; this module adds real Lloyd's iterations so the centroids
+can be *trained*, with every per-iteration pass shaped for 100 TB:
+
+- **Assignment** is one corpus scan through an Arrow-vectorized
+  ``pandas_udf`` — the centroid matrix rides in the UDF closure (k×dim
+  doubles, broadcast with the task binary), and each Arrow batch is a
+  single ``X @ C.T`` matmul + argmin. No join, no shuffle, no per-row
+  Python (CLAUDE.md: numpy-vectorized Arrow UDFs beat interpreted HOF
+  lambdas 3-10× on per-element array math).
+- **Update** is one ``groupBy(cluster)`` over k groups with per-dimension
+  sums (``sum(element_at(vec, j))`` — JVM-side, map-side combine), so
+  the only shuffle per iteration moves ``k × (dim + 2)`` doubles per
+  task, independent of corpus size.
+- **Model state** lives on the driver between iterations: k×dim floats,
+  the same bounded-driver-state design as Spark MLlib's KMeans (and the
+  only way to avoid per-iteration lineage growth). Nothing
+  corpus-sized ever reaches the driver.
+
+The expression-form assignment (``assign_expr``) mirrors the numpy path
+with pure JVM/duckdb-shared primitives (sequential-fold dot products,
+argmin via ``min(struct(dist, id))``) so the assignment semantics get a
+full DuckDB hash-MATCH (`q_kmeans_assign`); a pytest pins the fast
+numpy path to the expression path row-for-row.
+
+Reference has no clustering at all — this is part of the LLM-pipeline
+extension surface (SURVEY.md §7.6), and the training hook feeds
+``operators/ann.py`` IVF/IVF-PQ centroids.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from stream_processing_platform_spark.functions.similarity import as_double_array, dot
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment. Returns
+    struct<cluster:int, sqdist:double> per input vector.
+
+    ||x - c||² = ||x||² - 2·x·c + ||c||² computed as one batch matmul;
+    argmin ties break to the lowest cluster index (np.argmin takes the
+    first minimum — deterministic).
+    """
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("struct<cluster: int, sqdist: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "sqdist": pd.Series([], dtype="float64")})
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        d = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T) + c_sq[None, :]
+        np.maximum(d, 0.0, out=d)  # clamp FP negatives at exact duplicates
+        idx = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype("int32"), "sqdist": d[np.arange(len(idx)), idx]}
+        )
+
+    return assign
+
+
+@dataclass(frozen=True)
+class KMeansModel:
+    centroids: list[list[float]]  # k × dim, driver-side (bounded: k·dim doubles)
+    inertia: list[float]  # sum of squared distances per iteration (non-increasing)
+    iterations: int  # Lloyd's iterations actually run
+
+
+def _init_centroids(df: DataFrame, vec_col: str, id_col: str, k: int, salt: int) -> np.ndarray:
+    """Deterministic hash-sample init (same scheme as the IVF tiers): the
+    k rows with the smallest ``xxhash64(id, salt)`` — id-agnostic, a
+    distributed top-k (never a full collect), stable across runs."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_id"), F.lit(salt)))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds the number of input vectors ({len(rows)})")
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    salt: int = 0x4B4D,
+) -> KMeansModel:
+    """Lloyd's k-means. Per iteration: one corpus scan (Arrow-batched
+    assignment) + one k-group aggregate; the k×dim centroid matrix is
+    the only driver-side state. Empty clusters keep their previous
+    centroid (no re-seeding — deterministic). Stops when every centroid
+    moves < ``tol`` (L2) or after ``max_iter`` iterations."""
+    vecs = df.select(as_double_array(F.col(vec_col)).alias("_v"))
+    C = _init_centroids(df, vec_col, id_col, k, salt)
+    dim = C.shape[1]
+    history: list[float] = []
+    iters = 0
+    for _ in range(max_iter):
+        assigned = vecs.withColumn("_a", _assign_udf(C)(F.col("_v")))
+        stats = (
+            assigned.groupBy(F.col("_a.cluster").alias("cluster"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("_a.sqdist").alias("sse"),
+                *[F.sum(F.element_at("_v", j + 1)).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()  # k rows × (dim+2) doubles — bounded, corpus-independent
+        )
+        iters += 1
+        history.append(float(sum(r["sse"] for r in stats)))
+        new_C = C.copy()  # empty clusters keep their previous centroid
+        for r in stats:
+            new_C[r["cluster"]] = [r[f"s{j}"] / r["n"] for j in range(dim)]
+        shift = float(np.sqrt(((new_C - C) ** 2).sum(axis=1)).max())
+        C = new_C
+        if shift < tol:
+            break
+    return KMeansModel(centroids=C.tolist(), inertia=history, iterations=iters)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: KMeansModel | list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest model centroid — one scan, no
+    shuffle. Output: id_col, cluster (int), sqdist (double)."""
+    C = np.asarray(model.centroids if isinstance(model, KMeansModel) else model)
+    a = _assign_udf(C)(as_double_array(F.col(vec_col)))
+    return df.select(F.col(id_col), a["cluster"].alias("cluster"), a["sqdist"].alias("sqdist"))
+
+
+def _sqdist_expr(a: Column, b: Column) -> Column:
+    """||a-b||² via the three sequential-fold dot products (dot(a,a) -
+    2·dot(a,b) + dot(b,b)) — bit-identical to duckdb's
+    ``list_inner_product`` composition, unlike a fused zip_with fold
+    whose summation order differs."""
+    return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+
+def assign_expr(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """Oracle-checkable assignment: nearest centroid by squared L2
+    rounded to 6 decimals (so both engines agree bit-for-bit), argmin as
+    ``min(struct(dist, cid))`` — map-side combining, deterministic
+    low-id tie-break. Centroids broadcast; the corpus never shuffles
+    wider than one row per input vector. Output: id_col, cluster
+    (centroid id), sqdist (rounded)."""
+    pts = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    cents = centroids.select(
+        F.col(centroid_id).alias("_cid"), as_double_array(F.col(centroid_vec)).alias("_cv")
+    )
+    d = F.round(_sqdist_expr(F.col("_v"), F.col("_cv")), 6)
+    best = F.min(F.struct(d.alias("d"), F.col("_cid").alias("cid")))
+    return (
+        pts.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(best.alias("_b"))
+        .select(F.col(id_col), F.col("_b.cid").alias("cluster"), F.col("_b.d").alias("sqdist"))
+    )
+
+
+def trained_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    train_iters: int = 5,
+    salt: int = 0xC3,
+) -> DataFrame:
+    """k-means-refined centroid set in the shape ``operators/ann.py``
+    consumes (``cell``, ``_centroid``) — same hash-sample INIT (salt
+    included) as the untrained tiers, so iteration 0 starts from
+    exactly the untrained tiers' centroid set and each Lloyd's pass
+    strictly refines it."""
+    spark = corpus.sparkSession
+    if train_iters <= 0:
+        raise ValueError("train_iters must be >= 1; use the in-line hash sample otherwise")
+    model = kmeans_fit(
+        corpus, id_col=id_col, vec_col=vec_col, k=num_cells, max_iter=train_iters, salt=salt
+    )
+    rows = [(i, c) for i, c in enumerate(model.centroids)]
+    return F.broadcast(
+        spark.createDataFrame(rows, "cell int, _centroid array<double>")
+    )

@@ -410,3 +410,87 @@ def q_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     ranked = pagerank(aug.select("vec_id"), edges, id_col="vec_id", num_iter=3)
     return ranked.select("vec_id", F.round(F.col("rank") * 1e6, 4).alias("rank_ppm"))
+
+
+@query(
+    "q_kmeans_assign",
+    oracle=f"""
+    WITH e AS ({_SQL_VECS}),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 3),
+         d AS (
+           SELECT e.vec_id, c.cid,
+                  round(list_inner_product(e.v, e.v)
+                        - 2.0 * list_inner_product(e.v, c.cv)
+                        + list_inner_product(c.cv, c.cv), 6) AS d
+           FROM e CROSS JOIN c
+         ),
+         ranked AS (
+           SELECT vec_id, cid, d,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, cid ASC) AS rn
+           FROM d
+         )
+    SELECT vec_id, cid AS cluster, d AS sqdist FROM ranked WHERE rn = 1
+    """,
+    description="Nearest-centroid assignment (the inner step of every "
+    "Lloyd's k-means iteration, operators/clustering.py:assign_expr) "
+    "over a fixed deterministic centroid pick (vec_id % 61 == 3) both "
+    "engines generate identically: squared L2 as the three sequential-"
+    "fold dot products (bit-identical to duckdb list_inner_product), "
+    "argmin as min(struct(dist, cid)) — map-side combining, low-id "
+    "tie-break. The trained path's Arrow/numpy assignment is pinned "
+    "row-for-row to this expression form in tests/test_clustering.py.",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where((F.col("vec_id") % 61) == 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return clustering.assign_expr(e, cents)
+
+
+@query(
+    "q_kmeans_embeddings",
+    oracle=None,  # iterative float training — objective monotonicity,
+    # numpy-vs-expression assignment parity, and determinism are pinned
+    # in tests/test_clustering.py
+    description="Trained k-means cluster profile (k=8, 5 Lloyd's "
+    "iterations): per-cluster population of the embeddings corpus "
+    "after training. Per iteration: one Arrow-vectorized corpus scan "
+    "(X @ C.T batch matmul in the pandas_udf — no join, no shuffle) + "
+    "one k-group JVM aggregate whose shuffle moves k*(dim+2) doubles "
+    "per task; driver state is the k*dim centroid matrix (the MLlib "
+    "KMeans design).",
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = clustering.kmeans_fit(e, k=8, max_iter=5)
+    return (
+        clustering.kmeans_assign(e, model)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .select("cluster", "n")
+    )
+
+
+@query(
+    "q_ann_ivf_trained",
+    oracle=None,  # approximate by construction — recall vs brute force
+    # (and vs the untrained hash-sample tier) in tests/test_clustering.py
+    description="IVF approximate nearest neighbors with k-means-TRAINED "
+    "centroids (16 cells, probe 4, 3 Lloyd's iterations refining the "
+    "same hash-sample init the untrained tier uses): closes the "
+    "documented hash-sample-vs-k-means delta — balanced cells mean "
+    "fewer probe misses at the same nprobe. Identical partition/probe "
+    "plumbing and plan shape as q_ann_ivf.",
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ann.ivf_topk(
+        e, e.where(F.col("vec_id") < 20), k=5, num_cells=16, nprobe=4, train_iters=3
+    )
+    return res.withColumn("rank", F.col("rank").cast("int"))

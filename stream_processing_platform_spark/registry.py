@@ -85,6 +85,9 @@ _loaded = False
 # freshest official rows, lowest re-verification priority.
 _PRIORITY: list[str] = [
     # -- (a) new in r6 / oracle edited in r6
+    "q_kmeans_assign",
+    "q_kmeans_embeddings",
+    "q_ann_ivf_trained",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",

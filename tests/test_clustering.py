@@ -1,0 +1,130 @@
+"""Distributed k-means (operators/clustering.py): Lloyd's objective
+monotonicity, numpy-vs-expression assignment parity (the oracle-checked
+twin pattern), determinism, empty-cluster handling, and the trained-IVF
+recall hookup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators.ann import brute_force_topk, ivf_topk
+from stream_processing_platform_spark.operators.clustering import (
+    KMeansModel,
+    assign_expr,
+    kmeans_assign,
+    kmeans_fit,
+    trained_centroids,
+)
+from stream_processing_platform_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_inertia_monotone_nonincreasing(spark, emb):
+    m = kmeans_fit(emb, k=6, max_iter=6)
+    assert len(m.inertia) == m.iterations
+    for a, b in zip(m.inertia, m.inertia[1:]):
+        # Lloyd's: both the assignment step and the update step can only
+        # lower (or keep) the SSE objective.
+        assert b <= a + 1e-9, f"inertia increased: {m.inertia}"
+    # training must actually do something on random-ish vectors
+    assert m.inertia[-1] < m.inertia[0]
+
+
+def test_fit_is_deterministic(spark, emb):
+    m1 = kmeans_fit(emb, k=4, max_iter=3)
+    m2 = kmeans_fit(emb, k=4, max_iter=3)
+    assert m1.inertia == m2.inertia
+    # centroid sums per cluster may differ in the last float bits across
+    # partition orders; assignment-level equality is the meaningful check
+    a1 = sorted(kmeans_assign(emb, m1).select("vec_id", "cluster").collect())
+    a2 = sorted(kmeans_assign(emb, m2).select("vec_id", "cluster").collect())
+    assert a1 == a2
+
+
+def test_assignment_matches_numpy_brute_force(spark, emb):
+    """Every point's final cluster is the true argmin over the model
+    centroids (first-min tie-break), verified against plain numpy."""
+    m = kmeans_fit(emb, k=5, max_iter=4)
+    C = np.asarray(m.centroids)
+    got = {r.vec_id: r.cluster for r in kmeans_assign(emb, m).collect()}
+    for r in emb.select("vec_id", "embedding").collect():
+        x = np.asarray(r.embedding, dtype=np.float64)
+        want = int(((x[None, :] - C) ** 2).sum(axis=1).argmin())
+        assert got[r.vec_id] == want
+
+
+def test_numpy_assignment_matches_expression_form(spark, emb):
+    """The Arrow/numpy fast path and the oracle-checked expression form
+    (q_kmeans_assign) agree row-for-row on the same fixed centroids —
+    the same twin-pinning pattern as winnow_fingerprints_expr."""
+    cents = emb.where((F.col("vec_id") % 61) == 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    crows = cents.collect()
+    cid_by_idx = [r.cid for r in sorted(crows, key=lambda r: r.cid)]
+    C = [list(r.cvec) for r in sorted(crows, key=lambda r: r.cid)]
+    fast = {
+        r.vec_id: cid_by_idx[r.cluster]
+        for r in kmeans_assign(emb, C).collect()
+    }
+    expr = {r.vec_id: r.cluster for r in assign_expr(emb, cents).collect()}
+    assert fast == expr
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """k > distinct points: the surplus centroids get no members and must
+    survive the update step unchanged (no NaNs, no crash)."""
+    rows = [(i, [float(i % 2), 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    m = kmeans_fit(df, k=4, max_iter=3)
+    C = np.asarray(m.centroids)
+    assert not np.isnan(C).any()
+    # the two real point-locations are (0,0) and (1,0); at least one
+    # centroid converges onto each
+    occupied = {r.cluster for r in kmeans_assign(df, m).collect()}
+    assert len(occupied) >= 1 and len(occupied) <= 4
+
+
+def test_k_exceeding_corpus_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_fit(df, k=5, max_iter=1)
+
+
+def test_trained_centroids_start_from_hash_sample_init(spark, emb):
+    """trained_centroids shares the untrained tiers' init (same salt):
+    shape contract (cell ids 0..n-1, double arrays) and broadcast hint."""
+    cents = trained_centroids(emb, num_cells=8, train_iters=2)
+    rows = cents.collect()
+    assert sorted(r.cell for r in rows) == list(range(8))
+    assert all(len(r._centroid) == 64 for r in rows)
+    plan = cents._jdf.queryExecution().logical().toString()
+    assert "broadcast" in plan.lower()
+
+
+def test_trained_ivf_recall_not_worse(spark, emb):
+    """k-means-trained cells must hold the untrained tier's recall floor
+    and typically beat it (balanced cells -> fewer probe misses)."""
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    untrained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, num_cells=16, nprobe=4).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, num_cells=16, nprobe=4, train_iters=3).collect()
+    }
+    r_untrained = len(exact & untrained) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    assert r_trained >= 0.5, f"trained IVF recall {r_trained:.2f} below floor"
+    # allow small jitter but catch a training-made-it-worse regression
+    assert r_trained >= r_untrained - 0.1, (r_trained, r_untrained)
