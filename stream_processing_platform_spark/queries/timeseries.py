@@ -1,0 +1,149 @@
+"""Time-series queries over the `events` table — OHLC resampling and
+gap-filled interpolation (operators/timeseries.py). The reference engine
+has windows but no time-series surface; these are the hypertable-style
+operations a metrics/tick pipeline runs, each with a full DuckDB oracle
+(exact-integer cents arithmetic end to end — CLAUDE.md float rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stream_processing_platform_spark.operators import timeseries
+from stream_processing_platform_spark.registry import query
+from stream_processing_platform_spark.tables import load_table
+
+_HOUR_MS = 3_600_000
+_SIX_H_MS = 21_600_000
+
+
+@query(
+    "q_ohlc_bars",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             epoch_ms(ts) // {_HOUR_MS} * {_HOUR_MS} AS bucket_ms,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             {{'t': epoch_ms(ts), 's': event_id,
+               'v': CAST(round(value * 100) AS BIGINT)}} AS pt
+      FROM events
+    )
+    SELECT event_type, bucket_ms,
+           (min(pt)).v AS open_c,
+           max(c) AS high_c,
+           min(c) AS low_c,
+           (max(pt)).v AS close_c,
+           CAST(sum(c) AS BIGINT) AS sum_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p
+    GROUP BY event_type, bucket_ms
+    """,
+    description="OHLC downsampling: per (event_type, hour) bar with "
+    "open/close as argmin/argmax over (ts, event_id) — min(struct)/"
+    "max(struct), map-side combining, deterministic tie-break — plus "
+    "high/low/volume. Integer cents end to end; one shuffle keyed on "
+    "(series, bucket). The candlestick/metrics-rollup primitive.",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.ohlc_bars(
+        e, ts_col="ts", value_col="value", key_cols=["event_type"],
+        every_ms=_HOUR_MS, seq_col="event_id",
+    )
+
+
+_OBS_SQL = f"""
+      SELECT user_id,
+             epoch_ms(ts) // {_SIX_H_MS} * {_SIX_H_MS} AS bucket_ms,
+             CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+                  AS BIGINT) AS obs
+      FROM events
+      GROUP BY user_id, bucket_ms
+"""
+
+_GRID_SQL = f"""
+      SELECT user_id, unnest(range(mn, mx + 1, {_SIX_H_MS})) AS bucket_ms
+      FROM (SELECT user_id, min(bucket_ms) AS mn, max(bucket_ms) AS mx
+            FROM obs GROUP BY user_id)
+"""
+
+
+@query(
+    "q_gap_fill_locf",
+    oracle=f"""
+    WITH obs AS ({_OBS_SQL}),
+         grid AS ({_GRID_SQL}),
+         j AS (
+           SELECT g.user_id, g.bucket_ms, o.obs
+           FROM grid g LEFT JOIN obs o
+             ON o.user_id = g.user_id AND o.bucket_ms = g.bucket_ms
+         )
+    SELECT user_id, bucket_ms,
+           last_value(obs IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bucket_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+           CAST(CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS observed
+    FROM j
+    """,
+    description="Gap-filled per-user series, LOCF fill: densify each "
+    "user's 6-hour buckets onto a regular grid between their first and "
+    "last observation (sequence+explode where the key lives — no global "
+    "calendar), then last-observation-carried-forward via an IGNORE "
+    "NULLS window. Grid endpoints are observed, so the fill is never "
+    "null. One shuffle on the series key.",
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.gap_fill(
+        e, ts_col="ts", value_col="value", key_col="user_id",
+        every_ms=_SIX_H_MS, method="locf",
+    )
+
+
+@query(
+    "q_gap_fill_linear",
+    oracle=f"""
+    WITH obs AS ({_OBS_SQL}),
+         grid AS ({_GRID_SQL}),
+         j AS (
+           SELECT g.user_id, g.bucket_ms, o.obs
+           FROM grid g LEFT JOIN obs o
+             ON o.user_id = g.user_id AND o.bucket_ms = g.bucket_ms
+         ),
+         n AS (
+           SELECT user_id, bucket_ms, obs,
+                  last_value(obs IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY bucket_ms
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN obs IS NOT NULL THEN bucket_ms END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY bucket_ms
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                  first_value(obs IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY bucket_ms
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN obs IS NOT NULL THEN bucket_ms END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY bucket_ms
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+           FROM j
+         )
+    SELECT user_id, bucket_ms,
+           CAST(CASE WHEN obs IS NOT NULL THEN obs
+                ELSE floor(pv + (nv - pv) * (bucket_ms - pb) / (nb - pb) + 0.5)
+                END AS BIGINT) AS cents,
+           CAST(CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS observed
+    FROM n
+    """,
+    description="Gap-filled per-user series, LINEAR fill: empty buckets "
+    "interpolate between the neighbouring observations ((nv-pv) scaled "
+    "by the time fraction), computed on integer cents with the quotient "
+    "rounded via floor(x+0.5) — pure IEEE ops, bit-identical cross-"
+    "engine (the CLAUDE.md half-boundary rule). Same grid/window shape "
+    "as LOCF; prev/next always exist because grid endpoints are "
+    "observed.",
+)
+def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.gap_fill(
+        e, ts_col="ts", value_col="value", key_col="user_id",
+        every_ms=_SIX_H_MS, method="linear",
+    )

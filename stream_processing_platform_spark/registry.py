@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     "q_kmeans_assign",
     "q_kmeans_embeddings",
     "q_ann_ivf_trained",
+    "q_ohlc_bars",
+    "q_gap_fill_locf",
+    "q_gap_fill_linear",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
@@ -187,6 +190,7 @@ def _ensure_loaded() -> None:
         streaming_batch,
         streaming_live,
         text,
+        timeseries,
     )
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,104 @@
+"""operators/timeseries.py edge cases the sf oracles can't isolate:
+single-observation keys, fully dense series, tie-breaking in OHLC, and
+linear-vs-locf agreement on observed rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from stream_processing_platform_spark.operators.timeseries import gap_fill, ohlc_bars
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    """rows: (event_id, minutes_after_t0, user_id, value)"""
+    data = [
+        (eid, _T0 + dt.timedelta(minutes=m), uid, "x", v, "{}")
+        for eid, m, uid, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+
+MIN_MS = 60_000
+
+
+def test_ohlc_open_close_tie_break_on_seq(spark):
+    # two points with the SAME timestamp: seq (event_id) must decide
+    df = _events(spark, [(1, 0, 1, 5.0), (2, 0, 1, 9.0), (3, 1, 1, 7.0)])
+    [bar] = ohlc_bars(
+        df, "ts", "value", ["user_id"], every_ms=5 * MIN_MS, seq_col="event_id"
+    ).collect()
+    assert bar.open_c == 500  # event_id 1 wins the ts tie
+    assert bar.close_c == 700
+    assert bar.high_c == 900 and bar.low_c == 500
+    assert bar.n == 3 and bar.sum_c == 2100
+
+
+def test_gap_fill_single_observation_key(spark):
+    # one observation -> grid is exactly one bucket, no nulls, no divide-by-zero
+    df = _events(spark, [(1, 0, 7, 3.25)])
+    for method in ("locf", "linear"):
+        [row] = gap_fill(df, "ts", "value", "user_id", MIN_MS, method).collect()
+        assert (row.user_id, row.cents, row.observed) == (7, 325, 1)
+
+
+def test_gap_fill_locf_carries_forward(spark):
+    df = _events(spark, [(1, 0, 1, 10.0), (2, 3, 1, 40.0)])
+    rows = sorted(
+        gap_fill(df, "ts", "value", "user_id", MIN_MS, "locf").collect(),
+        key=lambda r: r.bucket_ms,
+    )
+    assert [r.cents for r in rows] == [1000, 1000, 1000, 4000]
+    assert [r.observed for r in rows] == [1, 0, 0, 1]
+
+
+def test_gap_fill_linear_interpolates_half_up(spark):
+    # 10.00 -> 40.01 over 3 buckets: exact thirds round half-up per cent
+    df = _events(spark, [(1, 0, 1, 10.00), (2, 3, 1, 40.01)])
+    rows = sorted(
+        gap_fill(df, "ts", "value", "user_id", MIN_MS, "linear").collect(),
+        key=lambda r: r.bucket_ms,
+    )
+    # slope = 3001 cents / 3 buckets = 1000.333..; floor(x + .5) per bucket
+    assert [r.cents for r in rows] == [1000, 2000, 3001, 4001]
+
+
+def test_gap_fill_dense_series_untouched(spark):
+    # observations in every bucket: both methods return the observed means
+    df = _events(spark, [(i, i, 1, float(i + 1)) for i in range(4)])
+    for method in ("locf", "linear"):
+        rows = sorted(
+            gap_fill(df, "ts", "value", "user_id", MIN_MS, method).collect(),
+            key=lambda r: r.bucket_ms,
+        )
+        assert [r.cents for r in rows] == [100, 200, 300, 400]
+        assert all(r.observed == 1 for r in rows)
+
+
+def test_gap_fill_multi_key_independent_grids(spark):
+    # keys with different spans build disjoint grids (no global calendar)
+    df = _events(spark, [(1, 0, 1, 1.0), (2, 2, 1, 3.0), (3, 10, 2, 5.0)])
+    rows = gap_fill(df, "ts", "value", "user_id", MIN_MS, "locf").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    assert len(by_key[1]) == 3 and len(by_key[2]) == 1
+
+
+def test_gap_fill_unknown_method_raises(spark):
+    df = _events(spark, [(1, 0, 1, 1.0)])
+    with pytest.raises(ValueError, match="unknown fill method"):
+        gap_fill(df, "ts", "value", "user_id", MIN_MS, "spline")
+
+
+def test_ohlc_bucket_mean_aggregation_in_gap_fill(spark):
+    # two observations in one bucket average (half-up) before filling
+    df = _events(spark, [(1, 0, 1, 1.00), (2, 0, 1, 2.01)])
+    [row] = gap_fill(df, "ts", "value", "user_id", MIN_MS, "locf").collect()
+    assert row.cents == 151  # (100 + 201) / 2 = 150.5 -> 151
