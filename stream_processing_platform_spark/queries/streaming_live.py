@@ -741,6 +741,64 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_semi",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+          AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 1800000
+      )
+    """,
+    description="LIVE stream-stream LEFT SEMI interval join — the "
+    "existence-check member of the join matrix (batch twin q_join_semi): "
+    "each click emits AT MOST ONCE, when its first purchase in "
+    "[0, 30 min] arrives; clicks with no purchase are dropped at the "
+    "watermark without ever emitting. No output duplication however "
+    "many purchases match — the buffer marks the click matched instead "
+    "of re-emitting, which is the dedup-free attribution shape "
+    "(EXISTS, not JOIN-then-DISTINCT). Same watermark + range-condition "
+    "state pruning as the inner variant.",
+)
+def q_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.joins import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        "c",
+        "p",
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="left_semi",
+        projection=[
+            F.col("click_id"),
+            F.col("c.user_id").alias("user_id"),
+            epoch_ms(F.col("click_ts")).alias("click_ts_ms"),
+        ],
+    )
+    return _run_to_table(joined, mode="append")
+
+
+@query(
     "q_stream_window_collect",
     oracle=f"""
     SELECT CAST(floor(epoch_ms(ts) / {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS window_start,

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "q_ohlc_bars",
     "q_gap_fill_locf",
     "q_gap_fill_linear",
+    "q_stream_join_semi",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
