@@ -2339,3 +2339,38 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.scd2_apply(
         current, upd, ["c_custkey"], ["acctbal_cents", "c_mktsegment"]
     )
+
+
+@query(
+    "q_custom_source_ticks",
+    oracle=None,  # the source generates its own data — duckdb sees only
+    # the fixture parquet; determinism, filter pushdown, and the
+    # exactly-once streaming offsets are pinned in
+    # tests/test_custom_datasource.py (9 tests)
+    description="Custom Python DataSource scan (sources/"
+    "custom_datasource.py:TickDataSource — the Spark-4 custom-transport "
+    "path standing in for the reference's KafkaSourceOperator class, "
+    "sources.py:25-198): deterministic synthetic tick feed read through "
+    "format('spp_ticks') with partition planning and pushed tick_id/"
+    "symbol predicates pruning generated ranges, aggregated per symbol. "
+    "The streaming twin (offset log, availableNow drain, checkpoint "
+    "resume, two-phase-commit manifest sink) runs in pytest.",
+)
+def q_custom_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.sources.custom_datasource import (
+        register_custom_sources,
+    )
+
+    register_custom_sources(spark)
+    df = (
+        spark.read.format("spp_ticks")
+        .option("rows", 20_000)
+        .option("partitions", 8)
+        .load()
+        .where(F.col("tick_id") < 16_000)
+    )
+    return df.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("price") * 100).cast("long")).alias("sum_price_c"),
+        F.sum("volume").alias("sum_volume"),
+    )
