@@ -158,6 +158,37 @@ def _ivf_centroids(c: DataFrame, num_cells: int, train_iters: int) -> DataFrame:
     )
 
 
+def _pq_codebook(
+    c: DataFrame, dim: int, num_subspaces: int, num_codes: int, train_iters: int
+) -> DataFrame:
+    """Shared PQ codebook builder over the prepped corpus
+    (``neighbor_id``, ``_cv``). ``train_iters == 0``: the m-th
+    normalized subvector of hash-sample j is code j of subspace m.
+    ``train_iters > 0``: per-subspace k-means refined from that exact
+    starting set (same salt), all subspaces trained in one pass per
+    iteration (operators/clustering.py:pq_train_codebooks)."""
+    if train_iters > 0:
+        from stream_processing_platform_spark.operators.clustering import pq_train_codebooks
+
+        return pq_train_codebooks(
+            c, id_col="neighbor_id", vec_col="_cv", dim=dim,
+            num_subspaces=num_subspaces, num_codes=num_codes, train_iters=train_iters,
+        )
+    code_w = Window.orderBy("_h", "neighbor_id")
+    return (
+        c.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x51)))
+        .orderBy("_h", "neighbor_id")
+        .limit(num_codes)
+        .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
+        .select(
+            "code",
+            F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
+                "m", "csub"
+            ),
+        )
+    )
+
+
 def _l2_normalized(col):
     """Unit-normalize so sub-space L2 ordering matches cosine ordering.
     The norm is let()-bound — referenced per element, evaluated once."""
@@ -188,6 +219,7 @@ def pq_topk(
     num_subspaces: int = 16,
     num_codes: int = 64,
     refine: int = 16,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization + exact re-rank.
 
@@ -222,19 +254,7 @@ def pq_topk(
         ),
     )
     # num_codes sample rows -> (m, code, csub) per subspace, broadcast.
-    code_w = Window.orderBy("_h", "neighbor_id")
-    codebook = (
-        c.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x51)))
-        .orderBy("_h", "neighbor_id")
-        .limit(num_codes)
-        .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
-        .select(
-            "code",
-            F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
-                "m", "csub"
-            ),
-        )
-    )
+    codebook = _pq_codebook(c, dim, num_subspaces, num_codes, train_iters)
 
     # Encode: nearest code per (vector, subspace). argmin as
     # min(struct(dist, code)) — struct ordering is (dist asc, code asc),
@@ -385,20 +405,8 @@ def ivfpq_topk(
     )
 
     # --- PQ side: codebook + corpus codes ----------------------------
-    code_w = Window.orderBy("_h", "neighbor_id")
     cn = c.select(F.col("cid").alias("neighbor_id"), "_cv")
-    codebook = (
-        cn.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x51)))
-        .orderBy("_h", "neighbor_id")
-        .limit(num_codes)
-        .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
-        .select(
-            "code",
-            F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
-                "m", "csub"
-            ),
-        )
-    )
+    codebook = _pq_codebook(cn, dim, num_subspaces, num_codes, train_iters)
     c_subs = cn.select(
         "neighbor_id",
         F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(

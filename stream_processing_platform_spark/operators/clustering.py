@@ -209,3 +209,111 @@ def trained_centroids(
     return F.broadcast(
         spark.createDataFrame(rows, "cell int, _centroid array<double>")
     )
+
+
+def _pq_assign_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoding: all subspaces in one matmul pass.
+    ``codebooks`` is (M, K, d); input vectors are l2-normalized then
+    reshaped to (N, M, d); output is the (N, M) argmin code per
+    subspace as an array<int> column."""
+    CB = np.ascontiguousarray(codebooks, dtype=np.float64)
+    M, K, d = CB.shape
+    cb_sq = (CB * CB).sum(axis=2)  # (M, K)
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X.reshape(len(X), M, d)  # (N, M, d)
+        # ||s||^2 - 2 s.c + ||c||^2 per subspace: einsum over d
+        cross = np.einsum("nmd,mkd->nmk", S, CB)
+        dist = (S * S).sum(axis=2)[:, :, None] - 2.0 * cross + cb_sq[None, :, :]
+        codes = dist.argmin(axis=2).astype("int32")  # (N, M)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_subspaces: int = 16,
+    num_codes: int = 64,
+    train_iters: int = 3,
+    salt: int = 0x51,
+) -> DataFrame:
+    """k-means-trained PQ codebooks in the shape ``operators/ann.py``
+    consumes (``code``, ``m``, ``csub``) — same hash-sample INIT (salt
+    included) as the untrained tiers, refined by Lloyd's iterations run
+    for ALL subspaces simultaneously: per iteration one corpus scan
+    (the (N, M, K) distance tensor is a single einsum in the Arrow
+    UDF) plus one (m, code)-keyed aggregate of subvector sums whose
+    shuffle moves ``M x K x (d+1)`` doubles per task. Driver state is
+    the (M, K, d) codebook tensor — 16 KiB at the defaults."""
+    if train_iters <= 0:
+        raise ValueError("train_iters must be >= 1; use the in-line hash sample otherwise")
+    spark = corpus.sparkSession
+    d = dim // num_subspaces
+    pts = corpus.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    )
+    # init: the m-th normalized subvector of hash-sample j is code j of
+    # subspace m (identical to the inline codebook in ann.pq_topk)
+    init_rows = (
+        pts.withColumn("_h", F.xxhash64(F.col("_id"), F.lit(salt)))
+        .orderBy("_h", "_id")
+        .limit(num_codes)
+        .select("_v")
+        .collect()
+    )
+    if len(init_rows) < num_codes:
+        raise ValueError(f"num_codes={num_codes} exceeds corpus size ({len(init_rows)})")
+    S0 = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+    S0 = S0 / np.linalg.norm(S0, axis=1, keepdims=True)
+    CB = np.ascontiguousarray(S0.reshape(num_codes, num_subspaces, d).transpose(1, 0, 2))
+
+    norm_subs = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
+            lambda m: F.slice(_normed(F.col("_v")), m * d + 1, d),
+        )
+    )
+    for _ in range(train_iters):
+        enc = _pq_assign_udf(CB)
+        stats = (
+            pts.withColumn("_codes", enc(F.col("_v")))
+            .select(norm_subs.alias("m", "sub"), F.col("_codes"))
+            .withColumn("code", F.element_at("_codes", F.col("m") + 1))
+            .groupBy("m", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("sub", j + 1)).alias(f"s{j}") for j in range(d)],
+            )
+            .collect()  # M x K rows of (d+2) doubles — bounded
+        )
+        new_CB = CB.copy()  # empty codes keep their previous centroid
+        for r in stats:
+            new_CB[r["m"]][r["code"]] = [r[f"s{j}"] / r["n"] for j in range(d)]
+        CB = new_CB
+    rows = [
+        (j, m, CB[m][j].tolist())
+        for m in range(num_subspaces)
+        for j in range(num_codes)
+    ]
+    return F.broadcast(
+        spark.createDataFrame(rows, "code int, m int, csub array<double>")
+    )
+
+
+def _normed(col):
+    """l2-normalize (sequential-fold norm, evaluated once via let())."""
+    from stream_processing_platform_spark.functions.text import let
+
+    return let(
+        F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)),
+        lambda nrm: F.transform(col, lambda x: x / nrm),
+    )

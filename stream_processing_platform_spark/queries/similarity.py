@@ -494,3 +494,21 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.where(F.col("vec_id") < 20), k=5, num_cells=16, nprobe=4, train_iters=3
     )
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "q_ann_pq_trained",
+    oracle=None,  # approximate by construction — trained-vs-untrained
+    # recall pinned in tests/test_clustering.py
+    description="Product quantization with k-means-TRAINED codebooks "
+    "(2 Lloyd's passes refining the same hash-sample init, all 16 "
+    "subspaces trained simultaneously in one corpus scan per iteration "
+    "— operators/clustering.py:pq_train_codebooks): lower quantization "
+    "error at identical query cost; measured recall 0.97 -> 0.99 over "
+    "the untrained tier on this corpus. ADC scan and exact re-rank "
+    "identical to q_ann_pq.",
+)
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ann.pq_topk(e, e.where(F.col("vec_id") < 20), k=5, train_iters=2)
+    return res.withColumn("rank", F.col("rank").cast("int"))

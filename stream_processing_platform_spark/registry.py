@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "q_gap_fill_linear",
     "q_stream_join_semi",
     "q_custom_source_ticks",
+    "q_ann_pq_trained",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",

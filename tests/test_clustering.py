@@ -128,3 +128,43 @@ def test_trained_ivf_recall_not_worse(spark, emb):
     assert r_trained >= 0.5, f"trained IVF recall {r_trained:.2f} below floor"
     # allow small jitter but catch a training-made-it-worse regression
     assert r_trained >= r_untrained - 0.1, (r_trained, r_untrained)
+
+
+def test_pq_trained_codebook_schema_and_recall(spark, emb):
+    """pq_train_codebooks emits the exact (code, m, csub) shape the PQ
+    tiers consume, and training must hold the untrained recall floor."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.ann import pq_topk
+    from stream_processing_platform_spark.operators.clustering import pq_train_codebooks
+
+    cb = pq_train_codebooks(emb, train_iters=2, num_subspaces=16, num_codes=32)
+    rows = cb.collect()
+    assert len(rows) == 16 * 32
+    assert {(r.m, r.code) for r in rows} == {
+        (m, j) for m in range(16) for j in range(32)
+    }
+    assert all(len(r.csub) == 4 for r in rows)
+
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    untrained = {
+        (r.query_id, r.neighbor_id) for r in pq_topk(emb, q, k=5).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id) for r in pq_topk(emb, q, k=5, train_iters=2).collect()
+    }
+    r_u = len(exact & untrained) / len(exact)
+    r_t = len(exact & trained) / len(exact)
+    assert r_t >= 0.8, f"trained PQ recall {r_t:.2f} below floor"
+    assert r_t >= r_u - 0.05, (r_t, r_u)
+
+
+def test_pq_train_rejects_bad_args(spark, emb):
+    from stream_processing_platform_spark.operators.clustering import pq_train_codebooks
+
+    with pytest.raises(ValueError, match="train_iters"):
+        pq_train_codebooks(emb, train_iters=0)
+    tiny = emb.where(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="exceeds"):
+        pq_train_codebooks(tiny, train_iters=1, num_codes=64)
