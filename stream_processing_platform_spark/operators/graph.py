@@ -176,3 +176,68 @@ def pagerank(
             )
         )
     return ranks.select(F.col("_id").alias(id_col), F.col("_rank").alias("rank"))
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    seed_col: str = "seed_label",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_iter: int = 3,
+    sentinel: int = -1,
+) -> DataFrame:
+    """Semi-supervised label propagation (label spreading) over an
+    undirected edge list — the "propagate the trusted labels" primitive
+    an LLM-data pipeline uses to spread quality/language/topic labels
+    from a small curated seed set across a similarity graph (near-dup
+    pairs, embedding kNN edges).
+
+    Semantics (synchronous, fixed ``num_iter`` rounds — deterministic,
+    which is what lets q_lpa_labels carry a full generated-SQL oracle):
+
+    - seeded vertices (``seed_col`` not null) keep their label forever;
+    - an unseeded vertex takes the MODE of its neighbors' previous-round
+      labels (ties: larger count wins, then smaller label — argmax as
+      ``min(struct(-count, label))``, map-side combining);
+    - no labeled neighbor → keep the previous round's label (possibly
+      still unlabeled; emitted as ``sentinel``).
+
+    Per round: one join shipping labels along edges + one (vertex,
+    label) count + one per-vertex argmax — two key shuffles over
+    |edges|, the same asymptotics as connected_components/pagerank
+    above, with identical per-round lineage checkpointing. Returns
+    ``(id_col, lpa_label)`` — never-null (sentinel for unlabeled).
+    """
+    ckpt = _checkpointer(vertices)
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    und = ckpt(e.union(e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))))
+    seeds = vertices.select(F.col(id_col).alias("_id"), F.col(seed_col).alias("_seed"))
+    labels = seeds.select("_id", F.col("_seed").alias("_label"))
+    for _ in range(num_iter):
+        votes = (
+            und.join(
+                labels.where(F.col("_label").isNotNull()),
+                und._src == labels._id,
+            )
+            .groupBy("_dst", "_label")
+            .agg(F.count("*").alias("_n"))
+        )
+        mode = votes.groupBy("_dst").agg(
+            F.min(F.struct((-F.col("_n")).alias("_neg"), F.col("_label").alias("_l")))[
+                "_l"
+            ].alias("_mode")
+        )
+        labels = ckpt(
+            seeds.join(labels.select("_id", "_label"), "_id")
+            .join(mode, seeds._id == mode._dst, "left_outer")
+            .select(
+                "_id",
+                F.coalesce(F.col("_seed"), F.col("_mode"), F.col("_label")).alias("_label"),
+            )
+        )
+    return labels.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("_label"), F.lit(sentinel)).alias("lpa_label"),
+    )

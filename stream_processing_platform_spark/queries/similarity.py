@@ -512,3 +512,89 @@ def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     res = ann.pq_topk(e, e.where(F.col("vec_id") < 20), k=5, train_iters=2)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+_LPA_ITERS = 3
+_LPA_SENTINEL = -1
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Generated-SQL oracle for q_lpa_labels: the iteration structure is
+    emitted from the same ``iters`` constant the Spark side runs, so the
+    two can never drift (the CLAUDE.md generated-oracle rule). Each
+    round i materializes v{i} (per-vertex neighbor-label mode over round
+    i-1, argmax via min(struct(-count, label))) and l{i} (seeds frozen,
+    else mode, else previous)."""
+    parts = [
+        """verts AS (SELECT vec_id AS id,
+                       CASE WHEN vec_id % 7 = 0 THEN label END AS seed
+                FROM embeddings)""",
+        """dir_edges AS (
+           SELECT src, dst FROM (
+             SELECT lag(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS src,
+                    vec_id AS dst
+             FROM embeddings)
+           WHERE src IS NOT NULL)""",
+        """edges AS (SELECT src, dst FROM dir_edges
+                UNION ALL SELECT dst AS src, src AS dst FROM dir_edges)""",
+        "l0 AS (SELECT id, seed AS lab FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""v{i} AS (
+              SELECT dst AS id, (min({{'nc': -c, 'l': lab}})).l AS mode_lab
+              FROM (SELECT e.dst, l.lab, count(*) AS c
+                    FROM edges e JOIN l{i - 1} l ON l.id = e.src
+                    WHERE l.lab IS NOT NULL
+                    GROUP BY e.dst, l.lab)
+              GROUP BY dst)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+              SELECT v.id, coalesce(v.seed, m.mode_lab, p.lab) AS lab
+              FROM verts v
+              JOIN l{i - 1} p ON p.id = v.id
+              LEFT JOIN v{i} m ON m.id = v.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT id AS vec_id,
+               CAST(coalesce(lab, {_LPA_SENTINEL}) AS INTEGER) AS lpa_label
+        FROM l{iters}"""
+    )
+
+
+@query(
+    "q_lpa_labels",
+    oracle=_lpa_oracle(_LPA_ITERS),
+    description="Semi-supervised label propagation (operators/graph.py:"
+    "label_propagation): every 7th vector seeds its true label; labels "
+    "spread 3 synchronous rounds along a deterministic chain graph "
+    "(consecutive vec_ids within each label group), mode-of-neighbors "
+    "with (count desc, label asc) tie-break as min(struct(-n, l)). The "
+    "label-spreading primitive for pushing curated quality/language "
+    "labels across a near-dup/kNN graph. Full generated-SQL oracle: "
+    "the iteration CTE chain is emitted from the same constant the "
+    "Spark loop runs — an ITERATIVE graph algorithm hash-MATCHed "
+    "end-to-end, not rows-only.",
+)
+def q_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stream_processing_platform_spark.operators.graph import label_propagation
+
+    e = load_table(spark, sf_dir, "embeddings")
+    verts = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, F.col("label")).alias("seed_label"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    edges = (
+        e.select(F.lag("vec_id").over(w).alias("src"), F.col("vec_id").alias("dst"))
+        .where(F.col("src").isNotNull())
+    )
+    return label_propagation(
+        verts, edges, id_col="vec_id", seed_col="seed_label",
+        num_iter=_LPA_ITERS, sentinel=_LPA_SENTINEL,
+    ).withColumn("lpa_label", F.col("lpa_label").cast("int"))

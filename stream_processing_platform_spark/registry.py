@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "q_stream_join_semi",
     "q_custom_source_ticks",
     "q_ann_pq_trained",
+    "q_lpa_labels",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",

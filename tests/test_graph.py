@@ -85,3 +85,48 @@ def test_pagerank_matches_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     # hub-pointed vertex 2 outranks the chain tail
     assert got[2] > got[3] > got[5]
+
+
+def test_lpa_seed_immutable_and_mode_tiebreak(spark):
+    """Seeds never change even when outvoted; mode ties break (count
+    desc, label asc); vertices with no labeled neighbor stay sentinel."""
+    from stream_processing_platform_spark.operators.graph import label_propagation
+
+    # star: center 0 unlabeled, leaves 1..4 seeded (two 10s, two 20s ->
+    # tie on count, label 10 wins); 5 is seeded 99 but wired to three
+    # 10-neighbors -> must STAY 99; 6 is isolated -> sentinel
+    verts = spark.createDataFrame(
+        [(0, None), (1, 10), (2, 10), (3, 20), (4, 20), (5, 99), (6, None)],
+        "id bigint, seed_label int",
+    )
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (1, 5), (2, 5), (0, 5)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r.id: r.lpa_label
+        for r in label_propagation(verts, edges, num_iter=2).collect()
+    }
+    assert got[0] == 10  # tie 2x10 vs 2x20 -> smaller label
+    assert got[5] == 99  # seed immutable
+    assert got[6] == -1  # isolated -> sentinel
+    assert got[1] == 10 and got[3] == 20  # seeds keep their own labels
+
+
+def test_lpa_propagates_one_hop_per_round(spark):
+    """A chain 0(seed)-1-2-3: after k rounds the label has walked
+    exactly k hops (synchronous updates)."""
+    from stream_processing_platform_spark.operators.graph import label_propagation
+
+    verts = spark.createDataFrame(
+        [(0, 7), (1, None), (2, None), (3, None)], "id bigint, seed_label int"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    for k, labeled in ((1, {0, 1}), (2, {0, 1, 2}), (3, {0, 1, 2, 3})):
+        got = {
+            r.id: r.lpa_label
+            for r in label_propagation(verts, edges, num_iter=k).collect()
+        }
+        assert {v for v, l in got.items() if l == 7} == labeled, (k, got)
