@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -290,3 +291,72 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(run, _FRAMES_SCHEMA)
+
+
+_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def segment_audio(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    frame_ms: int = 20,
+    threshold: float = 0.05,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Silence-split PCM WAV payloads into voiced segments — the audio
+    analog of document chunking (operators/mixture.py), 1-in-N-out
+    through Arrow-batched ``mapInPandas``.
+
+    Per payload: real WAV decode (:mod:`imagecodec`), per-frame RMS over
+    ``frame_ms`` windows (vectorized cumsum — no Python loop over
+    samples), frames above ``threshold`` are voiced, and contiguous
+    voiced runs of at least ``min_frames`` frames become segments.
+    Output: (media_id, seg_idx, start_ms, end_ms, n_samples, rms) —
+    rms rounded to 6 decimals for cross-run determinism.
+
+    Scale shape: pure map over partitions (no shuffle); one input row
+    fans out to its segments inside the same task, so a 100 TB audio
+    corpus segments at scan speed. Decode errors propagate (fail-fast,
+    the engine-wide UDF error policy — SURVEY.md §7 risk 4).
+    """
+    from stream_processing_platform_spark.multimodal import imagecodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in _SEGMENT_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                rate, samples = imagecodec.decode_wav(bytes(payload))
+                spf = max(1, rate * frame_ms // 1000)  # samples per frame
+                n_frames = len(samples) // spf
+                if n_frames == 0:
+                    continue
+                x = samples[: n_frames * spf].astype(np.float64).reshape(n_frames, spf)
+                rms = np.sqrt((x * x).mean(axis=1))
+                voiced = rms > threshold
+                # run boundaries: transitions in the voiced mask
+                edges = np.flatnonzero(np.diff(np.concatenate(([0], voiced.view(np.int8), [0]))))
+                seg_idx = 0
+                for f0, f1 in zip(edges[::2], edges[1::2]):
+                    if f1 - f0 < min_frames:
+                        continue
+                    seg = samples[f0 * spf : f1 * spf].astype(np.float64)
+                    out["media_id"].append(int(mid))
+                    out["seg_idx"].append(seg_idx)
+                    seg_idx += 1
+                    out["start_ms"].append(int(f0 * spf * 1000 // rate))
+                    out["end_ms"].append(int(f1 * spf * 1000 // rate))
+                    out["n_samples"].append(int(len(seg)))
+                    out["rms"].append(round(float(np.sqrt((seg * seg).mean())), 6))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, _SEGMENT_SCHEMA)

@@ -6,6 +6,7 @@ oracle-checked), embedding near-dup pairs, and the IVF approximate path
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -598,3 +599,45 @@ def q_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         verts, edges, id_col="vec_id", seed_col="seed_label",
         num_iter=_LPA_ITERS, sentinel=_LPA_SENTINEL,
     ).withColumn("lpa_label", F.col("lpa_label").cast("int"))
+
+
+@query(
+    "q_audio_segments",
+    oracle=None,  # WAV decode + RMS segmentation has no SQL twin;
+    # boundary-exact behavior is pinned in tests/test_multimodal.py
+    description="Silence-split audio segmentation end-to-end "
+    "(multimodal/codecs.py:segment_audio — the audio analog of doc "
+    "chunking): a deterministic 16-bit PCM WAV is synthesized per "
+    "document (three 440 Hz bursts whose lengths derive from doc_id, "
+    "200 ms silence gaps), then decoded and split into voiced segments "
+    "by 20 ms-frame RMS thresholding, all Arrow-batched mapInPandas "
+    "1-in-N-out with no shuffle. Rows-only oracle.",
+)
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from stream_processing_platform_spark.multimodal.codecs import segment_audio
+    from stream_processing_platform_spark.multimodal.imagecodec import encode_wav
+
+    rate = 8000
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        payloads = []
+        for did in ids:
+            d = int(did)
+            chunks = []
+            for k, mod in enumerate((3, 5, 7)):
+                n = (d % mod + 1) * rate // 10  # 100-400 ms bursts
+                t = np.arange(n) / rate
+                chunks.append(0.4 * np.sin(2 * np.pi * 440.0 * t))
+                chunks.append(np.zeros(rate // 5))  # 200 ms silence
+            payloads.append(encode_wav(np.concatenate(chunks), rate))
+        return pd.Series(payloads)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), synth(F.col("doc_id")).alias("content")
+    )
+    return segment_audio(docs, frame_ms=20, threshold=0.05, min_frames=2)

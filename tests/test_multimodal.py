@@ -199,3 +199,46 @@ def test_real_jpeg_payload_through_spark_pipeline(spark, real_media_dir):
     assert np.abs(got - want).max() <= 16
     feats = extract_features(df, dim=16, decoder="image").collect()
     assert len(feats) == 1 and len(set(feats[0].feature)) > 1
+
+
+def test_segment_audio_exact_boundaries(spark):
+    """Two bursts with known frame-aligned extents segment exactly;
+    sub-min_frames blips are dropped; silence yields nothing."""
+    import numpy as np
+
+    from stream_processing_platform_spark.multimodal.codecs import segment_audio
+    from stream_processing_platform_spark.multimodal.imagecodec import encode_wav
+
+    rate = 8000
+    spf = rate * 20 // 1000  # 160 samples per 20ms frame
+    loud = np.full(spf, 0.5)
+    quiet = np.zeros(spf)
+    # frames: [loud x3] [quiet x2] [loud x1 (blip, < min_frames)] [quiet x2] [loud x4]
+    samples = np.concatenate([loud] * 3 + [quiet] * 2 + [loud] + [quiet] * 2 + [loud] * 4)
+    silence = np.zeros(rate)  # 1 s of silence -> no segments
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, rate))), (2, bytearray(encode_wav(silence, rate)))],
+        "media_id bigint, content binary",
+    )
+    rows = sorted(
+        segment_audio(df, frame_ms=20, threshold=0.05, min_frames=2).collect(),
+        key=lambda r: (r.media_id, r.seg_idx),
+    )
+    assert [r.media_id for r in rows] == [1, 1]
+    assert [(r.seg_idx, r.start_ms, r.end_ms) for r in rows] == [(0, 0, 60), (1, 160, 240)]
+    assert rows[0].n_samples == 3 * spf and rows[1].n_samples == 4 * spf
+    # 16-bit PCM round-trip quantizes 0.5 slightly; RMS stays within 1e-3
+    assert abs(rows[0].rms - 0.5) < 1e-3
+
+
+def test_segment_audio_bad_payload_fails_fast(spark):
+    from py4j.protocol import Py4JJavaError
+    import pytest
+
+    from stream_processing_platform_spark.multimodal.codecs import segment_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav"))], "media_id bigint, content binary"
+    )
+    with pytest.raises(Exception, match="RIFF|PythonException|WAVE"):
+        segment_audio(df).collect()
