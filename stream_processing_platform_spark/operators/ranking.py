@@ -1,0 +1,113 @@
+"""Relevance ranking: TF-IDF / BM25 scoring over a token corpus.
+
+The retrieval primitive an LLM-data pipeline uses for query-targeted
+corpus selection (pull documents relevant to a seed query set before
+expensive filtering) and for building weak-supervision relevance
+labels. Okapi BM25 (Robertson et al., TREC-3) over the shared
+whitespace tokenizer (``functions/text.py::tokens``):
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+
+Scale shape: the query-term table is tiny and broadcast; tf is one
+(doc, term)-keyed aggregate over the token explode (map-side partials);
+df/avgdl are term- and corpus-level aggregates of that same pass; the
+final score is one join back to per-doc lengths — no all-pairs, no
+driver state. Numerics follow the repo's ln doctrine (CLAUDE.md /
+q_unigram_logprob): ln on bit-identical inputs diverges ≤1 ulp across
+libms, five orders of magnitude under the 4dp ``floor(x+0.5)`` round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions.text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+) -> DataFrame:
+    """BM25 score of every document against a fixed query-term list.
+    Only documents matching ≥1 term are returned (inner joins — no
+    nullable score column). Output: id_col, n_terms (distinct matched
+    query terms, INT), bm25 (rounded)."""
+    spark = docs.sparkSession
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").alias("total_tokens"), F.count("*").alias("n_docs")
+    )
+    qt = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
+    tf = (
+        tok.join(qt, tok.tok == qt.term)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = F.broadcast(
+        tf.groupBy("term").agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    idf = F.ln(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    weight = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl))
+    )
+    scale = float(10**round_dp)
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            (F.floor(F.sum(weight) * scale + 0.5) / scale).alias("bm25"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, round_dp: int = 4
+) -> str:
+    """DuckDB twin generated from the SAME parameters the Spark side
+    runs (generated-oracle rule, CLAUDE.md): literal constants are
+    emitted via repr of the identical Python floats, and every
+    arithmetic composition matches ``bm25_scores`` operation for
+    operation."""
+    values = ", ".join(f"('{t}')" for t in terms)
+    scale = float(10**round_dp)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    totals AS (SELECT CAST(sum(dl) AS BIGINT) AS total_tokens,
+                      CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+    qt AS (SELECT * FROM (VALUES {values}) AS q(term)),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok JOIN qt ON tok.tok = qt.term
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           CAST(count(*) AS INTEGER) AS n_terms,
+           floor(sum(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * {k1 + 1.0!r})
+             / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / (total_tokens / n_docs)))
+           ) * {scale!r} + 0.5) / {scale!r} AS bm25
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN totals
+    GROUP BY tf.doc_id
+    """

@@ -1301,3 +1301,31 @@ _REG2 = __import__("stream_processing_platform_spark.registry", fromlist=["REGIS
 from dataclasses import replace as _dc_replace2  # noqa: E402
 
 _REG2["q_html_extract"] = _dc_replace2(_REG2["q_html_extract"], oracle=_html_oracle())
+
+
+_BM25_TERMS = ["join", "hash", "batch", "scan", "filter"]
+
+
+def _bm25_oracle() -> str:
+    from stream_processing_platform_spark.operators.ranking import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS)
+
+
+@query(
+    "q_bm25_rank",
+    oracle=_bm25_oracle(),
+    description="Okapi BM25 relevance scores (operators/ranking.py) for "
+    "a fixed 5-term query over the documents corpus — the retrieval "
+    "primitive for query-targeted corpus selection. Broadcast term "
+    "table, one (doc, term) tf aggregate with map-side partials, "
+    "term-level df + corpus avgdl folded in by broadcast joins; the "
+    "duckdb oracle is GENERATED from the same (terms, k1, b) the Spark "
+    "side runs, constant for constant. ln under the 4dp floor(x+0.5) "
+    "doctrine.",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.ranking import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, _BM25_TERMS)
