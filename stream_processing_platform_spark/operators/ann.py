@@ -226,9 +226,11 @@ def pq_topk(
     Pipeline (every stage scale-shaped):
 
     1. **Codebooks** — ``num_codes`` deterministic hash-sample rows; the
-       m-th subvector of sample j is code j of subspace m (at production
-       scale you'd k-means per subspace; the distributed plumbing is
-       identical). Tiny: ``num_subspaces × num_codes`` rows, broadcast.
+       m-th subvector of sample j is code j of subspace m; or, with
+       ``train_iters > 0``, the same starting set refined by per-subspace
+       k-means (operators/clustering.py:pq_train_codebooks — all
+       subspaces in one pass per iteration). Tiny either way:
+       ``num_subspaces × num_codes`` rows, broadcast.
     2. **Encode** — each corpus vector → one code per subspace (argmin
        L2 over the broadcast codebook, rank-limited window per
        (vector, subspace)). The encoded corpus is ``num_subspaces``
