@@ -2374,3 +2374,50 @@ def q_custom_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("price") * 100).cast("long")).alias("sum_price_c"),
         F.sum("volume").alias("sum_volume"),
     )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"u":{"id":' || CAST(user_id AS VARCHAR)
+               || '},"vals":[' || CAST(event_id AS VARCHAR) || ','
+               || CAST(event_id % 7 AS VARCHAR)
+               || '],"t":"' || event_type || '"}' AS js
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract(js, '$.u.id') AS BIGINT) AS uid,
+           json_extract_string(js, '$.t') AS tag,
+           CAST(json_extract(js, '$.vals[1]') AS INTEGER) AS v1
+    FROM j
+    WHERE CAST(json_extract(js, '$.vals[1]') AS INTEGER) >= 3
+    """,
+    description="Semi-structured VariantType path (Spark 4): nested "
+    "JSON built identically in both engines is ingested with "
+    "parse_json into Variant's binary encoding, fields extracted by "
+    "typed variant_get path expressions ($.u.id, $.vals[1], $.t) — the "
+    "modern upgrade over get_json_object string re-parsing "
+    "(q_json_extract): at 100 TB the payload parses ONCE into a "
+    "shredded binary column instead of per-expression string walks. "
+    "Oracle: duckdb json_extract over the same constructed JSON.",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"u":{"id":'), F.col("user_id").cast("string"),
+        F.lit('},"vals":['), F.col("event_id").cast("string"), F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('],"t":"'), F.col("event_type"), F.lit('"}'),
+    )
+    v = F.parse_json(js)
+    return (
+        e.select(
+            "event_id",
+            F.variant_get(v, "$.u.id", "bigint").alias("uid"),
+            F.variant_get(v, "$.t", "string").alias("tag"),
+            F.variant_get(v, "$.vals[1]", "int").alias("v1"),
+        )
+        .where(F.col("v1") >= 3)
+    )

@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "q_lpa_labels",
     "q_audio_segments",
     "q_bm25_rank",
+    "q_json_variant",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",

@@ -54,3 +54,70 @@ def test_read_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert filtered.count() == 10
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), LessThan(id,10)]" in plan
+
+
+def _malformed_json_dir():
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spp_badjson_")
+    with open(os.path.join(d, "part-0.json"), "w") as fh:
+        fh.write('{"id": 1, "v": 10}\n')
+        fh.write("THIS IS NOT JSON\n")
+        fh.write('{"id": 3, "v": 30}\n')
+        fh.write('{"id": "not a number", "v": 40}\n')
+    return d
+
+
+def test_read_json_permissive_quarantines_not_drops(spark):
+    """PERMISSIVE (the engine default): malformed lines survive in
+    _corrupt_record — the declared upgrade over the reference's silent
+    drop (stateless.py:39-45); nothing is lost."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from stream_processing_platform_spark.sources.batch import (
+        CORRUPT_COL,
+        corrupt_records,
+        read_json_with_policy,
+        valid_records,
+    )
+
+    schema = StructType([StructField("id", LongType()), StructField("v", LongType())])
+    df = read_json_with_policy(spark, _malformed_json_dir(), schema)
+    assert df.count() == 4  # every input line accounted for
+    good = valid_records(df)
+    assert sorted((r.id, r.v) for r in good.collect()) == [(1, 10), (3, 30)]
+    bad = [r[CORRUPT_COL] for r in corrupt_records(df).collect()]
+    assert "THIS IS NOT JSON" in bad and any("not a number" in b for b in bad)
+
+
+def test_read_json_dropmalformed_matches_reference_semantics(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from stream_processing_platform_spark.sources.batch import read_json_with_policy
+
+    schema = StructType([StructField("id", LongType()), StructField("v", LongType())])
+    df = read_json_with_policy(spark, _malformed_json_dir(), schema, mode="DROPMALFORMED")
+    assert sorted((r.id, r.v) for r in df.collect()) == [(1, 10), (3, 30)]
+
+
+def test_read_json_failfast_aborts(spark):
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from stream_processing_platform_spark.sources.batch import read_json_with_policy
+
+    schema = StructType([StructField("id", LongType()), StructField("v", LongType())])
+    df = read_json_with_policy(spark, _malformed_json_dir(), schema, mode="FAILFAST")
+    with pytest.raises(Exception, match="FAILFAST|Malformed|MALFORMED"):
+        df.collect()
+
+
+def test_read_json_unknown_mode_rejected(spark):
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from stream_processing_platform_spark.sources.batch import read_json_with_policy
+
+    with pytest.raises(ValueError, match="unknown malformed-record mode"):
+        read_json_with_policy(spark, "/tmp/x", StructType([]), mode="IGNORE")
