@@ -2421,3 +2421,125 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("v1") >= 3)
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH c AS (SELECT event_type, user_id, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+            FROM c GROUP BY event_type),
+    dev AS (SELECT c.event_type, c.cents, med.med,
+                   abs(c.cents - med.med) AS adev
+            FROM c JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(min(d.med) * 4 AS BIGINT) AS med4_c,
+           CAST(min(mad.mad) * 4 AS BIGINT) AS mad4_c,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.adev > 4.4478 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+    description="Robust outlier detection via MAD (median absolute "
+    "deviation) — the robust twin of q_anomaly_zscore: per event_type, "
+    "the exact median of integer cents, then the median of absolute "
+    "deviations, flagging |x - med| > 3*1.4826*MAD (literal 4.4478). "
+    "Interpolated medians of integers land on exact quarter-cent "
+    "doubles, so med*4/mad*4 cast to BIGINT are bit-identical "
+    "cross-engine — no rounding step at all. Two grouped exact "
+    "percentiles + one broadcast join back; the 100 TB form swaps in "
+    "approx_percentile (q_approx_percentile doctrine).",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.min("med") * 4).cast("long").alias("med4_c"),
+            (F.min("mad") * 4).cast("long").alias("mad4_c"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 4.4478 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "q_key_skew",
+    oracle="""
+    WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id),
+    ranked AS (SELECT c,
+                      row_number() OVER (ORDER BY c ASC, user_id ASC) AS i,
+                      count(*) OVER ()  AS k,
+                      sum(c) OVER ()    AS total
+               FROM pk)
+    SELECT CAST(min(k) AS BIGINT) AS n_keys,
+           CAST(min(total) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           floor(max(c) * 1000000.0 / min(total) + 0.5) / 1000000.0
+             AS max_share,
+           floor((2.0 * sum(i * c) / (min(k) * min(total))
+                  - (min(k) + 1.0) / min(k)) * 1000000.0 + 0.5) / 1000000.0
+             AS gini
+    FROM ranked
+    """,
+    description="Shuffle-key skew report — the diagnostic a 100 TB "
+    "engine runs BEFORE keying a join/agg on a column: per-key row "
+    "counts, the hottest key's share, and the Gini coefficient of the "
+    "key distribution (2*sum(rank*count)/(k*total) - (k+1)/k over "
+    "counts ranked ascending). Gini ~0 = uniform (safe to key), ~1 = "
+    "one hot key (salt it / AQE skew join). Integer arithmetic until "
+    "the two final quotients, rounded via floor(x+0.5) at 6dp. One "
+    "key-aggregate + one single-partition window over k rows (keys, "
+    "not rows — bounded).",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pk = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
+    wall = Window.partitionBy()
+    ranked = pk.select(
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("k"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.min("k").alias("n_keys"),
+        F.min("total").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        (F.floor(F.max("c") * 1_000_000.0 / F.min("total") + 0.5) / 1_000_000.0).alias(
+            "max_share"
+        ),
+        (
+            F.floor(
+                (
+                    2.0 * F.sum(F.col("i") * F.col("c")) / (F.min("k") * F.min("total"))
+                    - (F.min("k") + 1.0) / F.min("k")
+                )
+                * 1_000_000.0
+                + 0.5
+            )
+            / 1_000_000.0
+        ).alias("gini"),
+    )

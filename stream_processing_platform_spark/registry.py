@@ -98,6 +98,8 @@ _PRIORITY: list[str] = [
     "q_audio_segments",
     "q_bm25_rank",
     "q_json_variant",
+    "q_mad_outliers",
+    "q_key_skew",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
