@@ -166,6 +166,13 @@ def main() -> None:
         "q_hierarchical_rollup",
         "q_unigram_logprob",
         "q_zorder_events",
+        "q_kmeans_assign",
+        "q_gap_fill_linear",
+        "q_ohlc_bars",
+        "q_bm25_rank",
+        "q_lpa_labels",
+        "q_json_variant",
+        "q_mad_outliers",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

@@ -9,12 +9,14 @@ tumbling-window batch twin (``operators/windows_batch.py``):
   profiling rule in CLAUDE.md), high/low/volume as plain aggregates.
   One shuffle keyed on (series, bucket).
 - ``gap_fill`` — densify each series onto a regular grid between its
-  first and last observed bucket (``sequence()`` explode — no driver
-  loop, no cross join against a global calendar), then fill the empty
-  buckets by LOCF (last-observation-carried-forward) or linear
-  interpolation between the neighbouring observations. The fills are
-  window functions with IGNORE NULLS over the series key — one shuffle,
-  state bounded per key.
+  first and last observed bucket, filling empty buckets by LOCF
+  (last-observation-carried-forward) or linear interpolation between
+  the neighbouring observations. Shape: each observation expands the
+  cells up to its NEXT observation (one ``lead()`` window + one
+  ``sequence()`` explode) — no driver loop, no global calendar, no
+  grid↔observation join; one shuffle on the series key total. (The
+  duckdb oracle keeps the textbook grid + IGNORE-NULLS-window form,
+  proving the two formulations equivalent.)
 
 Everything is exact-integer arithmetic end to end (epoch-ms buckets,
 money/metric values in integer cents, quotients rounded via
@@ -112,41 +114,46 @@ def gap_fill(
         .groupBy(key_col, "bucket_ms")
         .agg(F.floor(F.sum("_c") / F.count("*") + 0.5).cast("long").alias("_obs"))
     )
-    grid = (
-        obs.groupBy(key_col)
-        .agg(F.min("bucket_ms").alias("_mn"), F.max("bucket_ms").alias("_mx"))
-        .select(
-            key_col,
-            F.explode(
-                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(every_ms).cast("long"))
-            ).alias("bucket_ms"),
-        )
+    # Gap-to-next expansion: each observed bucket generates the grid
+    # cells from itself up to (exclusive) the NEXT observation — one
+    # lead() window + one explode, no grid/observation join and no
+    # second scan of `obs` (the join form measured ~1.6 s vs ~0.6 s for
+    # this shape at sf0.1). The last observation generates only itself,
+    # so grid endpoints stay observed and fills are never null.
+    w = Window.partitionBy(key_col).orderBy("bucket_ms")
+    nxt = obs.select(
+        key_col,
+        F.col("bucket_ms").alias("_pb"),
+        F.col("_obs").alias("_pv"),
+        F.lead("bucket_ms").over(w).alias("_nb"),
+        F.lead("_obs").over(w).alias("_nv"),
     )
-    joined = grid.join(obs, [key_col, "bucket_ms"], "left")
-    w_prev = (
-        Window.partitionBy(key_col).orderBy("bucket_ms").rowsBetween(Window.unboundedPreceding, 0)
+    cells = nxt.select(
+        key_col, "_pb", "_pv", "_nb", "_nv",
+        F.explode(
+            F.sequence(
+                F.col("_pb"),
+                F.coalesce(F.col("_nb") - every_ms, F.col("_pb")),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("bucket_ms"),
     )
-    observed = F.when(F.col("_obs").isNotNull(), 1).otherwise(0).cast("int")
+    observed = (F.col("bucket_ms") == F.col("_pb")).cast("int")
     if method == "locf":
-        filled = F.last("_obs", ignorenulls=True).over(w_prev)
-        return joined.select(
-            key_col, "bucket_ms", filled.alias("cents"), observed.alias("observed")
+        # the generating observation IS the last one at or before the cell
+        return cells.select(
+            key_col, "bucket_ms", F.col("_pv").alias("cents"), observed.alias("observed")
         )
-    w_next = (
-        Window.partitionBy(key_col).orderBy("bucket_ms").rowsBetween(0, Window.unboundedFollowing)
+    # Observed rows: the slope term would be 0/0 at _pb — guard with the
+    # observed branch instead of dividing.
+    interp = F.when(F.col("bucket_ms") == F.col("_pb"), F.col("_pv")).otherwise(
+        F.floor(
+            F.col("_pv")
+            + ((F.col("_nv") - F.col("_pv")) * (F.col("bucket_ms") - F.col("_pb")))
+            / (F.col("_nb") - F.col("_pb"))
+            + 0.5
+        ).cast("long")
     )
-    ob = F.when(F.col("_obs").isNotNull(), F.col("bucket_ms"))
-    pv = F.last("_obs", ignorenulls=True).over(w_prev)
-    pb = F.last(ob, ignorenulls=True).over(w_prev)
-    nv = F.first("_obs", ignorenulls=True).over(w_next)
-    nb = F.first(ob, ignorenulls=True).over(w_next)
-    # Observed rows: pv == nv == the value (pb == nb makes the slope term
-    # 0/0 — guard with the observed branch instead of dividing).
-    interp = F.when(
-        F.col("_obs").isNotNull(), F.col("_obs")
-    ).otherwise(
-        F.floor(pv + ((nv - pv) * (F.col("bucket_ms") - pb)) / (nb - pb) + 0.5).cast("long")
-    )
-    return joined.select(
+    return cells.select(
         key_col, "bucket_ms", interp.cast("long").alias("cents"), observed.alias("observed")
     )
