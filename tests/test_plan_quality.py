@@ -317,3 +317,51 @@ def test_heavy_hitters_verify_join_broadcasts_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_all_joins_broadcast(spark, sf_dir):
+    """BM25 scale shape: term table / df / totals are tiny and must
+    broadcast — a SortMergeJoin here means the corpus is shuffling on
+    something wider than doc_id."""
+    plan = _plan(queries()["q_bm25_rank"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the 1-row totals broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_ohlc_single_shuffle_no_rank_window(spark, sf_dir):
+    """OHLC bars: ONE (series, bucket) exchange; open/close argmin/argmax
+    via min(struct)/max(struct) — a Window operator appearing here means
+    someone reintroduced the row_number()-over-expansion anti-pattern
+    (CLAUDE.md argmin rule)."""
+    plan = _plan(queries()["q_ohlc_bars"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_gap_fill_no_join_single_window(spark, sf_dir):
+    """gap_fill's lead+explode formulation: no grid↔observation join of
+    any kind, exactly one Window (the lead), and no more than the two
+    natural exchanges (bucket aggregate + series-key window)."""
+    for q in ("q_gap_fill_locf", "q_gap_fill_linear"):
+        plan = _plan(queries()[q](spark, sf_dir))
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                  "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+            assert j not in plan, (q, j)
+        assert plan.count("Exchange hashpartitioning") <= 2, q
+        assert plan.count("Window") == 1, q
+
+
+def test_kmeans_assignment_is_scan_side_python(spark, sf_dir):
+    """The production assignment path (Arrow UDF) must stay shuffle-free:
+    one scan, one Python eval, zero exchanges before the projection."""
+    from stream_processing_platform_spark.operators.clustering import kmeans_assign
+    from stream_processing_platform_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = kmeans_assign(emb, [[0.0] * 64, [1.0] * 64])
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
