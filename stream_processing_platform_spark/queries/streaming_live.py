@@ -833,3 +833,64 @@ def q_stream_window_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_elems",
         "elem_ids",
     )
+
+
+@query(
+    "q_stream_ohlc",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / {HOUR_MS}) * {HOUR_MS} AS BIGINT)
+               AS window_start,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             {{'t': epoch_ms(ts), 's': event_id,
+               'v': CAST(round(value * 100) AS BIGINT)}} AS pt
+      FROM events
+    )
+    SELECT window_start, event_type,
+           (min(pt)).v AS open_c,
+           max(c) AS high_c,
+           min(c) AS low_c,
+           (max(pt)).v AS close_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p
+    GROUP BY window_start, event_type
+    """,
+    description="LIVE streaming OHLC bars — candlesticks computed by "
+    "the streaming engine itself: file stream → watermark → 1 h "
+    "tumbling window per event_type with open/close as "
+    "min(struct(ts, seq, cents))/max(struct(...)) (argmin/argmax "
+    "streaming aggregates — mergeable across micro-batches, exactly "
+    "the property a streaming bar builder needs) → memory sink. Same "
+    "integer-cents doctrine and same oracle family as the batch twin "
+    "q_ohlc_bars.",
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    prepped = stream.select(
+        "ts", "event_type", cents.alias("_c"),
+        F.struct(
+            epoch_ms(F.col("ts")).alias("t"),
+            F.col("event_id").alias("s"),
+            cents.alias("v"),
+        ).alias("_pt"),
+    )
+    windowed = W.tumbling_agg(
+        prepped,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.min("_pt")["v"].alias("open_c"),
+            F.max("_c").alias("high_c"),
+            F.min("_c").alias("low_c"),
+            F.max("_pt")["v"].alias("close_c"),
+            F.count("*").alias("n"),
+        ],
+    )
+    out = _run_to_table(windowed)
+    return out.select(
+        epoch_ms(F.col("window_start")).alias("window_start"),
+        "event_type", "open_c", "high_c", "low_c", "close_c", "n",
+    )
