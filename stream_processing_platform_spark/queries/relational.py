@@ -2543,3 +2543,97 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("gini"),
     )
+
+
+@query(
+    "q_cogroup_attribution",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS pts
+          FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.cts <= p.pts AND c.cts >= p.pts - 1800000
+    ),
+    best AS (
+      SELECT purchase_id, user_id, pts,
+             (min({'negts': -cts, 'cid': click_id})).cid AS click_id
+      FROM cand WHERE click_id IS NOT NULL
+      GROUP BY purchase_id, user_id, pts
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(coalesce(b.click_id, -1) AS BIGINT) AS click_id,
+           CAST(coalesce(p.pts - (SELECT -(min({'negts': -cts, 'cid': click_id})).negts
+                                  FROM cand
+                                  WHERE cand.purchase_id = p.purchase_id
+                                    AND cand.click_id IS NOT NULL), -1)
+                AS BIGINT) AS delta_ms
+    FROM p LEFT JOIN best b USING (purchase_id)
+    """,
+    description="Two-sided grouped merge via cogroup().applyInPandas — "
+    "the API surface the reference's JoinOperator custom merge function "
+    "(stateful.py:345-465 join_func) maps to when the merge logic is "
+    "imperative: clicks and purchases cogrouped per user in ONE shuffle "
+    "each, the pandas function runs a vectorized searchsorted "
+    "last-click-within-30-min attribution per user. Tie-break: latest "
+    "click wins, then smallest click_id (numpy argmin over (-ts, id)). "
+    "The duckdb oracle recomputes the same attribution relationally.",
+)
+def q_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_platform_spark.operators.windows_batch import epoch_ms
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), epoch_ms(F.col("ts")).alias("cts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), epoch_ms(F.col("ts")).alias("pts")
+    )
+
+    def attribute(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                {"purchase_id": [], "user_id": [], "click_id": [], "delta_ms": []}
+            )
+        uid = p["user_id"].iloc[0] if not p.empty else (c["user_id"].iloc[0])
+        out_click = np.full(len(p), -1, dtype=np.int64)
+        out_delta = np.full(len(p), -1, dtype=np.int64)
+        if not c.empty:
+            # per purchase: clicks in [pts - 30min, pts]; latest ts wins,
+            # smallest click_id on ts ties
+            order = np.lexsort((c["click_id"].to_numpy(), c["cts"].to_numpy()))
+            cts = c["cts"].to_numpy()[order]
+            cid = c["click_id"].to_numpy()[order]
+            for i, pts in enumerate(p["pts"].to_numpy()):
+                hi = np.searchsorted(cts, pts, side="right")
+                lo = np.searchsorted(cts, pts - 1_800_000, side="left")
+                if hi > lo:
+                    window_ts = cts[lo:hi]
+                    window_id = cid[lo:hi]
+                    best_ts = window_ts.max()
+                    sel = window_id[window_ts == best_ts].min()
+                    out_click[i] = sel
+                    out_delta[i] = pts - best_ts
+        return pd.DataFrame(
+            {
+                "purchase_id": p["purchase_id"].to_numpy(),
+                "user_id": np.full(len(p), uid, dtype=np.int64),
+                "click_id": out_click,
+                "delta_ms": out_delta,
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            "purchase_id bigint, user_id bigint, click_id bigint, delta_ms bigint",
+        )
+    )
