@@ -92,7 +92,6 @@ _PRIORITY: list[str] = [
     "q_gap_fill_locf",
     "q_gap_fill_linear",
     "q_stream_join_semi",
-    "q_custom_source_ticks",
     "q_ann_pq_trained",
     "q_lpa_labels",
     "q_audio_segments",
@@ -137,6 +136,10 @@ _PRIORITY: list[str] = [
     "q_window_tumbling",
     "q_window_sliding",
     "q_window_session",
+    # q_custom_source_ticks is rows-only and fully pytest-covered
+    # (test_custom_datasource.py) — parked at the window edge so every
+    # never-verified ORACLE query and the r3-stale tail fit in ~50 slots
+    "q_custom_source_ticks",
     # -- (c) last official row r4, registration order
     "q01_pricing_summary",
     "q03_shipping_priority",
