@@ -1329,3 +1329,58 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_scores(d, _BM25_TERMS)
+
+
+@query(
+    "q_sentence_split",
+    oracle="""
+    WITH prose AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || '. ' || substr(text, 41, 60) || '! '
+               || 'Source ' || source || '?  ' || substr(text, 101, 80) || '.'
+               AS prose
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             generate_subscripts(parts, 1) AS sent_idx,
+             trim(unnest(parts)) AS sentence
+      FROM (SELECT doc_id,
+                   string_split_regex(prose, '[.!?]+\\s+') AS parts
+            FROM prose)
+    )
+    SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+           CAST(len(list_filter(string_split_regex(lower(sentence), '\\s+'),
+                                t -> t <> '')) AS INTEGER) AS n_tokens
+    FROM s
+    WHERE sentence <> ''
+    """,
+    description="Sentence segmentation — the text-preprocessing "
+    "primitive under chunking/packing (sentence prose synthesized "
+    "identically in both engines — the raw corpus has no punctuation): "
+    "split on terminal punctuation "
+    "runs ([.!?]+ + whitespace; no lookbehind — RE2 and Java regex "
+    "agree), posexplode with a stable per-doc sentence index, trimmed "
+    "empties dropped, per-sentence token counts from the shared "
+    "tokenizer. Narrow op: no shuffle at all — sentences explode "
+    "inside the scan task.",
+)
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(". "),
+            F.substring("text", 41, 60), F.lit("! "),
+            F.lit("Source "), F.col("source"), F.lit("?  "),
+            F.substring("text", 101, 80), F.lit("."),
+        ).alias("prose"),
+    )
+    parts = F.split(F.col("prose"), r"[.!?]+\s+")
+    s = d.select(
+        "doc_id", F.posexplode(parts).alias("pos", "raw")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("sent_idx"),
+        F.trim(F.col("raw")).alias("sentence"),
+    ).where(F.col("sentence") != "")
+    return s.withColumn("n_tokens", F.size(T.tokens(F.col("sentence"))).cast("int"))

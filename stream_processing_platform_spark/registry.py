@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "q_key_skew",
     "q_stream_ohlc",
     "q_cogroup_attribution",
+    "q_sentence_split",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
