@@ -172,11 +172,16 @@ def assign_expr(
     low-id tie-break. Centroids broadcast; the corpus never shuffles
     wider than one row per input vector. Output: id_col, cluster
     (centroid id), sqdist (rounded)."""
-    pts = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    pts = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")).withColumn(
+        "_n2", dot(F.col("_v"), F.col("_v"))  # hoisted: per row, not per (row × centroid)
+    )
     cents = centroids.select(
         F.col(centroid_id).alias("_cid"), as_double_array(F.col(centroid_vec)).alias("_cv")
-    )
-    d = F.round(_sqdist_expr(F.col("_v"), F.col("_cv")), 6)
+    ).withColumn("_cn2", dot(F.col("_cv"), F.col("_cv")))
+    # same value and same fp composition order as dot(a,a) - 2·dot(a,b)
+    # + dot(b,b) computed inline (the duckdb oracle's form) — only the
+    # place of evaluation moves, so round(·, 6) stays bit-identical
+    d = F.round(F.col("_n2") - 2.0 * dot(F.col("_v"), F.col("_cv")) + F.col("_cn2"), 6)
     best = F.min(F.struct(d.alias("d"), F.col("_cid").alias("cid")))
     return (
         pts.crossJoin(F.broadcast(cents))
