@@ -81,3 +81,40 @@ def compact_parquet_zorder(
     )
     layout.zorder_repartition(df, z, n_files).write.mode("error").parquet(dst_path)
     return spark.read.parquet(dst_path)
+
+
+def retention_prune(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_from: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention policy over a partitioned table: drop whole partition
+    directories whose ``partition_col`` value sorts below ``keep_from``
+    (hypertable ``drop_chunks`` / `ALTER TABLE DROP PARTITION`
+    semantics — the data-lifecycle half of the rollup pyramid: raw
+    events age out, the coarser rollup levels keep the history).
+
+    Deletion is partition-PRUNED, never row-scanned: candidates come
+    from the directory names (``col=value``), so a 100 TB table prunes
+    by listing directories — no data file is opened. Values compare as
+    strings, which is correct for zero-padded date/hour layouts
+    (``dt=2024-01-07``) — the standard lake layout this targets.
+    Returns the dropped (or would-drop, with ``dry_run``) partition
+    values; refuses paths that are not partitioned by ``partition_col``.
+    """
+    import shutil
+
+    prefix = f"{partition_col}="
+    parts = sorted(
+        e for e in os.listdir(path)
+        if e.startswith(prefix) and os.path.isdir(os.path.join(path, e))
+    )
+    if not parts:
+        raise ValueError(f"{path!r} has no {prefix}* partition directories")
+    doomed = [e for e in parts if e[len(prefix):] < keep_from]
+    if not dry_run:
+        for e in doomed:
+            shutil.rmtree(os.path.join(path, e))
+    return [e[len(prefix):] for e in doomed]

@@ -65,3 +65,44 @@ def test_compact_zorder_gives_file_level_stats(spark, tmp_path):
         if xmin <= 200 and xmax >= 100 and ymin <= 400 and ymax >= 300:
             touched += 1
     assert touched <= len(files) // 2, (touched, len(files))
+
+
+def test_retention_prune_drops_old_partitions_only(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.maintenance import retention_prune
+    from stream_processing_platform_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="spp_retention_")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    )
+    e.write.partitionBy("dt").mode("overwrite").parquet(out)
+    all_parts = sorted(
+        p[3:] for p in os.listdir(out) if p.startswith("dt=")
+    )
+    cut = all_parts[2]
+    # dry run reports without deleting
+    would = retention_prune(spark, out, "dt", cut, dry_run=True)
+    assert would == all_parts[:2]
+    assert sorted(p[3:] for p in os.listdir(out) if p.startswith("dt=")) == all_parts
+    # real run drops exactly the old partitions; survivors still read
+    dropped = retention_prune(spark, out, "dt", cut)
+    assert dropped == all_parts[:2]
+    left = spark.read.parquet(out)
+    assert str(left.agg(F.min("dt")).collect()[0][0]) == cut  # partition col infers as DATE
+    assert left.count() > 0
+
+
+def test_retention_prune_rejects_unpartitioned_path(spark):
+    import tempfile
+
+    import pytest
+
+    from stream_processing_platform_spark.maintenance import retention_prune
+
+    with pytest.raises(ValueError, match="partition directories"):
+        retention_prune(spark, tempfile.mkdtemp(), "dt", "2024-01-01")
