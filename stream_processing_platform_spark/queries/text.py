@@ -1384,3 +1384,46 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("raw")).alias("sentence"),
     ).where(F.col("sentence") != "")
     return s.withColumn("n_tokens", F.size(T.tokens(F.col("sentence"))).cast("int"))
+
+
+@query(
+    "q_fuzzy_token_pairs",
+    oracle=f"""
+    WITH base AS (SELECT DISTINCT unnest({_SQL_TOKENS}) AS t FROM documents),
+    noisy AS (
+      SELECT t FROM base
+      UNION SELECT t || 'q' FROM base
+      UNION SELECT substr(t, 2) FROM base WHERE len(t) >= 3
+    ),
+    v AS (SELECT DISTINCT t FROM noisy WHERE len(t) >= 2)
+    SELECT a.t AS tok_a, b.t AS tok_b,
+           CAST(levenshtein(a.t, b.t) AS INTEGER) AS distance
+    FROM v a JOIN v b
+      ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
+    WHERE levenshtein(a.t, b.t) <= 1
+    """,
+    description="Fuzzy vocabulary pairs (operators/fuzzy.py): edit-"
+    "distance-1 matches across the corpus vocabulary augmented with "
+    "deterministic noisy variants (appended char + dropped first char "
+    "— built identically in both engines; the synthetic vocabulary has "
+    "no natural typos). Candidates meet through length-band EQUI-joins "
+    "(|len diff| <= d is necessary for distance <= d — provably "
+    "complete blocking, never a cartesian); verify is the built-in "
+    "levenshtein, identical DP in Spark and duckdb. The record-linkage "
+    "/ typo-normalization primitive.",
+)
+def q_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.fuzzy import fuzzy_self_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(F.explode(T.tokens(F.col("text"))).alias("t")).distinct()
+    noisy = (
+        base.select("t")
+        .unionByName(base.select(F.concat(F.col("t"), F.lit("q")).alias("t")))
+        .unionByName(
+            base.where(F.length("t") >= 3).select(F.substring(F.col("t"), 2, 1_000_000).alias("t"))
+        )
+        .distinct()
+    )
+    out = fuzzy_self_pairs(noisy, "t", max_distance=1, min_length=2)
+    return out.withColumn("distance", F.col("distance").cast("int"))

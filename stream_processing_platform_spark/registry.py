@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "q_stream_ohlc",
     "q_cogroup_attribution",
     "q_sentence_split",
+    "q_fuzzy_token_pairs",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
