@@ -641,3 +641,77 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), synth(F.col("doc_id")).alias("content")
     )
     return segment_audio(docs, frame_ms=20, threshold=0.05, min_frames=2)
+
+
+@query(
+    "q_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE aug AS ({_SQL_AUG}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.95
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT vec_id, vec_id FROM aug
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+    ),
+    cc AS (
+      SELECT v AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY v
+    ),
+    assigned AS (
+      SELECT vec_id, cluster_id,
+             CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'f6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cc
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN vec_id <> cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_members
+    FROM assigned
+    GROUP BY split
+    """,
+    description="Dup-cluster-aware train/val/test split — the leakage-"
+    "safe upgrade over q_corpus_split's per-document hashing: NEAR-"
+    "duplicates (not just exact) can never straddle splits, because the "
+    "split is decided by md5 of the connected-component id (near-dup "
+    "pairs → components → one hash per CLUSTER, every member inherits "
+    "it). ~80/16/4 on the 256 hex buckets. n_dup_members counts "
+    "non-keeper members — each rides its keeper's split; the recursive-"
+    "CTE oracle recomputes components + hashing end to end.",
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.graph import dedup_clusters
+
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.hyperplane_lsh_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    cc = dedup_clusters(
+        aug.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    h = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    split = F.when(h < "cd", "train").when(h < "f6", "val").otherwise("test")
+    return (
+        cc.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("vec_id") != F.col("cluster_id"), 1).otherwise(0)
+            ).alias("n_dup_members"),
+        )
+    )

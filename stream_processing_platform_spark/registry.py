@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "q_cogroup_attribution",
     "q_sentence_split",
     "q_fuzzy_token_pairs",
+    "q_cluster_safe_split",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
