@@ -31,3 +31,25 @@ def test_query_runs(name, spark, sf_dir):
     df = rq.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_bench_query_names_exist_in_registry():
+    """bench.py times queries by registry name — a rename there must
+    fail CI, not the nightly bench run."""
+    import ast
+    import os
+
+    from stream_processing_platform_spark.registry import queries
+
+    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    import re
+
+    names = {
+        n.value
+        for n in ast.walk(ast.parse(src))
+        if isinstance(n, ast.Constant) and isinstance(n.value, str)
+        and re.fullmatch(r"q[_0-9][a-z0-9_]*", n.value)
+    }
+    qs = queries()
+    missing = sorted(n for n in names if n not in qs)
+    assert not missing, f"bench.py references unregistered queries: {missing}"
