@@ -8,7 +8,7 @@ feasible, since candidates are always verified with the exact measure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_platform_spark.functions import text as T
@@ -1427,3 +1427,82 @@ def q_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = fuzzy_self_pairs(noisy, "t", max_distance=1, min_length=2)
     return out.withColumn("distance", F.col("distance").cast("int"))
+
+
+_PROSE_SQL = """
+      SELECT doc_id,
+             substr(text, 1, 40) || '. ' || substr(text, 41, 60) || '! '
+               || 'Source ' || source || '?  ' || substr(text, 101, 80) || '.'
+               AS prose
+      FROM documents
+"""
+
+
+@query(
+    "q_line_dedup",
+    oracle=f"""
+    WITH prose AS ({_PROSE_SQL}),
+    s AS (
+      SELECT doc_id,
+             generate_subscripts(parts, 1) AS sent_idx,
+             trim(unnest(parts)) AS sentence
+      FROM (SELECT doc_id,
+                   string_split_regex(prose, '[.!?]+\\s+') AS parts
+            FROM prose)
+    ),
+    nonempty AS (SELECT * FROM s WHERE sentence <> ''),
+    first_owner AS (
+      SELECT doc_id, sent_idx, sentence,
+             row_number() OVER (PARTITION BY sentence
+                                ORDER BY doc_id ASC, sent_idx ASC) AS occ
+      FROM nonempty
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN occ = 1 THEN sentence END, ' | '
+                               ORDER BY sent_idx), '') AS kept,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM first_owner
+    GROUP BY doc_id
+    """,
+    description="C4-style corpus-level line deduplication: every "
+    "sentence that occurs more than once in the corpus survives only "
+    "at its FIRST occurrence ((doc_id, sent_idx) order) — the classic "
+    "boilerplate-removal pass (here the synthesized 'Source X' "
+    "sentence repeats across every doc of a source and gets stripped "
+    "from all but one). One shuffle keyed on the sentence for the "
+    "first-occurrence window, one per-doc reassembly aggregate with "
+    "deterministic in-doc order. Docs reduced to nothing emit an "
+    "empty-string kept column (never null).",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prose = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(". "),
+            F.substring("text", 41, 60), F.lit("! "),
+            F.lit("Source "), F.col("source"), F.lit("?  "),
+            F.substring("text", 101, 80), F.lit("."),
+        ).alias("prose"),
+    )
+    s = prose.select(
+        "doc_id", F.posexplode(F.split(F.col("prose"), r"[.!?]+\s+")).alias("pos", "raw")
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("sent_idx"), F.trim(F.col("raw")).alias("sentence")
+    ).where(F.col("sentence") != "")
+    w = Window.partitionBy("sentence").orderBy(F.col("doc_id").asc(), F.col("sent_idx").asc())
+    fo = s.withColumn("occ", F.row_number().over(w))
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("occ") == 1, F.struct("sent_idx", "sentence"))
+            )
+        ),
+        lambda x: x["sentence"],
+    )
+    return fo.groupBy("doc_id").agg(
+        F.concat_ws(" | ", kept_sorted).alias("kept"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dropped"),
+    )

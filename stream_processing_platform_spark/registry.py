@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "q_sentence_split",
     "q_fuzzy_token_pairs",
     "q_cluster_safe_split",
+    "q_line_dedup",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
