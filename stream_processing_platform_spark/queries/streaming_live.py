@@ -894,3 +894,48 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms(F.col("window_start")).alias("window_start"),
         "event_type", "open_c", "high_c", "low_c", "close_c", "n",
     )
+
+
+DAY_MS = 86_400_000
+
+
+@query(
+    "q_stream_chained_agg",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch_ms(ts) / {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS h,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(floor(h / {DAY_MS}) * {DAY_MS} AS BIGINT) AS day_start,
+           event_type,
+           CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM hourly GROUP BY 1, 2
+    """,
+    description="CHAINED stateful streaming operators (Spark 4: "
+    "multiple stateful ops in one query): hourly tumbling counts per "
+    "event_type feed a SECOND tumbling aggregation re-windowed to days "
+    "via window_time() — the continuous rollup-pyramid pattern "
+    "(operators/rollup.py) running live, both levels inside one "
+    "streaming query with one watermark. Flush rows push the watermark "
+    "past the final day so every window of BOTH stateful operators "
+    "emits in one availableNow run; the oracle recomputes the two-level "
+    "fold in batch.",
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _events_stream(spark, sf_dir, flush_files=2)
+    hourly = (
+        s.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type")
+        .agg(F.sum("n").alias("total"), F.count("*").alias("n_hours"))
+    )
+    out = _run_to_table(daily, mode="append")
+    return out.where(F.col("event_type") != "flush").select(
+        epoch_ms(F.col("w2.start")).alias("day_start"),
+        "event_type", "total", "n_hours",
+    )

@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "q_fuzzy_token_pairs",
     "q_cluster_safe_split",
     "q_line_dedup",
+    "q_stream_chained_agg",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
