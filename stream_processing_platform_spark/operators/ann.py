@@ -374,6 +374,7 @@ def ivfpq_topk(
     num_codes: int = 64,
     refine: int = 16,
     train_iters: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the combined index — IVF cells bound WHICH candidates are
     scored (``nprobe/num_cells`` of the corpus), PQ codes bound WHAT
@@ -388,6 +389,16 @@ def ivfpq_topk(
     as ivf_topk / pq_topk; the one extra build-time cost is a corpus-
     keyed join attaching codes to cell assignments (amortized: at scale
     both live in one precomputed index table).
+
+    ``residual=True`` is the faithful FAISS composition: PQ encodes the
+    RESIDUAL ``x/|x| − c/|c|`` (vector minus its cell centroid, both
+    unit-normalized) instead of the raw vector, and each query builds a
+    per-(query, cell) ADC table against ``q/|q| − c/|c|``. Residuals
+    concentrate near zero, so the same code budget spends its precision
+    on the part of the vector the cell doesn't already explain —
+    measured recall lift in tests/test_ann_quality.py. Costs one extra
+    broadcast join at build (attach centroids) and nprobe× more (still
+    tiny) query-table rows.
 
     Output schema matches the other tiers: query_id, neighbor_id, cos,
     rank. Recall vs brute force tested in test_ann_quality.
@@ -408,13 +419,43 @@ def ivfpq_topk(
 
     # --- PQ side: codebook + corpus codes ----------------------------
     cn = c.select(F.col("cid").alias("neighbor_id"), "_cv")
-    codebook = _pq_codebook(cn, dim, num_subspaces, num_codes, train_iters)
-    c_subs = cn.select(
-        "neighbor_id",
-        F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
-            "m", "sub"
-        ),
-    )
+    if residual:
+        ncent = centroids.select(
+            "cell", _l2_normalized(F.col("_centroid")).alias("_ncent")
+        )
+        rres = (
+            cn.join(assigned, "neighbor_id")
+            .join(F.broadcast(ncent), "cell")
+            .select(
+                "neighbor_id",
+                F.zip_with(
+                    _l2_normalized(F.col("_cv")), F.col("_ncent"), lambda x, y: x - y
+                ).alias("_rv"),
+            )
+        )
+        code_w = Window.orderBy("_h", "neighbor_id")
+        codebook = (
+            rres.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x52)))
+            .orderBy("_h", "neighbor_id")
+            .limit(num_codes)
+            .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
+            .select(
+                "code",
+                F.posexplode(_subvectors(F.col("_rv"), dim, num_subspaces)).alias("m", "csub"),
+            )
+        )
+        c_subs = rres.select(
+            "neighbor_id",
+            F.posexplode(_subvectors(F.col("_rv"), dim, num_subspaces)).alias("m", "sub"),
+        )
+    else:
+        codebook = _pq_codebook(cn, dim, num_subspaces, num_codes, train_iters)
+        c_subs = cn.select(
+            "neighbor_id",
+            F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
+                "m", "sub"
+            ),
+        )
     encoded = (
         c_subs.join(F.broadcast(codebook), "m")
         .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
@@ -440,31 +481,66 @@ def ivfpq_topk(
         .withColumn("_sim", cosine(F.col("_qv"), F.col("_centroid")))
         .withColumn("_rn", F.row_number().over(probe_w))
         .where(F.col("_rn") <= nprobe)
-        .select("query_id", "cell")
+        .select("query_id", "cell", "_qv")
     )
-    q_subs = q.select(
-        "query_id",
-        F.posexplode(_subvectors(_l2_normalized(F.col("_qv")), dim, num_subspaces)).alias(
-            "m", "sub"
-        ),
-    )
-    qtab = (
-        q_subs.join(F.broadcast(codebook), "m")
-        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
-        .groupBy("query_id", "m")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
-            ).alias("row")
+    if residual:
+        # per-(query, cell) residual ADC table — the table depends on
+        # WHICH cell is probed, so it's built per probe pair (q*nprobe
+        # rows, still tiny and broadcast)
+        q_subs = (
+            probes.join(F.broadcast(ncent), "cell")
+            .select(
+                "query_id", "cell",
+                F.posexplode(
+                    _subvectors(
+                        F.zip_with(
+                            _l2_normalized(F.col("_qv")), F.col("_ncent"), lambda x, y: x - y
+                        ),
+                        dim, num_subspaces,
+                    )
+                ).alias("m", "sub"),
+            )
         )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
-            ).alias("dtable")
+        probe_tabs = (
+            q_subs.join(F.broadcast(codebook), "m")
+            .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+            .groupBy("query_id", "cell", "m")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+                ).alias("row")
+            )
+            .groupBy("query_id", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
+                ).alias("dtable")
+            )
         )
-    )
-    probe_tabs = probes.join(qtab, "query_id")  # q*nprobe rows, tiny
+    else:
+        q_subs = q.select(
+            "query_id",
+            F.posexplode(_subvectors(_l2_normalized(F.col("_qv")), dim, num_subspaces)).alias(
+                "m", "sub"
+            ),
+        )
+        qtab = (
+            q_subs.join(F.broadcast(codebook), "m")
+            .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+            .groupBy("query_id", "m")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+                ).alias("row")
+            )
+            .groupBy("query_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
+                ).alias("dtable")
+            )
+        )
+        probe_tabs = probes.drop("_qv").join(qtab, "query_id")  # q*nprobe rows, tiny
 
     # --- candidate scoring: ADC inside probed cells only --------------
     pq_w = Window.partitionBy("query_id").orderBy(

@@ -178,3 +178,40 @@ def test_ivfpq_recall_tracks_ivf(spark, sf_dir):
     r_comb = len(exact & comb) / len(exact)
     assert r_comb >= r_ivf - 0.05, f"PQ stage lost recall: {r_comb:.2f} vs ivf {r_ivf:.2f}"
     assert r_comb >= 0.4, f"IVFPQ recall {r_comb:.2f} below plumbing floor"
+
+
+def test_ivfpq_residual_encoding_on_clustered_data(spark):
+    """Residual PQ (x/|x| - c/|c|) is the faithful FAISS composition;
+    on CLUSTERED data — where cells explain most of the vector and the
+    residual carries the fine structure — it must match brute force at
+    least as well as raw-vector encoding. Crafted corpus: 4 tight
+    clusters around orthogonal-ish anchors, 32 points each."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    anchors = np.eye(4).repeat(4, axis=1)  # 4 anchors in 16-d
+    rows = []
+    vid = 0
+    for a in anchors:
+        for _ in range(32):
+            v = a + rng.normal(0, 0.08, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.where(F.col("vec_id") % 16 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(df, q, k=5).collect()}
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(
+                df, q, k=5, dim=16, num_cells=4, nprobe=2,
+                num_subspaces=4, num_codes=16, refine=8, **kw
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_raw = recall()
+    r_res = recall(residual=True)
+    assert r_res >= 0.6, f"residual IVFPQ recall {r_res:.2f} below floor"
+    assert r_res >= r_raw - 0.1, (r_res, r_raw)
