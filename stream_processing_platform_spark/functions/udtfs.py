@@ -32,3 +32,40 @@ class SplitPassages:
 def register_udtfs(spark: SparkSession) -> None:
     """Register the UDTF surface on a session (idempotent)."""
     spark.udtf.register("split_passages", SplitPassages)
+    spark.udtf.register("extract_fields", ExtractFields)
+
+
+@udtf
+class ExtractFields:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze()``): output schema computed
+    from the call site's constant arguments — ``SELECT f.* FROM t,
+    LATERAL extract_fields(t.props, 'k', 'tag')`` yields one STRING
+    column PER REQUESTED KEY, a different schema per call. This is the
+    dynamic-schema table-function surface (the static-returnType form
+    above can't express it); the JSON walk itself stays a plain
+    json.loads per row.
+    """
+
+    @staticmethod
+    def analyze(payload, *keys):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not keys:
+            raise ValueError("extract_fields needs at least one key argument")
+        bad = [k for k in keys if not k.isConstantExpression or not isinstance(k.value, str)]
+        if bad:
+            raise ValueError("extract_fields keys must be constant strings")
+        schema = StructType()
+        for k in keys:
+            schema = schema.add(k.value, StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, payload: str, *keys: str):  # noqa: D102 — UDTF contract
+        import json
+
+        try:
+            obj = json.loads(payload) if payload else {}
+        except ValueError:
+            obj = {}
+        yield tuple(None if obj.get(k) is None else str(obj.get(k)) for k in keys)

@@ -22,3 +22,37 @@ def test_split_passages_lateral_join(spark):
     assert (3, 0) not in got  # null text yields no rows
     # word conservation per doc
     assert sum(n for (d, _), (_, n) in got.items() if d == 1) == 5
+
+
+def test_polymorphic_udtf_schema_follows_keys(spark):
+    """extract_fields computes its schema via analyze() from the call
+    site's constant keys — two calls, two different schemas."""
+    from stream_processing_platform_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    one = spark.sql(
+        """SELECT f.* FROM VALUES ('{"a": 1, "b": "x"}') AS t(j),
+           LATERAL extract_fields(t.j, 'a') f"""
+    )
+    assert one.columns == ["a"]
+    assert one.collect()[0].a == "1"
+    two = spark.sql(
+        """SELECT f.* FROM VALUES ('{"a": 1, "b": "x"}'), ('broken') AS t(j),
+           LATERAL extract_fields(t.j, 'b', 'missing') f"""
+    )
+    assert two.columns == ["b", "missing"]
+    rows = sorted(two.collect(), key=lambda r: (r.b is None, r.b))
+    assert (rows[0].b, rows[0].missing) == ("x", None)
+    assert (rows[1].b, rows[1].missing) == (None, None)  # malformed -> nulls
+
+
+def test_polymorphic_udtf_rejects_non_constant_keys(spark):
+    import pytest
+
+    from stream_processing_platform_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    with pytest.raises(Exception, match="constant strings|at least one key"):
+        spark.sql(
+            "SELECT f.* FROM VALUES ('{}') AS t(j), LATERAL extract_fields(t.j, t.j) f"
+        ).collect()
