@@ -247,3 +247,146 @@ def test_jpeg_roundtrip_arbitrary_blocky_images(img_seed, h, w, quality):
     assert dec.shape == img.shape
     mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
     assert mse < 400  # blocky images are DC-dominated: stays close at q>=70
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(-10_000, 10_000)),
+        min_size=1, max_size=25,
+    ),
+    method_ix=st.integers(0, 1),
+)
+@settings(**SETTINGS)
+def test_gap_fill_invariants(spark, obs, method_ix):
+    """For arbitrary observation sets: the grid is dense (every bucket
+    between min and max present exactly once), fills are never null,
+    observed buckets carry their exact mean, LOCF fills equal the
+    previous observation, and linear fills lie between the two
+    neighbouring observations."""
+    import datetime as dt
+
+    from stream_processing_platform_spark.operators.timeseries import gap_fill
+
+    method = ("locf", "linear")[method_ix]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), 1, "x", v / 100.0, "{}")
+        for i, (m, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    out = sorted(
+        gap_fill(df, "ts", "value", "user_id", 60_000, method).collect(),
+        key=lambda r: r.bucket_ms,
+    )
+    buckets = [r.bucket_ms for r in out]
+    mins = sorted({m for m, _ in obs})
+    # dense and unique: one bucket per minute between first and last obs
+    assert buckets == list(range(buckets[0], buckets[0] + (max(mins) - min(mins) + 1) * 60_000, 60_000))
+    assert all(r.cents is not None for r in out)
+    by_bucket = {r.bucket_ms: r for r in out}
+    # exact mean (half-up) on observed buckets
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for m, v in obs:
+        per[m].append(v)
+    import math
+
+    base = out[0].bucket_ms - min(mins) * 60_000
+    for m, vs in per.items():
+        r = by_bucket[base + m * 60_000]
+        assert r.observed == 1
+        assert r.cents == math.floor(sum(vs) / len(vs) + 0.5)
+    # fill semantics on unobserved buckets
+    obs_buckets = sorted(per)
+    for r in out:
+        m = (r.bucket_ms - base) // 60_000
+        if m in per:
+            continue
+        prev = max(b for b in obs_buckets if b < m)
+        nxt = min(b for b in obs_buckets if b > m)
+        pv = math.floor(sum(per[prev]) / len(per[prev]) + 0.5)
+        nv = math.floor(sum(per[nxt]) / len(per[nxt]) + 0.5)
+        if method == "locf":
+            assert r.cents == pv, (m, r.cents, pv)
+        else:
+            lo, hi = min(pv, nv), max(pv, nv)
+            assert lo - 1 <= r.cents <= hi + 1, (m, r.cents, pv, nv)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-500, 500)),
+        min_size=1, max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_ohlc_bar_invariants(spark, vals):
+    """low <= open, close <= high; n and sum match the bucket's points;
+    open/close are the first/last value in (ts, seq) order."""
+    import datetime as dt
+
+    from stream_processing_platform_spark.operators.timeseries import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=s), 1, "x", v / 100.0, "{}")
+        for i, (s, v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    bars = ohlc_bars(df, "ts", "value", ["user_id"], 10_000, "event_id").collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (s, v) in enumerate(vals):
+        per[s // 10].append((s, i, v))
+    assert len(bars) == len(per)
+    for b in bars:
+        pts = sorted(per[(b.bucket_ms - 1704067200000) // 10_000])
+        assert b.n == len(pts) and b.sum_c == sum(v for _, _, v in pts)
+        assert b.open_c == pts[0][2] and b.close_c == pts[-1][2]
+        assert b.low_c == min(v for _, _, v in pts)
+        assert b.high_c == max(v for _, _, v in pts)
+        assert b.low_c <= b.open_c <= b.high_c
+        assert b.low_c <= b.close_c <= b.high_c
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=2, max_size=6), min_size=1, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_fuzzy_pairs_match_brute_force(spark, words):
+    """Length-band blocking finds EXACTLY the brute-force distance<=1
+    pair set — completeness of |len diff| <= d blocking, no dupes."""
+    from stream_processing_platform_spark.operators.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {
+        (r.tok_a, r.tok_b)
+        for r in fuzzy_self_pairs(df, "t", max_distance=1, min_length=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    vocab = sorted({w for w in words if len(w) >= 2})
+    want = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1:]
+        if lev(a, b) <= 1
+    }
+    assert got == want
