@@ -1,0 +1,60 @@
+"""CDC apply — change-event envelopes → current state.
+
+The read side of the CDC story (the write side is ``operators/scd.py``
+SCD2 merge and ``sinks.scd2_sink``): given a stream/batch of
+upsert/delete envelopes (the Debezium/Kafka-connect shape: key, op,
+after-image, source sequence), materialize the CURRENT state — last
+writer wins, a trailing delete removes the key.
+
+Scale shape: one aggregate keyed on the entity key with the argmax as
+``max(struct(seq..., op, payload))`` — map-side combining (each task
+reduces its slice of a key's history to one candidate before the
+shuffle), no window sort over the full history, no per-key state beyond
+the single running max. This is exactly how a 100 TB CDC compaction
+behaves: cost = one scan + one key-width shuffle of one row per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions.cols import as_col_list
+
+DELETE_OP = "d"
+
+
+def apply_cdc(
+    changes: DataFrame,
+    key_cols,
+    seq_cols,
+    op_col: str,
+    payload_cols,
+) -> DataFrame:
+    """Collapse a change history to current state.
+
+    ``seq_cols`` orders a key's events (ties must be broken by the last
+    element — pass the source LSN / event id). The latest event wins;
+    keys whose latest op is ``DELETE_OP`` disappear. Output: key_cols +
+    payload_cols + ``last_seq`` (the winning first seq column) +
+    ``n_ops`` (history length folded into this key).
+    """
+    keys = as_col_list(key_cols)
+    seqs = as_col_list(seq_cols)
+    payloads = as_col_list(payload_cols)
+    winner = F.max(
+        F.struct(
+            *[F.col(s).alias(f"_s{i}") for i, s in enumerate(seqs)],
+            F.col(op_col).alias("_op"),
+            *[F.col(p).alias(f"_p{i}") for i, p in enumerate(payloads)],
+        )
+    )
+    agg = changes.groupBy(*keys).agg(
+        winner.alias("_w"), F.count("*").alias("n_ops")
+    )
+    return agg.where(F.col("_w._op") != DELETE_OP).select(
+        *keys,
+        *[F.col(f"_w._p{i}").alias(p) for i, p in enumerate(payloads)],
+        F.col("_w._s0").alias("last_seq"),
+        "n_ops",
+    )

@@ -2637,3 +2637,49 @@ def q_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id bigint, user_id bigint, click_id bigint, delta_ms bigint",
         )
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH env AS (
+      SELECT user_id,
+             epoch_ms(ts) AS seq_ms, event_id,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    win AS (
+      SELECT user_id,
+             max({'s0': seq_ms, 's1': event_id, 'op': op, 'c': cents}) AS w,
+             CAST(count(*) AS BIGINT) AS n_ops
+      FROM env GROUP BY user_id
+    )
+    SELECT user_id, (w).c AS cents, CAST((w).s0 AS BIGINT) AS last_seq, n_ops
+    FROM win WHERE (w).op <> 'd'
+    """,
+    description="CDC apply (operators/cdc.py) — the read side of the "
+    "CDC story (write side: SCD2 merge/sink): Debezium-shaped "
+    "upsert/delete envelopes (here derived from events: 'error' rows "
+    "act as tombstones) collapse to current state via last-writer-wins "
+    "argmax as max(struct(seq, op, payload)) — map-side combining, one "
+    "key-width shuffle of one row per key, no window sort over the "
+    "history; keys whose latest op is a delete disappear. The 100 TB "
+    "CDC-compaction shape.",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.cdc import apply_cdc
+    from stream_processing_platform_spark.operators.windows_batch import epoch_ms
+
+    e = load_table(spark, sf_dir, "events")
+    env = e.select(
+        "user_id",
+        epoch_ms(F.col("ts")).alias("seq_ms"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return apply_cdc(
+        env, key_cols="user_id", seq_cols=["seq_ms", "event_id"],
+        op_col="op", payload_cols="cents",
+    )

@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "q_cluster_safe_split",
     "q_line_dedup",
     "q_stream_chained_agg",
+    "q_cdc_apply",
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",

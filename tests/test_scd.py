@@ -77,3 +77,33 @@ def test_scd2_null_transitions_count_as_changes(spark):
         (2, "b", 0, 10, 0),
         (2, None, 10, E, 1),
     ]
+
+
+def test_apply_cdc_last_writer_wins_and_tombstones(spark):
+    from stream_processing_platform_spark.operators.cdc import apply_cdc
+
+    env = spark.createDataFrame(
+        [
+            # key 1: insert, update -> survives with the update's payload
+            (1, 10, 100, "u", 5),
+            (1, 20, 101, "u", 7),
+            # key 2: insert then delete -> gone
+            (2, 10, 102, "u", 9),
+            (2, 30, 103, "d", 0),
+            # key 3: delete then REINSERT -> survives (order matters)
+            (3, 10, 104, "d", 0),
+            (3, 40, 105, "u", 11),
+            # key 4: seq tie broken by event_id -> the higher id wins
+            (4, 50, 106, "u", 1),
+            (4, 50, 107, "u", 2),
+        ],
+        "user_id bigint, seq_ms bigint, event_id bigint, op string, cents bigint",
+    )
+    got = {
+        r.user_id: (r.cents, r.last_seq, r.n_ops)
+        for r in apply_cdc(
+            env, "user_id", ["seq_ms", "event_id"], "op", "cents"
+        ).collect()
+    }
+    assert got == {1: (7, 20, 2), 3: (11, 40, 2), 4: (2, 50, 2)}
+    assert 2 not in got
