@@ -84,17 +84,14 @@ _loaded = False
 # Unlisted queries (the r5-green set) follow in registration order —
 # freshest official rows, lowest re-verification priority.
 _PRIORITY: list[str] = [
-    # -- (a) new in r6 / oracle edited in r6
+    # -- (a1) new ORACLE queries this round (no official row yet) —
+    #    every slot here buys a first-ever hash-MATCH row
     "q_kmeans_assign",
-    "q_kmeans_embeddings",
-    "q_ann_ivf_trained",
     "q_ohlc_bars",
     "q_gap_fill_locf",
     "q_gap_fill_linear",
     "q_stream_join_semi",
-    "q_ann_pq_trained",
     "q_lpa_labels",
-    "q_audio_segments",
     "q_bm25_rank",
     "q_json_variant",
     "q_mad_outliers",
@@ -107,6 +104,8 @@ _PRIORITY: list[str] = [
     "q_line_dedup",
     "q_stream_chained_agg",
     "q_cdc_apply",
+    # -- (a2) earlier-round-6 new / oracle edited in round 6
+    #    (winnow short-doc clamp invalidates the r5 rows' oracle text)
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_types",
@@ -127,26 +126,33 @@ _PRIORITY: list[str] = [
     "q_ann_rerank",
     "q_winnow_fingerprints",
     "q_winnow_dup_pairs",
-    # -- (b) last official row r3
-    "q_window_collect",
-    "q_incremental_dedup",
+    # -- (b) last official row r3 and NOT judge-re-MATCHed since
     "q_corpus_split",
     "q_stratified_sample",
-    "q_pii_redaction",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
-    "q_udaf_geomean",
     "q_embedding_centroids",
     "q_window_tumbling",
     "q_window_sliding",
     "q_window_session",
-    # q_custom_source_ticks is rows-only and fully pytest-covered
-    # (test_custom_datasource.py) — parked at the window edge so every
-    # never-verified ORACLE query and the r3-stale tail fit in ~50 slots
+    # -- (c) window edge. First: the four r3-stale queries the r5 judge
+    #    ALREADY re-MATCHed by hand (freshest effective verification of
+    #    the stale set), then this round's rows-only newcomers (fully
+    #    pytest-covered; a rows-only row carries the least information).
+    #    ~50-slot window covers (a1)+(a2)+(b) = 48 and the head of (c);
+    #    the tail rotates forward in r7.
+    "q_window_collect",
+    "q_incremental_dedup",
+    "q_pii_redaction",
+    "q_udaf_geomean",
+    "q_kmeans_embeddings",
+    "q_ann_ivf_trained",
+    "q_ann_pq_trained",
+    "q_audio_segments",
     "q_custom_source_ticks",
-    # -- (c) last official row r4, registration order
+    # -- (d) last official row r4, registration order
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
