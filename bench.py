@@ -224,11 +224,13 @@ def main() -> None:
                 "(0.318s) than current (0.279s), and the near-dup "
                 "normalized formatted plan is hash-identical r4<->r6 "
                 "(shape now pinned: 1 shuffle Exchange + broadcast "
-                "verify join in test_plan_quality). r6 headline: "
-                "q_winnow_dup_pairs 6.74->2.0s (cross-engine polynomial "
+                "verify join in test_plan_quality). r6 headline: total "
+                "10.3->9.3s, stream throughput 127k->152k rows/s; "
+                "q_winnow_dup_pairs 6.74->2.2s (cross-engine polynomial "
                 "hash on an Arrow path replaced the md5-per-gram chain; "
-                "oracle still MATCHes), stream throughput 127k->145k "
-                "rows/s. q_approx_percentile bench readings >1.3s are "
+                "oracle still MATCHes); gap_fill's lead+explode rewrite "
+                "replaced the grid join (~2.5x on its extended reading). "
+                "q_approx_percentile bench readings >1.3s are "
                 "cold-first-sample variance — solo median-of-5 on a "
                 "quiet harness is 0.87s with an unchanged sketch plan; "
                 "q_ann_pq wobbles 1.3-2.1s run-to-run (codebook build "
