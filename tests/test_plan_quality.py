@@ -365,3 +365,23 @@ def test_kmeans_assignment_is_scan_side_python(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_cdc_apply_single_shuffle_no_window(spark, sf_dir):
+    """CDC compaction: ONE key exchange with the argmax as a combining
+    aggregate — a Window here means someone replaced max(struct) with a
+    row_number sort over the full change history."""
+    plan = _plan(queries()["q_cdc_apply"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_line_dedup_two_shuffles_one_window(spark, sf_dir):
+    """Corpus line dedup: sentence-keyed first-occurrence window + doc
+    reassembly aggregate — two key exchanges, one Window, no join of
+    any kind (the grid-join anti-pattern from gap_fill's first draft)."""
+    plan = _plan(queries()["q_line_dedup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
