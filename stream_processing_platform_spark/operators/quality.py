@@ -1,0 +1,95 @@
+"""Data-quality expectations — declarative constraint gates.
+
+The Delta-Live-Tables/Great-Expectations surface a production pipeline
+puts in front of every table it publishes: declare row-level
+expectations (not-null, range, accepted values, regex…) plus dataset-
+level uniqueness, get back a violation report, and optionally enforce
+(drop violating rows or fail the batch).
+
+Scale shape: the REPORT is one aggregate pass — every row-level rule
+folds to ``sum(when(not pred, 1))`` in a single map-side-combining
+aggregate over one scan (uniqueness rides the same pass as
+``count - approx/exact distinct``); nothing is ever collected per
+violation. ENFORCEMENT is one filter (the conjunction of row-level
+predicates) — whole-stage codegen, no second pass. Streaming: the same
+predicates drop into a ``foreachBatch`` or a plain ``where`` on the
+stream, which is exactly how DLT expectations execute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: dict[str, Column],
+    unique_keys: list[str] | None = None,
+) -> DataFrame:
+    """One row per expectation: (rule, n_violations, n_rows, passed).
+
+    ``rules`` maps a rule name to a BOOLEAN Column that is True when
+    the row SATISFIES the expectation (null predicate results count as
+    violations — a null check never silently passes). ``unique_keys``
+    adds a dataset-level ``unique(<keys>)`` rule whose violation count
+    is ``n_rows − n_distinct(keys)`` (exact), computed in the same
+    single aggregate pass as everything else.
+    """
+    if not rules and not unique_keys:
+        raise ValueError("expectation_report needs at least one rule")
+    aggs = [F.count("*").alias("_n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(f"_v_{name}")
+        )
+    if unique_keys:
+        aggs.append(F.count_distinct(*[F.col(k) for k in unique_keys]).alias("_dk"))
+    row = df.agg(*aggs)
+    reports = []
+    for name in rules:
+        reports.append(
+            row.select(
+                F.lit(name).alias("rule"),
+                F.col(f"_v_{name}").alias("n_violations"),
+                F.col("_n").alias("n_rows"),
+                (F.col(f"_v_{name}") == 0).alias("passed"),
+            )
+        )
+    if unique_keys:
+        reports.append(
+            row.select(
+                F.lit(f"unique({','.join(unique_keys)})").alias("rule"),
+                (F.col("_n") - F.col("_dk")).alias("n_violations"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") == F.col("_dk")).alias("passed"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def enforce_expectations(
+    df: DataFrame, rules: dict[str, Column], mode: str = "drop"
+) -> DataFrame:
+    """Row-level enforcement: ``drop`` keeps only rows satisfying EVERY
+    rule (DLT ``expect_or_drop``); ``fail`` raises on the first
+    violating batch (DLT ``expect_or_fail``) — checked with one
+    aggregate, so the common all-clean case costs one scan. Dataset-
+    level uniqueness is report-only (a row can't know about its twin)."""
+    if mode not in ("drop", "fail"):
+        raise ValueError(f"unknown enforcement mode {mode!r}")
+    conj = None
+    for pred in rules.values():
+        safe = F.coalesce(pred, F.lit(False))
+        conj = safe if conj is None else (conj & safe)
+    if conj is None:
+        return df
+    if mode == "drop":
+        return df.where(conj)
+    n_bad = df.agg(F.sum(F.when(conj, 0).otherwise(1)).alias("_v")).collect()[0]["_v"]
+    if n_bad:
+        raise ValueError(f"expectation failure: {n_bad} violating rows")
+    return df

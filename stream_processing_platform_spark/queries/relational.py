@@ -2683,3 +2683,54 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         env, key_cols="user_id", seq_cols=["seq_ms", "event_id"],
         op_col="op", payload_cols="cents",
     )
+
+
+@query(
+    "q_data_expectations",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_null,
+             CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0.0
+                             AND value <= 10000.0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_range,
+             CAST(sum(CASE WHEN event_type IN ('click','view','purchase',
+                                               'error','search')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_vals,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS dk
+      FROM events
+    )
+    SELECT 'value_not_null' AS rule, v_null AS n_violations, n AS n_rows,
+           v_null = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'value_in_range', v_range, n, v_range = 0 FROM a
+    UNION ALL
+    SELECT 'event_type_accepted', v_vals, n, v_vals = 0 FROM a
+    UNION ALL
+    SELECT 'unique(event_id)', n - dk, n, n = dk FROM a
+    """,
+    description="Declarative data-quality expectations (operators/"
+    "quality.py — the Delta-Live-Tables/Great-Expectations gate): "
+    "not-null, range, accepted-values, and dataset-level uniqueness "
+    "checked over events in ONE map-side-combining aggregate pass "
+    "(violations are sums of negated predicates; uniqueness = n - "
+    "count_distinct in the same pass); row-level enforcement is one "
+    "codegen filter (pinned in tests). Null predicate results count "
+    "as violations — a null check never silently passes.",
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.quality import expectation_report
+
+    e = load_table(spark, sf_dir, "events")
+    return expectation_report(
+        e,
+        {
+            "value_not_null": F.col("value").isNotNull(),
+            "value_in_range": (F.col("value") >= 0.0) & (F.col("value") <= 10_000.0),
+            "event_type_accepted": F.col("event_type").isin(
+                "click", "view", "purchase", "error", "search"
+            ),
+        },
+        unique_keys=["event_id"],
+    )

@@ -113,3 +113,37 @@ def test_heavy_hitters_exact_under_eviction(spark):
     expect = {k: v for k, v in {"hh_0": 4000, "hh_1": 2000, "hh_2": 1200}.items()
               if v * 50 > total}
     assert got == expect  # hh_2 (1200 > 1144) included, nothing spurious
+
+
+def test_enforce_expectations_drop_and_fail(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.quality import (
+        enforce_expectations,
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, None, "a"), (3, -1.0, "b"), (4, 7.0, "zz"), (1, 8.0, "a")],
+        "id bigint, v double, cat string",
+    )
+    rules = {
+        "v_not_null": F.col("v").isNotNull(),
+        "v_nonneg": F.col("v") >= 0,
+        "cat_ok": F.col("cat").isin("a", "b"),
+    }
+    rep = {r.rule: (r.n_violations, r.passed) for r in
+           expectation_report(df, rules, unique_keys=["id"]).collect()}
+    # null v violates BOTH v rules (null never silently passes)
+    assert rep["v_not_null"] == (1, False)
+    assert rep["v_nonneg"] == (2, False)
+    assert rep["cat_ok"] == (1, False)
+    assert rep["unique(id)"] == (1, False)
+
+    kept = enforce_expectations(df, rules, mode="drop").collect()
+    assert sorted(r.id for r in kept) == [1, 1]  # only the two clean rows
+    with pytest.raises(ValueError, match="expectation failure: 3"):
+        enforce_expectations(df, rules, mode="fail")
+    clean = spark.createDataFrame([(1, 1.0, "a")], "id bigint, v double, cat string")
+    assert enforce_expectations(clean, rules, mode="fail").count() == 1
