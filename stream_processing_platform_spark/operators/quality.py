@@ -93,3 +93,47 @@ def enforce_expectations(
     if n_bad:
         raise ValueError(f"expectation failure: {n_bad} violating rows")
     return df
+
+
+def streaming_expectations_sink(
+    stream: DataFrame,
+    rules: dict[str, Column],
+    clean_path: str,
+    report_path: str,
+    checkpoint: str,
+    mode: str = "drop",
+):
+    """DLT-style streaming expectations: every micro-batch is gated by
+    ``rules`` — clean rows append to ``clean_path`` (parquet), and a
+    per-batch violation report (batch_id, rule, n_violations, n_rows,
+    passed) appends to ``report_path``. ``mode='fail'`` stops the query
+    on the first violating batch instead of dropping.
+
+    foreachBatch keeps this exactly-once-shaped: the report and the
+    clean write happen inside the batch function, so a replayed batch
+    re-emits the same report row (idempotent readers dedupe on
+    batch_id). Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local for the closure
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        report = expectation_report(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        report.write.mode("append").parquet(report_path)
+        if mode == "fail":
+            bad = report.where(~F.col("passed")).count()
+            if bad:
+                raise ValueError(f"expectation failure in batch {batch_id}")
+            batch_df.write.mode("append").parquet(clean_path)
+        else:
+            enforce_expectations(batch_df, rules, mode="drop").write.mode(
+                "append"
+            ).parquet(clean_path)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

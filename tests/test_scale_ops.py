@@ -147,3 +147,35 @@ def test_enforce_expectations_drop_and_fail(spark):
         enforce_expectations(df, rules, mode="fail")
     clean = spark.createDataFrame([(1, 1.0, "a")], "id bigint, v double, cat string")
     assert enforce_expectations(clean, rules, mode="fail").count() == 1
+
+
+def test_streaming_expectations_gate(spark, tmp_path):
+    """Streaming DLT-style gate: violating rows are dropped per batch,
+    the report records per-batch violation counts."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.quality import (
+        streaming_expectations_sink,
+    )
+    from stream_processing_platform_spark.sources.streaming import file_source
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -2.0), (4, 9.0)], "id bigint, v double"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = file_source(
+        spark, str(src / "b0"), "id bigint, v double"
+    )
+    q = streaming_expectations_sink(
+        stream,
+        {"v_not_null": F.col("v").isNotNull(), "v_nonneg": F.col("v") >= 0},
+        clean_path=str(tmp_path / "clean"),
+        report_path=str(tmp_path / "report"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    rep = {r.rule: r.n_violations for r in spark.read.parquet(str(tmp_path / "report")).collect()}
+    assert rep == {"v_not_null": 1, "v_nonneg": 2}
