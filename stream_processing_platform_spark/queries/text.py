@@ -1506,3 +1506,89 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dropped"),
     )
+
+
+@query(
+    "q_pipeline_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             {_SQL_QUALITY} AS quality,
+             {_SQL_REP2} AS rep_bigram,
+             {_SQL_FP} AS fp
+      FROM t
+    ),
+    q AS (SELECT * FROM m
+          WHERE n_tokens >= 25 AND rep_bigram <= 0.10 AND quality >= 0.42),
+    d AS (SELECT * FROM q
+          WHERE doc_id = (SELECT min(doc_id) FROM q q2 WHERE q2.fp = q.fp)),
+    s AS (SELECT *, CASE WHEN substr(fp, 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                         WHEN substr(fp, 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
+                         ELSE 'test' END AS split
+          FROM d),
+    stages AS (
+      SELECT 1 AS stage_idx, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM m
+      UNION ALL
+      SELECT 2, 'quality', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM q
+      UNION ALL
+      SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM d
+      UNION ALL
+      SELECT 4, 'split_' || split, CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s GROUP BY split
+    )
+    SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, n_docs, n_tokens
+    FROM stages
+    """,
+    description="The LLM-data-pipeline FUNNEL as one composed query: "
+    "raw corpus → C4/Gopher quality filter → exact dedup (keep-first "
+    "by content fingerprint) → deterministic train/val/test split, "
+    "reporting docs and tokens surviving each stage — the end-to-end "
+    "composition of q_quality_filter + q_dedup_exact_docs + "
+    "q_corpus_split semantics, every stage reusing the exact shared "
+    "fragments those queries oracle-check individually. One metrics "
+    "pass feeds all stages (tokenize once); the dedup keep-first is a "
+    "fingerprint-keyed min; the funnel aggregates are unions of tiny "
+    "per-stage rollups.",
+)
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        T.quality_metrics(F.col("text")).alias("_m"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).select(
+        "doc_id", "fp",
+        F.col("_m")["n_tokens"].alias("n_tokens"),
+        F.col("_m")["quality"].alias("quality"),
+        F.col("_m")["rep_bigram"].alias("rep_bigram"),
+    )
+    q = m.where(
+        (F.col("n_tokens") >= 25) & (F.col("rep_bigram") <= 0.10) & (F.col("quality") >= 0.42)
+    )
+    keeper = Window.partitionBy("fp")
+    dd = q.withColumn("_min_id", F.min("doc_id").over(keeper)).where(
+        F.col("doc_id") == F.col("_min_id")
+    )
+    h = F.substring("fp", 1, 2)
+    s = dd.withColumn(
+        "split",
+        F.when(h < _SPLIT_TRAIN_HI, "train").when(h < _SPLIT_VAL_HI, "val").otherwise("test"),
+    )
+
+    def roll(df, idx, name_col):
+        return df.groupBy(name_col.alias("stage")).agg(
+            F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+        ).select(F.lit(idx).cast("int").alias("stage_idx"), "stage", "n_docs", "n_tokens")
+
+    return (
+        roll(m, 1, F.lit("raw"))
+        .unionByName(roll(q, 2, F.lit("quality")))
+        .unionByName(roll(dd, 3, F.lit("exact_dedup")))
+        .unionByName(roll(s, 4, F.concat(F.lit("split_"), F.col("split"))))
+    )
