@@ -40,8 +40,13 @@ def expectation_report(
         raise ValueError("expectation_report needs at least one rule")
     aggs = [F.count("*").alias("_n")]
     for name, pred in rules.items():
+        # coalesce the SUM too: over an empty frame sum() is null, and a
+        # quality report must never emit nullable counts (an empty batch
+        # vacuously passes)
         aggs.append(
-            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(f"_v_{name}")
+            F.coalesce(
+                F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)), F.lit(0)
+            ).alias(f"_v_{name}")
         )
     if unique_keys:
         aggs.append(F.count_distinct(*[F.col(k) for k in unique_keys]).alias("_dk"))

@@ -92,3 +92,52 @@ def test_round6_operators_degenerate_inputs(spark):
     assert sorted(map(tuple, scd.scd2_apply(t0, b, ["k"], ["v"]).collect())) == sorted(
         map(tuple, t0.collect())
     )
+
+
+def test_session_operators_degenerate_inputs(spark):
+    """This session's operator families on empty / degenerate inputs:
+    no crashes, empty-in → empty-out, errors only where declared."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.cdc import apply_cdc
+    from stream_processing_platform_spark.operators.clustering import kmeans_assign
+    from stream_processing_platform_spark.operators.fuzzy import fuzzy_self_pairs
+    from stream_processing_platform_spark.operators.graph import label_propagation
+    from stream_processing_platform_spark.operators.quality import expectation_report
+    from stream_processing_platform_spark.operators.ranking import bm25_scores
+    from stream_processing_platform_spark.operators.timeseries import gap_fill, ohlc_bars
+
+    # empty events -> empty bars / empty grid
+    ee = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    assert ohlc_bars(ee, "ts", "value", ["user_id"], 60_000, "event_id").count() == 0
+    for m in ("locf", "linear"):
+        assert gap_fill(ee, "ts", "value", "user_id", 60_000, m).count() == 0
+
+    # empty change log -> empty current state
+    ch = spark.createDataFrame([], "k bigint, s bigint, op string, v bigint")
+    assert apply_cdc(ch, "k", "s", "op", "v").count() == 0
+
+    # empty vocabulary -> no fuzzy pairs
+    vv = spark.createDataFrame([], "t string")
+    assert fuzzy_self_pairs(vv, "t").count() == 0
+
+    # empty graph -> every vertex (none) labeled; isolated seeds keep labels
+    gv = spark.createDataFrame([], "id bigint, seed_label int")
+    ge = spark.createDataFrame([], "src bigint, dst bigint")
+    assert label_propagation(gv, ge, num_iter=1).count() == 0
+
+    # empty corpus -> BM25 returns nothing (no division by zero on avgdl)
+    dd = spark.createDataFrame([], "doc_id bigint, text string")
+    assert bm25_scores(dd, ["x"]).count() == 0
+
+    # empty frame expectations: zero violations, vacuously passed
+    rep = {r.rule: (r.n_violations, r.passed) for r in
+           expectation_report(ee, {"v": F.col("value").isNotNull()}).collect()}
+    assert rep == {"v": (0, True)}
+
+    # kmeans_assign on empty input is empty (the Arrow UDF's zero-batch path)
+    ev = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert kmeans_assign(ev, [[0.0, 0.0]]).count() == 0
