@@ -95,7 +95,6 @@ _PRIORITY: list[str] = [
     "q_bm25_rank",
     "q_json_variant",
     "q_mad_outliers",
-    "q_key_skew",
     "q_stream_ohlc",
     "q_cogroup_attribution",
     "q_sentence_split",
@@ -145,6 +144,7 @@ _PRIORITY: list[str] = [
     #    pytest-covered; a rows-only row carries the least information).
     #    ~50-slot window covers (a1)+(a2)+(b) = 48 and the head of (c);
     #    the tail rotates forward in r7.
+    "q_key_skew",
     "q_window_collect",
     "q_incremental_dedup",
     "q_pii_redaction",
