@@ -21,7 +21,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
@@ -938,4 +938,68 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("event_type") != "flush").select(
         epoch_ms(F.col("w2.start")).alias("day_start"),
         "event_type", "total", "n_hours",
+    )
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH env AS (
+      SELECT user_id,
+             epoch_ms(ts) AS seq_ms, event_id,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    win AS (
+      SELECT user_id,
+             max({'s0': seq_ms, 's1': event_id, 'op': op, 'c': cents}) AS w,
+             CAST(count(*) AS BIGINT) AS n_ops
+      FROM env GROUP BY user_id
+    )
+    SELECT user_id, (w).c AS cents, CAST((w).s0 AS BIGINT) AS last_seq, n_ops
+    FROM win WHERE (w).op <> 'd'
+    """,
+    description="LIVE streaming CDC materialization — the upsert view a "
+    "streaming warehouse keeps current: change envelopes stream through "
+    "a running last-writer-wins aggregate (max(struct(seq, op, "
+    "payload)) in update mode — MERGEABLE across micro-batches, which "
+    "is exactly why argmax-as-aggregate beats a rank window here), "
+    "tombstoned keys filtered on read. Final state equals the batch "
+    "q_cdc_apply oracle. The memory-sink read keeps each key's LAST "
+    "update (update-mode sinks append per-trigger rows).",
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    env = stream.select(
+        "user_id",
+        epoch_ms(F.col("ts")).alias("seq_ms"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    winner = F.max(
+        F.struct(
+            F.col("seq_ms").alias("_s0"),
+            F.col("event_id").alias("_s1"),
+            F.col("op").alias("_op"),
+            F.col("cents").alias("_c"),
+        )
+    )
+    agg = env.groupBy("user_id").agg(winner.alias("_w"), F.count("*").alias("n_ops"))
+    out = _run_to_table(agg, mode="update")
+    # availableNow processes everything in one trigger here, but a
+    # resumed/multi-batch run appends one row per key per trigger —
+    # keep each key's final (max n_ops) emission for correctness under
+    # both shapes
+    w = Window.partitionBy("user_id").orderBy(F.col("n_ops").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_w._op") != "d"))
+        .select(
+            "user_id",
+            F.col("_w._c").alias("cents"),
+            F.col("_w._s0").alias("last_seq"),
+            "n_ops",
+        )
     )

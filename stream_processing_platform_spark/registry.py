@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "q_cdc_apply",
     "q_data_expectations",
     "q_pipeline_funnel",
+    "q_stream_cdc_apply",
     # -- (a2) earlier-round-6 new / oracle edited in round 6
     #    (winnow short-doc clamp invalidates the r5 rows' oracle text)
     "q02_min_cost_supplier",
