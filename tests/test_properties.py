@@ -390,3 +390,44 @@ def test_fuzzy_pairs_match_brute_force(spark, words):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(1, 4),      # key
+            st.integers(0, 50),     # seq
+            st.booleans(),          # is_delete
+            st.integers(-99, 99),   # payload
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_cdc_apply_matches_python_fold(spark, ops):
+    """apply_cdc == a plain python fold of the same change log: sort by
+    (seq, event_id), last writer wins, trailing delete removes the key."""
+    from stream_processing_platform_spark.operators.cdc import apply_cdc
+
+    rows = [
+        (k, s, i, "d" if d else "u", v) for i, (k, s, d, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, s bigint, eid bigint, op string, v bigint"
+    )
+    got = {
+        r.k: (r.v, r.last_seq, r.n_ops)
+        for r in apply_cdc(df, "k", ["s", "eid"], "op", "v").collect()
+    }
+    want = {}
+    from collections import defaultdict
+
+    hist = defaultdict(list)
+    for k, s, eid, op, v in rows:
+        hist[k].append((s, eid, op, v))
+    for k, h in hist.items():
+        h.sort()
+        s, eid, op, v = h[-1]
+        if op != "d":
+            want[k] = (v, s, len(h))
+    assert got == want
