@@ -322,3 +322,79 @@ def _normed(col):
         F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)),
         lambda nrm: F.transform(col, lambda x: x / nrm),
     )
+
+
+class StreamingKMeans:
+    """Online (mini-batch) k-means over a stream — the
+    ``StreamingKMeans`` surface Spark's old DStream MLlib offered,
+    rebuilt on Structured Streaming: every micro-batch assigns its
+    points to the current centroids (the same Arrow one-scan pass as
+    ``kmeans_fit``) and folds a decayed update:
+
+        weight_new = weight_old * decay + n_batch
+        centroid   = (centroid * weight_old * decay + sum_batch) / weight_new
+
+    ``decay = 1.0`` weights all history equally (running mean);
+    ``decay = 0`` forgets everything each batch. Model state stays on
+    the driver (k×dim floats + k weights — the bounded-state design of
+    the batch trainer); per batch the executors see one scan + one
+    k-group aggregate, so throughput matches the batch pass.
+
+    Drive it with ``for_each_batch(stream)`` → a started
+    StreamingQuery, or feed batches manually via ``update(df)`` (the
+    unit the pytest pins).
+    """
+
+    def __init__(
+        self,
+        initial_centroids: list[list[float]],
+        vec_col: str = "embedding",
+        decay: float = 1.0,
+    ) -> None:
+        self.C = np.asarray(initial_centroids, dtype=np.float64)
+        self.weights = np.zeros(len(self.C), dtype=np.float64)
+        self.vec_col = vec_col
+        self.decay = float(decay)
+        self.batches_seen = 0
+
+    def update(self, batch_df: DataFrame) -> None:
+        dim = self.C.shape[1]
+        assigned = batch_df.select(
+            _assign_udf(self.C)(as_double_array(F.col(self.vec_col))).alias("_a"),
+            as_double_array(F.col(self.vec_col)).alias("_v"),
+        )
+        stats = (
+            assigned.groupBy(F.col("_a.cluster").alias("cluster"))
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("_v", j + 1)).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )
+        self.batches_seen += 1
+        for r in stats:
+            i = r["cluster"]
+            w_old = self.weights[i] * self.decay
+            w_new = w_old + r["n"]
+            sums = np.array([r[f"s{j}"] for j in range(dim)])
+            self.C[i] = (self.C[i] * w_old + sums) / w_new
+            self.weights[i] = w_new
+        # clusters with no points this batch only decay their weight
+        seen = {r["cluster"] for r in stats}
+        for i in range(len(self.C)):
+            if i not in seen:
+                self.weights[i] *= self.decay
+
+    def for_each_batch(self, stream: DataFrame, checkpoint: str):
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.update(batch_df)
+
+        return (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def assign(self, df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+        return kmeans_assign(df, self.C.tolist(), id_col=id_col, vec_col=self.vec_col)

@@ -168,3 +168,57 @@ def test_pq_train_rejects_bad_args(spark, emb):
     tiny = emb.where(F.col("vec_id") < 3)
     with pytest.raises(ValueError, match="exceeds"):
         pq_train_codebooks(tiny, train_iters=1, num_codes=64)
+
+
+def test_streaming_kmeans_tracks_drift(spark):
+    """Online updates follow a drifting source: after feeding batches
+    from shifted cluster centers, the model centroids sit near the
+    RECENT centers (decay < 1 forgets the old regime); decay=1 equals
+    the running mean of everything seen."""
+    from stream_processing_platform_spark.operators.clustering import StreamingKMeans
+
+    def batch(center_a, center_b, n=40, seed=0):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            c = center_a if i % 2 == 0 else center_b
+            rows.append((i, [float(c[0] + rng.normal(0, 0.05)),
+                             float(c[1] + rng.normal(0, 0.05))]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # decay 0.2: the model chases the drift
+    m = StreamingKMeans([[0.0, 0.0], [5.0, 5.0]], decay=0.2)
+    for t in range(4):
+        m.update(batch((0 + t, 0), (5 + t, 5), seed=t))
+    assert abs(m.C[0][0] - 3.0) < 0.5  # last center_a x was 3
+    assert abs(m.C[1][0] - 8.0) < 0.5
+
+    # decay 1.0 with a stationary source: converges to the true means
+    m2 = StreamingKMeans([[0.0, 0.0], [5.0, 5.0]], decay=1.0)
+    for t in range(3):
+        m2.update(batch((1, 1), (6, 6), seed=10 + t))
+    assert abs(m2.C[0][0] - 1.0) < 0.1 and abs(m2.C[1][0] - 6.0) < 0.1
+
+
+def test_streaming_kmeans_foreachbatch_runs(spark, tmp_path):
+    from stream_processing_platform_spark.operators.clustering import StreamingKMeans
+    from stream_processing_platform_spark.sources.streaming import file_source
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, [float(i % 2) * 4.0, 0.0]) for i in range(20)]
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    m = StreamingKMeans([[0.0, 0.0], [4.0, 0.0]])
+    q = m.for_each_batch(
+        file_source(spark, str(src / "b0"), "vec_id bigint, embedding array<double>"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert m.batches_seen >= 1
+    assert abs(m.C[0][0] - 0.0) < 1e-6 and abs(m.C[1][0] - 4.0) < 1e-6
+    got = {r.vec_id: r.cluster for r in m.assign(
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    ).collect()}
+    assert all(got[i] == i % 2 for i in range(20))
