@@ -715,3 +715,21 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dup_members"),
         )
     )
+
+
+@query(
+    "q_ann_ivfpq_residual",
+    oracle=None,  # approximate by construction — recall vs brute force
+    # (incl. the clustered-data residual gate) in tests/test_ann_quality.py
+    description="IVF-PQ with RESIDUAL encoding — the faithful FAISS "
+    "composition: PQ codes quantize x/|x| - c/|c| (the part of the "
+    "vector its cell doesn't explain), and each query builds "
+    "per-(query, probed-cell) ADC tables against q/|q| - c/|c|. Same "
+    "bounded plumbing as q_ann_ivfpq; on clustered corpora the same "
+    "code budget buys materially lower quantization error "
+    "(recall-gated on crafted clusters in pytest).",
+)
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ann.ivfpq_topk(e, e.where(F.col("vec_id") < 20), k=5, nprobe=6, residual=True)
+    return res.withColumn("rank", F.col("rank").cast("int"))

@@ -155,6 +155,7 @@ _PRIORITY: list[str] = [
     "q_ann_pq_trained",
     "q_audio_segments",
     "q_custom_source_ticks",
+    "q_ann_ivfpq_residual",
     # -- (d) last official row r4, registration order
     "q01_pricing_summary",
     "q03_shipping_priority",
