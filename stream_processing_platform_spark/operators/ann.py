@@ -475,6 +475,13 @@ def ivfpq_topk(
 
     # --- query side: probes + ADC tables -----------------------------
     q = _prep(queries, id_col, vec_col, "query_id", "_qv")
+    if not residual:
+        # non-residual query path is the shared one (also used to search
+        # a PERSISTED index — operators/ann_index.py)
+        return ivfpq_query(
+            centroids, codebook, index, cn, q, k=k, dim=dim,
+            num_subspaces=num_subspaces, nprobe=nprobe, refine=refine,
+        )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
     probes = (
         q.crossJoin(F.broadcast(centroids))
@@ -483,70 +490,51 @@ def ivfpq_topk(
         .where(F.col("_rn") <= nprobe)
         .select("query_id", "cell", "_qv")
     )
-    if residual:
-        # per-(query, cell) residual ADC table — the table depends on
-        # WHICH cell is probed, so it's built per probe pair (q*nprobe
-        # rows, still tiny and broadcast)
-        q_subs = (
-            probes.join(F.broadcast(ncent), "cell")
-            .select(
-                "query_id", "cell",
-                F.posexplode(
-                    _subvectors(
-                        F.zip_with(
-                            _l2_normalized(F.col("_qv")), F.col("_ncent"), lambda x, y: x - y
-                        ),
-                        dim, num_subspaces,
-                    )
-                ).alias("m", "sub"),
-            )
+    # per-(query, cell) residual ADC table — the table depends on
+    # WHICH cell is probed, so it's built per probe pair (q*nprobe
+    # rows, still tiny and broadcast)
+    q_subs = (
+        probes.join(F.broadcast(ncent), "cell")
+        .select(
+            "query_id", "cell",
+            F.posexplode(
+                _subvectors(
+                    F.zip_with(
+                        _l2_normalized(F.col("_qv")), F.col("_ncent"), lambda x, y: x - y
+                    ),
+                    dim, num_subspaces,
+                )
+            ).alias("m", "sub"),
         )
-        probe_tabs = (
-            q_subs.join(F.broadcast(codebook), "m")
-            .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
-            .groupBy("query_id", "cell", "m")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
-                ).alias("row")
-            )
-            .groupBy("query_id", "cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
-                ).alias("dtable")
-            )
+    )
+    probe_tabs = (
+        q_subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .groupBy("query_id", "cell", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+            ).alias("row")
         )
-    else:
-        q_subs = q.select(
-            "query_id",
-            F.posexplode(_subvectors(_l2_normalized(F.col("_qv")), dim, num_subspaces)).alias(
-                "m", "sub"
-            ),
+        .groupBy("query_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
+            ).alias("dtable")
         )
-        qtab = (
-            q_subs.join(F.broadcast(codebook), "m")
-            .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
-            .groupBy("query_id", "m")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
-                ).alias("row")
-            )
-            .groupBy("query_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
-                ).alias("dtable")
-            )
-        )
-        probe_tabs = probes.drop("_qv").join(qtab, "query_id")  # q*nprobe rows, tiny
+    )
+    cands = _adc_candidates(probe_tabs, index, k, refine)
+    return _exact_rerank(cands, cn, q, k)
 
-    # --- candidate scoring: ADC inside probed cells only --------------
+
+def _adc_candidates(probe_tabs: DataFrame, index: DataFrame, k: int, refine: int) -> DataFrame:
+    """ADC scoring inside probed cells only: broadcast the tiny
+    per-query tables, stream the (cell, codes) index, rank-limit to the
+    bounded candidate set."""
     pq_w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc()
     )
-    cands = (
+    return (
         F.broadcast(probe_tabs)
         .join(index, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -563,5 +551,57 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    # --- exact re-rank of the bounded candidate set -------------------
-    return _exact_rerank(cands, cn, q, k)
+
+def ivfpq_query(
+    centroids: DataFrame,
+    codebook: DataFrame,
+    index: DataFrame,
+    corpus_prepped: DataFrame,
+    queries_prepped: DataFrame,
+    k: int,
+    dim: int,
+    num_subspaces: int,
+    nprobe: int,
+    refine: int,
+) -> DataFrame:
+    """The IVF-PQ QUERY path against prebuilt index artifacts —
+    (``centroids``: cell/_centroid, ``codebook``: code/m/csub,
+    ``index``: neighbor_id/cell/codes) — used both inline by
+    ``ivfpq_topk`` and to search an index PERSISTED by
+    ``operators/ann_index.py`` (build once, search many: at 100 TB the
+    build scans the corpus once and every later query batch touches
+    only the probed cells' codes plus the re-rank join)."""
+    q = queries_prepped
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    q_subs = q.select(
+        "query_id",
+        F.posexplode(_subvectors(_l2_normalized(F.col("_qv")), dim, num_subspaces)).alias(
+            "m", "sub"
+        ),
+    )
+    qtab = (
+        q_subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .groupBy("query_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
+            ).alias("dtable")
+        )
+    )
+    probe_tabs = probes.join(qtab, "query_id")  # q*nprobe rows, tiny
+    cands = _adc_candidates(probe_tabs, index, k, refine)
+    return _exact_rerank(cands, corpus_prepped, q, k)

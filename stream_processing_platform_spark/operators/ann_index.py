@@ -1,0 +1,114 @@
+"""IVF-PQ index persistence — build once, search many.
+
+``ivfpq_topk`` rebuilds its index artifacts on every call (fine for the
+correctness gate; wasteful for a serving path). This module gives the
+index a LIFECYCLE: ``build_ivfpq_index`` scans the corpus once and
+writes the three artifacts as parquet (centroids: k rows; codebook:
+M×K rows; index: one (cell, codes) row per corpus vector — the
+~16-bytes-per-vector structure that lets 100 TB of float vectors serve
+from ~1.5 TB of codes) plus a params manifest; ``search_ivfpq_index``
+answers query batches against the loaded artifacts through the exact
+same query path the inline tier uses (``ann.ivfpq_query``), touching
+only the probed cells' codes and the bounded re-rank join back to the
+base table.
+
+Determinism: the build reuses the inline tier's hash-sample /
+k-means-trained construction, so a freshly built index answers
+identically to ``ivfpq_topk`` with the same parameters (pinned in
+tests/test_ann_quality.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators import ann
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_cells: int = 16,
+    num_subspaces: int = 16,
+    num_codes: int = 64,
+    train_iters: int = 0,
+) -> None:
+    """Build and persist the IVF-PQ artifacts for ``corpus``."""
+    c = ann._prep(corpus, id_col, vec_col, "cid", "_cv")
+    centroids = ann._ivf_centroids(c, num_cells, train_iters)
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", ann.cosine(F.col("_cv"), F.col("_centroid")))
+        .groupBy("cid")
+        .agg(
+            F.min(F.struct((-F.col("_sim")).alias("_neg"), F.col("cell")))["cell"].alias("cell"),
+        )
+        .select(F.col("cid").alias("neighbor_id"), "cell")
+    )
+    cn = c.select(F.col("cid").alias("neighbor_id"), "_cv")
+    codebook = ann._pq_codebook(cn, dim, num_subspaces, num_codes, train_iters)
+    c_subs = cn.select(
+        "neighbor_id",
+        F.posexplode(
+            ann._subvectors(ann._l2_normalized(F.col("_cv")), dim, num_subspaces)
+        ).alias("m", "sub"),
+    )
+    encoded = (
+        c_subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", ann._l2sq(F.col("sub"), F.col("csub")))
+        .groupBy("neighbor_id", "m")
+        .agg(F.min(F.struct("_d", "code"))["code"].alias("code"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes")
+        )
+    )
+    index = assigned.join(encoded, "neighbor_id")
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids.parquet"))
+    codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook.parquet"))
+    index.write.mode("overwrite").parquet(os.path.join(path, "index.parquet"))
+    meta = {
+        "dim": dim, "num_cells": num_cells, "num_subspaces": num_subspaces,
+        "num_codes": num_codes, "train_iters": train_iters,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    tmp = os.path.join(path, "._meta.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 16,
+) -> DataFrame:
+    """Answer ``queries`` from a persisted index. ``corpus`` supplies
+    the original float vectors for the exact re-rank only (at scale:
+    the base table the index was built from). Output schema matches
+    every other tier: query_id, neighbor_id, cos, rank."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    centroids = spark.read.parquet(os.path.join(path, "centroids.parquet"))
+    codebook = spark.read.parquet(os.path.join(path, "codebook.parquet"))
+    index = spark.read.parquet(os.path.join(path, "index.parquet"))
+    cn = ann._prep(corpus, meta["id_col"], meta["vec_col"], "neighbor_id", "_cv")
+    q = ann._prep(queries, meta["id_col"], meta["vec_col"], "query_id", "_qv")
+    return ann.ivfpq_query(
+        centroids, codebook, index, cn, q,
+        k=k, dim=meta["dim"], num_subspaces=meta["num_subspaces"],
+        nprobe=nprobe, refine=refine,
+    )
