@@ -68,4 +68,9 @@ class ExtractFields:
             obj = json.loads(payload) if payload else {}
         except ValueError:
             obj = {}
+        if not isinstance(obj, dict):
+            # valid JSON that isn't an object ('[1,2]', '"x"', '42')
+            # gets the same all-null row as malformed JSON — one error
+            # policy, never an AttributeError out of a SQL call site
+            obj = {}
         yield tuple(None if obj.get(k) is None else str(obj.get(k)) for k in keys)

@@ -101,6 +101,15 @@ def retention_prune(
     by listing directories — no data file is opened. Values compare as
     strings, which is correct for zero-padded date/hour layouts
     (``dt=2024-01-07``) — the standard lake layout this targets.
+    Because string comparison is the selection mechanism, ``keep_from``
+    is VALIDATED against the observed partition-value layout before
+    anything is deleted: a stray ``col=`` prefix or a value whose
+    length/character-class skeleton differs from every on-disk value
+    (e.g. ``2024-1-7`` against zero-padded ``2024-01-07``) raises
+    instead of silently dropping the wrong set. Local-filesystem only
+    (``os.listdir``/``shutil``) — at lake scale the same partition-
+    directory contract applies but deletion goes through the store's
+    own FS API; this entry point targets the local spark-warehouse.
     Returns the dropped (or would-drop, with ``dry_run``) partition
     values; refuses paths that are not partitioned by ``partition_col``.
     """
@@ -113,6 +122,22 @@ def retention_prune(
     )
     if not parts:
         raise ValueError(f"{path!r} has no {prefix}* partition directories")
+    if keep_from.startswith(prefix):
+        raise ValueError(
+            f"keep_from must be a bare partition value, not {prefix!r}-prefixed: "
+            f"{keep_from!r}"
+        )
+
+    def skeleton(v: str) -> str:
+        return "".join("9" if ch.isdigit() else "a" if ch.isalpha() else ch for ch in v)
+
+    observed = {skeleton(e[len(prefix):]) for e in parts}
+    if skeleton(keep_from) not in observed:
+        raise ValueError(
+            f"keep_from {keep_from!r} does not match the partition-value layout "
+            f"on disk (observed shapes: {sorted(observed)}); string comparison "
+            "against a differently-shaped value would select the wrong partitions"
+        )
     doomed = [e for e in parts if e[len(prefix):] < keep_from]
     if not dry_run:
         for e in doomed:

@@ -398,7 +398,11 @@ def ivfpq_topk(
     on the part of the vector the cell doesn't already explain —
     measured recall lift in tests/test_ann_quality.py. Costs one extra
     broadcast join at build (attach centroids) and nprobe× more (still
-    tiny) query-table rows.
+    tiny) query-table rows. With ``train_iters > 0`` BOTH sub-indexes
+    train: the IVF centroids k-means-refine as usual, and the PQ
+    codebook k-means-trains over the residuals themselves
+    (``normalize=False`` — residuals must not be re-normalized), from
+    the same salt-0x52 hash-sample init as the untrained branch.
 
     Output schema matches the other tiers: query_id, neighbor_id, cos,
     rank. Recall vs brute force tested in test_ann_quality.
@@ -433,17 +437,35 @@ def ivfpq_topk(
                 ).alias("_rv"),
             )
         )
-        code_w = Window.orderBy("_h", "neighbor_id")
-        codebook = (
-            rres.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x52)))
-            .orderBy("_h", "neighbor_id")
-            .limit(num_codes)
-            .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
-            .select(
-                "code",
-                F.posexplode(_subvectors(F.col("_rv"), dim, num_subspaces)).alias("m", "csub"),
+        if train_iters > 0:
+            # k-means over the RESIDUALS themselves (normalize=False:
+            # residuals are already centered near zero; re-normalizing
+            # would destroy exactly the concentration the codebook
+            # exploits), init'd from the same salt-0x52 hash sample the
+            # untrained branch uses
+            from stream_processing_platform_spark.operators.clustering import (
+                pq_train_codebooks,
             )
-        )
+
+            codebook = pq_train_codebooks(
+                rres, id_col="neighbor_id", vec_col="_rv", dim=dim,
+                num_subspaces=num_subspaces, num_codes=num_codes,
+                train_iters=train_iters, salt=0x52, normalize=False,
+            )
+        else:
+            code_w = Window.orderBy("_h", "neighbor_id")
+            codebook = (
+                rres.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x52)))
+                .orderBy("_h", "neighbor_id")
+                .limit(num_codes)
+                .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
+                .select(
+                    "code",
+                    F.posexplode(_subvectors(F.col("_rv"), dim, num_subspaces)).alias(
+                        "m", "csub"
+                    ),
+                )
+            )
         c_subs = rres.select(
             "neighbor_id",
             F.posexplode(_subvectors(F.col("_rv"), dim, num_subspaces)).alias("m", "sub"),

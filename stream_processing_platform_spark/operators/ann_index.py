@@ -21,12 +21,17 @@ tests/test_ann_quality.py).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_processing_platform_spark.operators import ann
+
+
+def _join(base: str, name: str) -> str:
+    """Path join that works for URIs too (s3://…, hdfs://…): plain
+    '/'-separator concatenation, no os.path normalization."""
+    return base.rstrip("/") + "/" + name
 
 
 def build_ivfpq_index(
@@ -73,18 +78,26 @@ def build_ivfpq_index(
         )
     )
     index = assigned.join(encoded, "neighbor_id")
-    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids.parquet"))
-    codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook.parquet"))
-    index.write.mode("overwrite").parquet(os.path.join(path, "index.parquet"))
+    spark = corpus.sparkSession
+    centroids.write.mode("overwrite").parquet(_join(path, "centroids.parquet"))
+    codebook.write.mode("overwrite").parquet(_join(path, "codebook.parquet"))
+    index.write.mode("overwrite").parquet(_join(path, "index.parquet"))
     meta = {
         "dim": dim, "num_cells": num_cells, "num_subspaces": num_subspaces,
         "num_codes": num_codes, "train_iters": train_iters,
         "id_col": id_col, "vec_col": vec_col,
     }
-    tmp = os.path.join(path, "._meta.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    # the manifest goes through the SAME filesystem abstraction as the
+    # parquet artifacts (a 1-row text write), so the index builds to and
+    # serves from any Spark-supported store (HDFS/S3/local) — a driver-
+    # local open() here would silently strand the manifest when `path`
+    # is not a local directory
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(_join(path, "meta.json"))
+    )
 
 
 def search_ivfpq_index(
@@ -100,11 +113,10 @@ def search_ivfpq_index(
     the original float vectors for the exact re-rank only (at scale:
     the base table the index was built from). Output schema matches
     every other tier: query_id, neighbor_id, cos, rank."""
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
-    centroids = spark.read.parquet(os.path.join(path, "centroids.parquet"))
-    codebook = spark.read.parquet(os.path.join(path, "codebook.parquet"))
-    index = spark.read.parquet(os.path.join(path, "index.parquet"))
+    meta = json.loads(spark.read.text(_join(path, "meta.json")).head()["value"])
+    centroids = spark.read.parquet(_join(path, "centroids.parquet"))
+    codebook = spark.read.parquet(_join(path, "codebook.parquet"))
+    index = spark.read.parquet(_join(path, "index.parquet"))
     cn = ann._prep(corpus, meta["id_col"], meta["vec_col"], "neighbor_id", "_cv")
     q = ann._prep(queries, meta["id_col"], meta["vec_col"], "query_id", "_qv")
     return ann.ivfpq_query(

@@ -167,7 +167,8 @@ def assign_expr(
     centroid_vec: str = "cvec",
 ) -> DataFrame:
     """Oracle-checkable assignment: nearest centroid by squared L2
-    rounded to 6 decimals (so both engines agree bit-for-bit), argmin as
+    rounded to 6 decimals via ``floor(x*1e6+0.5)/1e6`` (pure IEEE ops,
+    bit-identical cross-engine — see CLAUDE.md), argmin as
     ``min(struct(dist, cid))`` — map-side combining, deterministic
     low-id tie-break. Centroids broadcast; the corpus never shuffles
     wider than one row per input vector. Output: id_col, cluster
@@ -180,8 +181,13 @@ def assign_expr(
     ).withColumn("_cn2", dot(F.col("_cv"), F.col("_cv")))
     # same value and same fp composition order as dot(a,a) - 2·dot(a,b)
     # + dot(b,b) computed inline (the duckdb oracle's form) — only the
-    # place of evaluation moves, so round(·, 6) stays bit-identical
-    d = F.round(F.col("_n2") - 2.0 * dot(F.col("_v"), F.col("_cv")) + F.col("_cn2"), 6)
+    # place of evaluation moves. Rounded via floor(x*1e6+0.5)/1e6, pure
+    # IEEE ops: round(x, 6) itself diverges cross-engine on decimal
+    # half boundaries (Spark rounds the shortest decimal repr, duckdb
+    # the binary double), and the rounded value drives the argmin
+    # tie-break below, so a boundary row could flip cluster per engine.
+    raw = F.col("_n2") - 2.0 * dot(F.col("_v"), F.col("_cv")) + F.col("_cn2")
+    d = F.floor(raw * 1e6 + F.lit(0.5)) / 1e6
     best = F.min(F.struct(d.alias("d"), F.col("_cid").alias("cid")))
     return (
         pts.crossJoin(F.broadcast(cents))
@@ -216,9 +222,11 @@ def trained_centroids(
     )
 
 
-def _pq_assign_udf(codebooks: np.ndarray):
+def _pq_assign_udf(codebooks: np.ndarray, normalize: bool = True):
     """Arrow-batched PQ encoding: all subspaces in one matmul pass.
-    ``codebooks`` is (M, K, d); input vectors are l2-normalized then
+    ``codebooks`` is (M, K, d); input vectors are l2-normalized
+    (``normalize=True``, the raw-vector PQ form) or taken as-is
+    (``normalize=False`` — residual vectors, already centered) then
     reshaped to (N, M, d); output is the (N, M) argmin code per
     subspace as an array<int> column."""
     CB = np.ascontiguousarray(codebooks, dtype=np.float64)
@@ -230,7 +238,8 @@ def _pq_assign_udf(codebooks: np.ndarray):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
-        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        if normalize:
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
         S = X.reshape(len(X), M, d)  # (N, M, d)
         # ||s||^2 - 2 s.c + ||c||^2 per subspace: einsum over d
         cross = np.einsum("nmd,mkd->nmk", S, CB)
@@ -250,6 +259,7 @@ def pq_train_codebooks(
     num_codes: int = 64,
     train_iters: int = 3,
     salt: int = 0x51,
+    normalize: bool = True,
 ) -> DataFrame:
     """k-means-trained PQ codebooks in the shape ``operators/ann.py``
     consumes (``code``, ``m``, ``csub``) — same hash-sample INIT (salt
@@ -258,7 +268,13 @@ def pq_train_codebooks(
     (the (N, M, K) distance tensor is a single einsum in the Arrow
     UDF) plus one (m, code)-keyed aggregate of subvector sums whose
     shuffle moves ``M x K x (d+1)`` doubles per task. Driver state is
-    the (M, K, d) codebook tensor — 16 KiB at the defaults."""
+    the (M, K, d) codebook tensor — 16 KiB at the defaults.
+
+    ``normalize=False`` trains over the vectors AS-IS (no l2
+    normalization of either the init samples or the per-iteration
+    assignments) — the residual-PQ form, where ``vec_col`` already
+    holds ``x/|x| − c/|c|`` and re-normalizing would destroy the
+    near-zero concentration the codebook is meant to exploit."""
     if train_iters <= 0:
         raise ValueError("train_iters must be >= 1; use the in-line hash sample otherwise")
     spark = corpus.sparkSession
@@ -278,17 +294,19 @@ def pq_train_codebooks(
     if len(init_rows) < num_codes:
         raise ValueError(f"num_codes={num_codes} exceeds corpus size ({len(init_rows)})")
     S0 = np.array([r["_v"] for r in init_rows], dtype=np.float64)
-    S0 = S0 / np.linalg.norm(S0, axis=1, keepdims=True)
+    if normalize:
+        S0 = S0 / np.linalg.norm(S0, axis=1, keepdims=True)
     CB = np.ascontiguousarray(S0.reshape(num_codes, num_subspaces, d).transpose(1, 0, 2))
 
+    vec = _normed(F.col("_v")) if normalize else F.col("_v")
     norm_subs = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
-            lambda m: F.slice(_normed(F.col("_v")), m * d + 1, d),
+            lambda m: F.slice(vec, m * d + 1, d),
         )
     )
     for _ in range(train_iters):
-        enc = _pq_assign_udf(CB)
+        enc = _pq_assign_udf(CB, normalize=normalize)
         stats = (
             pts.withColumn("_codes", enc(F.col("_v")))
             .select(norm_subs.alias("m", "sub"), F.col("_codes"))

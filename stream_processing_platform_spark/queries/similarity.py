@@ -420,9 +420,10 @@ def q_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 3),
          d AS (
            SELECT e.vec_id, c.cid,
-                  round(list_inner_product(e.v, e.v)
-                        - 2.0 * list_inner_product(e.v, c.cv)
-                        + list_inner_product(c.cv, c.cv), 6) AS d
+                  floor((list_inner_product(e.v, e.v)
+                         - 2.0 * list_inner_product(e.v, c.cv)
+                         + list_inner_product(c.cv, c.cv)) * 1000000.0
+                        + 0.5) / 1000000.0 AS d
            FROM e CROSS JOIN c
          ),
          ranked AS (

@@ -241,3 +241,39 @@ def test_persisted_index_answers_identically(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(path, "meta.json"))
     n_index = spark.read.parquet(os.path.join(path, "index.parquet")).count()
     assert n_index == emb.count()
+
+
+def test_ivfpq_residual_training_trains_the_codebook(spark):
+    """residual=True + train_iters>0 trains the RESIDUAL codebook
+    (normalize=False k-means over x/|x| − c/|c|) instead of silently
+    ignoring train_iters — recall on clustered data stays at-or-above
+    the untrained residual tier."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    anchors = np.eye(4).repeat(4, axis=1)  # 4 anchors in 16-d
+    rows = []
+    vid = 0
+    for a in anchors:
+        for _ in range(32):
+            v = a + rng.normal(0, 0.08, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.where(F.col("vec_id") % 16 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(df, q, k=5).collect()}
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(
+                df, q, k=5, dim=16, num_cells=4, nprobe=2,
+                num_subspaces=4, num_codes=16, refine=8, residual=True, **kw
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_untrained = recall()
+    r_trained = recall(train_iters=2)
+    assert r_trained >= 0.6, f"trained residual IVFPQ recall {r_trained:.2f} below floor"
+    assert r_trained >= r_untrained - 0.1, (r_trained, r_untrained)

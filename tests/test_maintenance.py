@@ -106,3 +106,30 @@ def test_retention_prune_rejects_unpartitioned_path(spark):
 
     with pytest.raises(ValueError, match="partition directories"):
         retention_prune(spark, tempfile.mkdtemp(), "dt", "2024-01-01")
+
+
+def test_retention_prune_rejects_mismatched_keep_from_layout(spark, sf_dir):
+    """keep_from compares as a string, so a value whose shape doesn't
+    match the on-disk partition values (unpadded date, stray 'col='
+    prefix) must raise instead of silently deleting the wrong set."""
+    import os
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.maintenance import retention_prune
+    from stream_processing_platform_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="spp_retention_val_")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    )
+    e.write.partitionBy("dt").mode("overwrite").parquet(out)
+    before = sorted(p for p in os.listdir(out) if p.startswith("dt="))
+    with pytest.raises(ValueError, match="layout"):
+        retention_prune(spark, out, "dt", "2024-1-7")  # unpadded
+    with pytest.raises(ValueError, match="bare partition value"):
+        retention_prune(spark, out, "dt", "dt=2024-01-07")  # stray prefix
+    # nothing was deleted by the failed validations
+    assert sorted(p for p in os.listdir(out) if p.startswith("dt=")) == before

@@ -56,3 +56,21 @@ def test_polymorphic_udtf_rejects_non_constant_keys(spark):
         spark.sql(
             "SELECT f.* FROM VALUES ('{}') AS t(j), LATERAL extract_fields(t.j, t.j) f"
         ).collect()
+
+
+def test_polymorphic_udtf_nulls_non_object_json(spark):
+    """Valid JSON that isn't an object ('[1,2]', '"x"', '42') gets the
+    same all-null row as malformed JSON — one consistent error policy,
+    never an AttributeError out of a SQL call site."""
+    from stream_processing_platform_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    got = spark.sql(
+        """SELECT t.j, f.* FROM VALUES ('[1,2]'), ('"x"'), ('42'),
+           ('{"a": "ok"}'), ('broken') AS t(j),
+           LATERAL extract_fields(t.j, 'a') f"""
+    ).collect()
+    by_payload = {r.j: r.a for r in got}
+    assert by_payload == {
+        "[1,2]": None, '"x"': None, "42": None, '{"a": "ok"}': "ok", "broken": None
+    }
