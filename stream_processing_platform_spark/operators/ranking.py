@@ -9,11 +9,12 @@ whitespace tokenizer (``functions/text.py::tokens``):
     idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
     score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
 
-Scale shape: the query-term table is tiny and broadcast; tf is one
-(doc, term)-keyed aggregate over the token explode (map-side partials);
-df/avgdl are term- and corpus-level aggregates of that same pass; the
-final score is one join back to per-doc lengths — no all-pairs, no
-driver state. Numerics follow the repo's ln doctrine (CLAUDE.md /
+Scale shape: per-doc length is size(tokens(text)) in the scan task and
+corpus totals are a narrow map-side aggregate — no token ever crosses
+the wire for a length; the query terms filter INSIDE the token array
+before the explode, so the only shuffle is the (doc, term) tf
+aggregate over matching-term rows (map-side partials); df and totals
+fold back in as broadcasts — no all-pairs, no driver state. Numerics follow the repo's ln doctrine (CLAUDE.md /
 q_unigram_logprob): ln on bit-identical inputs diverges ≤1 ulp across
 libms, five orders of magnitude under the 4dp ``floor(x+0.5)`` round.
 """
@@ -39,17 +40,37 @@ def bm25_scores(
     Only documents matching ≥1 term are returned (inner joins — no
     nullable score column). Output: id_col, n_terms (distinct matched
     query terms, INT), bm25 (rounded)."""
-    spark = docs.sparkSession
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
-    totals = dl.agg(
-        F.sum("dl").alias("total_tokens"), F.count("*").alias("n_docs")
+    # Per-doc length is just size(tokens(text)) — computing it by
+    # exploding every token through a doc-keyed shuffle (the naive
+    # shape) moves |corpus| token rows for a count the scan task
+    # already knows. Likewise the query terms filter BEFORE the
+    # explode, so only matching-term rows are ever generated: the one
+    # shuffle left is the (doc, term) tf aggregate over that tiny set.
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.col("_toks").alias("_toks"),
     )
-    qt = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
+    # Corpus totals: narrow map-side aggregate, no explode, no join.
+    # n_docs counts docs with >=1 token (the doc-keyed-explode shape
+    # this replaces never saw empty docs — keep that contract).
+    totals = toked.agg(
+        F.sum("dl").alias("total_tokens"),
+        F.count(F.when(F.col("dl") > 0, 1)).alias("n_docs"),
+    )
+    term_set = list(dict.fromkeys(terms))
     tf = (
-        tok.join(qt, tok.tok == qt.term)
+        toked.select(
+            F.col(id_col),
+            F.col("dl"),
+            F.explode(
+                F.filter(F.col("_toks"), lambda t: t.isin(term_set))
+            ).alias("term"),
+        )
         .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     dfreq = F.broadcast(
         tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -64,7 +85,6 @@ def bm25_scores(
     scale = float(10**round_dp)
     return (
         tf.join(dfreq, "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(

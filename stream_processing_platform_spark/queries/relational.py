@@ -1997,9 +1997,6 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0).cast("long") * 10000
         / F.col("l_quantity").cast("long")
     ).cast("long")
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit_micros).alias("unit_micros")
-    )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
@@ -2007,6 +2004,27 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    # Both final filters land on this aggregate's OWN grouping keys
+    # (l_partkey via part, l_suppkey via the EUROPE supplier set), so
+    # they commute below it: broadcast semi-joins shrink the shuffled
+    # aggregation input by the part selectivity x the region
+    # selectivity — the optimization Catalyst cannot infer because the
+    # filter sits above a key-preserving aggregate, not a join.
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eur.select("s_suppkey")),
+        l.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    cost = lf.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_micros).alias("unit_micros")
     )
     ec = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
     # argmin: one map-side-combinable aggregate picks (min cost, min suppkey)
@@ -2016,9 +2034,6 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.col("_best.unit_micros").alias("min_micros"),
         F.col("_best.l_suppkey").alias("s_suppkey"),
-    )
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     )
     out = (
         pick.join(F.broadcast(p), pick.l_partkey == p.p_partkey)

@@ -156,6 +156,9 @@ def test_tpch_round3_partsupp_shapes(spark, sf_dir):
     assert "Window" not in plan2  # argmin via min(struct), not row_number
     assert plan2.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan2
+    # part + EUROPE filters pushed below the cost aggregate as
+    # broadcast semi-joins (they land on its grouping keys)
+    assert plan2.count("LeftSemi") >= 2
     plan11 = _plan(qs["q11_important_stock"](spark, sf_dir))
     assert "CartesianProduct" not in plan11
     assert "BroadcastHashJoin" in plan11
@@ -320,15 +323,23 @@ def test_heavy_hitters_verify_join_broadcasts_candidates(spark, sf_dir):
 
 
 def test_bm25_all_joins_broadcast(spark, sf_dir):
-    """BM25 scale shape: term table / df / totals are tiny and must
-    broadcast — a SortMergeJoin here means the corpus is shuffling on
-    something wider than doc_id."""
+    """BM25 scale shape: doc lengths come from size(tokens(text)) in the
+    scan task and query terms filter inside the token array BEFORE the
+    explode — so the plan has NO doc-length join at all, exactly one
+    broadcast join (term df), one 1-row totals broadcast, and only the
+    two tf/score aggregate exchanges. A SortMergeJoin or a third
+    exchange means the full token explode crept back."""
     plan = _plan(queries()["q_bm25_rank"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # the only nested-loop join is the 1-row totals broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # 4 = lean tf for df + term df + full tf + per-doc score; every one
+    # moves only matching-term rows (bounded by n_docs x |terms|) — the
+    # thing this gate exists to forbid is a full-token-explode shuffle,
+    # which would show up as a 5th exchange keyed on doc_id alone
+    assert plan.count("Exchange hashpartitioning") <= 4
 
 
 def test_ohlc_single_shuffle_no_rank_window(spark, sf_dir):
