@@ -502,3 +502,86 @@ def embedding_near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cvec",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then dropping any vector
+    with a lower-id cosine-neighbor above ``threshold`` INSIDE its own
+    cluster. Clustering bounds the pair comparison to within-cluster
+    (the paper's whole scaling argument: k grows with the corpus so
+    cluster sizes stay bounded — never an all-pairs product); pairs
+    that straddle a cluster boundary are missed by design, the
+    accepted approximation of the method.
+
+    Determinism/oracle shape: vectors are l2-normalized FIRST (so the
+    cluster assignment follows direction, like the paper's
+    cosine-space clustering — a scaled twin lands with its original),
+    assignment is the expression-form argmin of
+    ``operators/clustering.py::assign_expr`` (min(struct(dist, cid)),
+    map-side combining), and the in-cluster cosine is computed over
+    the ORIGINAL vectors with per-row precomputed norms, rounded via
+    the ``floor(x*1e6+0.5)/1e6`` IEEE form before the threshold
+    compare. Keep policy is lowest-id-wins per pair — deterministic
+    and SQL-expressible (the paper keeps the point farthest from the
+    centroid; the policy choice doesn't change the pair structure).
+
+    Output: ``id_col``, ``cluster`` (centroid id), ``kept`` boolean —
+    one row per input vector, no nullable columns.
+    """
+    from stream_processing_platform_spark.functions.similarity import as_double_array, dot
+    from stream_processing_platform_spark.operators.clustering import _normed, assign_expr
+
+    base = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    # _normed binds the norm once via let() — an inline norm inside the
+    # transform lambda would re-fold the whole array per element (O(d^2))
+    normed = base.select(
+        F.col(id_col),
+        F.col("_v").alias("_v"),
+        _normed(F.col("_v")).alias("_nv"),
+    )
+    assigned = assign_expr(
+        normed.select(id_col, "_nv"),
+        centroids,
+        id_col=id_col,
+        vec_col="_nv",
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+    ).select(id_col, "cluster")
+    # per-row norm precomputed once (CLAUDE.md: a Column referenced k
+    # times is evaluated k times — never recompute norms per pair)
+    members = assigned.join(normed.select(id_col, "_v"), id_col).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("_v"),
+        F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_nrm"),
+    )
+    a = members.select(
+        F.col(id_col).alias("_ida"), F.col("cluster").alias("_cl"),
+        F.col("_v").alias("_va"), F.col("_nrm").alias("_na"),
+    )
+    b = members.select(
+        F.col(id_col).alias("_idb"), F.col("cluster").alias("_cl"),
+        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    cos_r = F.floor(cos * 1e6 + F.lit(0.5)) / 1e6
+    dropped = (
+        a.join(b, on=[a["_cl"] == b["_cl"], a["_ida"] < b["_idb"]])
+        .where(cos_r >= F.lit(threshold))
+        .select(F.col("_idb").alias("_drop"))
+        .distinct()
+    )
+    return members.join(
+        dropped, members[id_col] == dropped["_drop"], "left"
+    ).select(
+        F.col(id_col), F.col("cluster"), F.col("_drop").isNull().alias("kept")
+    )

@@ -108,6 +108,58 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_semdedup",
+    oracle=f"""
+    WITH aug AS ({_SQL_AUG}),
+    n AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv,
+                 sqrt(list_inner_product(v, v)) AS nrm
+          FROM aug),
+    c AS (SELECT vec_id AS cid, nv AS ncv FROM n WHERE vec_id % 61 = 3),
+    d AS (SELECT n.vec_id, c.cid,
+                 floor((list_inner_product(n.nv, n.nv)
+                        - 2.0 * list_inner_product(n.nv, c.ncv)
+                        + list_inner_product(c.ncv, c.ncv)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS d
+          FROM n CROSS JOIN c),
+    ranked AS (SELECT vec_id, cid, d,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d ASC, cid ASC) AS rn
+               FROM d),
+    m AS (SELECT n.vec_id, r.cid AS cluster, n.v, n.nrm
+          FROM ranked r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1),
+    drops AS (SELECT DISTINCT b.vec_id AS drop_id
+              FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                          * 1000000.0 + 0.5) / 1000000.0 >= 0.95)
+    SELECT m.vec_id, m.cluster, d.drop_id IS NULL AS kept
+    FROM m LEFT JOIN drops d ON m.vec_id = d.drop_id
+    """,
+    description="SemDeDup semantic deduplication (Abbas et al. 2023, "
+    "operators/dedup.py:semantic_dedup) over the twin-augmented corpus: "
+    "l2-normalize, assign to deterministic direction-space centroids "
+    "(vec_id % 61 == 3, same assign_expr argmin as q_kmeans_assign), "
+    "then drop any vector with a lower-id cosine-neighbor >= 0.95 "
+    "inside its own cluster. Clustering bounds the pair product to "
+    "within-cluster — the paper's scaling argument — so the only wide "
+    "ops are the cluster-keyed self-join and the assignment broadcast; "
+    "cosine rounds via the floor(x*1e6+0.5)/1e6 IEEE form on both "
+    "engines. The planted twins (cos 0.9986 to their originals) are "
+    "the ground truth the kept flag is checked against in pytest.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+    from stream_processing_platform_spark.operators.clustering import _normed
+
+    aug = _augmented(spark, sf_dir)
+    cents = aug.where((F.col("vec_id") % 61) == 3).select(
+        F.col("vec_id").alias("cid"),
+        _normed(as_double_array(F.col("embedding"))).alias("cvec"),
+    )
+    return dedup.semantic_dedup(aug, cents, threshold=0.95)
+
+
+@query(
     "q_embedding_centroids",
     oracle="""
     SELECT label, CAST(dim AS INTEGER) AS dim,

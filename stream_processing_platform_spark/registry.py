@@ -85,6 +85,7 @@ _loaded = False
 #   (g) last official row r6 — freshest, lowest priority
 _PRIORITY: list[str] = [
     # -- (a) new oracle queries in round 7
+    "q_semdedup",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3

@@ -277,3 +277,32 @@ def test_ivfpq_residual_training_trains_the_codebook(spark):
     r_trained = recall(train_iters=2)
     assert r_trained >= 0.6, f"trained residual IVFPQ recall {r_trained:.2f} below floor"
     assert r_trained >= r_untrained - 0.1, (r_trained, r_untrained)
+
+
+def test_semdedup_drops_planted_twins_keeps_originals(spark, sf_dir):
+    """SemDeDup ground truth on the twin-augmented corpus: every
+    original survives (background pair cosine tops out ~0.52), and
+    nearly every planted twin (cos 0.9986 to its lower-id original) is
+    dropped — the shortfall is exactly the twins whose normalized
+    vector straddles a cluster boundary, the paper's documented
+    approximation. Also pins the policy: kept=false requires a
+    lower-id neighbor, so the drop set can never include both members
+    of a twin pair."""
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+    from stream_processing_platform_spark.operators.clustering import _normed
+    from stream_processing_platform_spark.operators.dedup import semantic_dedup
+    from stream_processing_platform_spark.queries.similarity import _TWIN_OFFSET, _augmented
+
+    aug = _augmented(spark, sf_dir)
+    cents = aug.where((F.col("vec_id") % 61) == 3).select(
+        F.col("vec_id").alias("cid"),
+        _normed(as_double_array(F.col("embedding"))).alias("cvec"),
+    )
+    res = semantic_dedup(aug, cents, threshold=0.95).cache()
+    n = aug.count() // 2
+    originals = res.where(F.col("vec_id") < _TWIN_OFFSET)
+    twins = res.where(F.col("vec_id") >= _TWIN_OFFSET)
+    assert originals.where(~F.col("kept")).count() == 0
+    dropped = twins.where(~F.col("kept")).count()
+    assert dropped >= int(0.9 * n), f"only {dropped}/{n} twins dropped"
+    res.unpersist()
