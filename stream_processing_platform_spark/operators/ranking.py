@@ -131,3 +131,37 @@ def bm25_oracle_sql(
     CROSS JOIN totals
     GROUP BY tf.doc_id
     """
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "id",
+    rank_col: str = "r",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    two ranked lists: ``rrf(d) = Σ_list 1/(k + rank_list(d))``, items
+    missing from a list contribute 0. The standard hybrid-retrieval
+    combiner (lexical BM25 + embedding similarity) — rank-based, so no
+    score calibration between the two systems is needed.
+
+    Inputs are (id_col, rank_col) lists — in practice the TOP-K of each
+    retriever (take the top-k with TakeOrderedAndProject first; fusing
+    full corpora is never the shape). The fusion join is then bounded
+    by 2k rows. Output: id_col, rrf (double), in_a, in_b (non-null
+    booleans). rrf is built purely from integer ranks via IEEE divide/
+    add — bit-identical cross-engine, no rounding step needed."""
+    aa = ranked_a.select(F.col(id_col).alias("_id"), F.col(rank_col).alias("_ra"))
+    bb = ranked_b.select(F.col(id_col).alias("_id"), F.col(rank_col).alias("_rb"))
+    j = aa.join(bb, "_id", "full_outer")
+
+    def contrib(c: str):
+        return F.coalesce(F.lit(1.0) / (F.col(c) + F.lit(k)), F.lit(0.0))
+
+    return j.select(
+        F.col("_id").alias(id_col),
+        (contrib("_ra") + contrib("_rb")).alias("rrf"),
+        F.col("_ra").isNotNull().alias("in_a"),
+        F.col("_rb").isNotNull().alias("in_b"),
+    )

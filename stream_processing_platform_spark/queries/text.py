@@ -1331,6 +1331,103 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(d, _BM25_TERMS)
 
 
+# Hybrid-retrieval constants shared by the Spark query and its
+# generated oracle (CLAUDE.md generated-oracle rule): RRF smoothing k,
+# per-retriever list depth, fused output depth, semantic query vector.
+_RRF_K = 60
+_RRF_LIST_K = 200
+_RRF_OUT_K = 100
+_RRF_QUERY_VEC_ID = 0
+
+
+def _hybrid_rrf_oracle() -> str:
+    from stream_processing_platform_spark.operators.ranking import bm25_oracle_sql
+
+    bm25 = bm25_oracle_sql(_BM25_TERMS)
+    return f"""
+    WITH lex AS (SELECT doc_id AS id, bm25 FROM ({bm25})),
+    lr AS (SELECT id, r FROM (
+             SELECT id, row_number() OVER (ORDER BY bm25 DESC, id ASC) AS r
+             FROM lex) WHERE r <= {_RRF_LIST_K}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = {_RRF_QUERY_VEC_ID}),
+    sem AS (SELECT e.vec_id AS id,
+                   floor(list_inner_product(e.v, qv.v)
+                         / (sqrt(list_inner_product(e.v, e.v))
+                            * sqrt(list_inner_product(qv.v, qv.v)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cos
+            FROM e CROSS JOIN qv),
+    sr AS (SELECT id, r FROM (
+             SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS r
+             FROM sem) WHERE r <= {_RRF_LIST_K}),
+    fused AS (
+      SELECT coalesce(lr.id, sr.id) AS id,
+             coalesce(1.0 / (lr.r + {_RRF_K}), 0.0)
+               + coalesce(1.0 / (sr.r + {_RRF_K}), 0.0) AS rrf,
+             lr.r IS NOT NULL AS in_a, sr.r IS NOT NULL AS in_b
+      FROM lr FULL OUTER JOIN sr ON lr.id = sr.id)
+    SELECT id, rrf, in_a, in_b, rank FROM (
+      SELECT id, rrf, in_a, in_b,
+             CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER) AS rank
+      FROM fused) WHERE rank <= {_RRF_OUT_K}
+    """
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=None,  # generated below from the same constants (_dc_replace)
+    description="Hybrid retrieval with reciprocal-rank fusion "
+    "(operators/ranking.py:rrf_fuse, Cormack et al. SIGIR 2009): BM25 "
+    "top-200 over documents fused with embedding-cosine top-200 "
+    "against a fixed query vector, rrf = 1/(60+r_lex) + 1/(60+r_sem), "
+    "fused top-100 out. Scale shape: each retriever's list is a "
+    "distributed TakeOrderedAndProject top-k; the rank window and the "
+    "full-outer fusion join then touch only the two bounded k-row "
+    "lists (single-partition windows over <=200 rows, broadcast-sized "
+    "join) — never the corpus. rrf is pure IEEE arithmetic on integer "
+    "ranks, bit-identical cross-engine without a rounding step; the "
+    "oracle is GENERATED from the same (terms, k, depths) constants.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.similarity import (
+        as_double_array,
+        cosine,
+    )
+    from stream_processing_platform_spark.operators.ranking import bm25_scores, rrf_fuse
+    from stream_processing_platform_spark.operators.topk import top_k_global
+
+    d = load_table(spark, sf_dir, "documents")
+    lex_top = top_k_global(
+        bm25_scores(d, _BM25_TERMS).select(F.col("doc_id").alias("id"), "bm25"),
+        [F.col("bm25").desc(), F.col("id").asc()],
+        _RRF_LIST_K,
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    lr = lex_top.select("id", F.row_number().over(w_lex).alias("r"))
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("_v")
+    )
+    qv = e.where(F.col("vec_id") == _RRF_QUERY_VEC_ID).select(F.col("_v").alias("_q"))
+    sem = e.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("id"),
+        (F.floor(cosine(F.col("_v"), F.col("_q")) * 1e6 + F.lit(0.5)) / 1e6).alias("cos"),
+    )
+    sem_top = top_k_global(sem, [F.col("cos").desc(), F.col("id").asc()], _RRF_LIST_K)
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("id").asc())
+    sr = sem_top.select("id", F.row_number().over(w_sem).alias("r"))
+
+    fused = rrf_fuse(lr, sr, id_col="id", rank_col="r", k=_RRF_K)
+    w_out = Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w_out).cast("int"))
+        .where(F.col("rank") <= _RRF_OUT_K)
+    )
+
+
+_REG2["q_hybrid_rrf"] = _dc_replace2(_REG2["q_hybrid_rrf"], oracle=_hybrid_rrf_oracle())
+
+
 @query(
     "q_sentence_split",
     oracle="""

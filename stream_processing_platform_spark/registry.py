@@ -86,6 +86,7 @@ _loaded = False
 _PRIORITY: list[str] = [
     # -- (a) new oracle queries in round 7
     "q_semdedup",
+    "q_hybrid_rrf",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3

@@ -274,3 +274,26 @@ def test_strip_html_edge_cases(spark):
         text_density(F.col("raw"), strip_html(F.col("raw"))).alias("d")
     ).collect()[0]["d"]
     assert 0 < dens < 0.1  # 'a b' out of a chrome-heavy payload
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: shared ids sum both reciprocal contributions, single-list ids
+    get exactly one (missing list contributes 0, never null), and the
+    fused order follows the textbook behavior — an id ranked well in
+    BOTH lists beats one ranked top in only one."""
+    from stream_processing_platform_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id bigint, r int")
+    b = spark.createDataFrame([(20, 1), (30, 2), (40, 3)], "id bigint, r int")
+    rows = {x["id"]: x for x in rrf_fuse(a, b, k=60).collect()}
+    assert set(rows) == {10, 20, 30, 40}
+    assert rows[10]["rrf"] == 1.0 / 61
+    assert rows[20]["rrf"] == 1.0 / 62 + 1.0 / 61
+    assert rows[30]["rrf"] == 1.0 / 63 + 1.0 / 62
+    assert rows[40]["rrf"] == 1.0 / 63
+    assert (rows[10]["in_a"], rows[10]["in_b"]) == (True, False)
+    assert (rows[40]["in_a"], rows[40]["in_b"]) == (False, True)
+    assert all(x["rrf"] is not None for x in rows.values())
+    # 20 (2nd+1st) outranks 10 (1st in one list only)
+    order = sorted(rows, key=lambda i: (-rows[i]["rrf"], i))
+    assert order[0] == 20 and order[1] == 30
