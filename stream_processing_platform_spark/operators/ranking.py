@@ -165,3 +165,56 @@ def rrf_fuse(
         F.col("_ra").isNotNull().alias("in_a"),
         F.col("_rb").isNotNull().alias("in_b"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` items maximizing
+    ``lam * rel(i) - (1 - lam) * max_{j in selected} sim(i, j)`` —
+    the standard diversification pass over a retriever's candidate
+    list (ties break to the lowest id; the first pick is max rel).
+
+    Scale shape: MMR is inherently sequential in k, so it belongs on
+    the driver — but only AFTER the distributed part has bounded the
+    problem: ``candidates`` is a top-n list (TakeOrderedAndProject)
+    and ``sims`` its n x n pairwise similarities, so the collect is
+    n*(n+1) bounded rows, corpus-independent — the same
+    bounded-driver-state design as k-means centroids and the ANN
+    re-rank candidate sets. All selection arithmetic is IEEE double
+    on pre-rounded inputs (Python floats ARE doubles), so a generated
+    SQL oracle replays it exactly.
+
+    ``candidates``: (id_col, rel_col); ``sims``: (ia, ib, s) for every
+    ordered candidate pair. Output: (id_col, mmr_rank int), k rows.
+    """
+    spark = candidates.sparkSession
+    cand_rows = candidates.select(id_col, rel_col).collect()  # bounded: top-n list
+    rel = {r[id_col]: float(r[rel_col]) for r in cand_rows}
+    sim: dict[tuple, float] = {}
+    for r in sims.select("ia", "ib", "s").collect():  # bounded: n x n
+        sim[(r["ia"], r["ib"])] = float(r["s"])
+    one_m = 1.0 - lam
+    selected: list = []
+    remaining = set(rel)
+    while remaining and len(selected) < k:
+        if not selected:
+            best = max(remaining, key=lambda i: (rel[i], ), default=None)
+            # deterministic low-id tie-break on equal rel
+            best = min((i for i in remaining if rel[i] == rel[best]))
+        else:
+            def score(i):
+                return lam * rel[i] - one_m * max(sim[(i, j)] for j in selected)
+            top = max(score(i) for i in remaining)
+            best = min(i for i in remaining if score(i) == top)
+        selected.append(best)
+        remaining.discard(best)
+    out = [(i, n + 1) for n, i in enumerate(selected)]
+    id_type = dict(candidates.dtypes)[id_col]
+    return spark.createDataFrame(out, f"{id_col} {id_type}, mmr_rank int")

@@ -159,6 +159,124 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(aug, cents, threshold=0.95)
 
 
+# MMR constants shared by the Spark query and the generated oracle
+_MMR_N = 20
+_MMR_K = 10
+_MMR_LAM = 0.7
+_MMR_QID = 0
+
+
+def _mmr_oracle() -> str:
+    """Generated k-step CTE chain replaying the SAME greedy selection
+    mmr_rerank runs on the driver (generated-oracle rule / q_lpa_labels
+    doctrine): the step structure is emitted from the same (n, k, lam)
+    constants, and every score is IEEE double arithmetic over the same
+    floor-rounded 6dp inputs, so the two can never drift."""
+    lam = _MMR_LAM
+    one_m = 1.0 - _MMR_LAM  # same Python double mmr_rerank uses
+    cos = (
+        "floor(list_inner_product({a}, {b}) / ({na} * {nb}) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    )
+    parts = [
+        f"WITH e AS ({_SQL_VECS})",
+        f"qv AS (SELECT v, sqrt(list_inner_product(v, v)) AS nrm FROM e"
+        f" WHERE vec_id = {_MMR_QID})",
+        "scored AS (SELECT e.vec_id AS id, "
+        + cos.format(a="e.v", b="qv.v", na="sqrt(list_inner_product(e.v, e.v))", nb="qv.nrm")
+        + f" AS rel FROM e CROSS JOIN qv WHERE e.vec_id <> {_MMR_QID})",
+        # MATERIALIZED: duckdb inlines CTEs by default, and each seq{n}
+        # references seq{n-1} three times — unmaterialized, the chain
+        # expands to ~3^k parquet scans and dies on open-file handles
+        f"cands AS MATERIALIZED (SELECT id, rel FROM scored"
+        f" ORDER BY rel DESC, id ASC LIMIT {_MMR_N})",
+        "cv AS (SELECT c.id, c.rel, e.v, sqrt(list_inner_product(e.v, e.v)) AS nrm"
+        " FROM cands c JOIN e ON e.vec_id = c.id)",
+        "sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, "
+        + cos.format(a="a.v", b="b.v", na="a.nrm", nb="b.nrm")
+        + " AS s FROM cv a JOIN cv b ON a.id <> b.id)",
+        "seq1 AS MATERIALIZED (SELECT id, 1 AS mmr_rank FROM"
+        " (SELECT id FROM cands ORDER BY rel DESC, id ASC LIMIT 1))",
+    ]
+    for n in range(2, _MMR_K + 1):
+        prev = f"seq{n - 1}"
+        parts.append(
+            f"sc{n} AS (SELECT c.id, {lam!r} * c.rel - {one_m!r} * "
+            f"(SELECT max(s.s) FROM sims s, {prev} t"
+            f" WHERE s.ia = c.id AND s.ib = t.id) AS m"
+            f" FROM cands c WHERE c.id NOT IN (SELECT id FROM {prev}))"
+        )
+        parts.append(
+            f"seq{n} AS MATERIALIZED (SELECT id, mmr_rank FROM {prev} UNION ALL"
+            f" SELECT id, {n} AS mmr_rank FROM"
+            f" (SELECT id FROM sc{n} ORDER BY m DESC, id ASC LIMIT 1))"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, mmr_rank FROM seq{_MMR_K}"
+
+
+@query(
+    "q_mmr_diversify",
+    oracle=_mmr_oracle(),
+    description="Maximal-Marginal-Relevance diversification "
+    "(operators/ranking.py:mmr_rerank, Carbonell & Goldstein SIGIR "
+    "1998): cosine top-20 candidates against a fixed query vector, "
+    "then the greedy lam*rel - (1-lam)*max-sim-to-selected selection "
+    "of 10. The distributed part bounds the problem (top-n candidate "
+    "list + n x n sims — TakeOrderedAndProject then a broadcast "
+    "product over 20 rows); the inherently-sequential k-step greedy "
+    "runs on the driver over those bounded rows (the k-means-centroid "
+    "bounded-driver-state design). Oracle is a GENERATED k-step CTE "
+    "chain from the same constants — an iterative driver-side "
+    "algorithm with a full hash oracle (q_lpa_labels doctrine).",
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.similarity import (
+        as_double_array,
+        cosine,
+        dot,
+    )
+    from stream_processing_platform_spark.operators.ranking import mmr_rerank
+    from stream_processing_platform_spark.operators.topk import top_k_global
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("_v")
+    )
+    qv = e.where(F.col("vec_id") == _MMR_QID).select(F.col("_v").alias("_q"))
+    scored = (
+        e.where(F.col("vec_id") != _MMR_QID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            (F.floor(cosine(F.col("_v"), F.col("_q")) * 1e6 + F.lit(0.5)) / 1e6).alias("rel"),
+        )
+    )
+    cands = top_k_global(scored, [F.col("rel").desc(), F.col("id").asc()], _MMR_N)
+    cv = (
+        cands.join(e, cands.id == e.vec_id)
+        .select(
+            "id", "rel", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_nrm")
+        )
+    )
+    a = cv.select(F.col("id").alias("ia"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na"))
+    b = cv.select(F.col("id").alias("ib"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (
+                F.floor(
+                    dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("s"),
+        )
+    )
+    return mmr_rerank(cands, sims, k=_MMR_K, lam=_MMR_LAM)
+
+
 @query(
     "q_embedding_centroids",
     oracle="""

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     # -- (a) new oracle queries in round 7
     "q_semdedup",
     "q_hybrid_rrf",
+    "q_mmr_diversify",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3

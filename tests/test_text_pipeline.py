@@ -297,3 +297,28 @@ def test_rrf_fuse_semantics(spark):
     # 20 (2nd+1st) outranks 10 (1st in one list only)
     order = sorted(rows, key=lambda i: (-rows[i]["rrf"], i))
     assert order[0] == 20 and order[1] == 30
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """MMR textbook behavior: after picking the top-relevance item, a
+    near-duplicate of it (sim 0.99) is deferred behind a less relevant
+    but dissimilar item; with lam=1.0 the penalty vanishes and pure
+    relevance order comes back. Ties break to the lowest id."""
+    from stream_processing_platform_spark.operators.ranking import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 0.95), (2, 0.94), (3, 0.80)], "id bigint, rel double"
+    )
+    sims = spark.createDataFrame(
+        [(1, 2, 0.99), (2, 1, 0.99), (1, 3, 0.10), (3, 1, 0.10),
+         (2, 3, 0.12), (3, 2, 0.12)],
+        "ia bigint, ib bigint, s double",
+    )
+    diverse = [r["id"] for r in mmr_rerank(cands, sims, k=3, lam=0.7)
+               .orderBy("mmr_rank").collect()]
+    assert diverse == [1, 3, 2]
+    pure = [r["id"] for r in mmr_rerank(cands, sims, k=3, lam=1.0)
+            .orderBy("mmr_rank").collect()]
+    assert pure == [1, 2, 3]
+    # k caps the output
+    assert mmr_rerank(cands, sims, k=2, lam=0.7).count() == 2
