@@ -157,3 +157,47 @@ def gap_fill(
     return cells.select(
         key_col, "bucket_ms", interp.cast("long").alias("cents"), observed.alias("observed")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    every_ms: int,
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the time bucket
+    of their FIRST activity, and each (cohort, periods-since) cell
+    counts how many of them were active that many buckets later — the
+    standard product-analytics retention matrix, here over arbitrary
+    bucket widths (daily/weekly = 86400000/604800000 ms).
+
+    Scale shape: activity is distinct-ed to one row per (user, bucket)
+    FIRST (map-side partial dedup), so the per-cell count is a plain
+    count(*) — no count-distinct state; the first-activity aggregate
+    and the activity-to-cohort join are both user-keyed (co-partitioned
+    shuffles), and the final cell/size aggregates are keyed on the
+    small (cohort, period) grid. Everything is exact integer
+    arithmetic — no floats anywhere in the output.
+
+    Output: cohort_bucket, periods_since, active_users, cohort_size
+    (all BIGINT; periods_since 0 row carries the full cohort).
+    """
+    bucket = F.floor(epoch_ms(F.col(ts_col)) / F.lit(every_ms)).cast("long")
+    activity = df.select(
+        F.col(user_col).alias("_u"), bucket.alias("_b")
+    ).distinct()
+    first = activity.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    ret = (
+        activity.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_bucket"),
+            (F.col("_b") - F.col("_cohort")).alias("periods_since"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+    size = first.groupBy(F.col("_cohort").alias("cohort_bucket")).agg(
+        F.count("*").alias("cohort_size")
+    )
+    return ret.join(size, "cohort_bucket").select(
+        "cohort_bucket", "periods_since", "active_users", "cohort_size"
+    )

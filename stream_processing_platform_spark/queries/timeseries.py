@@ -147,3 +147,37 @@ def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ts_col="ts", value_col="value", key_col="user_id",
         every_ms=_SIX_H_MS, method="linear",
     )
+
+
+_DAY_MS = 86_400_000
+
+
+@query(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH act AS (SELECT DISTINCT user_id AS u, epoch_ms(ts) // {_DAY_MS} AS b
+                 FROM events),
+    cohorts AS (SELECT u, min(b) AS cohort FROM act GROUP BY u),
+    ret AS (SELECT c.cohort AS cohort_bucket,
+                   a.b - c.cohort AS periods_since,
+                   CAST(count(*) AS BIGINT) AS active_users
+            FROM act a JOIN cohorts c USING (u)
+            GROUP BY 1, 2),
+    sz AS (SELECT cohort AS cohort_bucket, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM cohorts GROUP BY 1)
+    SELECT ret.cohort_bucket, ret.periods_since, ret.active_users, sz.cohort_size
+    FROM ret JOIN sz USING (cohort_bucket)
+    """,
+    description="Cohort retention triangle (operators/timeseries.py:"
+    "cohort_retention): users cohorted by first-activity DAY, each "
+    "(cohort, days-since) cell counting the cohort members active that "
+    "day — the standard product-analytics retention matrix. Activity "
+    "is distinct-ed per (user, day) first so cells are plain count(*) "
+    "(no count-distinct state); user-keyed co-partitioned join, exact "
+    "integer output end to end.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.cohort_retention(
+        e, ts_col="ts", user_col="user_id", every_ms=_DAY_MS
+    )

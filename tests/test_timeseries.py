@@ -102,3 +102,37 @@ def test_ohlc_bucket_mean_aggregation_in_gap_fill(spark):
     df = _events(spark, [(1, 0, 1, 1.00), (2, 0, 1, 2.01)])
     [row] = gap_fill(df, "ts", "value", "user_id", MIN_MS, "locf").collect()
     assert row.cents == 151  # (100 + 201) / 2 = 150.5 -> 151
+
+
+def test_cohort_retention_triangle(spark):
+    """Synthetic 2-cohort fixture: the period-0 cell always equals the
+    cohort size, later cells count only returning users, and a user's
+    cohort is their FIRST bucket even when they skip periods."""
+    from datetime import datetime
+
+    from stream_processing_platform_spark.operators.timeseries import cohort_retention
+
+    day = 86_400_000
+
+    def ts(d):
+        return datetime(2024, 1, 1 + d)
+
+    rows = [
+        # cohort day0: users 1,2,3; user1 returns d1+d2, user2 returns d2, user3 never
+        (1, ts(0)), (1, ts(1)), (1, ts(2)),
+        (2, ts(0)), (2, ts(2)),
+        (3, ts(0)), (3, ts(0)),  # duplicate same-day activity collapses
+        # cohort day1: user 4 only
+        (4, ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r.cohort_bucket, r.periods_since): (r.active_users, r.cohort_size)
+        for r in cohort_retention(df, "ts", "user_id", day).collect()
+    }
+    c0 = min(k[0] for k in got)
+    assert got[(c0, 0)] == (3, 3)
+    assert got[(c0, 1)] == (1, 3)
+    assert got[(c0, 2)] == (2, 3)
+    assert got[(c0 + 1, 0)] == (1, 1)
+    assert set(got) == {(c0, 0), (c0, 1), (c0, 2), (c0 + 1, 0)}
