@@ -504,6 +504,55 @@ def embedding_near_dup_pairs(
     )
 
 
+def _sem_members(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id: str,
+    centroid_vec: str,
+) -> DataFrame:
+    """Cluster-assigned members for semantic dedup: (id, cluster, _v,
+    _nrm). Assignment runs over l2-NORMALIZED vectors (direction space,
+    so a scaled twin lands with its original); the returned vector and
+    norm are the ORIGINAL ones the pairwise cosine uses. ``_normed``
+    binds the norm once via let() — an inline norm inside the transform
+    lambda would re-fold the whole array per element (O(d^2))."""
+    from stream_processing_platform_spark.functions.similarity import as_double_array, dot
+    from stream_processing_platform_spark.operators.clustering import _normed, assign_expr
+
+    base = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    normed = base.select(
+        F.col(id_col),
+        F.col("_v").alias("_v"),
+        _normed(F.col("_v")).alias("_nv"),
+    )
+    assigned = assign_expr(
+        normed.select(id_col, "_nv"),
+        centroids,
+        id_col=id_col,
+        vec_col="_nv",
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+    ).select(id_col, "cluster")
+    # per-row norm precomputed once (CLAUDE.md: a Column referenced k
+    # times is evaluated k times — never recompute norms per pair)
+    return assigned.join(normed.select(id_col, "_v"), id_col).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("_v"),
+        F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_nrm"),
+    )
+
+
+def _cos_r(va, na, vb, nb):
+    """floor(cos*1e6+0.5)/1e6 — the IEEE rounding form both engines
+    reproduce bit-for-bit (CLAUDE.md)."""
+    from stream_processing_platform_spark.functions.similarity import dot
+
+    return F.floor(dot(va, vb) / (na * nb) * 1e6 + F.lit(0.5)) / 1e6
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,
@@ -537,33 +586,7 @@ def semantic_dedup(
     Output: ``id_col``, ``cluster`` (centroid id), ``kept`` boolean —
     one row per input vector, no nullable columns.
     """
-    from stream_processing_platform_spark.functions.similarity import as_double_array, dot
-    from stream_processing_platform_spark.operators.clustering import _normed, assign_expr
-
-    base = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
-    # _normed binds the norm once via let() — an inline norm inside the
-    # transform lambda would re-fold the whole array per element (O(d^2))
-    normed = base.select(
-        F.col(id_col),
-        F.col("_v").alias("_v"),
-        _normed(F.col("_v")).alias("_nv"),
-    )
-    assigned = assign_expr(
-        normed.select(id_col, "_nv"),
-        centroids,
-        id_col=id_col,
-        vec_col="_nv",
-        centroid_id=centroid_id,
-        centroid_vec=centroid_vec,
-    ).select(id_col, "cluster")
-    # per-row norm precomputed once (CLAUDE.md: a Column referenced k
-    # times is evaluated k times — never recompute norms per pair)
-    members = assigned.join(normed.select(id_col, "_v"), id_col).select(
-        F.col(id_col),
-        F.col("cluster"),
-        F.col("_v"),
-        F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_nrm"),
-    )
+    members = _sem_members(df, centroids, id_col, vec_col, centroid_id, centroid_vec)
     a = members.select(
         F.col(id_col).alias("_ida"), F.col("cluster").alias("_cl"),
         F.col("_v").alias("_va"), F.col("_nrm").alias("_na"),
@@ -572,8 +595,7 @@ def semantic_dedup(
         F.col(id_col).alias("_idb"), F.col("cluster").alias("_cl"),
         F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"),
     )
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    cos_r = F.floor(cos * 1e6 + F.lit(0.5)) / 1e6
+    cos_r = _cos_r(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb"))
     dropped = (
         a.join(b, on=[a["_cl"] == b["_cl"], a["_ida"] < b["_idb"]])
         .where(cos_r >= F.lit(threshold))
@@ -583,5 +605,62 @@ def semantic_dedup(
     return members.join(
         dropped, members[id_col] == dropped["_drop"], "left"
     ).select(
+        F.col(id_col), F.col("cluster"), F.col("_drop").isNull().alias("kept")
+    )
+
+
+def incremental_semantic_dedup(
+    incoming: DataFrame,
+    existing_kept: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cvec",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Steady-state SemDeDup ingestion: an incoming batch is checked
+    against the already-deduplicated corpus AND itself, never
+    rescanning corpus-vs-corpus. An incoming vector is dropped when a
+    same-cluster cosine-neighbor >= ``threshold`` exists either in
+    ``existing_kept`` (any id) or earlier in the batch (lower id) —
+    the batch-ordering analogue of :func:`incremental_dedup` for the
+    semantic measure, and the foreachBatch body of a streaming
+    semantic-dedup pipeline (append the kept rows back to the corpus
+    between batches).
+
+    Both sides assign against the SAME fixed centroid set (the index's
+    centroids — at steady state these come from the existing corpus,
+    not the batch), so cluster membership is stable across batches.
+    Work per batch: batch-side assignment + two cluster-keyed joins
+    bounded by (batch x cluster) — corpus participates only through
+    the clusters the batch touches. Output: ``id_col``, ``cluster``,
+    ``kept`` for the INCOMING batch only.
+    """
+    inc = _sem_members(incoming, centroids, id_col, vec_col, centroid_id, centroid_vec)
+    ex = _sem_members(existing_kept, centroids, id_col, vec_col, centroid_id, centroid_vec)
+    b = inc.select(
+        F.col(id_col).alias("_idb"), F.col("cluster").alias("_cl"),
+        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"),
+    )
+    a_ex = ex.select(
+        F.col("cluster").alias("_cl"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    a_inc = inc.select(
+        F.col(id_col).alias("_ida"), F.col("cluster").alias("_cl"),
+        F.col("_v").alias("_va"), F.col("_nrm").alias("_na"),
+    )
+    cos_r = _cos_r(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb"))
+    drop_vs_corpus = (
+        a_ex.join(b, "_cl").where(cos_r >= F.lit(threshold))
+        .select(F.col("_idb").alias("_drop"))
+    )
+    drop_in_batch = (
+        a_inc.join(b, on=[a_inc["_cl"] == b["_cl"], a_inc["_ida"] < b["_idb"]])
+        .where(cos_r >= F.lit(threshold))
+        .select(F.col("_idb").alias("_drop"))
+    )
+    dropped = drop_vs_corpus.unionByName(drop_in_batch).distinct()
+    return inc.join(dropped, inc[id_col] == dropped["_drop"], "left").select(
         F.col(id_col), F.col("cluster"), F.col("_drop").isNull().alias("kept")
     )

@@ -107,15 +107,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_semdedup",
-    oracle=f"""
+# Shared CTE prefix for the two SemDeDup oracles (generated-oracle
+# rule: the normalize + assign expressions exist ONCE; both queries'
+# SQL is emitted from it, so the Spark/SQL twins can never drift on
+# one variant only). Yields CTEs: n (normalized + norm), c (centroids
+# per the caller's WHERE), m (vec_id, cluster, v, nrm).
+_SQL_SEM_COSR = (
+    "floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)"
+    " * 1000000.0 + 0.5) / 1000000.0"
+)
+
+
+def _sem_prefix(centroid_where: str) -> str:
+    return f"""
     WITH aug AS ({_SQL_AUG}),
     n AS (SELECT vec_id, v,
                  list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv,
                  sqrt(list_inner_product(v, v)) AS nrm
           FROM aug),
-    c AS (SELECT vec_id AS cid, nv AS ncv FROM n WHERE vec_id % 61 = 3),
+    c AS (SELECT vec_id AS cid, nv AS ncv FROM n WHERE {centroid_where}),
     d AS (SELECT n.vec_id, c.cid,
                  floor((list_inner_product(n.nv, n.nv)
                         - 2.0 * list_inner_product(n.nv, c.ncv)
@@ -127,11 +137,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY d ASC, cid ASC) AS rn
                FROM d),
     m AS (SELECT n.vec_id, r.cid AS cluster, n.v, n.nrm
-          FROM ranked r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1),
+          FROM ranked r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1)
+    """
+
+
+@query(
+    "q_semdedup",
+    oracle=_sem_prefix("vec_id % 61 = 3")
+    + f""",
     drops AS (SELECT DISTINCT b.vec_id AS drop_id
               FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-              WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
-                          * 1000000.0 + 0.5) / 1000000.0 >= 0.95)
+              WHERE {_SQL_SEM_COSR} >= 0.95)
     SELECT m.vec_id, m.cluster, d.drop_id IS NULL AS kept
     FROM m LEFT JOIN drops d ON m.vec_id = d.drop_id
     """,
@@ -157,6 +173,49 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _normed(as_double_array(F.col("embedding"))).alias("cvec"),
     )
     return dedup.semantic_dedup(aug, cents, threshold=0.95)
+
+
+@query(
+    "q_semdedup_incremental",
+    oracle=_sem_prefix(f"vec_id < {_TWIN_OFFSET} AND vec_id % 61 = 3")
+    + f""",
+    ex AS (SELECT * FROM m WHERE vec_id < {_TWIN_OFFSET}),
+    inc AS (SELECT * FROM m WHERE vec_id >= {_TWIN_OFFSET}),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM ex a JOIN inc b ON a.cluster = b.cluster
+      WHERE {_SQL_SEM_COSR} >= 0.95
+      UNION
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM inc a JOIN inc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_SQL_SEM_COSR} >= 0.95)
+    SELECT inc.vec_id, inc.cluster, d.drop_id IS NULL AS kept
+    FROM inc LEFT JOIN drops d ON inc.vec_id = d.drop_id
+    """,
+    description="Steady-state SemDeDup ingestion (operators/dedup.py:"
+    "incremental_semantic_dedup): the twin batch arrives against the "
+    "already-deduplicated original corpus — dropped on a same-cluster "
+    "cosine-neighbor >= 0.95 in the kept corpus (any id) or earlier in "
+    "the batch (lower id). Centroids are FIXED from the existing "
+    "corpus (the index's centroids), so cluster membership is stable "
+    "across batches; per-batch work is batch-side assignment + two "
+    "cluster-keyed joins — corpus-vs-corpus is never rescanned. This "
+    "is the foreachBatch body of a streaming semantic-dedup pipeline. "
+    "Oracle SQL is emitted from the same shared CTE prefix as "
+    "q_semdedup (generated-oracle rule).",
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+    from stream_processing_platform_spark.operators.clustering import _normed
+
+    aug = _augmented(spark, sf_dir)
+    existing = aug.where(F.col("vec_id") < _TWIN_OFFSET)
+    incoming = aug.where(F.col("vec_id") >= _TWIN_OFFSET)
+    cents = existing.where((F.col("vec_id") % 61) == 3).select(
+        F.col("vec_id").alias("cid"),
+        _normed(as_double_array(F.col("embedding"))).alias("cvec"),
+    )
+    return dedup.incremental_semantic_dedup(incoming, existing, cents, threshold=0.95)
 
 
 # MMR constants shared by the Spark query and the generated oracle

@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "q_hybrid_rrf",
     "q_mmr_diversify",
     "q_cohort_retention",
+    "q_semdedup_incremental",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3

@@ -306,3 +306,108 @@ def test_semdedup_drops_planted_twins_keeps_originals(spark, sf_dir):
     dropped = twins.where(~F.col("kept")).count()
     assert dropped >= int(0.9 * n), f"only {dropped}/{n} twins dropped"
     res.unpersist()
+
+
+def _sem_inc_fixture(spark):
+    """2-D deterministic fixture: centroid directions A=(1,0), B=(0,1);
+    corpus holds one kept vector per direction."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    return cents, corpus
+
+
+def test_incremental_semantic_dedup_policies(spark):
+    """Batch vectors drop against the kept corpus (any id) and against
+    LOWER-id batchmates, while a same-cluster vector below threshold
+    survives — the three policy legs of the steady-state SemDeDup
+    ingest."""
+    from stream_processing_platform_spark.operators.dedup import incremental_semantic_dedup
+
+    cents, corpus = _sem_inc_fixture(spark)
+    batch = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05]),   # cos 0.9988 to corpus A -> dropped vs corpus
+            (11, [1.0, 0.7]),    # cluster A, cos 0.82 to A, 0.57 to 10 -> kept
+            (12, [1.0, 0.06]),   # cos 0.9988 to A AND to 10 -> dropped (both legs)
+            (13, [0.05, 1.0]),   # cos 0.9988 to corpus B -> dropped vs corpus
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    res = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in incremental_semantic_dedup(batch, corpus, cents, threshold=0.95).collect()
+    }
+    assert res[10] == (0, False)
+    assert res[11] == (0, True)
+    assert res[12] == (0, False)
+    assert res[13] == (1, False)
+    # batch-internal leg alone: with an EMPTY corpus, 12 still drops
+    # against lower-id batchmate 10, and 10 itself survives
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    res2 = {
+        r.vec_id: r.kept
+        for r in incremental_semantic_dedup(batch, empty, cents, threshold=0.95).collect()
+    }
+    assert res2[10] is True and res2[12] is False
+
+
+def test_incremental_semantic_dedup_streaming_foreachbatch(spark, tmp_path):
+    """The operator IS the foreachBatch body: drive two staged file
+    micro-batches through writeStream.foreachBatch, appending kept rows
+    back to the corpus between batches — batch 2's near-dup of a vector
+    KEPT in batch 1 must drop against the accumulated corpus, not just
+    the seed corpus."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.dedup import incremental_semantic_dedup
+    from stream_processing_platform_spark.sources.streaming import file_source
+
+    cents, corpus = _sem_inc_fixture(spark)
+    corpus_dir = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_dir)
+
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "vec_id bigint, embedding array<double>"
+
+    def stage(rows, name, mtime):
+        tmp = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))  # FileStreamSource admits oldest first
+
+    stage([(20, [1.0, 0.7])], "b0", 1_000_000)   # kept (cluster A, below thr)
+    stage([(30, [1.0, 0.71])], "b1", 2_000_000)  # near-dup of 20 (kept in b1)
+
+    seen = []
+
+    def on_batch(batch_df, batch_id):
+        existing = spark.read.parquet(corpus_dir).select("vec_id", "embedding")
+        res = incremental_semantic_dedup(batch_df, existing, cents, threshold=0.95)
+        seen.append({r.vec_id: r.kept for r in res.collect()})
+        res.where(F.col("kept")).select("vec_id").join(
+            batch_df, "vec_id"
+        ).select("vec_id", "embedding").write.mode("append").parquet(corpus_dir)
+
+    q = (
+        file_source(spark, str(src), schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = {k: v for d in seen for k, v in d.items()}
+    assert merged[20] is True
+    # 30 dropped against 20, which entered the corpus only via batch 1
+    assert merged[30] is False
