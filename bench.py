@@ -173,6 +173,12 @@ def main() -> None:
         "q_lpa_labels",
         "q_json_variant",
         "q_mad_outliers",
+        # round-7 additions
+        "q_semdedup",
+        "q_semdedup_incremental",
+        "q_hybrid_rrf",
+        "q_mmr_diversify",
+        "q_cohort_retention",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

@@ -397,40 +397,3 @@ def test_line_dedup_two_shuffles_one_window(spark, sf_dir):
     assert plan.count("Window") == 1
     assert "Join" not in plan
 
-
-def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
-    """100 TB scale feature: Spark's runtime bloom filter (SPARK-32268)
-    builds a filter from a selectively-filtered dim side and applies it
-    BELOW the fact side's shuffle, cutting shuffle IO when the dim is
-    too big to broadcast. Pin the canonical injection shape so a conf
-    or load_table change that silently disables it fails here: with
-    broadcast off (the at-scale regime this exists for) and the fact
-    side aggregating before the join, the optimized plan must contain
-    the creation-side bloom_filter_agg AND a might_contain predicate
-    directly on the fact scan's join key."""
-    from stream_processing_platform_spark.tables import load_table
-
-    overrides = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "3000",
-    }
-    saved = {k: spark.conf.get(k) for k in overrides}
-    for k, v in overrides.items():
-        spark.conf.set(k, v)
-    try:
-        from pyspark.sql import functions as F
-
-        l = load_table(spark, sf_dir, "lineitem")
-        p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
-        agg = l.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q"))
-        j = agg.join(p, agg.l_partkey == p.p_partkey).select("p_partkey", "q")
-        opt = _optimized(j)
-        assert "bloom_filter_agg" in opt  # creation side (dim)
-        assert "might_contain" in opt  # application side (fact scan)
-        # the filter sits under the aggregate, i.e. before the shuffle:
-        # the might_contain line references the fact join key
-        line = next(ln for ln in opt.splitlines() if "might_contain" in ln)
-        assert "l_partkey" in line
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
