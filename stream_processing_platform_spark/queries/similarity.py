@@ -218,6 +218,98 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_semantic_dedup(incoming, existing, cents, threshold=0.95)
 
 
+@query(
+    "q_stream_semdedup",
+    oracle=_sem_prefix(f"vec_id < {_TWIN_OFFSET} AND vec_id % 61 = 3")
+    + f""",
+    orig AS (SELECT * FROM m WHERE vec_id < {_TWIN_OFFSET}),
+    inc AS (SELECT * FROM m WHERE vec_id >= {_TWIN_OFFSET}),
+    drops_o AS (SELECT DISTINCT b.vec_id AS drop_id
+                FROM orig a JOIN orig b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE {_SQL_SEM_COSR} >= 0.95),
+    kept_o AS (SELECT o.* FROM orig o
+               ANTI JOIN drops_o d ON o.vec_id = d.drop_id),
+    drops_i AS (
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM kept_o a JOIN inc b ON a.cluster = b.cluster
+      WHERE {_SQL_SEM_COSR} >= 0.95
+      UNION
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM inc a JOIN inc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_SQL_SEM_COSR} >= 0.95)
+    SELECT orig.vec_id, orig.cluster, d.drop_id IS NULL AS kept
+    FROM orig LEFT JOIN drops_o d ON orig.vec_id = d.drop_id
+    UNION ALL
+    SELECT inc.vec_id, inc.cluster, d.drop_id IS NULL AS kept
+    FROM inc LEFT JOIN drops_i d ON inc.vec_id = d.drop_id
+    """,
+    description="LIVE streaming SemDeDup: a 2-micro-batch file stream "
+    "(originals, then twins — mtime-ordered, maxFilesPerTrigger=1) "
+    "drives incremental_semantic_dedup inside foreachBatch, appending "
+    "each batch's kept vectors to the corpus between triggers — so the "
+    "twin batch is checked against exactly the originals that SURVIVED "
+    "batch 1, and per-batch results flow out through the sink. The "
+    "oracle replays both batches from the shared SemDeDup CTE prefix "
+    "(batch 1 = intra-batch pair domination; batch 2 = vs kept corpus "
+    "+ lower-id batchmates). Fixed index centroids keep cluster "
+    "membership stable across batches.",
+)
+def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+    from stream_processing_platform_spark.operators.clustering import _normed
+    from stream_processing_platform_spark.sources.streaming import file_source
+
+    aug = _augmented(spark, sf_dir)
+    originals = aug.where(F.col("vec_id") < _TWIN_OFFSET)
+    twins = aug.where(F.col("vec_id") >= _TWIN_OFFSET)
+    cents = originals.where((F.col("vec_id") % 61) == 3).select(
+        F.col("vec_id").alias("cid"),
+        _normed(as_double_array(F.col("embedding"))).alias("cvec"),
+    )
+
+    src = tempfile.mkdtemp(prefix="spp_semdedup_src_")
+    corpus_dir = tempfile.mkdtemp(prefix="spp_semdedup_corpus_")
+    results_dir = tempfile.mkdtemp(prefix="spp_semdedup_res_")
+    schema = "vec_id bigint, embedding array<double>"
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(corpus_dir)
+
+    def stage(df, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="spp_semdedup_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))  # FileStreamSource admits oldest first
+
+    stage(originals.select("vec_id", "embedding"), "b0", 1_000_000)
+    stage(twins.select("vec_id", "embedding"), "b1", 2_000_000)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        existing = spark.read.parquet(corpus_dir).select("vec_id", "embedding")
+        res = dedup.incremental_semantic_dedup(batch_df, existing, cents, threshold=0.95)
+        res.write.mode("append").parquet(results_dir)
+        spark.read.parquet(results_dir).where(F.col("kept")).select("vec_id").join(
+            batch_df, "vec_id"
+        ).select("vec_id", "embedding").write.mode("append").parquet(corpus_dir)
+
+    q = (
+        file_source(spark, src, originals.select("vec_id", "embedding").schema,
+                    max_files_per_trigger=1)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spp_semdedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(results_dir)
+
+
 # MMR constants shared by the Spark query and the generated oracle
 _MMR_N = 20
 _MMR_K = 10

@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "q_mmr_diversify",
     "q_cohort_retention",
     "q_semdedup_incremental",
+    "q_stream_semdedup",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3
