@@ -411,3 +411,32 @@ def test_incremental_semantic_dedup_streaming_foreachbatch(spark, tmp_path):
     assert merged[20] is True
     # 30 dropped against 20, which entered the corpus only via batch 1
     assert merged[30] is False
+
+
+def test_semdedup_arrow_assignment_matches_expression_twin(spark, sf_dir):
+    """The vectorized mapInPandas member prep (batch matmul + numpy
+    rounded argmin) must agree row-for-row with the pure expression
+    form on cluster AND kept — the same twin-pinning doctrine as
+    winnow_fingerprints vs its HOF expression twin. The admitted
+    pairwise-vs-sequential summation delta (~1e-15) sits nine orders
+    under the 1e-6 rounding step, so any divergence here is a real
+    bug, not float noise."""
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+    from stream_processing_platform_spark.operators.clustering import _normed
+    from stream_processing_platform_spark.operators.dedup import semantic_dedup
+    from stream_processing_platform_spark.queries.similarity import _augmented
+
+    aug = _augmented(spark, sf_dir)
+    cents = aug.where((F.col("vec_id") % 61) == 3).select(
+        F.col("vec_id").alias("cid"),
+        _normed(as_double_array(F.col("embedding"))).alias("cvec"),
+    )
+    arrow = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semantic_dedup(aug, cents, threshold=0.95, assign="arrow").collect()
+    }
+    expr = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semantic_dedup(aug, cents, threshold=0.95, assign="expr").collect()
+    }
+    assert arrow == expr
