@@ -1299,6 +1299,51 @@ def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE SQL text for both engines (generated-oracle by construction, like
+# q_sql_exists): an org-chart-style hierarchy derived deterministically
+# from the contiguous customer keys — parent(k) = k div 10, a 10-ary
+# tree whose depth is bounded by the key width (log10 N, ~7 at 100 TB
+# scale), so the recursion is provably shallow. Spark 4's WITH
+# RECURSIVE executes each step as a distributed join against the
+# previous iteration (UnionLoop) — the SQL-native alternative to the
+# iterative-DataFrame loops in operators/graph.py.
+_RECURSIVE_HIER_SQL = """
+WITH RECURSIVE chain(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1
+  FROM customer c JOIN chain ch
+    ON ch.custkey = CAST(floor(c.c_custkey / 10) AS BIGINT)
+  WHERE c.c_custkey >= 10
+)
+SELECT chain.root, CAST(chain.depth AS INTEGER) AS depth,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM chain JOIN customer c2 ON c2.c_custkey = chain.custkey
+GROUP BY chain.root, chain.depth
+"""
+
+
+@query(
+    "q_recursive_hierarchy",
+    oracle=_RECURSIVE_HIER_SQL,
+    description="Recursive CTE (WITH RECURSIVE, Spark 4 SPARK-24497): "
+    "per-(root, depth) rollup of a deterministic 10-ary hierarchy over "
+    "the contiguous customer keys (parent = key div 10). The IDENTICAL "
+    "SQL text runs on both engines — oracle equality by construction; "
+    "recursion depth is bounded by the key width (log10 N), each "
+    "iteration one distributed join against the previous level. Exact "
+    "integer cents; covers the SQL-native iterative surface next to "
+    "the DataFrame-loop algorithms (LPA, components, PageRank).",
+)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_HIER_SQL)
+
+
 @query(
     "q_grouping_sets",
     oracle="""

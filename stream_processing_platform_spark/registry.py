@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "q_cohort_retention",
     "q_semdedup_incremental",
     "q_stream_semdedup",
+    "q_recursive_hierarchy",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3
