@@ -221,6 +221,68 @@ def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_window_session_dynamic",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+               CASE WHEN event_type = 'purchase' THEN 2700000
+                    ELSE 1800000 END AS gap
+        FROM events
+    ), ordered AS (
+        SELECT user_id, ts_ms, value, gap,
+               CASE WHEN max(ts_ms + gap)
+                         OVER (PARTITION BY user_id ORDER BY ts_ms
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         > ts_ms
+                    THEN 0 ELSE 1 END AS is_new
+        FROM g
+    ), sessions AS (
+        SELECT user_id, ts_ms, value, gap,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+           CAST(max(ts_ms + gap) AS BIGINT) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    description="LIVE streaming SessionWindow with a DYNAMIC per-event "
+    "gap (session_window with a Column gap expression: purchases hold "
+    "the session open 45 min, everything else 30 min). Each event "
+    "proposes [ts, ts + its own gap) and overlapping proposals merge, "
+    "so the session end is the max of the merged events' individual "
+    "ends — the oracle is the interval-merging gaps-and-islands form "
+    "(running max of proposed ends; a row starts a new session iff no "
+    "earlier proposal still covers its timestamp). APPEND mode with "
+    "two watermark-flush batches, same staging as the fixed-gap form.",
+)
+def q_stream_window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "30 minutes"
+    )
+    agg = W.session_agg(
+        _events_stream(spark, sf_dir, flush_files=2),
+        "ts",
+        gap,
+        ["user_id"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    out = _run_to_table(agg, mode="append")
+    return out.where(F.col("user_id") != FLUSH_USER).select(
+        "user_id",
+        epoch_ms(F.col("session_start")).alias("session_start_ms"),
+        epoch_ms(F.col("session_end")).alias("session_end_ms"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
     "q_stream_join_interval",
     oracle="""
     SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "q_semdedup_incremental",
     "q_stream_semdedup",
     "q_recursive_hierarchy",
+    "q_stream_window_session_dynamic",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3

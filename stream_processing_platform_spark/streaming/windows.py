@@ -80,7 +80,7 @@ def sliding_agg(
 def session_agg(
     df: DataFrame,
     ts_col: str,
-    gap: str,
+    gap: str | Column,
     key_cols: list[str],
     aggs: list[Column],
     watermark_delay: str = "5 seconds",
@@ -99,7 +99,13 @@ def session_agg(
     merges late rows at the cost of holding sessions open longer —
     both pinned live in tests/test_streaming.py
     (test_session_window_drops_late_data /
-    test_session_window_allowed_lateness_admits_late_row)."""
+    test_session_window_allowed_lateness_admits_late_row).
+
+    ``gap`` may also be a Column expression (DYNAMIC gap — e.g. a
+    per-event-type duration): each event then proposes the interval
+    [ts, ts + its own gap) and overlapping proposals merge, so the
+    session end is the max of the merged events' individual ends
+    (`q_stream_window_session_dynamic` oracle-checks this live)."""
     out = (
         with_watermark(df, ts_col, watermark_delay)
         .groupBy(F.session_window(ts_col, gap).alias("session_window"), *key_cols)
