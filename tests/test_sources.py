@@ -121,3 +121,33 @@ def test_read_json_unknown_mode_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown malformed-record mode"):
         read_json_with_policy(spark, "/tmp/x", StructType([]), mode="IGNORE")
+
+
+def test_parquet_schema_evolution_merge_and_backfill(spark, tmp_path):
+    """Data-lake schema evolution: old files written before a column
+    existed must stay readable next to new files that have it —
+    mergeSchema unions the schemas, the missing column reads as NULL in
+    old rows, and the standard backfill (coalesce to a sentinel) makes
+    the frame safe for non-null contracts. Also pins the quiet failure
+    mode this guards against: WITHOUT mergeSchema, whichever file
+    schema Spark samples wins and the new column can silently vanish."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    ).write.parquet(base + "/batch=0")
+    spark.createDataFrame(
+        [(3, "gamma", "en"), (4, "delta", "fr")],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(base + "/batch=1")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    rows = {
+        r.doc_id: r.lang
+        for r in merged.select(
+            "doc_id", F.coalesce("lang", F.lit("und")).alias("lang")
+        ).collect()
+    }
+    assert rows == {1: "und", 2: "und", 3: "en", 4: "fr"}
