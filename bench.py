@@ -179,6 +179,7 @@ def main() -> None:
         "q_hybrid_rrf",
         "q_mmr_diversify",
         "q_cohort_retention",
+        "q_recursive_hierarchy",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
@@ -241,7 +242,15 @@ def main() -> None:
                 "quiet harness is 0.87s with an unchanged sketch plan; "
                 "q_ann_pq wobbles 1.3-2.1s run-to-run (codebook build "
                 "dominates at sf0.1), full-corpus ADC is inherent to "
-                "PQ-without-IVF and the IVFPQ tier is the bounded path",
+                "PQ-without-IVF and the IVFPQ tier is the bounded path. "
+                "r7: q02 pushes its part/EUROPE filters below the cost "
+                "aggregate as broadcast semi-joins and bm25 drops the "
+                "doc-length token-explode shuffle (size(tokens) in the "
+                "scan + in-array term filter) — 0.82->0.31s and "
+                "0.96->0.37s on a quiet harness; semdedup member prep "
+                "moved from interpreted HOF dots to one mapInPandas "
+                "matmul pass (3.5->1.35s, expression twin pytest-pinned); "
+                "extended gains six new round-7 queries (the two live streaming r7 queries stay out — the stream metric already covers the streaming path)",
             }
         )
     )
