@@ -350,6 +350,7 @@ def hyperplane_lsh_pairs(
     num_bits: int = 192,
     bands: int = 12,
     seed: int = 0x5EED,
+    signature: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane (sign) LSH —
     the 100 TB scale path (SRP-LSH, Charikar 2002: P(bits agree) =
@@ -411,6 +412,53 @@ def hyperplane_lsh_pairs(
     dims = head["n"] if head is not None else 1
     rng = np.random.default_rng(seed)
     planes = np.where(rng.standard_normal((num_bits, dims)) > 0, 1.0, -1.0)
+
+    if signature == "arrow":
+        # Vectorized signature stage: one batch matmul + bit fold per
+        # Arrow batch instead of rows x num_bits interpreted HOF folds
+        # (the dominant cost of this operator at sf0.1 — same treatment
+        # as _sem_members_arrow, same pairwise-vs-sequential summation
+        # acceptance: a sign flips only when |projection| ~ 1e-13, and
+        # banding redundancy plus the exact-cosine verify bound the
+        # blast radius to recall of knife-edge pairs; the expression
+        # twin is pinned equal by pytest). Rows whose vector length
+        # differs from the learned dims keep the expr-path semantics:
+        # zip_with null-pads, the fold goes null, every bit reads 0.
+        import numpy as _np
+
+        P = planes  # (num_bits, dims) float64 +-1
+        pw = (1 << _np.arange(width - 1, -1, -1)).astype(_np.int64)
+        id_type = dict(base.dtypes)["_id"]
+        sig_schema = f"_id {id_type}, band int, chunk long"
+
+        def sigrun(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                arrs = pdf["_v"].to_numpy()
+                lens = _np.fromiter((len(a) for a in arrs), dtype=_np.int64, count=n)
+                chunks = _np.zeros((n, bands), dtype=_np.int64)
+                mask = lens == P.shape[1]
+                if mask.any():
+                    X = _np.stack(arrs[mask]).astype(_np.float64, copy=False)
+                    bits = (X @ P.T > 0).astype(_np.int64)  # (m, num_bits)
+                    chunks[mask] = bits.reshape(len(X), bands, width) @ pw
+                yield pd.DataFrame(
+                    {
+                        "_id": _np.repeat(pdf["_id"].to_numpy(), bands),
+                        "band": _np.tile(_np.arange(bands, dtype=_np.int32), n),
+                        "chunk": chunks.reshape(-1),
+                    }
+                )
+
+        banded = base.select("_id", "_v").mapInPandas(sigrun, sig_schema)
+        return _lsh_verify(banded, base, threshold)
+
+    # expr path: the +-1 matrix embeds as ONE parsed SQL array literal
+    # that Catalyst constant-folds (parse ~0.3 s; per-element F.lit py4j
+    # conversion takes ~7 s and a 1-row crossJoin trips the
+    # no-nested-loop plan gate — both rejected)
     matrix = F.expr(
         "array("
         + ",".join(
@@ -458,6 +506,14 @@ def hyperplane_lsh_pairs(
             )
         ).alias("_bb"),
     ).select("_id", "_bb.band", "_bb.chunk")
+    return _lsh_verify(banded, base, threshold)
+
+
+def _lsh_verify(banded: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
+    """Shared LSH tail: (band, chunk)-bucket candidate pairs + exact
+    cosine verify (precision exact by construction)."""
+    from stream_processing_platform_spark.functions.similarity import cosine
+
     lhs = banded.select(F.col("_id").alias("id_a"), "band", "chunk")
     rhs = banded.select(F.col("_id").alias("id_b"), "band", "chunk")
     cands = (

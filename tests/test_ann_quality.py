@@ -440,3 +440,25 @@ def test_semdedup_arrow_assignment_matches_expression_twin(spark, sf_dir):
         for r in semantic_dedup(aug, cents, threshold=0.95, assign="expr").collect()
     }
     assert arrow == expr
+
+
+def test_hyperplane_lsh_arrow_signature_matches_expression_twin(spark, sf_dir):
+    """The vectorized mapInPandas signature stage (batch matmul sign
+    bits + chunk fold) must return the exact same verified pair set as
+    the interpreted expression form — the twin-pinning doctrine. A sign
+    can only diverge when |projection| ~ 1e-13, and then banding
+    redundancy plus exact verify still bound the effect; equality here
+    means any divergence is a bug."""
+    from stream_processing_platform_spark.operators.dedup import hyperplane_lsh_pairs
+    from stream_processing_platform_spark.queries.similarity import _augmented
+
+    aug = _augmented(spark, sf_dir)
+    arrow = {
+        (r.id_a, r.id_b, r.cos)
+        for r in hyperplane_lsh_pairs(aug, "vec_id", "embedding", signature="arrow").collect()
+    }
+    expr = {
+        (r.id_a, r.id_b, r.cos)
+        for r in hyperplane_lsh_pairs(aug, "vec_id", "embedding", signature="expr").collect()
+    }
+    assert arrow == expr and len(arrow) > 0

@@ -81,8 +81,20 @@ def test_embedding_near_dup_matrix_constant_folds(spark, sf_dir):
     """The SRP hyperplane matrix must reach execution as ONE folded
     Literal — if it survives as a CreateArray of 12k elements (e.g.
     someone wraps it in let()/a lambda variable again) it re-materializes
-    per row, a 10x signature regression."""
-    plan = _optimized(queries()["q_embedding_near_dup"](spark, sf_dir))
+    per row, a 10x signature regression. The registered query runs the
+    Arrow signature path (matrix lives in the numpy closure, not the
+    plan); this gate pins the EXPRESSION twin, which the Arrow path is
+    pytest-pinned equal to."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.dedup import hyperplane_lsh_pairs
+    from stream_processing_platform_spark.queries.similarity import _augmented
+
+    df = hyperplane_lsh_pairs(
+        _augmented(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.95, signature="expr",
+    )
+    plan = _optimized(df)
     assert plan.count("1.0D") < 100, "hyperplane literals not constant-folded"
 
 
