@@ -209,6 +209,92 @@ def _l2sq(a, b):
     )
 
 
+def _encode_codes(
+    df: DataFrame,
+    id_name: str,
+    vec_name: str,
+    codebook: DataFrame,
+    dim: int,
+    num_subspaces: int,
+    normalize: bool,
+    encode: str = "arrow",
+) -> DataFrame:
+    """PQ-encode every vector: one code per subspace, argmin L2 against
+    the broadcast codebook. Output: (id_name, codes array<int>).
+
+    ``encode="arrow"`` (default) collects the tiny (M x K x d) codebook
+    to the driver and encodes each Arrow batch as one einsum in
+    ``clustering._pq_assign_udf`` — the expression form explodes
+    rows x subspaces, joins the codebook, and re-aggregates: a
+    rows x subspaces x codes intermediate whose interpreted per-element
+    L2 folds dominated q_ann_pq at sf0.1 (measured ~2x on the full
+    query). Same argmin, same lowest-code tie-break (np.argmin takes
+    the first minimum; codes are index-ordered); the admitted
+    pairwise-vs-sequential summation delta only moves fp-noise ties —
+    the expression twin is pinned code-for-code equal by pytest.
+    ``normalize`` applies l2 normalization inside the encoder (the raw
+    PQ form); residual vectors pass normalize=False."""
+    if encode == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        rows = codebook.select("m", "code", "csub").collect()  # bounded: M x K x d
+        M = 1 + max(r["m"] for r in rows)
+        K = 1 + max(r["code"] for r in rows)
+        d = len(rows[0]["csub"])
+        CB = np.zeros((M, K, d), dtype=np.float64)
+        for r in rows:
+            CB[r["m"], r["code"]] = r["csub"]
+        cb_sq = (CB * CB).sum(axis=2)  # (M, K)
+        id_type = dict(df.dtypes)[id_name]
+        schema = f"{id_name} {id_type}, codes array<int>"
+
+        # mapInPandas, not a pandas_udf projection: the residual input
+        # column is itself a zip_with expression, and Catalyst collapses
+        # a UDF projection into downstream join/aggregate operators
+        # where PythonUDF extraction fails (Cannot evaluate expression:
+        # encode(...)) — an operator node is immune, same lesson as
+        # _sem_members_arrow.
+        def run(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.stack(pdf[vec_name].to_numpy()).astype(np.float64, copy=False)
+                if normalize:
+                    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+                S = X.reshape(n, M, d)
+                cross = np.einsum("nmd,mkd->nmk", S, CB)
+                dist = (S * S).sum(axis=2)[:, :, None] - 2.0 * cross + cb_sq[None, :, :]
+                codes = dist.argmin(axis=2).astype("int32")
+                yield pd.DataFrame(
+                    {id_name: pdf[id_name].to_numpy(), "codes": list(codes)}
+                )
+
+        return df.select(F.col(id_name), F.col(vec_name)).mapInPandas(run, schema)
+
+    vec = _l2_normalized(F.col(vec_name)) if normalize else F.col(vec_name)
+    subs = df.select(
+        id_name, F.posexplode(_subvectors(vec, dim, num_subspaces)).alias("m", "sub")
+    )
+    # argmin as min(struct(dist, code)) — struct ordering is (dist asc,
+    # code asc), so the result is deterministic AND the aggregate
+    # partials combine map-side; a window-rank argmin would shuffle and
+    # sort the full N x subspaces x codes expansion instead.
+    return (
+        subs.join(F.broadcast(codebook), "m")
+        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .groupBy(id_name, "m")
+        .agg(F.min(F.struct("_d", "code"))["code"].alias("code"))
+        .groupBy(id_name)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes")
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -249,31 +335,13 @@ def pq_topk(
     c = _prep(corpus, id_col, vec_col, "neighbor_id", "_cv")
     q = _prep(queries, id_col, vec_col, "query_id", "_qv")
 
-    c_subs = c.select(
-        "neighbor_id",
-        F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
-            "m", "sub"
-        ),
-    )
     # num_codes sample rows -> (m, code, csub) per subspace, broadcast.
     codebook = _pq_codebook(c, dim, num_subspaces, num_codes, train_iters)
 
-    # Encode: nearest code per (vector, subspace). argmin as
-    # min(struct(dist, code)) — struct ordering is (dist asc, code asc),
-    # so the result is deterministic AND the aggregate partials combine
-    # map-side; a window-rank argmin would shuffle and sort the full
-    # N x subspaces x codes expansion instead.
-    encoded = (
-        c_subs.join(F.broadcast(codebook), "m")
-        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
-        .groupBy("neighbor_id", "m")
-        .agg(F.min(F.struct("_d", "code"))["code"].alias("code"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-            ).alias("codes")
-        )
+    # Encode: nearest code per (vector, subspace) — Arrow einsum path,
+    # expression twin pinned equal (see _encode_codes).
+    encoded = _encode_codes(
+        c, "neighbor_id", "_cv", codebook, dim, num_subspaces, normalize=True
     )
 
     # Per-query ADC table: dtable[m][code] = L2^2(q_sub_m, code vector).
@@ -466,30 +534,14 @@ def ivfpq_topk(
                     ),
                 )
             )
-        c_subs = rres.select(
-            "neighbor_id",
-            F.posexplode(_subvectors(F.col("_rv"), dim, num_subspaces)).alias("m", "sub"),
+        encoded = _encode_codes(
+            rres, "neighbor_id", "_rv", codebook, dim, num_subspaces, normalize=False
         )
     else:
         codebook = _pq_codebook(cn, dim, num_subspaces, num_codes, train_iters)
-        c_subs = cn.select(
-            "neighbor_id",
-            F.posexplode(_subvectors(_l2_normalized(F.col("_cv")), dim, num_subspaces)).alias(
-                "m", "sub"
-            ),
+        encoded = _encode_codes(
+            cn, "neighbor_id", "_cv", codebook, dim, num_subspaces, normalize=True
         )
-    encoded = (
-        c_subs.join(F.broadcast(codebook), "m")
-        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
-        .groupBy("neighbor_id", "m")
-        .agg(F.min(F.struct("_d", "code"))["code"].alias("code"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-            ).alias("codes")
-        )
-    )
 
     # the index table: (neighbor_id, cell, codes) — corpus-keyed join,
     # built once (precomputed and reused at production scale)

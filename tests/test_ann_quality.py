@@ -462,3 +462,36 @@ def test_hyperplane_lsh_arrow_signature_matches_expression_twin(spark, sf_dir):
         for r in hyperplane_lsh_pairs(aug, "vec_id", "embedding", signature="expr").collect()
     }
     assert arrow == expr and len(arrow) > 0
+
+
+def test_pq_encode_arrow_matches_expression_twin(spark, sf_dir):
+    """The Arrow einsum PQ encoder must produce the exact same code
+    arrays as the explode-join-argmin expression form, for both the
+    normalized (raw PQ) and raw (residual) inputs — twin-pinning
+    doctrine; fp-noise ties are the only admitted divergence channel
+    and equality here means none fired."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.ann import (
+        _encode_codes,
+        _pq_codebook,
+        _prep,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = _prep(emb, "vec_id", "embedding", "neighbor_id", "_cv")
+    cb = _pq_codebook(c, 64, 16, 64, 0)
+    for normalize in (True, False):
+        arrow = {
+            r.neighbor_id: list(r.codes)
+            for r in _encode_codes(
+                c, "neighbor_id", "_cv", cb, 64, 16, normalize, encode="arrow"
+            ).collect()
+        }
+        expr = {
+            r.neighbor_id: list(r.codes)
+            for r in _encode_codes(
+                c, "neighbor_id", "_cv", cb, 64, 16, normalize, encode="expr"
+            ).collect()
+        }
+        assert arrow == expr, f"normalize={normalize}"
