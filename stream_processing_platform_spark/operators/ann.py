@@ -90,21 +90,10 @@ def ivf_topk(
     c = _prep(corpus, id_col, vec_col, "cid", "_cv")
     centroids = _ivf_centroids(c, num_cells, train_iters)
 
-    # Assign every corpus vector to its nearest centroid (broadcast
-    # join). argmax as min(struct(-sim, cell)) — (sim desc, cell asc)
-    # determinism preserved, and the aggregate combines map-side instead
-    # of sorting the N x num_cells expansion through a rank window. _cv
-    # rides along via first(): every expansion row of a cid carries the
-    # identical vector, so first() is value-deterministic.
-    assigned = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col("_cv"), F.col("_centroid")))
-        .groupBy("cid")
-        .agg(
-            F.min(F.struct((-F.col("_sim")).alias("_neg"), F.col("cell")))["cell"].alias("cell"),
-            F.first("_cv").alias("_cv"),
-        )
-        .select("cell", F.col("cid").alias("neighbor_id"), F.col("_cv"))
+    # Assign every corpus vector to its nearest centroid — Arrow matmul
+    # argmax, expression twin pinned equal (see _assign_cells).
+    assigned = _assign_cells(c, centroids, "cid", "_cv", keep_vec=True).select(
+        "cell", F.col("cid").alias("neighbor_id"), F.col("_cv")
     )
 
     # Each query probes its nprobe nearest cells.
@@ -295,6 +284,75 @@ def _encode_codes(
     )
 
 
+def _assign_cells(
+    c: DataFrame,
+    centroids: DataFrame,
+    id_name: str = "cid",
+    vec_name: str = "_cv",
+    keep_vec: bool = False,
+    assign: str = "arrow",
+) -> DataFrame:
+    """Nearest-centroid cell per corpus vector (max cosine, lowest-cell
+    tie-break). Output: (cell, id_name[, vec_name]).
+
+    ``assign="arrow"`` (default) computes all cells per Arrow batch as
+    one normalized matmul argmax in mapInPandas — the expression form
+    crossJoins the broadcast centroids and folds an interpreted cosine
+    per (row x cell) expansion row. Same tie-break (cells index-sorted,
+    np.argmax takes the first maximum); fp-noise ties are the only
+    divergence channel and the expression twin is pinned row-for-row
+    equal by pytest (same doctrine as _encode_codes)."""
+    if assign == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        rows = sorted(
+            centroids.select("cell", "_centroid").collect(),  # bounded: k x dim
+            key=lambda r: r["cell"],
+        )
+        cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+        C = np.ascontiguousarray([r["_centroid"] for r in rows], dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        id_type = dict(c.dtypes)[id_name]
+        out_cols = f"cell int, {id_name} {id_type}" + (
+            f", {vec_name} array<double>" if keep_vec else ""
+        )
+
+        def run(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.stack(pdf[vec_name].to_numpy()).astype(np.float64, copy=False)
+                sims = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ Cn.T
+                cell = cells[sims.argmax(axis=1)].astype("int32")
+                data = {"cell": cell, id_name: pdf[id_name].to_numpy()}
+                if keep_vec:
+                    data[vec_name] = list(X)
+                yield pd.DataFrame(data)
+
+        return c.select(F.col(id_name), F.col(vec_name)).mapInPandas(run, out_cols)
+
+    # argmax as min(struct(-sim, cell)) — (sim desc, cell asc)
+    # determinism preserved, and the aggregate combines map-side instead
+    # of sorting the N x num_cells expansion through a rank window. The
+    # vector rides along via first(): every expansion row of an id
+    # carries the identical vector, so first() is value-deterministic.
+    aggs = [
+        F.min(F.struct((-F.col("_sim")).alias("_neg"), F.col("cell")))["cell"].alias("cell")
+    ]
+    if keep_vec:
+        aggs.append(F.first(vec_name).alias(vec_name))
+    out = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col(vec_name), F.col("_centroid")))
+        .groupBy(id_name)
+        .agg(*aggs)
+    )
+    cols = ["cell", id_name] + ([vec_name] if keep_vec else [])
+    return out.select(*cols)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -479,14 +537,8 @@ def ivfpq_topk(
 
     # --- IVF side: centroids, cell assignment, query probes ----------
     centroids = _ivf_centroids(c, num_cells, train_iters)
-    assigned = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col("_cv"), F.col("_centroid")))
-        .groupBy("cid")
-        .agg(
-            F.min(F.struct((-F.col("_sim")).alias("_neg"), F.col("cell")))["cell"].alias("cell"),
-        )
-        .select(F.col("cid").alias("neighbor_id"), "cell")
+    assigned = _assign_cells(c, centroids, "cid", "_cv").select(
+        F.col("cid").alias("neighbor_id"), "cell"
     )
 
     # --- PQ side: codebook + corpus codes ----------------------------

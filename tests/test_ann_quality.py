@@ -495,3 +495,25 @@ def test_pq_encode_arrow_matches_expression_twin(spark, sf_dir):
             ).collect()
         }
         assert arrow == expr, f"normalize={normalize}"
+
+
+def test_ivf_assign_cells_arrow_matches_expression_twin(spark, sf_dir):
+    """The Arrow matmul cell assignment must agree row-for-row with the
+    crossJoin + min(struct(-sim, cell)) expression form — twin-pinning
+    doctrine for the IVF side."""
+    from stream_processing_platform_spark.operators.ann import (
+        _assign_cells,
+        _ivf_centroids,
+        _prep,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = _prep(emb, "vec_id", "embedding", "cid", "_cv")
+    cents = _ivf_centroids(c, 16, 0)
+    arrow = {
+        r.cid: r.cell for r in _assign_cells(c, cents, assign="arrow").collect()
+    }
+    expr = {
+        r.cid: r.cell for r in _assign_cells(c, cents, assign="expr").collect()
+    }
+    assert arrow == expr and len(arrow) == emb.count()
