@@ -75,7 +75,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     # 4. MMR-diversify the semantic candidates
     cands = sem_top.select("id", F.col("cos").alias("rel"))
-    cv = cands.join(emb, cands.id == emb.vec_id).select(
+    cv = F.broadcast(cands).join(emb, cands.id == emb.vec_id).select(
         "id", "rel", "embedding", F.sqrt(dot("embedding", "embedding")).alias("nrm")
     )
     a = cv.select(F.col("id").alias("ia"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))

@@ -91,7 +91,11 @@ def build_ivfpq_index(
     # parquet artifacts (a 1-row text write), so the index builds to and
     # serves from any Spark-supported store (HDFS/S3/local) — a driver-
     # local open() here would silently strand the manifest when `path`
-    # is not a local directory
+    # is not a local directory. Like every artifact here, the write is
+    # overwrite-in-place and NOT transactional: REBUILD TO A NEW PATH
+    # and flip readers — swapping a live index atomically is a catalog/
+    # metastore commit, not a filesystem write (the compact_parquet
+    # doctrine, maintenance.py)
     (
         spark.createDataFrame([(json.dumps(meta),)], "value string")
         .coalesce(1)

@@ -437,7 +437,14 @@ def hyperplane_lsh_pairs(
                 if n == 0:
                     continue
                 arrs = pdf["_v"].to_numpy()
-                lens = _np.fromiter((len(a) for a in arrs), dtype=_np.int64, count=n)
+                # NULL vectors mirror the expr path (zip_with null-pads,
+                # the fold goes null, every bit reads 0): length -1
+                # never equals dims, so they fall into the all-zero row
+                lens = _np.fromiter(
+                    (len(a) if a is not None else -1 for a in arrs),
+                    dtype=_np.int64,
+                    count=n,
+                )
                 chunks = _np.zeros((n, bands), dtype=_np.int64)
                 mask = lens == P.shape[1]
                 if mask.any():
@@ -594,10 +601,15 @@ def _sem_members_arrow(
         centroids.select(centroid_id, centroid_vec).collect(),  # bounded: k x dim
         key=lambda r: r[centroid_id],
     )
-    cids = np.array([r[centroid_id] for r in rows], dtype=np.int64)
+    # id/cluster types derived from the inputs (string/int ids both
+    # work — same contract as the expression twin); np.asarray keeps
+    # string cids as an object array, which fancy-indexes fine
+    cids = np.asarray([r[centroid_id] for r in rows])
     C = np.ascontiguousarray([r[centroid_vec] for r in rows], dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
-    schema = f"{id_col} bigint, cluster bigint, _v array<double>, _nrm double"
+    id_type = dict(df.dtypes)[id_col]
+    cluster_type = dict(centroids.dtypes)[centroid_id]
+    schema = f"{id_col} {id_type}, cluster {cluster_type}, _v array<double>, _nrm double"
 
     def run(batches):
         for pdf in batches:
@@ -641,8 +653,13 @@ def _sem_members(
     the transform lambda would re-fold the array per element."""
     from stream_processing_platform_spark.functions.similarity import as_double_array, dot
     from stream_processing_platform_spark.operators.clustering import _normed, assign_expr
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
-    base = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    # CPU-bound member prep (matmuls / HOF folds) — spread the
+    # single-row-group testdata scan across cores (no-op at real scale)
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    )
     if assign == "arrow":
         return _sem_members_arrow(
             base, centroids, id_col, "_v", centroid_id, centroid_vec

@@ -102,7 +102,9 @@ def bm25_oracle_sql(
     emitted via repr of the identical Python floats, and every
     arithmetic composition matches ``bm25_scores`` operation for
     operation."""
-    values = ", ".join(f"('{t}')" for t in terms)
+    # same dedup as bm25_scores' term_set — duplicate terms must not
+    # double tf on the oracle side only (generated-oracle contract)
+    values = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
     scale = float(10**round_dp)
     return f"""
     WITH tok AS (
@@ -210,9 +212,21 @@ def mmr_rerank(
             best = min((i for i in remaining if rel[i] == rel[best]))
         else:
             def score(i):
-                return lam * rel[i] - one_m * max(sim[(i, j)] for j in selected)
-            top = max(score(i) for i in remaining)
-            best = min(i for i in remaining if score(i) == top)
+                # a candidate with NO sim row against any selected item
+                # scores None — matching the SQL oracle, where the
+                # correlated max is NULL and ORDER BY m DESC sorts it
+                # after every non-null score (NULLS LAST), ties by id
+                known = [sim[(i, j)] for j in selected if (i, j) in sim]
+                if not known:
+                    return None
+                return lam * rel[i] - one_m * max(known)
+            scored = {i: score(i) for i in remaining}
+            non_null = [v for v in scored.values() if v is not None]
+            if non_null:
+                top = max(non_null)
+                best = min(i for i in remaining if scored[i] == top)
+            else:
+                best = min(remaining)
         selected.append(best)
         remaining.discard(best)
     out = [(i, n + 1) for n, i in enumerate(selected)]

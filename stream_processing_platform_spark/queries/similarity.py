@@ -402,8 +402,10 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cands = top_k_global(scored, [F.col("rel").desc(), F.col("id").asc()], _MMR_N)
+    # the top-n list is small-by-construction: hint it or AQE's
+    # small-SF sizing inverts the broadcast at scale (CLAUDE.md)
     cv = (
-        cands.join(e, cands.id == e.vec_id)
+        F.broadcast(cands).join(e, cands.id == e.vec_id)
         .select(
             "id", "rel", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_nrm")
         )

@@ -517,3 +517,45 @@ def test_ivf_assign_cells_arrow_matches_expression_twin(spark, sf_dir):
         r.cid: r.cell for r in _assign_cells(c, cents, assign="expr").collect()
     }
     assert arrow == expr and len(arrow) == emb.count()
+
+
+def test_hyperplane_lsh_null_vector_is_bucketed_not_fatal(spark):
+    """A NULL embedding must not kill the Arrow signature stage — it
+    reads an all-zero signature (the expr path's zip_with null-pad
+    semantics) and simply buckets harmlessly; the verify stage never
+    emits it as a pair."""
+    from stream_processing_platform_spark.operators.dedup import hyperplane_lsh_pairs
+
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, None), (4, [])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for sig in ("arrow", "expr"):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in hyperplane_lsh_pairs(
+                df, "vec_id", "embedding", threshold=0.95, signature=sig
+            ).collect()
+        }
+        assert pairs == {(1, 2)}, sig
+
+
+def test_semantic_dedup_string_ids(spark):
+    """The Arrow member prep derives id/cluster types from its inputs —
+    string document ids (the common real-world key) work on both
+    paths."""
+    from stream_processing_platform_spark.operators.dedup import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "cid string, cvec array<double>"
+    )
+    df = spark.createDataFrame(
+        [("d1", [2.0, 0.0]), ("d2", [2.0, 0.1]), ("d3", [0.0, 3.0])],
+        "vec_id string, embedding array<double>",
+    )
+    for mode in ("arrow", "expr"):
+        res = {
+            r.vec_id: (r.cluster, r.kept)
+            for r in semantic_dedup(df, cents, threshold=0.95, assign=mode).collect()
+        }
+        assert res["d1"] == ("a", True)
+        assert res["d2"] == ("a", False)  # lower-id neighbor d1, cos ~0.999
+        assert res["d3"] == ("b", True)

@@ -322,3 +322,38 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert pure == [1, 2, 3]
     # k caps the output
     assert mmr_rerank(cands, sims, k=2, lam=0.7).count() == 2
+
+
+def test_mmr_rerank_sparse_sims_and_duplicate_bm25_terms(spark):
+    """Two review fixes pinned: (1) mmr_rerank with a threshold-filtered
+    (sparse) sims table treats a candidate with NO sim row against the
+    selected set as SQL NULL — sorted after every non-null score, ties
+    to the lowest id — instead of raising KeyError; (2) bm25_scores and
+    its generated oracle dedupe duplicate query terms identically."""
+    from stream_processing_platform_spark.operators.ranking import (
+        bm25_oracle_sql,
+        bm25_scores,
+        mmr_rerank,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "id bigint, rel double"
+    )
+    # only the (1,2)/(2,1) pair exists; 3 has no sims at all
+    sims = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 0.5)], "ia bigint, ib bigint, s double"
+    )
+    order = [r.id for r in mmr_rerank(cands, sims, k=3, lam=0.7)
+             .orderBy("mmr_rank").collect()]
+    # 1 first (max rel); then 2 (non-null score); 3 (NULL score) last
+    assert order == [1, 2, 3]
+
+    docs = spark.createDataFrame(
+        [(1, "join join hash"), (2, "scan filter")], "doc_id bigint, text string"
+    )
+    dup = {r.doc_id: (r.n_terms, r.bm25)
+           for r in bm25_scores(docs, ["join", "join"]).collect()}
+    single = {r.doc_id: (r.n_terms, r.bm25)
+              for r in bm25_scores(docs, ["join"]).collect()}
+    assert dup == single
+    assert bm25_oracle_sql(["join", "join"]) == bm25_oracle_sql(["join"])
