@@ -241,3 +241,64 @@ def label_propagation(
         F.col("_id").alias(id_col),
         F.coalesce(F.col("_label"), F.lit(sentinel)).alias("lpa_label"),
     )
+
+
+def pagerank_integer(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+    num_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Integer-exact PageRank: the float power iteration's sums are
+    partition-order-dependent, which is why :func:`pagerank` can only
+    be rows-only checked — this variant defines the recurrence over
+    BIGINTs so the result is bit-identical across engines, partitions,
+    and runs, and therefore carries a full generated SQL oracle
+    (q_pagerank_exact — the q_lpa_labels iterative-oracle doctrine):
+
+        r_0(v)     = scale div n
+        r_{t+1}(v) = (100-damping_pct)*scale div (100*n)
+                     + sum over in-edges (u,v) of
+                       (damping_pct * r_t(u)) div (100 * deg_out(u))
+
+    Integer sums are order-independent; every division is integral
+    (Spark ``div`` truncates, duckdb ``//`` floors — identical on the
+    non-negative values here). Deliberate semantic simplification vs
+    the float operator: NO dangling-mass redistribution (that needs a
+    global float mass per round) — dangling/isolated vertices keep
+    teleport-only mass, and total mass decays by the floor losses, so
+    ranks are a centrality ORDERING signal, not a probability
+    distribution. Same scale shape as :func:`pagerank`: per round one
+    src-keyed join + one dst-keyed aggregate over |edges| rows,
+    per-round checkpointing, no driver adjacency.
+
+    Returns ``(id_col, rank_scaled BIGINT)``.
+    """
+    ckpt = _checkpointer(vertices)
+    n = vertices.count()
+    if n == 0:
+        return vertices.select(F.col(id_col), F.lit(0).cast("long").alias("rank_scaled"))
+    teleport_pct = 100 - damping_pct
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    e_deg = ckpt(e.join(deg, "_src"))
+    v = vertices.select(F.col(id_col).alias("_id"))
+    ranks = v.select("_id", F.expr(f"CAST({scale} div {n} AS BIGINT)").alias("_rank"))
+    base = F.expr(f"CAST(({teleport_pct} * {scale}) div (100 * {n}) AS BIGINT)")
+    for _ in range(num_iter):
+        contrib = e_deg.join(ranks, e_deg["_src"] == ranks["_id"]).select(
+            F.col("_dst"),
+            F.expr(f"CAST(({damping_pct} * _rank) div (100 * _deg) AS BIGINT)").alias("_c"),
+        )
+        sums = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
+        ranks = ckpt(
+            v.join(sums, v["_id"] == sums["_dst"], "left").select(
+                "_id",
+                (F.coalesce(F.col("_s"), F.lit(0)) + base).cast("long").alias("_rank"),
+            )
+        )
+    return ranks.select(F.col("_id").alias(id_col), F.col("_rank").alias("rank_scaled"))

@@ -277,7 +277,14 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_dir = tempfile.mkdtemp(prefix="spp_semdedup_corpus_")
     results_dir = tempfile.mkdtemp(prefix="spp_semdedup_res_")
     schema = "vec_id bigint, embedding array<double>"
-    spark.createDataFrame([], schema).write.mode("overwrite").parquet(corpus_dir)
+    # batch=<id> subdirs + per-batch overwrite make both sinks
+    # replay-idempotent (a restarted micro-batch overwrites its own
+    # partition instead of appending duplicates — the
+    # exactly_once_parquet_sink batch_id doctrine); the seed corpus
+    # lives in batch=-1
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, "batch=-1")
+    )
 
     def stage(df, name: str, mtime: int) -> None:
         tmp = tempfile.mkdtemp(prefix="spp_semdedup_stage_")
@@ -293,10 +300,16 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         existing = spark.read.parquet(corpus_dir).select("vec_id", "embedding")
         res = dedup.incremental_semantic_dedup(batch_df, existing, cents, threshold=0.95)
-        res.write.mode("append").parquet(results_dir)
-        spark.read.parquet(results_dir).where(F.col("kept")).select("vec_id").join(
-            batch_df, "vec_id"
-        ).select("vec_id", "embedding").write.mode("append").parquet(corpus_dir)
+        res.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"batch={batch_id}")
+        )
+        spark.read.parquet(
+            os.path.join(results_dir, f"batch={batch_id}")
+        ).where(F.col("kept")).select("vec_id").join(batch_df, "vec_id").select(
+            "vec_id", "embedding"
+        ).write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch={batch_id}")
+        )
 
     q = (
         file_source(spark, src, originals.select("vec_id", "embedding").schema,
@@ -307,7 +320,8 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(results_dir)
+    # drop the batch partition column the idempotent layout adds
+    return spark.read.parquet(results_dir).select("vec_id", "cluster", "kept")
 
 
 # MMR constants shared by the Spark query and the generated oracle
@@ -734,6 +748,82 @@ def q_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     ranked = pagerank(aug.select("vec_id"), edges, id_col="vec_id", num_iter=3)
     return ranked.select("vec_id", F.round(F.col("rank") * 1e6, 4).alias("rank_ppm"))
+
+
+# Integer-PageRank constants shared by the Spark query and its
+# generated oracle (q_lpa_labels iterative-oracle doctrine)
+_PR_SCALE = 1_000_000_000_000
+_PR_DAMP = 85
+_PR_ITERS = 3
+
+
+def _pagerank_exact_oracle() -> str:
+    tele = 100 - _PR_DAMP
+    parts = [
+        f"WITH aug AS ({_SQL_AUG})",
+        # MATERIALIZED: pairs/edges/deg are referenced once per
+        # iteration — unmaterialized, duckdb re-inlines the O(n^2)
+        # brute-force pair scan into every round
+        "pairs AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        " FROM aug a JOIN aug b ON a.vec_id < b.vec_id"
+        " WHERE round(list_inner_product(a.v, b.v)"
+        " / (sqrt(list_inner_product(a.v, a.v))"
+        " * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.95)",
+        "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d"
+        " FROM edges GROUP BY 1)",
+        "v AS MATERIALIZED (SELECT vec_id AS id FROM aug)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v)",
+        f"r0 AS MATERIALIZED (SELECT id, {_PR_SCALE} // nn.n AS r"
+        " FROM v CROSS JOIN nn)",
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS id,"
+            f" CAST(sum(({_PR_DAMP} * r.r) // (100 * deg.d)) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{t - 1} r ON r.id = e.src"
+            f" JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT v.id,"
+            f" ({tele} * {_PR_SCALE}) // (100 * nn.n) + COALESCE(c.s, 0) AS r"
+            f" FROM v CROSS JOIN nn LEFT JOIN c{t} c ON c.id = v.id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id AS vec_id, CAST(r AS BIGINT) AS rank_scaled FROM r{_PR_ITERS}"
+    )
+
+
+@query(
+    "q_pagerank_exact",
+    oracle=_pagerank_exact_oracle(),
+    description="Integer-exact PageRank over the embedding near-dup "
+    "graph (operators/graph.pagerank_integer): the float power "
+    "iteration's sums are partition-order-dependent (rows-only "
+    "q_pagerank_near_dups), but this recurrence is defined over "
+    "BIGINTs — teleport (15*scale) div (100*n) plus summed "
+    "(85*r) div (100*deg) contributions, NO dangling redistribution — "
+    "so integer sums commute and the 3-round result hash-MATCHes a "
+    "generated per-iteration SQL chain (the q_lpa_labels doctrine, "
+    "extended to PageRank). Edges are the near-dup pairs, whose "
+    "banded-vs-brute-force equality is itself oracle-proven by "
+    "q_embedding_near_dup. Same per-round join+aggregate scale shape "
+    "as the float operator.",
+)
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.graph import pagerank_integer
+
+    aug = _augmented(spark, sf_dir)
+    pairs = dedup.hyperplane_lsh_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank_integer(
+        aug.select("vec_id"), edges, id_col="vec_id",
+        damping_pct=_PR_DAMP, num_iter=_PR_ITERS, scale=_PR_SCALE,
+    )
 
 
 @query(

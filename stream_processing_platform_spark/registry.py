@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "q_stream_semdedup",
     "q_recursive_hierarchy",
     "q_stream_window_session_dynamic",
+    "q_pagerank_exact",
     # -- (b) oracle query with no official row yet
     "q_key_skew",
     # -- (c) last official row r3

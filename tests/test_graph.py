@@ -130,3 +130,27 @@ def test_lpa_propagates_one_hop_per_round(spark):
             for r in label_propagation(verts, edges, num_iter=k).collect()
         }
         assert {v for v, l in got.items() if l == 7} == labeled, (k, got)
+
+
+def test_pagerank_integer_hand_computed_and_isolated(spark):
+    """Integer PageRank recurrence on a hand-computable graph: a 2-cycle
+    (a<->b) plus an isolated vertex c, scale=1000, damping 85%, 1 round.
+      r0 = 1000 div 3 = 333 each
+      base = (15*1000) div (100*3) = 50
+      a<-b contribution = (85*333) div (100*1) = 283
+      => a = b = 50 + 283 = 333; c (isolated) = 50 (teleport only)
+    Also pins determinism: two runs are identical."""
+    from stream_processing_platform_spark.operators.graph import pagerank_integer
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {
+        r.id: r.rank_scaled
+        for r in pagerank_integer(v, e, damping_pct=85, num_iter=1, scale=1000).collect()
+    }
+    assert got == {"a": 333, "b": 333, "c": 50}
+    again = {
+        r.id: r.rank_scaled
+        for r in pagerank_integer(v, e, damping_pct=85, num_iter=1, scale=1000).collect()
+    }
+    assert again == got
