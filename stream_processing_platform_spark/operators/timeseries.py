@@ -201,3 +201,53 @@ def cohort_retention(
     return ret.join(size, "cohort_bucket").select(
         "cohort_bucket", "periods_since", "active_users", "cohort_size"
     )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    alpha: float,
+    seq_col: str,
+) -> DataFrame:
+    """Per-key exponential smoothing: fold each key's points in
+    (ts, seq) order through ``s := s*(1-alpha) + x*alpha`` (first point
+    initialises ``s``) and emit the final smoothed level.
+
+    EWMA is an inherently ORDERED recursion — no commutative aggregate
+    computes it — so the honest distributed shape is: one shuffle on the
+    key, sort the key's points (array_sort over (t, seq, v) structs —
+    lexicographic, deterministic because seq is unique), then a linear
+    sequential fold per key. The per-key array is bounded by the series
+    length, the same contract as any collect-within-group operator; for
+    unbounded/streaming series the stateful form keeps one scalar per
+    key instead (transformWithState).
+
+    Cross-engine exactness: values are scaled to integer cents first,
+    and the fold body is the SAME IEEE double op sequence DuckDB's
+    ``list_reduce`` runs (mul, mul, add per element, identical order,
+    first-element init) — so the result is bit-identical with NO
+    rounding step, for any alpha. Pick a binary-exact alpha (0.25,
+    0.5) so 1-alpha is exact too.
+
+    Output: key, n (BIGINT), ewma_c (DOUBLE, smoothed cents).
+    """
+    one_m = 1.0 - alpha
+    ts_ms = epoch_ms(F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    pt = F.struct(
+        ts_ms.alias("t"), F.col(seq_col).alias("s"),
+        cents.cast("double").alias("v"),
+    )
+    vs = F.transform(F.array_sort(F.collect_list(pt)), lambda p: p["v"])
+    folded = F.aggregate(
+        vs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            acc * F.lit(one_m) + x * F.lit(alpha)
+        ),
+    )
+    return df.groupBy(F.col(key_col).alias(key_col)).agg(
+        F.count("*").alias("n"), folded.alias("ewma_c")
+    )

@@ -181,3 +181,37 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cohort_retention(
         e, ts_col="ts", user_col="user_id", every_ms=_DAY_MS
     )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             {'t': epoch_ms(ts), 's': event_id,
+              'v': CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)} AS pt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           list_reduce(
+             list_transform(list_sort(list(pt)), p -> p.v),
+             (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)
+           ) AS ewma_c
+    FROM p
+    GROUP BY user_id
+    """,
+    description="Per-user EWMA (exponential smoothing, alpha=0.25) over "
+    "the user's events in (ts, event_id) order — an ordered per-key "
+    "fold (array_sort + aggregate HOF), the recursion no commutative "
+    "aggregate expresses. Bit-identical to DuckDB's list_reduce with NO "
+    "rounding: integer-cents inputs, identical IEEE op sequence, "
+    "first-element init. One shuffle on the key; per-key cost linear "
+    "in series length.",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.ewma(
+        e, ts_col="ts", value_col="value", key_col="user_id",
+        alpha=0.25, seq_col="event_id",
+    )

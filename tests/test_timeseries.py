@@ -136,3 +136,26 @@ def test_cohort_retention_triangle(spark):
     assert got[(c0, 2)] == (2, 3)
     assert got[(c0 + 1, 0)] == (1, 1)
     assert set(got) == {(c0, 0), (c0, 1), (c0, 2), (c0 + 1, 0)}
+
+
+def test_ewma_hand_computed_fold_order(spark):
+    from stream_processing_platform_spark.operators.timeseries import ewma
+
+    # values 4.0, 8.0, 16.0 cents->400,800,1600; alpha=.25:
+    # s1=400, s2=400*.75+800*.25=500, s3=500*.75+1600*.25=775
+    df = _events(spark, [(1, 0, 1, 4.0), (2, 1, 1, 8.0), (3, 2, 1, 16.0)])
+    [row] = ewma(df, "ts", "value", "user_id", alpha=0.25, seq_col="event_id").collect()
+    assert row.n == 3 and row.ewma_c == 775.0
+
+
+def test_ewma_ties_broken_by_seq_and_single_point(spark):
+    from stream_processing_platform_spark.operators.timeseries import ewma
+
+    # same ts: event_id order decides the fold sequence; lone key passes through
+    df = _events(spark, [(2, 0, 1, 8.0), (1, 0, 1, 4.0), (9, 0, 2, 12.0)])
+    rows = {
+        r.user_id: r
+        for r in ewma(df, "ts", "value", "user_id", alpha=0.25, seq_col="event_id").collect()
+    }
+    assert rows[1].ewma_c == 400 * 0.75 + 800 * 0.25  # id 1 first, then id 2
+    assert rows[2].n == 1 and rows[2].ewma_c == 1200.0
