@@ -302,3 +302,69 @@ def pagerank_integer(
             )
         )
     return ranks.select(F.col("_id").alias(id_col), F.col("_rank").alias("rank_scaled"))
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected pair list.
+
+    Degree orientation — the standard O(m^1.5) distributed triangle
+    algorithm: direct every edge from its lower (degree, id) endpoint
+    to the higher; each triangle {x,y,z} (ordered by that key) then
+    appears EXACTLY once, as the wedge x→y, x→z closed by the oriented
+    edge y→z. Orientation is the skew killer at scale: a celebrity
+    vertex with degree 1M generates no 1M² wedge explosion because its
+    edges all point INTO it — per-vertex wedge fan-out is bounded by
+    out-degree ≤ √(2m), independent of raw degree.
+
+    Shape: one union+groupBy for degrees, two key-partitioned joins to
+    attach them, one self-join on the wedge apex, one closing-edge
+    join, one explode+groupBy for the counts — all shuffles on vertex
+    ids, no driver-side adjacency, integer arithmetic end to end.
+
+    Input rows are canonicalized (unordered, distinct) first, so either
+    one-row-per-pair or both-directions input is accepted.
+    Output: id, triangles (BIGINT) for every vertex in ≥1 triangle.
+    """
+    e = (
+        pairs.select(
+            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+    lt = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    oriented = ed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            F.struct(F.col("o1.dv"), F.col("o1.v"))
+            < F.struct(F.col("o2.dv"), F.col("o2.v"))
+        ),
+    ).select(
+        F.col("o1.u").alias("x"), F.col("o1.v").alias("y"), F.col("o2.v").alias("z")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )

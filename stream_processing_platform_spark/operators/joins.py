@@ -179,3 +179,56 @@ def salted_join(
     )
     out = big_s.join(small_s, [*on, "_salt"], how)
     return out.drop("_salt")
+
+
+def near_pairs(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    radius: int,
+    key_cols: list[str] | str = (),
+) -> DataFrame:
+    """All unordered pairs with ``|value_a − value_b| ≤ radius`` (and
+    equal ``key_cols``) — the banded numeric self-join.
+
+    The naive form is a per-key quadratic product; the scale shape is
+    bucketing by ``floor(value / radius)``: any qualifying pair sits in
+    the same or adjacent bucket, so each row probes exactly TWO buckets
+    (its own and the next — an explode over two candidate keys), the
+    join is pure equi on (keys…, bucket) — one shuffle, no product —
+    and the exact |diff| filter prunes false candidates. Candidate
+    count is bounded by bucket occupancy (data density × radius), not
+    by key-group size.
+
+    Each pair is emitted exactly once, canonically ordered by the
+    (value, id) tuple: ``id_a`` is the lower endpoint. Adjacent-bucket
+    candidates can only originate from the lower endpoint (the upper's
+    probe buckets don't reach back), and same-bucket reversals are cut
+    by the tuple filter. Output: id_a, id_b.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bk = F.floor(F.col(value_col) / F.lit(radius)).cast("long")
+    left = df.select(
+        F.col(id_col).alias("_ida"), *keys, F.col(value_col).alias("_va"),
+        F.explode(F.array(bk, bk + 1)).alias("_bk"),
+    )
+    right = df.select(
+        F.col(id_col).alias("_idb"),
+        *[F.col(k).alias(f"_r_{k}") for k in keys],
+        F.col(value_col).alias("_vb"),
+        bk.alias("_r_bk"),
+    )
+    cond = F.col("_bk") == F.col("_r_bk")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_r_{k}"))
+    return (
+        left.join(right, cond)
+        .filter(
+            (F.col("_vb") - F.col("_va") <= radius)
+            & (
+                F.struct(F.col("_va"), F.col("_ida"))
+                < F.struct(F.col("_vb"), F.col("_idb"))
+            )
+        )
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )

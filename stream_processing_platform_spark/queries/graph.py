@@ -1,0 +1,85 @@
+"""Graph-analytics queries over relational tables. The reference engine
+has no graph surface; these are the graph primitives a dedup/link-
+analysis pipeline runs on pair edges (connected components, PageRank and
+label propagation live in queries/similarity.py over the embedding
+near-dup graph — this module hosts the purely relational ones).
+
+The customer proximity graph: an edge links two customers of the same
+nation whose account balances differ by ≤ _RADIUS cents. Spark builds
+the edges with the banded self-join (operators/joins.near_pairs — two
+bucket probes per row, pure equi-join, no per-nation product); the
+DuckDB oracle uses the brute-force quadratic form, so a hash-MATCH
+proves the banding loses no pair. Triangle counting then runs the
+degree-orientation algorithm (operators/graph.triangle_counts) whose
+oracle mirrors the same orientation in SQL — all-integer arithmetic, so
+the match is exact with no rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators import graph, joins
+from stream_processing_platform_spark.registry import query
+from stream_processing_platform_spark.tables import load_table
+
+_RADIUS = 50_000  # cents — ~5 neighbours/customer at sf0.01 density
+
+
+@query(
+    "q_triangle_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS id, c_nationkey AS nk,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    e AS (
+      SELECT least(a.id, b.id) AS a, greatest(a.id, b.id) AS b
+      FROM c a JOIN c b
+        ON a.nk = b.nk
+       AND (a.cents, a.id) < (b.cents, b.id)
+       AND b.cents - a.cents <= {_RADIUS}
+    ),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+      GROUP BY id
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+      FROM e
+      JOIN deg da ON da.id = e.a
+      JOIN deg db ON db.id = e.b
+    ),
+    w AS (
+      SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      FROM o o1 JOIN o o2
+        ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+    ),
+    t AS (SELECT x, y, z FROM w JOIN o ON o.u = w.y AND o.v = w.z)
+    SELECT id, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT x AS id FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t)
+    GROUP BY id
+    """,
+    description="Per-customer triangle counts over the same-nation "
+    "balance-proximity graph: edges from the banded numeric self-join "
+    "(operators/joins.near_pairs — bucket-probe equi-join, no per-key "
+    "product; the oracle's brute-force quadratic form proves zero lost "
+    "pairs), triangles via degree orientation (operators/graph."
+    "triangle_counts — wedge fan-out bounded by out-degree ≤ √(2m), "
+    "skew-immune). Exact integer arithmetic end to end.",
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    pairs = joins.near_pairs(c, "id", "cents", _RADIUS, key_cols=["nk"])
+    return graph.triangle_counts(pairs)

@@ -267,6 +267,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from stream_processing_platform_spark.queries import (  # noqa: F401
+        graph,
         relational,
         similarity,
         streaming_batch,

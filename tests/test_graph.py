@@ -154,3 +154,46 @@ def test_pagerank_integer_hand_computed_and_isolated(spark):
         for r in pagerank_integer(v, e, damping_pct=85, num_iter=1, scale=1000).collect()
     }
     assert again == got
+
+
+def test_triangle_counts_hand_computed(spark):
+    """K4 on {a,b,c,d} has 4 triangles, 3 per vertex; a pendant edge
+    (d-e) adds none. Duplicate + reversed input rows must not inflate."""
+    from stream_processing_platform_spark.operators.graph import triangle_counts
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    rows = k4 + [("b", "a"), ("c", "a"), ("d", "e")]  # dupes reversed + pendant
+    e = spark.createDataFrame(rows, "id_a string, id_b string")
+    got = {r.id: r.triangles for r in triangle_counts(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}  # e absent: no triangle
+
+
+def test_triangle_counts_skewed_hub_star_is_triangle_free(spark):
+    """A star (hub h to 50 leaves) has no triangles — and with degree
+    orientation the hub generates ZERO wedges (all edges point into it),
+    which is the skew guarantee the docstring claims."""
+    from stream_processing_platform_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(50)], "id_a string, id_b string"
+    )
+    assert triangle_counts(e).count() == 0
+
+
+def test_near_pairs_banding_matches_brute_force(spark):
+    """Banded self-join finds exactly the brute-force pair set, incl.
+    cross-bucket pairs and the value-tie id tie-break."""
+    from itertools import combinations
+
+    from stream_processing_platform_spark.operators.joins import near_pairs
+
+    vals = [(1, "k", 100), (2, "k", 149), (3, "k", 150), (4, "k", 199),
+            (5, "k", 201), (6, "x", 100), (7, "k", 100)]
+    df = spark.createDataFrame(vals, "id long, k string, v long")
+    got = {(r.id_a, r.id_b) for r in near_pairs(df, "id", "v", 50, "k").collect()}
+    want = {
+        (a[0], b[0])
+        for a, b in combinations(sorted(vals, key=lambda t: (t[2], t[0])), 2)
+        if a[1] == b[1] == "k" and abs(a[2] - b[2]) <= 50
+    } | {(6, 6)} - {(6, 6)}  # x-key row pairs with nothing
+    assert got == want and (1, 7) in got  # tie on v=100 ordered by id
