@@ -80,3 +80,45 @@ def hierarchical_rollup(
             .agg(*up_aggs)
         )
     return levels
+
+
+def aggregate_state(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group MERGEABLE aggregate state: cnt / sum_v / min_v / max_v.
+
+    This is the materialized-view building block: every field is a
+    commutative monoid, so states built from disjoint slices of the
+    fact table combine with :func:`merge_aggregate_state` into exactly
+    the state a full recompute would produce — the delta-refresh
+    contract. ``value_col`` must be exact under reordering (integer
+    units for money; CLAUDE.md float rules).
+    """
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("cnt"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_aggregate_state(
+    states: list[DataFrame], group_cols: list[str]
+) -> DataFrame:
+    """Merge aggregate states (union + per-field monoid fold).
+
+    The 100 TB story: refreshing an aggregate after an append-only
+    batch costs O(|delta| + |state|), never O(|history|) — the delta's
+    state is computed alone and folded in. Counts/sums add, min/max
+    fold; one shuffle keyed on the (small) group domain.
+    """
+    it = iter(states)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

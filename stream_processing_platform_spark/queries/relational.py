@@ -2794,3 +2794,53 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys=["event_id"],
     )
+
+
+@query(
+    "q_incremental_agg_refresh",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT)                                  AS cnt,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_c,
+           CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_c,
+           floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100.0
+                 / count(*) + 0.5) / 10000.0                         AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="Incremental materialized-view refresh (operators/"
+    "rollup.aggregate_state + merge_aggregate_state): the pre-1997 "
+    "history's aggregate STATE is built once, the post-1997 delta's "
+    "state is built alone, and the two merge by per-field monoid fold "
+    "— cnt/sum add, min/max fold — with the read-time avg derived from "
+    "the merged state. The oracle recomputes over the FULL fact table, "
+    "so the hash-MATCH proves merge == recompute: the O(delta) refresh "
+    "a 100 TB pipeline runs instead of an O(history) rescan. Exact "
+    "integer cents; floor(x+0.5) quotient rounding.",
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.rollup import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    split = F.lit("1997-01-01").cast("timestamp")
+    keys = ["l_returnflag", "l_linestatus"]
+    base = aggregate_state(l.where(F.col("l_shipdate") < split), keys, "cents")
+    delta = aggregate_state(l.where(F.col("l_shipdate") >= split), keys, "cents")
+    merged = merge_aggregate_state([base, delta], keys)
+    return merged.select(
+        *keys,
+        F.col("cnt"),
+        F.col("sum_v").alias("sum_c"),
+        F.col("min_v").alias("min_c"),
+        F.col("max_v").alias("max_c"),
+        (F.floor(F.col("sum_v") * 100.0 / F.col("cnt") + 0.5) / 10_000.0).alias(
+            "avg_price"
+        ),
+    )

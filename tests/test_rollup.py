@@ -62,3 +62,24 @@ def test_rollup_hll_sketch_column_merges_within_rsd(spark, sf_dir):
     assert joined
     for r in joined:
         assert abs(r["est"] - r["exact"]) <= max(2, 0.05 * r["exact"]), r
+
+
+def test_aggregate_state_merge_equals_recompute(spark):
+    """Three disjoint slices (one empty) merge to exactly the full
+    recompute — the delta-refresh contract, including empty batches."""
+    from stream_processing_platform_spark.operators.rollup import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", -3), ("a", 2), ("b", 7)], "k string, v long"
+    )
+    slices = [
+        df.where("v < 0"), df.where("v >= 0"), df.where("v > 100"),  # last: empty
+    ]
+    merged = merge_aggregate_state(
+        [aggregate_state(s, ["k"], "v") for s in slices], ["k"]
+    )
+    full = aggregate_state(df, ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
