@@ -2844,3 +2844,35 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price"
         ),
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS nation,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w    AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC)
+    """,
+    description="Distribution window functions (percent_rank/cume_dist) "
+    "— SURVEY §2.10 analytic family. Both are quotients of small "
+    "integers ((rank-1)/(n-1), peers/n) computed over an integer-cents "
+    "ordering key: the SAME IEEE division on both engines, so the raw "
+    "doubles are bit-identical with no rounding step. Tie-aware by "
+    "definition (rank/peer based), hence deterministic without a "
+    "tie-break column. One partition-keyed window shuffle.",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal") * 100).cast("long").asc()
+    )
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
