@@ -740,6 +740,47 @@ def q_stream_state_v2_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "acc")
 
 
+def _stream_ewma_oracle() -> str:
+    from stream_processing_platform_spark.queries.timeseries import ewma_oracle
+
+    return ewma_oracle(key_alias="key")
+
+
+@query(
+    "q_stream_ewma",
+    oracle=_stream_ewma_oracle(),
+    description="LIVE streaming EWMA (streaming/stateful_v2.ewma_state "
+    "— the stateful twin of operators/timeseries.ewma): per-user "
+    "smoothed level held as ONE ValueState scalar, each batch's rows "
+    "sorted by (ts, event_id) and folded s := s*0.75 + x*0.25 through "
+    "transformWithStateInPandas on the RocksDB provider. Shares the "
+    "batch query's list_reduce oracle (generated-oracle doctrine): the "
+    "replay delivers batches in event-time order, so the arrival-order "
+    "fold IS the event-order fold and the doubles are bit-identical — "
+    "an O(1)-state numeric recursion the reference's ValueState "
+    "surface (state_types.py:31-61) cannot express without a client "
+    "re-reading state per element.",
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.stateful_v2 import ewma_state
+
+    s = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(ewma_state(s, "user_id", alpha=0.25))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select("key", "n", "ewma_c")
+
+
 @query(
     "q_stream_join_full",
     oracle="""

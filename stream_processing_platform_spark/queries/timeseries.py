@@ -183,16 +183,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ewma",
-    oracle="""
+def ewma_oracle(key_alias: str = "user_id") -> str:
+    """The EWMA fold oracle, shared by the batch and LIVE streaming
+    queries (generated-oracle doctrine — the fold expression exists
+    once; both registrations emit from it)."""
+    return f"""
     WITH p AS (
       SELECT user_id,
-             {'t': epoch_ms(ts), 's': event_id,
-              'v': CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)} AS pt
+             {{'t': epoch_ms(ts), 's': event_id,
+              'v': CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)}} AS pt
       FROM events
     )
-    SELECT user_id,
+    SELECT user_id AS {key_alias},
            CAST(count(*) AS BIGINT) AS n,
            list_reduce(
              list_transform(list_sort(list(pt)), p -> p.v),
@@ -200,7 +202,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS ewma_c
     FROM p
     GROUP BY user_id
-    """,
+    """
+
+
+@query(
+    "q_ewma",
+    oracle=ewma_oracle(),
     description="Per-user EWMA (exponential smoothing, alpha=0.25) over "
     "the user's events in (ts, event_id) order — an ordered per-key "
     "fold (array_sort + aggregate HOF), the recursion no commutative "

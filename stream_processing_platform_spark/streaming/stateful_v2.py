@@ -323,6 +323,76 @@ def reducing_state(df: DataFrame, key_col: str, reduce_fn, value_col: str = "val
     )
 
 
+class EwmaProcessor(StatefulProcessor):
+    """Per-key EWMA level in a ValueState — the streaming twin of
+    operators/timeseries.ewma (reference ValueState/AggregatingState
+    family, state_types.py:31-357): state is ONE scalar per key, not a
+    collected series, so an unbounded stream smooths in O(1) memory.
+
+    Each batch's rows are SORTED by (ts, seq) before folding
+    ``s := s*(1-alpha) + x*alpha`` — deterministic for any within-batch
+    arrival order. Across batches the fold follows batch arrival order
+    (the streaming contract); it equals global event order whenever the
+    source delivers batches in event-time order, which is when the
+    batch oracle applies exactly.
+    """
+
+    def __init__(
+        self,
+        alpha: float,
+        ts_ms_col: str = "ts_ms",
+        seq_col: str = "event_id",
+        value_col: str = "value_cents",
+    ):
+        self._alpha = alpha
+        self._ts = ts_ms_col
+        self._seq = seq_col
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._s = handle.getValueState("ewma", "s double, n long")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([self._ts, self._seq], kind="mergesort")
+        prev = self._s.get() if self._s.exists() else None
+        s, n = (float(prev[0]), int(prev[1])) if prev is not None else (None, 0)
+        a = self._alpha
+        one_m = 1.0 - a
+        for x in pdf[self._value_col].tolist():
+            x = float(x)
+            s = x if s is None else s * one_m + x * a
+        n += int(len(pdf))
+        self._s.update((s, n))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "ewma_c": [s]})
+
+    def close(self) -> None:
+        pass
+
+
+def ewma_state(
+    df: DataFrame,
+    key_col: str,
+    alpha: float,
+    ts_ms_col: str = "ts_ms",
+    seq_col: str = "event_id",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Per-key streaming EWMA via transformWithState. Output
+    (key, n, ewma_c); update output mode — the last emission per key is
+    the current smoothed level."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        EwmaProcessor(alpha, ts_ms_col, seq_col, value_col),
+        outputStructType="key long, n long, ewma_c double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class ExpiringCountProcessor(StatefulProcessor):
     """Timer surface demo (reference KeyedProcessOperator timers /
     state eviction): every input batch updates a per-key count and

@@ -331,3 +331,45 @@ def test_event_time_timer_closes_idle_session(spark, tmp_path):
     assert (1, "session_closed", 2) in rows  # watermark passed 15s -> closed with both events
     # the watermark driver's own session stays OPEN (watermark never passes it)
     assert not any(k == 9 and kind == "session_closed" for k, kind, _ in rows)
+
+
+@pytest.mark.skipif(
+    not requires_state_v2_runtime(),
+    reason="no protobuf runtime (installed or vendored minipb shim)",
+)
+def test_ewma_state_folds_across_batches_in_order(spark, tmp_path):
+    """The EWMA ValueState must CARRY across micro-batches and fold each
+    batch in (ts, seq) order: cents 400, 800 (batch 1, staged out of
+    order) then 1600 (batch 2) with alpha=.25 give 400 -> 500 -> 775."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.streaming.stateful_v2 import ewma_state
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, "b", T(2), 8.0), (1, "a", T(1), 4.0)],  # within-batch disorder
+        [(1, "c", T(3), 16.0), (2, "d", T(4), 12.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    out = ewma_state(stream, "user_id", alpha=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("v2ewma")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = {r.key: (r.n, r.ewma_c) for r in spark.table("v2ewma").collect()}
+    assert latest[1] == (3, 775.0)  # 400 -> .75*400+.25*800=500 -> .75*500+.25*1600=775
+    assert latest[2] == (1, 1200.0)
