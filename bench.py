@@ -180,6 +180,10 @@ def main() -> None:
         "q_mmr_diversify",
         "q_cohort_retention",
         "q_recursive_hierarchy",
+        "q_ewma",
+        "q_triangle_counts",
+        "q_incremental_agg_refresh",
+        "q_window_distribution",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
@@ -250,7 +254,13 @@ def main() -> None:
                 "0.96->0.37s on a quiet harness; semdedup member prep "
                 "moved from interpreted HOF dots to one mapInPandas "
                 "matmul pass (3.5->1.35s, expression twin pytest-pinned); "
-                "extended gains six new round-7 queries (the two live streaming r7 queries stay out — the stream metric already covers the streaming path)",
+                "extended gains six new round-7 queries (the two live streaming r7 queries stay out — the stream metric already covers the streaming path) "
+                "plus the r7b set: q_ewma (ordered per-key fold), "
+                "q_triangle_counts (degree-oriented triangles over the "
+                "banded proximity self-join), q_incremental_agg_refresh "
+                "(state merge), q_window_distribution (percent_rank/"
+                "cume_dist); q_stream_ewma stays out with the other "
+                "live streaming queries",
             }
         )
     )

@@ -2876,3 +2876,52 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "q_avro_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(epoch_ms(ts)) AS BIGINT) AS mn_ts_ms,
+           CAST(max(epoch_ms(ts)) AS BIGINT) AS mx_ts_ms
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Avro OCF round-trip through the from-scratch codec "
+    "(sources/avrocodec.py + the spp_avro Python DataSource): the "
+    "events table is WRITTEN as deflate-compressed Avro container "
+    "files (one per task, two-phase manifest commit) and READ back "
+    "(one input partition per file, block-streaming decode), then "
+    "aggregated; the oracle aggregates the original parquet, so a "
+    "hash-MATCH proves the full encode→compress→commit→decode cycle "
+    "is lossless over longs/strings/doubles. The Kafka-ecosystem "
+    "at-rest format the stock distribution lacks (no spark-avro "
+    "module), built from the public Avro spec.",
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = f"/tmp/spp_avro_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        windows_batch.epoch_ms(F.col("ts")).alias("ts_ms"),
+        "props",
+    )
+    e.write.format("spp_avro").mode("overwrite").save(out)
+    back = spark.read.format("spp_avro").load(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_c"),
+        F.min("ts_ms").alias("mn_ts_ms"),
+        F.max("ts_ms").alias("mx_ts_ms"),
+    )

@@ -1,0 +1,222 @@
+"""``spp_avro`` — an Avro OCF batch source/sink as a Spark 4 Python
+DataSource, backed by the from-scratch pure-Python codec
+(sources/avrocodec.py). The stock Spark distribution here ships
+without the external ``spark-avro`` module, so this provides the
+Kafka-ecosystem container format the reference's transport world
+implies (its Kafka operators move JSON; Avro OCF is the at-rest twin)
+— implemented against the public Avro spec, no Avro library.
+
+Layout & commit protocol (same two-phase contract as the
+``spp_manifest`` streaming sink, custom_datasource.py): each write
+task produces one ``part-<uuid>.avro`` file and returns it as a
+commit message; the driver's ``commit`` writes
+``_spp_avro_manifest.json`` ATOMICALLY (tmp + rename) listing exactly
+the committed files, ``abort`` deletes the orphans. Readers trust the
+manifest when present (stale part files from a failed/overwritten job
+are invisible) and fall back to ``*.avro`` listing for
+foreign-written directories.
+
+Scale shape: one input partition per file (the OCF block structure
+streams within a task — no whole-file materialization); the writer is
+one file per task, commit cost O(files) at the driver — the same
+asymptotics as Spark's own file commit protocol. Schema inference
+reads ONE header, not data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from stream_processing_platform_spark.sources.avrocodec import (
+    read_header,
+    read_ocf,
+    record_fields,
+    write_ocf,
+)
+
+MANIFEST = "_spp_avro_manifest.json"
+
+_AVRO_TO_SPARK = {
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "bytes": BinaryType(),
+    "string": StringType(),
+}
+_SPARK_TO_AVRO = {
+    BooleanType(): "boolean",
+    IntegerType(): "int",
+    LongType(): "long",
+    FloatType(): "float",
+    DoubleType(): "double",
+    BinaryType(): "bytes",
+    StringType(): "string",
+}
+
+
+def _avro_type_to_spark(norm):
+    nullable = False
+    if isinstance(norm, tuple) and norm[0] == "nullable":
+        nullable, norm = True, norm[1]
+    if isinstance(norm, tuple) and norm[0] == "array":
+        inner, inner_null = _avro_type_to_spark(norm[1])
+        return ArrayType(inner, containsNull=inner_null), nullable
+    return _AVRO_TO_SPARK[norm], nullable
+
+
+def avro_schema_to_struct(schema: dict) -> StructType:
+    fields = []
+    for name, norm in record_fields(schema):
+        dt, nullable = _avro_type_to_spark(norm)
+        fields.append(StructField(name, dt, nullable))
+    return StructType(fields)
+
+
+def _spark_type_to_avro(dt, nullable: bool):
+    if isinstance(dt, ArrayType):
+        inner = _spark_type_to_avro(dt.elementType, dt.containsNull)
+        t: object = {"type": "array", "items": inner}
+    else:
+        t = _SPARK_TO_AVRO[dt]
+    return ["null", t] if nullable else t
+
+
+def struct_to_avro_schema(st: StructType, name: str = "row") -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": _spark_type_to_avro(f.dataType, f.nullable)}
+            for f in st.fields
+        ],
+    }
+
+
+def _list_files(path: str) -> list[str]:
+    mf = os.path.join(path, MANIFEST)
+    if os.path.exists(mf):
+        with open(mf) as fh:
+            names = json.load(fh)["files"]
+        return [os.path.join(path, n) for n in names]
+    return sorted(
+        os.path.join(path, e) for e in os.listdir(path) if e.endswith(".avro")
+    )
+
+
+@dataclass
+class AvroFilePartition(InputPartition):
+    path: str
+
+
+class AvroBatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("spp_avro requires a path")
+        self._schema = schema
+
+    def partitions(self):
+        files = _list_files(self._path)
+        if not files:
+            raise ValueError(f"no .avro files under {self._path!r}")
+        return [AvroFilePartition(p) for p in files]
+
+    def read(self, partition: AvroFilePartition):
+        with open(partition.path, "rb") as f:
+            schema, _, _ = read_header(f)
+        names = [n for n, _ in record_fields(schema)]
+        want = [f.name for f in self._schema.fields]
+        if names != want:
+            raise ValueError(
+                f"{partition.path}: field order {names} != expected {want}"
+            )
+        yield from read_ocf(partition.path)
+
+
+@dataclass
+class AvroPartFile(WriterCommitMessage):
+    name: str
+
+
+class AvroBatchWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("spp_avro requires a path")
+        self._codec = options.get("codec", "deflate")
+        self._schema = struct_to_avro_schema(schema)
+        os.makedirs(self._path, exist_ok=True)
+
+    def write(self, iterator) -> AvroPartFile:
+        name = f"part-{uuid.uuid4().hex}.avro"
+        full = os.path.join(self._path, name)
+        write_ocf(full, self._schema, (tuple(row) for row in iterator), codec=self._codec)
+        return AvroPartFile(name)
+
+    def commit(self, messages) -> None:
+        files = [m.name for m in messages if m is not None]
+        tmp = os.path.join(self._path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"files": files}, fh)
+        os.replace(tmp, os.path.join(self._path, MANIFEST))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.name))
+                except FileNotFoundError:
+                    pass
+
+
+class AvroDataSource(DataSource):
+    """``spark.read.format("spp_avro").load(dir)`` /
+    ``df.write.format("spp_avro").mode(...).save(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "spp_avro"
+
+    def schema(self):
+        files = _list_files(self.options.get("path", ""))
+        if not files:
+            raise ValueError("cannot infer schema: no .avro files")
+        with open(files[0], "rb") as f:
+            avro_schema, _, _ = read_header(f)
+        return avro_schema_to_struct(avro_schema)
+
+    def reader(self, schema: StructType) -> AvroBatchReader:
+        return AvroBatchReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> AvroBatchWriter:
+        return AvroBatchWriter(self.options, schema, overwrite)
+
+
+def register_avro_source(spark) -> None:
+    """Idempotent registration of the spp_avro format."""
+    spark.dataSource.register(AvroDataSource)

@@ -1,0 +1,152 @@
+"""From-scratch Avro OCF codec + spp_avro DataSource tests: binary
+round-trips the sf oracles can't isolate (union branch order, negative
+varints, multi-block streaming, manifest-gated reads, truncation)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stream_processing_platform_spark.sources.avrocodec import (
+    read_header,
+    read_ocf,
+    write_ocf,
+)
+
+_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "v", "type": "double"},
+    ],
+}
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_multiblock_roundtrip_both_codecs(tmp_path, codec):
+    rows = [(i - 5, None if i % 3 == 0 else f"n{i}", i * 0.5) for i in range(25)]
+    p = str(tmp_path / "t.avro")
+    assert write_ocf(p, _SCHEMA, rows, codec=codec, block_rows=7) == 25
+    assert list(read_ocf(p)) == rows
+
+
+def test_reversed_union_branch_order(tmp_path):
+    """[T, "null"] unions put null at branch 1 — the codec must honor
+    the schema's branch order, not assume null-first."""
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "s", "type": ["string", "null"]}],
+    }
+    p = str(tmp_path / "u.avro")
+    write_ocf(p, schema, [("x",), (None,), ("y",)], codec="null")
+    assert list(read_ocf(p)) == [("x",), (None,), ("y",)]
+
+
+def test_arrays_bytes_booleans_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "emb", "type": {"type": "array", "items": "double"}},
+            {"name": "blob", "type": "bytes"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "small", "type": "int"},
+        ],
+    }
+    rows = [([0.25, -1.5], b"\x00\xff\x80", True, -2147483648),
+            ([], b"", False, 2147483647)]
+    p = str(tmp_path / "a.avro")
+    write_ocf(p, schema, rows)
+    assert list(read_ocf(p)) == rows
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.floats(allow_nan=False),
+        ),
+        max_size=30,
+    )
+)
+def test_property_roundtrip_longs_strings_doubles(tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("avro") / "p.avro")
+    write_ocf(p, _SCHEMA, rows, block_rows=5)
+    assert list(read_ocf(p)) == rows
+
+
+def test_bad_magic_and_corrupt_sync_raise(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as f:
+        f.write(b"PAR1whatever")
+    with pytest.raises(ValueError, match="not an Avro"):
+        with open(p, "rb") as f:
+            read_header(f)
+
+    good = str(tmp_path / "good.avro")
+    write_ocf(good, _SCHEMA, [(1, "a", 1.0)])
+    data = bytearray(open(good, "rb").read())
+    data[-1] ^= 0xFF  # flip a sync byte
+    open(good, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sync marker"):
+        list(read_ocf(good))
+
+
+def test_spark_roundtrip_and_manifest_hides_stale_parts(spark, tmp_path):
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, None, [])],
+        "id bigint, name string, emb array<double>",
+    )
+    df.repartition(2).write.format("spp_avro").mode("overwrite").save(out)
+    back = spark.read.format("spp_avro").load(out)
+    assert back.schema.fieldNames() == ["id", "name", "emb"]
+    assert sorted(map(tuple, back.collect())) == [(1, "a", [1.0, 2.0]), (2, None, [])]
+
+    # drop a stale orphan part file next to the manifest: reads must
+    # ignore it (two-phase commit contract)
+    stale = os.path.join(out, "part-deadbeef.avro")
+    write_ocf(
+        stale,
+        {"type": "record", "name": "row", "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "emb", "type": ["null", {"type": "array", "items": ["null", "double"]}]},
+        ]},
+        [(99, "stale", None)],
+    )
+    assert spark.read.format("spp_avro").load(out).count() == 2
+
+    # without a manifest (foreign-written dir) listing falls back to *.avro
+    os.remove(os.path.join(out, "_spp_avro_manifest.json"))
+    assert spark.read.format("spp_avro").load(out).count() == 3
+
+
+def test_manifest_is_atomic_json(spark, tmp_path):
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = str(tmp_path / "o2")
+    spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) v").write.format(
+        "spp_avro"
+    ).mode("overwrite").save(out)
+    mf = json.load(open(os.path.join(out, "_spp_avro_manifest.json")))
+    assert set(mf) == {"files"} and all(n.endswith(".avro") for n in mf["files"])
+    on_disk = {e for e in os.listdir(out) if e.endswith(".avro")}
+    assert set(mf["files"]) == on_disk
