@@ -91,3 +91,64 @@ def approx_percentiles(
     return ensure_min_parallelism(df).groupBy(*group_cols).agg(
         *aggs, F.count("*").alias("n")
     )
+
+
+def exact_percentiles_distributed(
+    df: DataFrame,
+    value_col: str,
+    probs: dict[str, float],
+    group_cols: list[Column | str],
+    scale_decimals: int = 2,
+) -> DataFrame:
+    """Exact interpolated percentiles with NO per-group memory buffer —
+    the distributed order-statistics form that removes
+    ``exact_percentiles``' composite-key restriction.
+
+    Shape: one partition-keyed window SORT (Tungsten external sort —
+    spillable, no group-size memory bound) assigns ranks and group
+    counts in a single shuffle; conditional ``min(CASE rank = pos)``
+    aggregates then pick the two bracketing order statistics per
+    quantile (constant-size state, map-side combinable) and the
+    read-time select interpolates ``lo + frac·(hi − lo)`` exactly as
+    ``quantile_cont`` defines (h = (n−1)·q). So a single group CAN be
+    the whole table: the cost is a sort, never an executor OOM. Exact
+    cross-engine: integer-scaled values, the same IEEE mul/sub/add
+    sequence per engine, ``floor(x+0.5)`` final rounding.
+
+    Output: group cols + one BIGINT scaled-integer column per
+    ``probs`` alias + ``n``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        *group_cols, _scaled(value_col, scale_decimals).cast("long").alias("_c")
+    )
+    keys = [c for c in base.columns if c != "_c"]
+    w = Window.partitionBy(*keys).orderBy(F.col("_c").asc())
+    wn = Window.partitionBy(*keys)
+    r = base.select(
+        *keys,
+        "_c",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    agg_exprs = [F.max("_n").alias("_gn")]
+    for alias, p in probs.items():
+        lo_rn = F.floor((F.col("_n") - 1) * F.lit(p)).cast("long") + 1
+        agg_exprs.append(
+            F.min(F.when(F.col("_rn") == lo_rn, F.col("_c"))).alias(f"_lo_{alias}")
+        )
+        agg_exprs.append(
+            F.min(F.when(F.col("_rn") == lo_rn + 1, F.col("_c"))).alias(f"_hi_{alias}")
+        )
+    g = r.groupBy(*keys).agg(*agg_exprs)
+    outs = []
+    for alias, p in probs.items():
+        h = (F.col("_gn") - 1) * F.lit(p)
+        frac = h - F.floor(h)
+        lo = F.col(f"_lo_{alias}").cast("double")
+        hi = F.coalesce(F.col(f"_hi_{alias}"), F.col(f"_lo_{alias}")).cast("double")
+        outs.append(
+            F.floor(lo + frac * (hi - lo) + F.lit(0.5)).cast("long").alias(alias)
+        )
+    return g.select(*keys, *outs, F.col("_gn").cast("long").alias("n"))

@@ -2925,3 +2925,66 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("mn_ts_ms"),
         F.max("ts_ms").alias("mx_ts_ms"),
     )
+
+
+# One spec table drives BOTH the Spark expressions and the SQL oracle
+# (generated-oracle doctrine) — the interpolation arithmetic exists once.
+_PCTL_DIST_PROBS = {"median_c": 0.5, "p95_c": 0.95, "p99_c": 0.99}
+
+
+def _pctl_dist_oracle() -> str:
+    picks, finals = [], []
+    for a, p in _PCTL_DIST_PROBS.items():
+        picks.append(
+            f"min(CASE WHEN rn = CAST(floor((n-1)*{p}) AS BIGINT)+1 THEN c END) AS lo_{a},"
+            f" min(CASE WHEN rn = CAST(floor((n-1)*{p}) AS BIGINT)+2 THEN c END) AS hi_{a}"
+        )
+        finals.append(
+            f"CAST(floor(CAST(lo_{a} AS DOUBLE)"
+            f" + ((gn-1)*{p} - floor((gn-1)*{p}))"
+            f" * (CAST(COALESCE(hi_{a}, lo_{a}) AS DOUBLE) - CAST(lo_{a} AS DOUBLE))"
+            f" + 0.5) AS BIGINT) AS {a}"
+        )
+    return f"""
+    WITH b AS (SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+               FROM lineitem),
+    r AS (SELECT l_returnflag, ship_year, c,
+                 row_number() OVER (PARTITION BY l_returnflag, ship_year
+                                    ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag, ship_year) AS n
+          FROM b),
+    g AS (SELECT l_returnflag, ship_year, max(n) AS gn, {", ".join(picks)}
+          FROM r GROUP BY 1, 2)
+    SELECT l_returnflag, ship_year, {", ".join(finals)},
+           CAST(gn AS BIGINT) AS n
+    FROM g
+    """
+
+
+@query(
+    "q_percentiles_distributed",
+    oracle=_pctl_dist_oracle(),
+    description="Exact interpolated percentiles via distributed rank-"
+    "select (operators/percentiles.exact_percentiles_distributed): one "
+    "partition-keyed window SORT (external, spillable) + conditional "
+    "min(CASE rank = pos) aggregates — removes q_percentiles' per-group "
+    "agg-buffer memory bound, so even a whole-table group is a sort, "
+    "not an OOM. Same (flag, year) grouping and quantiles as "
+    "q_percentiles; integer cents, floor(x+0.5) rounding, oracle "
+    "generated from the same spec table as the Spark expressions.",
+)
+def q_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.percentiles import (
+        exact_percentiles_distributed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    return exact_percentiles_distributed(
+        li,
+        "l_extendedprice",
+        _PCTL_DIST_PROBS,
+        ["l_returnflag", F.year("l_shipdate").cast("int").alias("ship_year")],
+    )

@@ -179,3 +179,29 @@ def test_streaming_expectations_gate(spark, tmp_path):
     assert sorted(r.id for r in clean.collect()) == [1, 4]
     rep = {r.rule: r.n_violations for r in spark.read.parquet(str(tmp_path / "report")).collect()}
     assert rep == {"v_not_null": 1, "v_nonneg": 2}
+
+
+def test_distributed_percentiles_hand_computed_and_global_ok(spark):
+    """Rank-select interpolation: cents [100,200,300,400], q=.5 ->
+    h=1.5 -> 250 -> floor+.5 = 250; q=.95 -> h=2.85 -> 385. A lone
+    group passes through; and UNLIKE exact_percentiles, a global
+    (empty) grouping is allowed — it is a sort, not a buffer."""
+    from stream_processing_platform_spark.operators.percentiles import (
+        exact_percentiles_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 9.0)],
+        "k string, v double",
+    )
+    got = {
+        r.k: (r.med, r.p95, r.n)
+        for r in exact_percentiles_distributed(
+            df, "v", {"med": 0.5, "p95": 0.95}, ["k"]
+        ).collect()
+    }
+    assert got["a"] == (250, 385, 4)
+    assert got["b"] == (900, 900, 1)
+
+    [g] = exact_percentiles_distributed(df, "v", {"med": 0.5}, []).collect()
+    assert g.med == 300 and g.n == 5  # global group: h=2 -> exactly 300
