@@ -85,6 +85,13 @@ _loaded = False
 #   (g) last official row r6 — freshest, lowest priority
 _PRIORITY: list[str] = [
     # -- (a) new oracle queries in round 7
+    "q_ewma",
+    "q_stream_ewma",
+    "q_triangle_counts",
+    "q_incremental_agg_refresh",
+    "q_window_distribution",
+    "q_avro_roundtrip",
+    "q_percentiles_distributed",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",
