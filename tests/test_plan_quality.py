@@ -409,3 +409,22 @@ def test_line_dedup_two_shuffles_one_window(spark, sf_dir):
     assert plan.count("Window") == 1
     assert "Join" not in plan
 
+
+
+def test_distributed_percentiles_single_shuffle(spark, sf_dir):
+    """Rank-select percentiles: rank window, count window and the final
+    aggregate all share ONE hash partitioning on the group key — a
+    single Exchange, external sort, no product."""
+    plan = _plan(queries()["q_percentiles_distributed"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_and_near_pairs_no_product(spark, sf_dir):
+    """The banded proximity self-join + degree-oriented triangles must
+    be pure equi-joins end to end: bucket probes and vertex keys, never
+    a per-nation (or global) product."""
+    plan = _plan(queries()["q_triangle_counts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
