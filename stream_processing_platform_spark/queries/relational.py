@@ -2878,9 +2878,9 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_avro_roundtrip",
-    oracle="""
+# Shared by q_avro_roundtrip and the LIVE q_stream_avro (generated-
+# oracle doctrine: one aggregate definition, two transports).
+AVRO_AGG_ORACLE = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
@@ -2888,7 +2888,12 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(epoch_ms(ts)) AS BIGINT) AS mx_ts_ms
     FROM events
     GROUP BY event_type
-    """,
+    """
+
+
+@query(
+    "q_avro_roundtrip",
+    oracle=AVRO_AGG_ORACLE,
     description="Avro OCF round-trip through the from-scratch codec "
     "(sources/avrocodec.py + the spp_avro Python DataSource): the "
     "events table is WRITTEN as deflate-compressed Avro container "

@@ -740,6 +740,73 @@ def q_stream_state_v2_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "acc")
 
 
+def _stream_avro_oracle() -> str:
+    from stream_processing_platform_spark.queries.relational import AVRO_AGG_ORACLE
+
+    return AVRO_AGG_ORACLE
+
+
+@query(
+    "q_stream_avro",
+    oracle=_stream_avro_oracle(),
+    description="LIVE Avro transport: the events table is staged as "
+    "TWO deflate OCF files (written task-parallel through the spp_avro "
+    "batch writer, then published into the stream directory under "
+    "ordered names), consumed by the spp_avro DataSourceStreamReader "
+    "(file-per-partition micro-batch log, checkpointed {index} "
+    "offsets), aggregated per event_type in update mode. Shares "
+    "q_avro_roundtrip's oracle — the hash-MATCH proves the streaming "
+    "decode path is lossless too. The Kafka-shaped ingestion loop "
+    "(reference sources.py poll/decode/ack) over the at-rest container "
+    "format, end to end in-engine.",
+)
+def q_stream_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from stream_processing_platform_spark.queries.relational import (  # noqa: F401
+        AVRO_AGG_ORACLE,
+    )
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+    from stream_processing_platform_spark.tables import load_table
+
+    register_avro_source(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        epoch_ms(F.col("ts")).alias("ts_ms"),
+        "props",
+    )
+    stage = tempfile.mkdtemp(prefix="spp_avro_stream_")
+    for i, half in enumerate(
+        (e.where(F.col("event_id") % 2 == 0), e.where(F.col("event_id") % 2 == 1))
+    ):
+        tmp = tempfile.mkdtemp(prefix="spp_avro_stage_")
+        half.write.format("spp_avro").mode("overwrite").save(tmp)
+        for j, part in enumerate(sorted(glob.glob(os.path.join(tmp, "*.avro")))):
+            shutil.move(part, os.path.join(stage, f"b{i:04d}_{j:04d}.avro"))
+    stream = spark.readStream.format("spp_avro").load(stage)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_c"),
+        F.min("ts_ms").alias("mn_ts_ms"),
+        F.max("ts_ms").alias("mx_ts_ms"),
+    )
+    out = _run_to_table(agg, mode="update")
+    # keep each key's final emission (multi-trigger safety, same rule
+    # as q_stream_cdc_apply)
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("event_type", "n", "sum_c", "mn_ts_ms", "mx_ts_ms")
+    )
+
+
 def _stream_ewma_oracle() -> str:
     from stream_processing_platform_spark.queries.timeseries import ewma_oracle
 

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "q_incremental_agg_refresh",
     "q_window_distribution",
     "q_avro_roundtrip",
+    "q_stream_avro",
     "q_percentiles_distributed",
     "q_semdedup",
     "q_hybrid_rrf",

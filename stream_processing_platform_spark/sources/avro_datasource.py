@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -194,9 +195,51 @@ class AvroBatchWriter(DataSourceWriter):
                     pass
 
 
+class AvroStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader: a micro-batch per slice of
+    the SORTED file listing — the same files-are-the-log model Spark's
+    own file stream source uses. Offsets are ``{"index": n}`` (files
+    [0, n) consumed); the directory contract is append-only with
+    lexicographically increasing names (the staging harnesses write
+    ``b0001_…``-prefixed files), the standard file-stream assumption.
+    ``latestOffset`` reports everything currently listed — correct for
+    availableNow (which calls it once) and for continuous polling
+    (files landing later surface in the next trigger).
+    """
+
+    def __init__(self, options, schema: StructType):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("spp_avro requires a path")
+        self._schema = schema
+
+    def _files(self) -> list[str]:
+        return _list_files(self._path)
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["index"]:end["index"]]
+        return [AvroFilePartition(p) for p in files]
+
+    def read(self, partition: AvroFilePartition):
+        yield from read_ocf(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpointed offset log is the source of truth
+
+    def stop(self) -> None:
+        pass
+
+
 class AvroDataSource(DataSource):
     """``spark.read.format("spp_avro").load(dir)`` /
-    ``df.write.format("spp_avro").mode(...).save(dir)``."""
+    ``df.write.format("spp_avro").mode(...).save(dir)`` /
+    ``spark.readStream.format("spp_avro")...`` (file-per-batch log)."""
 
     @classmethod
     def name(cls) -> str:
@@ -215,6 +258,9 @@ class AvroDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> AvroBatchWriter:
         return AvroBatchWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> AvroStreamReader:
+        return AvroStreamReader(self.options, schema)
 
 
 def register_avro_source(spark) -> None:

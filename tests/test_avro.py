@@ -150,3 +150,35 @@ def test_manifest_is_atomic_json(spark, tmp_path):
     assert set(mf) == {"files"} and all(n.endswith(".avro") for n in mf["files"])
     on_disk = {e for e in os.listdir(out) if e.endswith(".avro")}
     assert set(mf["files"]) == on_disk
+
+
+def test_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """Two availableNow runs over a growing avro directory: run 2 must
+    emit ONLY the file that landed after run 1's committed offset — the
+    file-log offset contract, no loss, no dupes."""
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "v", "type": "double"}]}
+
+    def run() -> None:
+        s = spark.readStream.format("spp_avro").load(src)
+        q = (
+            s.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    write_ocf(os.path.join(src, "b0001.avro"), schema, [(i, i * 0.5) for i in range(10)])
+    run()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(10))
+    write_ocf(os.path.join(src, "b0002.avro"), schema, [(i, 0.0) for i in range(10, 15)])
+    run()
+    ids = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert ids == list(range(15))  # no loss, no dupes across the restart
