@@ -141,3 +141,47 @@ def test_session_operators_degenerate_inputs(spark):
     # kmeans_assign on empty input is empty (the Arrow UDF's zero-batch path)
     ev = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert kmeans_assign(ev, [[0.0, 0.0]]).count() == 0
+
+
+def test_round7b_ops_on_empty(spark):
+    from stream_processing_platform_spark.operators.graph import triangle_counts
+    from stream_processing_platform_spark.operators.joins import near_pairs
+    from stream_processing_platform_spark.operators.percentiles import (
+        exact_percentiles_distributed,
+    )
+    from stream_processing_platform_spark.operators.rollup import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+    from stream_processing_platform_spark.operators.timeseries import ewma
+
+    e = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = ewma(e, "ts", "value", "user_id", alpha=0.25, seq_col="event_id")
+    assert out.count() == 0 and out.columns == ["user_id", "n", "ewma_c"]
+
+    v = spark.createDataFrame([], "id long, k string, c long")
+    assert near_pairs(v, "id", "c", 10, "k").count() == 0
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert triangle_counts(pairs).count() == 0
+
+    st = aggregate_state(v, ["k"], "c")
+    assert merge_aggregate_state([st, st], ["k"]).count() == 0
+
+    pc = exact_percentiles_distributed(v, "c", {"med": 0.5}, ["k"])
+    assert pc.count() == 0 and pc.columns == ["k", "med", "n"]
+
+
+def test_avro_write_read_empty_frame(spark, tmp_path):
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = str(tmp_path / "empty")
+    spark.createDataFrame([], "id long, s string").coalesce(1).write.format(
+        "spp_avro"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("spp_avro").load(out)
+    assert back.count() == 0 and back.columns == ["id", "s"]
