@@ -58,3 +58,66 @@ def apply_cdc(
         F.col("_w._s0").alias("last_seq"),
         "n_ops",
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff — the inverse of :func:`apply_cdc`: given two
+    versions of a keyed table, emit the change set that turns ``old``
+    into ``new`` (``added`` / ``removed`` / ``changed``; unchanged rows
+    are NOT emitted — the diff is the output).
+
+    Shape: one full outer join co-partitioned on the key (both sides
+    shuffle once on the same key — no broadcast assumption, snapshots
+    are both big), change classification from null-ness of each side's
+    key and a null-safe struct comparison of the compare columns. This
+    is the table-format "change data feed" primitive computed from
+    plain snapshots — what a 100 TB lake runs to reconcile a replica
+    or derive an incremental feed after the fact.
+
+    Output: key cols + ``change`` + ``old_<c>``/``new_<c>`` per compare
+    column (original values; callers coalesce to sentinels if they
+    need never-null output).
+    """
+    o = old.select(*key_cols, *compare_cols)
+    n = new.select(*key_cols, *compare_cols)
+    o2 = o.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n2 = n.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o2.join(n2, cond, "full_outer")
+    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    same = F.struct(*[F.col(f"old_{c}") for c in compare_cols]).eqNullSafe(
+        F.struct(*[F.col(f"new_{c}") for c in compare_cols])
+    )
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    keys_out = [
+        F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            *keys_out,
+            "change",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

@@ -2993,3 +2993,58 @@ def q_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PCTL_DIST_PROBS,
         ["l_returnflag", F.year("l_shipdate").cast("int").alias("ship_year")],
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    n AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS c
+      FROM orders WHERE o_orderkey % 5 != 0
+    ),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS o_orderkey,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN o.c IS DISTINCT FROM n.c THEN 'changed'
+                  END AS change,
+             COALESCE(o.c, -1) AS old_c,
+             COALESCE(n.c, -1) AS new_c
+      FROM o FULL JOIN n ON o.k = n.k
+    )
+    SELECT o_orderkey, change, old_c, new_c FROM j WHERE change IS NOT NULL
+    """,
+    description="Snapshot diff (operators/cdc.table_diff — the inverse "
+    "of CDC apply): two deterministic snapshots of orders (simulated "
+    "deletes via modulus filters, simulated updates via a +1-cent "
+    "perturbation) are reconciled by ONE key-co-partitioned full outer "
+    "join with null-safe struct comparison, emitting only the "
+    "added/removed/changed set — the change-data-feed a lake derives "
+    "from plain snapshots after the fact. Exact integer cents; "
+    "sentinel −1 for the absent side.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.cdc import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", cents.alias("c")
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        (cents + F.when(F.col("o_orderkey") % 11 == 0, 1).otherwise(0)).alias("c"),
+    )
+    d = table_diff(old, new, ["o_orderkey"], ["c"])
+    return d.select(
+        "o_orderkey",
+        "change",
+        F.coalesce(F.col("old_c"), F.lit(-1)).alias("old_c"),
+        F.coalesce(F.col("new_c"), F.lit(-1)).alias("new_c"),
+    )

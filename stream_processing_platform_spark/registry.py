@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "q_avro_roundtrip",
     "q_stream_avro",
     "q_percentiles_distributed",
+    "q_snapshot_diff",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",

@@ -107,3 +107,34 @@ def test_apply_cdc_last_writer_wins_and_tombstones(spark):
     }
     assert got == {1: (7, 20, 2), 3: (11, 40, 2), 4: (2, 50, 2)}
     assert 2 not in got
+
+
+def test_table_diff_hand_computed(spark):
+    """added/removed/changed/unchanged each exercised; unchanged rows
+    are absent from the diff."""
+    from stream_processing_platform_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (3, 30, "z")], "k long, c long, s string"
+    )
+    new = spark.createDataFrame(
+        [(2, 20, "y"), (3, 31, "z"), (4, 40, "w")], "k long, c long, s string"
+    )
+    got = {r.k: (r.change, r.old_c, r.new_c, r.old_s, r.new_s)
+           for r in table_diff(old, new, ["k"], ["c", "s"]).collect()}
+    assert got == {
+        1: ("removed", 10, None, "x", None),
+        3: ("changed", 30, 31, "z", "z"),
+        4: ("added", None, 40, None, "w"),
+    }  # key 2 unchanged: not emitted
+
+
+def test_table_diff_null_value_transitions(spark):
+    """null->value and value->null are 'changed' (null-safe compare);
+    null->null is unchanged."""
+    from stream_processing_platform_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame([(1, None), (2, 5), (3, None)], "k long, c long")
+    new = spark.createDataFrame([(1, 7), (2, None), (3, None)], "k long, c long")
+    got = {r.k: r.change for r in table_diff(old, new, ["k"], ["c"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
