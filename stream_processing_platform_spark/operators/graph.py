@@ -368,3 +368,50 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int,
+    rounds: int,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """``rounds`` iterations of k-core peeling: repeatedly drop vertices
+    with degree < k (and their edges). With enough rounds this is THE
+    k-core; a fixed round count keeps the recurrence oracle-able as a
+    generated per-iteration SQL chain (the q_lpa_labels doctrine) — the
+    fixpoint pytest pins that extra rounds change nothing on a
+    converged graph.
+
+    Shape per round: one union+groupBy for degrees (map-side combined)
+    and two key-partitioned semi-joins to drop dead edges — the same
+    per-round join+aggregate cost as connected components, lineage
+    truncated by the shared checkpointer. No driver-side adjacency.
+    Output: id, deg (degree inside the surviving subgraph).
+    """
+    ckpt = _checkpointer(pairs)
+    e = (
+        pairs.select(
+            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("a").alias("id"))
+            .unionAll(edges.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(e).filter(F.col("deg") >= k).select("id")
+        e = ckpt(
+            e.join(keep.withColumnRenamed("id", "a"), "a", "semi").join(
+                keep.withColumnRenamed("id", "b"), "b", "semi"
+            )
+        )
+    return degrees(e)

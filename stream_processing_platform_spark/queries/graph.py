@@ -26,11 +26,12 @@ from stream_processing_platform_spark.tables import load_table
 
 _RADIUS = 50_000  # cents — ~5 neighbours/customer at sf0.01 density
 
-
-@query(
-    "q_triangle_counts",
-    oracle=f"""
-    WITH c AS (
+# The proximity-graph edge CTEs, shared by every graph oracle in this
+# module (generated-oracle doctrine: the brute-force edge definition
+# exists once; Spark's banded near_pairs is hash-proven against it by
+# whichever query runs).
+_EDGE_SQL = f"""
+    c AS (
       SELECT c_custkey AS id, c_nationkey AS nk,
              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
       FROM customer
@@ -41,7 +42,22 @@ _RADIUS = 50_000  # cents — ~5 neighbours/customer at sf0.01 density
         ON a.nk = b.nk
        AND (a.cents, a.id) < (b.cents, b.id)
        AND b.cents - a.cents <= {_RADIUS}
-    ),
+    )"""
+
+
+def _customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return joins.near_pairs(c, "id", "cents", _RADIUS, key_cols=["nk"])
+
+
+@query(
+    "q_triangle_counts",
+    oracle=f"""
+    WITH {_EDGE_SQL},
     deg AS (
       SELECT id, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
@@ -76,10 +92,52 @@ _RADIUS = 50_000  # cents — ~5 neighbours/customer at sf0.01 density
     "skew-immune). Exact integer arithmetic end to end.",
 )
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_nationkey").alias("nk"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    return graph.triangle_counts(_customer_pairs(spark, sf_dir))
+
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    parts = [f"WITH {_EDGE_SQL}", "e0 AS (SELECT a, b FROM e)"]
+    for t in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{t} AS (SELECT id, count(*) AS deg FROM"
+            f" (SELECT a AS id FROM e{t - 1} UNION ALL SELECT b FROM e{t - 1})"
+            f" GROUP BY id)"
+        )
+        parts.append(f"k{t} AS (SELECT id FROM d{t} WHERE deg >= {_KCORE_K})")
+        parts.append(
+            f"e{t} AS (SELECT a, b FROM e{t - 1}"
+            f" WHERE a IN (SELECT id FROM k{t}) AND b IN (SELECT id FROM k{t}))"
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT id, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT a AS id FROM {last} UNION ALL SELECT b FROM {last})
+    GROUP BY id
+    """
     )
-    pairs = joins.near_pairs(c, "id", "cents", _RADIUS, key_cols=["nk"])
-    return graph.triangle_counts(pairs)
+
+
+@query(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    description=f"k-core peeling (operators/graph.kcore_peel, k="
+    f"{_KCORE_K}, {_KCORE_ROUNDS} rounds) over the customer proximity "
+    "graph: each round drops degree-<k vertices and their edges — one "
+    "map-side-combined degree aggregate + two key-partitioned "
+    "semi-joins per round, lineage checkpoint-truncated, no driver "
+    "adjacency. The oracle is a GENERATED per-round CTE chain from the "
+    "same constants (q_lpa_labels doctrine), over the same shared "
+    "brute-force edge CTE as q_triangle_counts; a pytest pins the "
+    "fixpoint (extra rounds change nothing on a converged graph). "
+    "Exact integers end to end.",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.kcore_peel(
+        _customer_pairs(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )

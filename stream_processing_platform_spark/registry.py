@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "q_stream_avro",
     "q_percentiles_distributed",
     "q_snapshot_diff",
+    "q_kcore",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",

@@ -197,3 +197,27 @@ def test_near_pairs_banding_matches_brute_force(spark):
         if a[1] == b[1] == "k" and abs(a[2] - b[2]) <= 50
     } | {(6, 6)} - {(6, 6)}  # x-key row pairs with nothing
     assert got == want and (1, 7) in got  # tie on v=100 ordered by id
+
+
+def test_kcore_peel_cascade_and_fixpoint(spark):
+    """Chain a-b-c-d with k=2 peels in TWO cascading rounds (endpoints
+    first, then the stranded middle edge); K4 with a pendant is stable
+    after one round at k=3 — and once converged, extra rounds change
+    nothing (the fixpoint that justifies the bounded-round oracle)."""
+    from stream_processing_platform_spark.operators.graph import kcore_peel
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "id_a string, id_b string"
+    )
+    assert kcore_peel(chain, k=2, rounds=1).count() == 2  # b-c survives round 1
+    assert kcore_peel(chain, k=2, rounds=2).count() == 0  # cascade kills it
+    assert kcore_peel(chain, k=2, rounds=5).count() == 0  # fixpoint
+
+    k4p = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("d", "e")],  # pendant
+        "id_a string, id_b string",
+    )
+    core1 = {(r.id, r.deg) for r in kcore_peel(k4p, k=3, rounds=1).collect()}
+    core5 = {(r.id, r.deg) for r in kcore_peel(k4p, k=3, rounds=5).collect()}
+    assert core1 == core5 == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
