@@ -184,6 +184,9 @@ def main() -> None:
         "q_triangle_counts",
         "q_incremental_agg_refresh",
         "q_window_distribution",
+        "q_percentiles_distributed",
+        "q_snapshot_diff",
+        "q_kcore",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

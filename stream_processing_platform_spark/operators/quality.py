@@ -142,3 +142,43 @@ def streaming_expectations_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mode_impute(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    fallback: str = "UNKNOWN",
+) -> DataFrame:
+    """Categorical repair: fill NULL ``value_col`` with the per-key MODE
+    of the observed values (ties broken toward the LARGEST value —
+    ``max(struct(count, value))``, deterministic cross-engine); keys
+    with no observed value at all fall back to ``fallback``.
+
+    Shape: one (keys…, value) count aggregate (map-side combined), one
+    per-key argmax — constant-size state, the ``min(struct)`` doctrine,
+    never a ``row_number() = 1`` sort — and one key-partitioned join
+    back onto the fact rows. The mode table is one row per key: small
+    relative to the facts, so AQE broadcasts it at real scale.
+
+    Output: input columns + ``<value_col>_filled`` + ``was_imputed``.
+    """
+    observed = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, value_col)
+        .agg(F.count("*").alias("_cnt"))
+    )
+    modes = observed.groupBy(*key_cols).agg(
+        F.max(F.struct(F.col("_cnt").alias("c"), F.col(value_col).alias("v")))[
+            "v"
+        ].alias("_mode")
+    )
+    return (
+        df.join(modes, key_cols, "left")
+        .withColumn(
+            f"{value_col}_filled",
+            F.coalesce(F.col(value_col), F.col("_mode"), F.lit(fallback)),
+        )
+        .withColumn("was_imputed", F.col(value_col).isNull())
+        .drop("_mode")
+    )

@@ -3048,3 +3048,48 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("old_c"), F.lit(-1)).alias("old_c"),
         F.coalesce(F.col("new_c"), F.lit(-1)).alias("new_c"),
     )
+
+
+@query(
+    "q_impute_mode",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+      FROM events
+    ),
+    cnt AS (SELECT user_id, et, count(*) AS c
+            FROM base WHERE et IS NOT NULL GROUP BY 1, 2),
+    m AS (SELECT user_id, (max({'c': c, 'v': et})).v AS mode_et
+          FROM cnt GROUP BY user_id)
+    SELECT b.event_id, b.user_id,
+           COALESCE(b.et, m.mode_et, 'UNKNOWN') AS event_type_filled,
+           b.et IS NULL AS was_imputed
+    FROM base b LEFT JOIN m ON b.user_id = m.user_id
+    """,
+    description="Categorical repair (operators/quality.mode_impute): "
+    "'error' event types are treated as missing and imputed with the "
+    "per-user MODE of the observed types — argmax via max(struct(cnt, "
+    "value)) (map-side combining, deterministic largest-value "
+    "tie-break, mirrored by duckdb's named-struct max), one count "
+    "aggregate + one key join back; all-missing keys fall back to a "
+    "sentinel. The fill-forward of data cleaning for categories, "
+    "never-null output.",
+)
+def q_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.quality import mode_impute
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+    )
+    out = mode_impute(base, "et", ["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("et_filled").alias("event_type_filled"),
+        "was_imputed",
+    )

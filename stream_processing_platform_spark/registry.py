@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "q_percentiles_distributed",
     "q_snapshot_diff",
     "q_kcore",
+    "q_impute_mode",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",

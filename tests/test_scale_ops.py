@@ -205,3 +205,23 @@ def test_distributed_percentiles_hand_computed_and_global_ok(spark):
 
     [g] = exact_percentiles_distributed(df, "v", {"med": 0.5}, []).collect()
     assert g.med == 300 and g.n == 5  # global group: h=2 -> exactly 300
+
+
+def test_mode_impute_tie_break_and_fallback(spark):
+    """Tie on counts -> largest value wins (deterministic); a key with
+    no observed value falls back to the sentinel; non-null rows pass
+    through unchanged."""
+    from stream_processing_platform_spark.operators.quality import mode_impute
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, None),      # tie a=1, b=1 -> 'b'
+         (2, None), (2, None),               # all missing -> fallback
+         (3, "z")],
+        "k long, v string",
+    )
+    rows = {(r.k, r.v): (r.v_filled, r.was_imputed)
+            for r in mode_impute(df, "v", ["k"]).collect()}
+    assert rows[(1, None)] == ("b", True)
+    assert rows[(1, "a")] == ("a", False)
+    assert rows[(2, None)] == ("UNKNOWN", True)
+    assert rows[(3, "z")] == ("z", False)
