@@ -2,11 +2,12 @@
 
 Closes the last honestly-gated image format (imagecodec.decode_image
 raised ``NotImplementedError`` for JPEG while PPM/PGM/BMP/PNG decode for
-real). Scope: baseline sequential DCT, 8-bit, Huffman, 4:4:4 (no
-chroma subsampling) or grayscale — the subset the paired encoder
-emits, plus restart-marker handling for foreign files. Progressive,
-subsampled, arithmetic-coded and 12-bit streams raise with a clear
-message rather than decoding wrong.
+real). Scope: baseline sequential DCT, 8-bit, Huffman, grayscale or
+color at ANY integral sampling-factor layout — 4:4:4, the real-world
+default 4:2:0 (16×16 MCUs: 4 luma blocks + box-averaged Cb/Cr), 4:2:2
+et al. — plus restart-marker handling for foreign files. Progressive,
+arithmetic-coded, 12-bit and non-integral-ratio streams raise with a
+clear message rather than decoding wrong.
 
 The decoder trusts nothing from the encoder: quantization and Huffman
 tables are parsed from the stream's DQT/DHT segments (as the spec
@@ -207,20 +208,17 @@ class _BitReader:
 
 # ---------------------------------------------------------------- encoder
 
-def _blocks_of(plane: np.ndarray) -> np.ndarray:
-    """(H/8 * W/8, 8, 8) raster-order blocks of an edge-padded plane."""
-    h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
-    plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    hh, ww = plane.shape
-    return (
-        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-
-
-def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
     """Baseline JFIF bytes for an (H, W) grayscale or (H, W, 3) RGB
-    uint8 array. 4:4:4 — every MCU is one 8×8 block per component.
+    uint8 array. ``subsampling``: "444" (one 8×8 block per component
+    per MCU) or "420" (the real-world default: 16×16 MCUs of 4 luma
+    blocks + one 2×2-box-averaged block each of Cb/Cr — a 2× byte
+    saving before entropy coding even starts).
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     every N MCUs (byte-aligned, DC predictors reset) — the
     error-resilience feature real-world encoders use, here mainly to
@@ -230,22 +228,36 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     h, w = img.shape[:2]
     if gray:
         planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         rgb = img.astype(np.float64)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         cb = 128.0 - 0.168735892 * rgb[..., 0] - 0.331264108 * rgb[..., 1] + 0.5 * rgb[..., 2]
         cr = 128.0 + 0.5 * rgb[..., 0] - 0.418687589 * rgb[..., 1] - 0.081312411 * rgb[..., 2]
-        planes = [y, cb, cr]
+        if subsampling == "444":
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+
+            def box2(p: np.ndarray) -> np.ndarray:
+                pp = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+                return (
+                    pp.reshape(pp.shape[0] // 2, 2, pp.shape[1] // 2, 2).mean((1, 3))
+                )
+
+            planes = [y, box2(cb), box2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"subsampling must be '444' or '420': {subsampling!r}")
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
     ql = _quality_scale(_QUANT_LUMA, quality)
     qc = _quality_scale(_QUANT_CHROMA, quality)
     quants = [ql] if gray else [ql, qc]  # table 0 = luma, 1 = chroma
 
-    # DCT all blocks per component (vectorized over blocks).
-    comp_coeffs = []
-    for plane in planes:
-        blocks = _blocks_of(plane) - 128.0
-        comp_coeffs.append(np.einsum("ij,njk,lk->nil", _C, blocks, _C))
     # De-zigzag view of the quant tables (they are stored in zigzag order).
     raster_q = []
     for t in quants:
@@ -253,8 +265,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
         r[ZIGZAG] = t
         raster_q.append(r.reshape(8, 8))
 
+    # Pad each plane to its MCU grid, DCT + quantize all blocks at once;
+    # keep the (rows, cols) block GRID so the MCU loop can interleave.
     quantized = []
-    for ci, dct in enumerate(comp_coeffs):
+    for ci, plane in enumerate(planes):
+        hi, vi = samps[ci]
+        th, tw = mcus_y * vi * 8, mcus_x * hi * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        grid = (
+            plane.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        dct = np.einsum("ij,rcjk,lk->rcil", _C, grid, _C)
         q = raster_q[0 if ci == 0 else 1]
         quantized.append(np.round(dct / q).astype(np.int64))
 
@@ -265,49 +290,58 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
         ac_tabs.append(_huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
 
     bw = _BitWriter()
-    n_blocks = quantized[0].shape[0]
     pred = [0] * len(planes)
-    rst = 0
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
-            bw.flush()  # byte-align (pad bits are 1s; a 0xFF pad is stuffed)
-            bw.out += bytes([0xFF, 0xD0 + rst % 8])
-            rst += 1
-            pred = [0] * len(planes)
-        for ci in range(len(planes)):
-            ti = 0 if ci == 0 else 1
-            zz = quantized[ci][bi].reshape(64)[ZIGZAG]
-            # DC
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, raw = _magnitude(diff)
-            code, ln = dc_tabs[ti][size]
+
+    def emit_block(block: np.ndarray, ci: int) -> None:
+        ti = 0 if ci == 0 else 1
+        zz = block.reshape(64)[ZIGZAG]
+        # DC
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, raw = _magnitude(diff)
+        code, ln = dc_tabs[ti][size]
+        bw.write(code, ln)
+        if size:
+            bw.write(raw, size)
+        # AC
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_tabs[ti][0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            size, raw = _magnitude(v)
+            code, ln = ac_tabs[ti][(run << 4) | size]
             bw.write(code, ln)
-            if size:
-                bw.write(raw, size)
-            # AC
+            bw.write(raw, size)
             run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = int(nz[-1]) + 1 if len(nz) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_tabs[ti][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, raw = _magnitude(v)
-                code, ln = ac_tabs[ti][(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(raw, size)
-                run = 0
-                if k == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = ac_tabs[ti][0x00]  # EOB
-                bw.write(code, ln)
+            if k == last_nz:
+                break
+        if last_nz < 63:
+            code, ln = ac_tabs[ti][0x00]  # EOB
+            bw.write(code, ln)
+
+    rst = 0
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()  # byte-align (pad bits are 1s; a 0xFF pad is stuffed)
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred[:] = [0] * len(planes)
+            for ci in range(len(planes)):
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        emit_block(quantized[ci][my * vi + v, mx * hi + u], ci)
+            mcu += 1
     bw.flush()
 
     # ---- marker segments
@@ -318,7 +352,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     nc = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # id, 1x1 sampling, quant id
+        hi, vi = samps[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])  # id, sampling, quant id
     huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
     if not gray:
         huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS), (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
@@ -385,11 +420,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "JPEG: chroma subsampling unsupported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0xF))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("JPEG: only baseline sequential supported")
@@ -409,15 +440,27 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 
     h, w, comps = frame
     nc = len(comps)
-    mh, mw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((mh * 8, mw * 8)) for _ in range(nc)]
-    comp_q = {cid: quants[tq] for cid, tq in comps}
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    for cid, _, hi, vi in comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"JPEG: non-integral sampling ratio for component {cid}"
+            )
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    comp_q = {cid: quants[tq] for cid, tq, _, _ in comps}
+    comp_samp = {cid: (hi, vi) for cid, _, hi, vi in comps}
+    planes = {
+        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+        for cid, _, hi, vi in comps
+    }
 
     br = _BitReader(b[pos:])
     pred = {cid: 0 for cid, _, _ in scan}
     mcu = 0
-    for by in range(mh):
-        for bx in range(mw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.byte_align()
                 # skip stuffed pad bytes (0xFF00) then the RST marker
@@ -434,35 +477,48 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 ):
                     br.pos += 2
                 pred = {cid: 0 for cid in pred}
-            for ci, (cid, tdc, tac) in enumerate(scan):
-                zz = np.zeros(64, dtype=np.int64)
-                size = br.read_symbol(dc_tabs[tdc])
-                diff = _extend(br.read_bits(size), size)
-                pred[cid] += diff
-                zz[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    sym = br.read_symbol(ac_tabs[tac])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("JPEG: bad AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG: AC run past block end")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coeff = np.zeros(64, dtype=np.float64)
-                coeff[ZIGZAG] = zz * comp_q[cid]
-                block = _C.T @ coeff.reshape(8, 8) @ _C + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+            for cid, tdc, tac in scan:
+                hi, vi = comp_samp[cid]
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = br.read_symbol(dc_tabs[tdc])
+                        diff = _extend(br.read_bits(size), size)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = br.read_symbol(ac_tabs[tac])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("JPEG: bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG: AC run past block end")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        coeff = np.zeros(64, dtype=np.float64)
+                        coeff[ZIGZAG] = zz * comp_q[cid]
+                        block = _C.T @ coeff.reshape(8, 8) @ _C + 128.0
+                        r0, c0 = (my * vi + v) * 8, (mx * hi + u) * 8
+                        planes[cid][r0:r0 + 8, c0:c0 + 8] = block
             mcu += 1
 
-    planes = [p[:h, :w] for p in planes]
+    # crop each component to its own resolution, then upsample to (h, w)
+    full = []
+    for cid, _, hi, vi in comps:
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        p = planes[cid][:ch, :cw]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

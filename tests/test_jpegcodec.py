@@ -125,3 +125,52 @@ def test_restart_markers_roundtrip_identical():
     assert b"\xff\xdd" in b  # DRI segment present
     assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))  # RSTn emitted
     assert np.array_equal(decode_jpeg(b), decode_jpeg(encode_jpeg(img, 90)))
+
+
+def test_420_subsampling_roundtrip_and_mcu_geometry():
+    """4:2:0: SOF advertises 2x2 luma sampling, MCUs are 16x16 (4 Y +
+    Cb + Cr), odd dimensions pad and crop correctly, and a smooth
+    gradient survives within chroma-averaging tolerance."""
+    yy, xx = np.mgrid[0:37, 0:29]  # odd dims: partial MCUs both axes
+    img = np.stack(
+        [xx * 255 // 28, yy * 255 // 36, (xx + yy) * 255 // 64], -1
+    ).astype(np.uint8)
+    b = encode_jpeg(img, 92, subsampling="420")
+    sof = b.find(b"\xff\xc0")
+    assert b[sof + 11] == 0x22  # luma H=2,V=2
+    assert b[sof + 14] == 0x11 and b[sof + 17] == 0x11  # chroma 1x1
+    out = decode_jpeg(b)
+    assert out.shape == img.shape
+    mae = np.abs(out.astype(float) - img.astype(float)).mean()
+    assert mae < 5.0, mae
+
+
+def test_420_flat_field_survives_and_shrinks_stream():
+    """A flat color field has zero chroma detail: 420 must reproduce it
+    (near-)exactly while spending fewer entropy bytes than 444 on a
+    larger canvas."""
+    img = np.full((64, 64, 3), 200, dtype=np.uint8)
+    img[..., 1] = 90
+    b444 = encode_jpeg(img, 85, subsampling="444")
+    b420 = encode_jpeg(img, 85, subsampling="420")
+    assert len(b420) < len(b444)
+    out = decode_jpeg(b420)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_420_with_restart_markers():
+    """Restart intervals count MCUs (not blocks): the 420 decode with
+    DRI must equal the no-restart 420 decode bit-for-bit."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([(yy * 3) % 256, (xx * 5) % 256, 128 + 0 * xx], -1).astype(np.uint8)
+    b = encode_jpeg(img, 88, restart_interval=2, subsampling="420")
+    assert b"\xff\xdd" in b
+    assert np.array_equal(
+        decode_jpeg(b), decode_jpeg(encode_jpeg(img, 88, subsampling="420"))
+    )
+
+
+def test_bad_subsampling_arg_raises():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="422x")
