@@ -3093,3 +3093,43 @@ def q_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("et_filled").alias("event_type_filled"),
         "was_imputed",
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS trail_sum_c,
+           CAST(count(*) OVER w AS BIGINT) AS trail_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+    """,
+    description="RANGE-framed window aggregate — SURVEY §2.10's last "
+    "frame family: each event's trailing 6-hour per-user sum/count via "
+    "RANGE BETWEEN <ms> PRECEDING (VALUE-based bounds, so ts ties share "
+    "one frame deterministically — no tie-break needed, unlike ROWS "
+    "frames). The moving time-window aggregate computed in ONE "
+    "partition-keyed sort — the shape that replaces a per-event "
+    "interval self-join. Exact integer cents.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        windows_batch.epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms"))
+        .rangeBetween(-21_600_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.sum("cents").over(w).alias("trail_sum_c"),
+        F.count("*").over(w).alias("trail_n"),
+    )

@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "q_snapshot_diff",
     "q_kcore",
     "q_impute_mode",
+    "q_window_range_frame",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",
