@@ -3133,3 +3133,46 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("trail_sum_c"),
         F.count("*").over(w).alias("trail_n"),
     )
+
+
+@query(
+    "q_kanon_pseudonymize",
+    oracle="""
+    WITH b AS (
+      SELECT sha256('spp|' || CAST(c_custkey AS VARCHAR)) AS pseudonym,
+             CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+                  AS BIGINT) AS VARCHAR) AS bal_bucket
+      FROM customer
+    ),
+    g AS (SELECT *, count(*) OVER (PARTITION BY nation, bal_bucket) AS gn FROM b)
+    SELECT pseudonym,
+           CASE WHEN gn >= 5 THEN nation ELSE '*' END AS nation,
+           CASE WHEN gn >= 5 THEN bal_bucket ELSE '*' END AS bal_bucket,
+           CAST(CASE WHEN gn >= 5 THEN gn ELSE -1 END AS BIGINT) AS group_n
+    FROM g
+    """,
+    description="Privacy release gate (operators/privacy.py): customers "
+    "keyed by a consistent salted sha2-256 pseudonym (pure column expr, "
+    "no shuffle, joins still line up) with (nation, $1000-balance-"
+    "bucket) quasi-identifiers k-anonymized at k=5 — one window count "
+    "over the quasi group (single keyed shuffle), sub-k groups "
+    "suppressed to '*' with a −1 size sentinel (a too-small group's "
+    "size is itself identifying). Hex digests and floor-bucketing "
+    "match cross-engine exactly.",
+)
+def q_kanon_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.privacy import (
+        k_anonymize,
+        pseudonymize,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        pseudonymize("c_custkey", "spp").alias("pseudonym"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.floor(F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(100000.0))
+        .cast("long")
+        .cast("string")
+        .alias("bal_bucket"),
+    )
+    return k_anonymize(c, ["nation", "bal_bucket"], k=5)

@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "q_kcore",
     "q_impute_mode",
     "q_window_range_frame",
+    "q_kanon_pseudonymize",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",

@@ -225,3 +225,34 @@ def test_mode_impute_tie_break_and_fallback(spark):
     assert rows[(1, "a")] == ("a", False)
     assert rows[(2, None)] == ("UNKNOWN", True)
     assert rows[(3, "z")] == ("z", False)
+
+
+def test_k_anonymize_suppression_and_pseudonym_consistency(spark):
+    """Sub-k groups suppress BOTH quasi columns and mask the group
+    size; pseudonyms are consistent across frames (joins line up) and
+    k < 2 is rejected."""
+    import pytest
+
+    from stream_processing_platform_spark.operators.privacy import (
+        k_anonymize,
+        pseudonymize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "x"), (4, "b", "y")],
+        "id long, q1 string, q2 string",
+    )
+    rows = {r.id: (r.q1, r.q2, r.group_n)
+            for r in k_anonymize(df, ["q1", "q2"], k=3, group_col="group_n")
+            .select(pseudonymize("id", "s").alias("p"), "id", "q1", "q2", "group_n")
+            .collect()}
+    assert rows[1] == ("a", "x", 3) and rows[4] == ("*", "*", -1)
+
+    a = df.select(pseudonymize("id", "s").alias("p"), "id")
+    b = spark.createDataFrame([(1,), (4,)], "id long").select(
+        pseudonymize("id", "s").alias("p"), F.col("id").alias("id2")
+    )
+    assert a.join(b, "p").count() == 2  # consistent pseudonyms join
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        k_anonymize(df, ["q1"], k=1)
