@@ -3176,3 +3176,96 @@ def q_kanon_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_bucket"),
     )
     return k_anonymize(c, ["nation", "bal_bucket"], k=5)
+
+
+# Sufficient-statistics regression/correlation: Spark and the oracle
+# both compute from the SAME five exact-integer sums. The final algebra
+# runs in DOUBLE on both engines (the cross-products n·Σxy overflow
+# int64 at scale; every IEEE mul/div/sqrt is correctly rounded, so the
+# doubles are still bit-identical) before the floor(x*1e6+0.5)
+# quantization. y is integral DOLLARS, not cents, so Σy² itself stays
+# inside BIGINT at any tested SF; at extreme scale the sums shard
+# hierarchically (they are monoids — see rollup.aggregate_state).
+_CORR_FINAL = (
+    "floor((nd * sxyd - sxd * syd)"
+    " / sqrt(nd * sxxd - sxd * sxd)"
+    " / sqrt(nd * syyd - syd * syd) * 1000000.0 + 0.5)"
+)
+_SLOPE_FINAL = (
+    "floor((nd * sxyd - sxd * syd)"
+    " / (nd * sxxd - sxd * sxd) * 1000000.0 + 0.5)"
+)
+
+
+@query(
+    "q_correlation",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           CAST({_CORR_FINAL} AS BIGINT) AS corr_ppm,
+           CAST({_SLOPE_FINAL} AS BIGINT) AS slope_ppm
+    FROM d
+    """,
+    description="Exact Pearson correlation + OLS slope per return flag "
+    "from sufficient statistics: ONE map-side-combinable pass collects "
+    "five exact-integer sums (quantity integral, price in cents — "
+    "order-independent BIGINT adds), and the read-time select derives "
+    "corr and slope with the identical IEEE mul/div/sqrt sequence on "
+    "both engines (all correctly rounded ops → bit-identical doubles), "
+    "quantized ppm via floor(x*1e6+0.5). The statistical-aggregate "
+    "family beyond percentiles/MAD — no second pass, no centering "
+    "numerics.",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    corr = F.floor(
+        (nd * sxyd - sxd * syd)
+        / F.sqrt(nd * sxxd - sxd * sxd)
+        / F.sqrt(nd * syyd - syd * syd)
+        * 1_000_000.0
+        + 0.5
+    )
+    slope = F.floor(
+        (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * 1_000_000.0 + 0.5
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        corr.cast("long").alias("corr_ppm"),
+        slope.cast("long").alias("slope_ppm"),
+    )

@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "q_impute_mode",
     "q_window_range_frame",
     "q_kanon_pseudonymize",
+    "q_correlation",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",
