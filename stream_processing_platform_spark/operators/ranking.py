@@ -232,3 +232,45 @@ def mmr_rerank(
     out = [(i, n + 1) for n, i in enumerate(selected)]
     id_type = dict(candidates.dtypes)[id_col]
     return spark.createDataFrame(out, f"{id_col} {id_type}, mmr_rank int")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional-index phrase search: find every document containing
+    the exact token sequence ``phrase``, with occurrence count and
+    first position.
+
+    The scale shape is the real inverted-index algorithm, not a string
+    scan: tokenize once, posexplode to postings (token, doc, pos),
+    keep only the phrase's terms (predicate pushdown makes the posting
+    list per term, which is the index), then chain PURE EQUI-JOINS on
+    (doc, pos + offset) — each join co-partitioned on the doc key, the
+    classic intersect-adjacent-postings plan whose cost is bounded by
+    the rarest term's posting list, never the corpus size. Tokens are
+    the shared whitespace tokenizer (functions/text.tokens), positions
+    1-based.
+
+    Output: id_col, n_occurrences (BIGINT), first_pos (INT).
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs at least two tokens")
+    from stream_processing_platform_spark.functions.text import tokens
+
+    postings = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos0", "_tok"),
+    ).select(id_col, (F.col("_pos0") + 1).alias("pos"), "_tok")
+    out = None
+    for i, term in enumerate(phrase):
+        p = postings.filter(F.col("_tok") == term).select(
+            id_col, (F.col("pos") - i).alias("start")
+        )
+        out = p if out is None else out.join(p, [id_col, "start"])
+    return out.groupBy(id_col).agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("start").cast("int").alias("first_pos"),
+    )

@@ -1689,3 +1689,50 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(roll(dd, 3, F.lit("exact_dedup")))
         .unionByName(roll(s, 4, F.concat(F.lit("split_"), F.col("split"))))
     )
+
+
+_PHRASE = ["table", "value"]
+
+
+def _phrase_oracle() -> str:
+    joins, prev = [], None
+    for i in range(len(_PHRASE)):
+        al = f"p{i}"
+        joins.append(
+            f"(SELECT doc_id, pos - {i} AS start FROM p WHERE tok = '{_PHRASE[i]}') {al}"
+        )
+    from_clause = joins[0]
+    for i in range(1, len(_PHRASE)):
+        from_clause += (
+            f" JOIN {joins[i]} ON p0.doc_id = p{i}.doc_id AND p0.start = p{i}.start"
+        )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS tok,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM t)
+    SELECT p0.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(p0.start) AS INTEGER) AS first_pos
+    FROM {from_clause}
+    GROUP BY p0.doc_id
+    """
+
+
+@query(
+    "q_phrase_search",
+    oracle=_phrase_oracle(),
+    description="Positional-index phrase search (operators/ranking."
+    "phrase_search): documents containing the exact token sequence "
+    f"{' '.join(_PHRASE)!r} via posting-list intersection — per-term "
+    "postings (the index) chained through pure equi-joins on "
+    "(doc, pos−offset), co-partitioned on the doc key; cost bounded by "
+    "the rarest term's posting list, never the corpus. The oracle runs "
+    "the SAME positional algorithm in SQL (parallel unnest zip), "
+    "generated from one phrase constant.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.ranking import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, _PHRASE)

@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "q_window_range_frame",
     "q_kanon_pseudonymize",
     "q_correlation",
+    "q_phrase_search",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",

@@ -357,3 +357,26 @@ def test_mmr_rerank_sparse_sims_and_duplicate_bm25_terms(spark):
               for r in bm25_scores(docs, ["join"]).collect()}
     assert dup == single
     assert bm25_oracle_sql(["join", "join"]) == bm25_oracle_sql(["join"])
+
+
+def test_phrase_search_overlaps_and_counts(spark):
+    """Overlapping occurrences count separately ('a a a' contains
+    'a a' twice), missing-phrase docs are absent, first_pos is
+    1-based, and 1-token phrases are rejected."""
+    import pytest
+
+    from stream_processing_platform_spark.operators.ranking import phrase_search
+
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x a a y"), (3, "a b a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_occurrences, r.first_pos)
+           for r in phrase_search(d, ["a", "a"]).collect()}
+    assert got == {1: (2, 1), 2: (1, 2)}  # doc 3: no adjacent pair
+
+    tri = {r.doc_id: r.n_occurrences for r in phrase_search(d, ["a", "a", "a"]).collect()}
+    assert tri == {1: 1}
+
+    with pytest.raises(ValueError, match="two tokens"):
+        phrase_search(d, ["a"])
