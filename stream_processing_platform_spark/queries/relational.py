@@ -2933,13 +2933,19 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # One spec table drives BOTH the Spark expressions and the SQL oracle
-# (generated-oracle doctrine) — the interpolation arithmetic exists once.
+# (generated-oracle doctrine) — the interpolation arithmetic exists
+# once, as a reusable generator shared with q_winsorize.
 _PCTL_DIST_PROBS = {"median_c": 0.5, "p95_c": 0.95, "p99_c": 0.99}
 
 
-def _pctl_dist_oracle() -> str:
+def _rank_select_ctes(keys_sql: str, base_sql: str, probs: dict[str, float]) -> str:
+    """CTEs ``b``/``r``/``g`` computing rank-select interpolated
+    quantiles of column ``c`` from ``base_sql``, grouped by
+    ``keys_sql`` — ``g`` exposes the keys, ``gn``, and one BIGINT
+    column per prob alias (the exact mirror of
+    operators/percentiles.exact_percentiles_distributed)."""
     picks, finals = [], []
-    for a, p in _PCTL_DIST_PROBS.items():
+    for a, p in probs.items():
         picks.append(
             f"min(CASE WHEN rn = CAST(floor((n-1)*{p}) AS BIGINT)+1 THEN c END) AS lo_{a},"
             f" min(CASE WHEN rn = CAST(floor((n-1)*{p}) AS BIGINT)+2 THEN c END) AS hi_{a}"
@@ -2950,19 +2956,26 @@ def _pctl_dist_oracle() -> str:
             f" * (CAST(COALESCE(hi_{a}, lo_{a}) AS DOUBLE) - CAST(lo_{a} AS DOUBLE))"
             f" + 0.5) AS BIGINT) AS {a}"
         )
-    return f"""
-    WITH b AS (SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-                      CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-               FROM lineitem),
-    r AS (SELECT l_returnflag, ship_year, c,
-                 row_number() OVER (PARTITION BY l_returnflag, ship_year
-                                    ORDER BY c) AS rn,
-                 count(*) OVER (PARTITION BY l_returnflag, ship_year) AS n
+    return f"""b AS ({base_sql}),
+    r AS (SELECT {keys_sql}, c,
+                 row_number() OVER (PARTITION BY {keys_sql} ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY {keys_sql}) AS n
           FROM b),
-    g AS (SELECT l_returnflag, ship_year, max(n) AS gn, {", ".join(picks)}
-          FROM r GROUP BY 1, 2)
-    SELECT l_returnflag, ship_year, {", ".join(finals)},
-           CAST(gn AS BIGINT) AS n
+    gq AS (SELECT {keys_sql}, max(n) AS gn, {", ".join(picks)}
+           FROM r GROUP BY {keys_sql}),
+    g AS (SELECT {keys_sql}, gn, {", ".join(finals)} FROM gq)"""
+
+
+def _pctl_dist_oracle() -> str:
+    base = (
+        "SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem"
+    )
+    ctes = _rank_select_ctes("l_returnflag, ship_year", base, _PCTL_DIST_PROBS)
+    cols = ", ".join(_PCTL_DIST_PROBS)
+    return f"""
+    WITH {ctes}
+    SELECT l_returnflag, ship_year, {cols}, CAST(gn AS BIGINT) AS n
     FROM g
     """
 
@@ -3268,4 +3281,65 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         corr.cast("long").alias("corr_ppm"),
         slope.cast("long").alias("slope_ppm"),
+    )
+
+
+_WINS_PROBS = {"p05_c": 0.05, "p95_c": 0.95}
+
+
+def _winsorize_oracle() -> str:
+    base = (
+        "SELECT l_returnflag,"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem"
+    )
+    ctes = _rank_select_ctes("l_returnflag", base, _WINS_PROBS)
+    return f"""
+    WITH {ctes}
+    SELECT b.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN b.c < g.p05_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN b.c > g.p95_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(sum(least(greatest(b.c, g.p05_c), g.p95_c)) AS BIGINT)
+             AS sum_winsorized_c
+    FROM b JOIN g USING (l_returnflag)
+    GROUP BY b.l_returnflag
+    """
+
+
+@query(
+    "q_winsorize",
+    oracle=_winsorize_oracle(),
+    description="Winsorization (outlier clipping for robust feature "
+    "engineering): per return flag, prices clip to the exact "
+    "[p05, p95] computed by the distributed rank-select quantiles "
+    "(operators/percentiles.exact_percentiles_distributed — external "
+    "sort, no group buffer), then a broadcast join (per-group bounds "
+    "are one row per group, small-by-construction → explicit hint per "
+    "the AQE small-SF rule) feeds the clipped aggregate. The oracle "
+    "reuses the SAME generated rank-select CTEs as "
+    "q_percentiles_distributed. Exact integer cents end to end.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.percentiles import (
+        exact_percentiles_distributed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = exact_percentiles_distributed(
+        li, "l_extendedprice", _WINS_PROBS, ["l_returnflag"]
+    ).select("l_returnflag", "p05_c", "p95_c")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    joined = li.select("l_returnflag", cents.alias("c")).join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    clipped = F.least(F.greatest(F.col("c"), F.col("p05_c")), F.col("p95_c"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("c") < F.col("p05_c")).cast("long")).alias("n_clipped_low"),
+        F.sum((F.col("c") > F.col("p95_c")).cast("long")).alias("n_clipped_high"),
+        F.sum(clipped).alias("sum_winsorized_c"),
     )

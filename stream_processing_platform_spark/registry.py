@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "q_kanon_pseudonymize",
     "q_correlation",
     "q_phrase_search",
+    "q_winsorize",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",
