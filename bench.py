@@ -187,6 +187,12 @@ def main() -> None:
         "q_percentiles_distributed",
         "q_snapshot_diff",
         "q_kcore",
+        "q_impute_mode",
+        "q_window_range_frame",
+        "q_kanon_pseudonymize",
+        "q_correlation",
+        "q_phrase_search",
+        "q_winsorize",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
@@ -262,8 +268,12 @@ def main() -> None:
                 "q_triangle_counts (degree-oriented triangles over the "
                 "banded proximity self-join), q_incremental_agg_refresh "
                 "(state merge), q_window_distribution (percent_rank/"
-                "cume_dist); q_stream_ewma stays out with the other "
-                "live streaming queries",
+                "cume_dist), rank-select percentiles, snapshot diff, "
+                "k-core, mode imputation, RANGE frames, k-anonymity, "
+                "sufficient-statistic correlation, phrase search, "
+                "winsorize; q_stream_ewma/q_stream_avro stay out with "
+                "the other live streaming queries, q_avro_roundtrip "
+                "out because it measures file staging, not a plan",
             }
         )
     )
