@@ -83,23 +83,32 @@ def table_diff(
     column (original values; callers coalesce to sentinels if they
     need never-null output).
     """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if isinstance(compare_cols, str):
+        compare_cols = [compare_cols]
     o = old.select(*key_cols, *compare_cols)
     n = new.select(*key_cols, *compare_cols)
+    # presence markers, not key null-ness: a legitimately-NULL key
+    # column must neither break the match (eqNullSafe) nor masquerade
+    # as an absent side
     o2 = o.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
     )
     n2 = n.select(
         *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
     )
     cond = None
     for k in key_cols:
-        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o2.join(n2, cond, "full_outer")
-    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    in_old = F.coalesce(F.col("_in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("_in_new"), F.lit(False))
     same = F.struct(*[F.col(f"old_{c}") for c in compare_cols]).eqNullSafe(
         F.struct(*[F.col(f"new_{c}") for c in compare_cols])
     )

@@ -206,6 +206,11 @@ def near_pairs(
     probe buckets don't reach back), and same-bucket reversals are cut
     by the tuple filter. Output: id_a, id_b.
     """
+    if radius < 1:
+        raise ValueError(
+            "near_pairs needs radius >= 1 (for exact-equality pairs use a "
+            "plain groupBy on the value)"
+        )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     bk = F.floor(F.col(value_col) / F.lit(radius)).cast("long")
     left = df.select(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_processing_platform_spark.functions.cols import as_col_list
 from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
 
@@ -121,7 +122,8 @@ def exact_percentiles_distributed(
     from pyspark.sql import Window
 
     base = df.select(
-        *group_cols, _scaled(value_col, scale_decimals).cast("long").alias("_c")
+        *as_col_list(group_cols),
+        _scaled(value_col, scale_decimals).cast("long").alias("_c"),
     )
     keys = [c for c in base.columns if c != "_c"]
     w = Window.partitionBy(*keys).orderBy(F.col("_c").asc())

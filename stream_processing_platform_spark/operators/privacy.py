@@ -31,7 +31,7 @@ def pseudonymize(id_col: Column | str, salt: str) -> Column:
 
 def k_anonymize(
     df: DataFrame,
-    quasi_cols: list[str],
+    quasi_cols: list[str] | str,
     k: int,
     group_col: str = "group_n",
 ) -> DataFrame:
@@ -42,6 +42,7 @@ def k_anonymize(
     a too-small group is itself identifying)."""
     if k < 2:
         raise ValueError("k-anonymity needs k >= 2")
+    quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
     w = Window.partitionBy(*quasi_cols)
     out = df.withColumn("_gn", F.count("*").over(w))
     kept = F.col("_gn") >= k  # bind the materialized count, not a

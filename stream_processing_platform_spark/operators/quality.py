@@ -147,7 +147,7 @@ def streaming_expectations_sink(
 def mode_impute(
     df: DataFrame,
     value_col: str,
-    key_cols: list[str],
+    key_cols: list[str] | str,
     fallback: str = "UNKNOWN",
 ) -> DataFrame:
     """Categorical repair: fill NULL ``value_col`` with the per-key MODE
@@ -163,6 +163,7 @@ def mode_impute(
 
     Output: input columns + ``<value_col>_filled`` + ``was_imputed``.
     """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     observed = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(*key_cols, value_col)

@@ -244,33 +244,65 @@ def phrase_search(
     the exact token sequence ``phrase``, with occurrence count and
     first position.
 
-    The scale shape is the real inverted-index algorithm, not a string
-    scan: tokenize once, posexplode to postings (token, doc, pos),
-    keep only the phrase's terms (predicate pushdown makes the posting
-    list per term, which is the index), then chain PURE EQUI-JOINS on
-    (doc, pos + offset) — each join co-partitioned on the doc key, the
-    classic intersect-adjacent-postings plan whose cost is bounded by
-    the rarest term's posting list, never the corpus size. Tokens are
-    the shared whitespace tokenizer (functions/text.tokens), positions
-    1-based.
+    The scale shape is the inverted-index algorithm in ONE corpus
+    pass: tokenize + posexplode to postings (token, doc, pos), keep
+    only the phrase's terms (the per-term posting lists ARE the
+    index), group them per document in a single shuffle, then
+    intersect the adjacent posting lists with array HOFs — a start
+    position survives iff every term's list contains pos + offset.
+    Cost after the one scan is bounded by the phrase terms' posting
+    sizes, never the corpus; each per-term list is bound to a column
+    ONCE before the intersection lambda (Column exprs are trees — an
+    inline reference would re-filter the postings per element).
+    Tokens are the shared whitespace tokenizer (functions/text.tokens),
+    positions 1-based.
 
     Output: id_col, n_occurrences (BIGINT), first_pos (INT).
     """
     if len(phrase) < 2:
         raise ValueError("phrase_search needs at least two tokens")
+    from functools import reduce
+
     from stream_processing_platform_spark.functions.text import tokens
 
     postings = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("_pos0", "_tok"),
     ).select(id_col, (F.col("_pos0") + 1).alias("pos"), "_tok")
-    out = None
-    for i, term in enumerate(phrase):
-        p = postings.filter(F.col("_tok") == term).select(
-            id_col, (F.col("pos") - i).alias("start")
+    grouped = (
+        postings.filter(F.col("_tok").isin(*sorted(set(phrase))))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("_tok").alias("t"), F.col("pos").alias("p"))
+            ).alias("_tp")
         )
-        out = p if out is None else out.join(p, [id_col, "start"])
-    return out.groupBy(id_col).agg(
-        F.count("*").alias("n_occurrences"),
-        F.min("start").cast("int").alias("first_pos"),
+    )
+    def _is(term: str):
+        # factory, not a default-arg lambda: PySpark counts lambda
+        # params to pick the (x) vs (x, i) HOF form (CLAUDE.md)
+        return lambda x: x["t"] == F.lit(term)
+
+    for i, term in enumerate(phrase):
+        grouped = grouped.withColumn(
+            f"_p{i}",
+            F.transform(F.filter(F.col("_tp"), _is(term)), lambda x: x["p"]),
+        )
+    starts = F.filter(
+        F.col("_p0"),
+        lambda s: reduce(
+            lambda a, b: a & b,
+            [
+                F.array_contains(F.col(f"_p{i}"), s + i)
+                for i in range(1, len(phrase))
+            ],
+        ),
+    )
+    return (
+        grouped.select(
+            id_col,
+            F.size(starts).cast("long").alias("n_occurrences"),
+            F.array_min(starts).cast("int").alias("first_pos"),
+        )
+        .filter(F.col("n_occurrences") > 0)
     )

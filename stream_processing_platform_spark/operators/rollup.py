@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_processing_platform_spark.functions.cols import as_col_list
+
 
 def bucket_ms(ts_ms: Column, size_ms: int) -> Column:
     """Floor an epoch-ms column to its bucket start (exact integer ops)."""
@@ -83,7 +85,7 @@ def hierarchical_rollup(
 
 
 def aggregate_state(
-    df: DataFrame, group_cols: list[str], value_col: str
+    df: DataFrame, group_cols: list[str] | str, value_col: str
 ) -> DataFrame:
     """Per-group MERGEABLE aggregate state: cnt / sum_v / min_v / max_v.
 
@@ -94,6 +96,7 @@ def aggregate_state(
     contract. ``value_col`` must be exact under reordering (integer
     units for money; CLAUDE.md float rules).
     """
+    group_cols = as_col_list(group_cols)
     return df.groupBy(*group_cols).agg(
         F.count("*").alias("cnt"),
         F.sum(value_col).alias("sum_v"),
@@ -103,7 +106,7 @@ def aggregate_state(
 
 
 def merge_aggregate_state(
-    states: list[DataFrame], group_cols: list[str]
+    states: list[DataFrame], group_cols: list[str] | str
 ) -> DataFrame:
     """Merge aggregate states (union + per-field monoid fold).
 
@@ -112,6 +115,7 @@ def merge_aggregate_state(
     state is computed alone and folded in. Counts/sums add, min/max
     fold; one shuffle keyed on the (small) group domain.
     """
+    group_cols = as_col_list(group_cols)
     it = iter(states)
     u = next(it)
     for s in it:

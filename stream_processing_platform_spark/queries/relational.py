@@ -2946,13 +2946,19 @@ def _rank_select_ctes(keys_sql: str, base_sql: str, probs: dict[str, float]) -> 
     operators/percentiles.exact_percentiles_distributed)."""
     picks, finals = [], []
     for a, p in probs.items():
+        # CAST({p} AS DOUBLE) everywhere: a bare decimal literal would
+        # make DuckDB compute (n-1)*p in exact DECIMAL while Spark uses
+        # IEEE doubles — for p=0.95, n-1=20 the exact product is 19 but
+        # the double one is 18.999…, so the two engines would pick
+        # DIFFERENT order statistics. Same-op-sequence doubles only.
+        pd_ = f"CAST({p} AS DOUBLE)"
         picks.append(
-            f"min(CASE WHEN rn = CAST(floor((n-1)*{p}) AS BIGINT)+1 THEN c END) AS lo_{a},"
-            f" min(CASE WHEN rn = CAST(floor((n-1)*{p}) AS BIGINT)+2 THEN c END) AS hi_{a}"
+            f"min(CASE WHEN rn = CAST(floor((n-1)*{pd_}) AS BIGINT)+1 THEN c END) AS lo_{a},"
+            f" min(CASE WHEN rn = CAST(floor((n-1)*{pd_}) AS BIGINT)+2 THEN c END) AS hi_{a}"
         )
         finals.append(
             f"CAST(floor(CAST(lo_{a} AS DOUBLE)"
-            f" + ((gn-1)*{p} - floor((gn-1)*{p}))"
+            f" + ((gn-1)*{pd_} - floor((gn-1)*{pd_}))"
             f" * (CAST(COALESCE(hi_{a}, lo_{a}) AS DOUBLE) - CAST(lo_{a} AS DOUBLE))"
             f" + 0.5) AS BIGINT) AS {a}"
         )

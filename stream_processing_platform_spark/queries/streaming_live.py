@@ -764,9 +764,6 @@ def q_stream_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import shutil
 
-    from stream_processing_platform_spark.queries.relational import (  # noqa: F401
-        AVRO_AGG_ORACLE,
-    )
     from stream_processing_platform_spark.sources.avro_datasource import (
         register_avro_source,
     )

@@ -171,6 +171,7 @@ class AvroBatchWriter(DataSourceWriter):
             raise ValueError("spp_avro requires a path")
         self._codec = options.get("codec", "deflate")
         self._schema = struct_to_avro_schema(schema)
+        self._overwrite = overwrite
         os.makedirs(self._path, exist_ok=True)
 
     def write(self, iterator) -> AvroPartFile:
@@ -181,10 +182,28 @@ class AvroBatchWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         files = [m.name for m in messages if m is not None]
+        mf_path = os.path.join(self._path, MANIFEST)
+        if not self._overwrite and os.path.exists(mf_path):
+            # append mode UNIONS with the committed set — a manifest
+            # listing only the new job's files would silently hide all
+            # previously committed data from manifest-trusting readers
+            with open(mf_path) as fh:
+                files = json.load(fh)["files"] + files
         tmp = os.path.join(self._path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump({"files": files}, fh)
-        os.replace(tmp, os.path.join(self._path, MANIFEST))
+        os.replace(tmp, mf_path)
+        if self._overwrite:
+            # overwrite retires the replaced job's part files — left on
+            # disk they would resurface through the manifest-less
+            # *.avro listing fallback for foreign-written directories
+            keep = set(files)
+            for e in os.listdir(self._path):
+                if e.endswith(".avro") and e not in keep:
+                    try:
+                        os.remove(os.path.join(self._path, e))
+                    except FileNotFoundError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:

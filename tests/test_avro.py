@@ -182,3 +182,30 @@ def test_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     run()
     ids = sorted(r.id for r in spark.read.parquet(out).collect())
     assert ids == list(range(15))  # no loss, no dupes across the restart
+
+
+def test_append_mode_unions_manifest_and_overwrite_retires_parts(spark, tmp_path):
+    """append must UNION with the committed set (a manifest listing only
+    the new job's files would silently hide prior data); overwrite must
+    retire the replaced job's part files so the manifest-less listing
+    fallback can never resurface them."""
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = str(tmp_path / "am")
+    spark.range(0, 5).coalesce(1).write.format("spp_avro").mode("overwrite").save(out)
+    spark.range(5, 8).coalesce(1).write.format("spp_avro").mode("append").save(out)
+    got = sorted(r.id for r in spark.read.format("spp_avro").load(out).collect())
+    assert got == list(range(8))
+
+    spark.range(100, 102).coalesce(1).write.format("spp_avro").mode(
+        "overwrite"
+    ).save(out)
+    assert sorted(
+        r.id for r in spark.read.format("spp_avro").load(out).collect()
+    ) == [100, 101]
+    # the replaced parts are GONE from disk, not just from the manifest
+    n_parts = len([e for e in os.listdir(out) if e.endswith(".avro")])
+    assert n_parts == 1

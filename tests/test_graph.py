@@ -221,3 +221,13 @@ def test_kcore_peel_cascade_and_fixpoint(spark):
     core1 = {(r.id, r.deg) for r in kcore_peel(k4p, k=3, rounds=1).collect()}
     core5 = {(r.id, r.deg) for r in kcore_peel(k4p, k=3, rounds=5).collect()}
     assert core1 == core5 == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+
+def test_near_pairs_rejects_degenerate_radius(spark):
+    import pytest
+
+    from stream_processing_platform_spark.operators.joins import near_pairs
+
+    df = spark.createDataFrame([(1, 5)], "id long, v long")
+    with pytest.raises(ValueError, match="radius"):
+        near_pairs(df, "id", "v", 0)

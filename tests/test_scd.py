@@ -138,3 +138,20 @@ def test_table_diff_null_value_transitions(spark):
     new = spark.createDataFrame([(1, 7), (2, None), (3, None)], "k long, c long")
     got = {r.k: r.change for r in table_diff(old, new, ["k"], ["c"]).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    """A legitimately-NULL key column must join null-safely (changed,
+    not added+removed) and presence detection must not key off
+    null-ness."""
+    from stream_processing_platform_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(None, 5, 10), (1, 1, 30)], "region long, id long, c long"
+    )
+    new = spark.createDataFrame(
+        [(None, 5, 11), (1, 1, 30)], "region long, id long, c long"
+    )
+    rows = [(r.region, r.id, r.change, r.old_c, r.new_c)
+            for r in table_diff(old, new, ["region", "id"], ["c"]).collect()]
+    assert rows == [(None, 5, "changed", 10, 11)]
