@@ -193,6 +193,7 @@ def main() -> None:
         "q_correlation",
         "q_phrase_search",
         "q_winsorize",
+        "q_association_rules",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

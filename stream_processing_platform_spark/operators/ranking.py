@@ -306,3 +306,66 @@ def phrase_search(
         )
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+    max_basket_items: int = 100,
+) -> DataFrame:
+    """Market-basket 2-itemset mining: co-occurrence counts plus the
+    classic support / confidence / lift metrics — the Apriori pair
+    level, the recommender/affinity primitive.
+
+    Scale shape: items are distinct-ed per basket first (map-side
+    partial), oversized baskets (> ``max_basket_items``) are DROPPED
+    before the pair expansion — the same skew cap as the winnowing
+    bucket expansion: one pathological 1M-item basket would otherwise
+    contribute 10¹² pairs. The expansion itself is a basket-keyed
+    self-join (co-partitioned, no product across baskets), bounded by
+    cap² per basket; item supports are one aggregate; the metrics join
+    attaches two per-item counts (row-per-item tables — broadcast at
+    scale). All metrics are exact integer ppm (floor division), so the
+    oracle matches bit-for-bit.
+
+    Output: item_a, item_b (item_a < item_b), co_count, supp_ppm,
+    conf_a_to_b_ppm (co/support(a)), lift_ppm.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    sized = b.groupBy("_b").agg(F.count("*").alias("_bs"))
+    ok = sized.filter(F.col("_bs") <= max_basket_items).select("_b")
+    b = b.join(ok, "_b", "semi")
+    n_baskets = b.select("_b").distinct().count()
+    support = b.groupBy("_i").agg(F.count("*").alias("cnt"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(r, (F.col("l._b") == F.col("r._b")) & (F.col("l._i") < F.col("r._i")))
+        .groupBy(F.col("l._i").alias("item_a"), F.col("r._i").alias("item_b"))
+        .agg(F.count("*").alias("co_count"))
+        .filter(F.col("co_count") >= min_co)
+    )
+    sa = support.select(F.col("_i").alias("item_a"), F.col("cnt").alias("_ca"))
+    sb = support.select(F.col("_i").alias("item_b"), F.col("cnt").alias("_cb"))
+    out = pairs.join(F.broadcast(sa), "item_a").join(F.broadcast(sb), "item_b")
+    co = F.col("co_count")
+    return out.select(
+        "item_a",
+        "item_b",
+        co,
+        (co * 1_000_000).cast("long").alias("_s"),
+        F.col("_ca"),
+        F.col("_cb"),
+    ).select(
+        "item_a",
+        "item_b",
+        "co_count",
+        F.expr(f"_s div {max(n_baskets, 1)}").alias("supp_ppm"),
+        F.expr("_s div _ca").alias("conf_a_to_b_ppm"),
+        F.expr(f"(co_count * {max(n_baskets, 1)} * 1000000) div (_ca * _cb)").alias(
+            "lift_ppm"
+        ),
+    )

@@ -3349,3 +3349,47 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("c") > F.col("p95_c")).cast("long")).alias("n_clipped_high"),
         F.sum(clipped).alias("sum_winsorized_c"),
     )
+
+
+_AR_MIN_CO = 2
+_AR_MAX_BASKET = 100
+
+
+@query(
+    "q_association_rules",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    ok AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= {_AR_MAX_BASKET}),
+    bb AS (SELECT b.* FROM b JOIN ok USING (bk)),
+    nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM bb),
+    sup AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY it),
+    p AS (SELECT l.it AS item_a, r.it AS item_b,
+                 CAST(count(*) AS BIGINT) AS co_count
+          FROM bb l JOIN bb r ON l.bk = r.bk AND l.it < r.it
+          GROUP BY 1, 2 HAVING count(*) >= {_AR_MIN_CO})
+    SELECT item_a, item_b, co_count,
+           CAST((co_count * 1000000) // nb.n AS BIGINT) AS supp_ppm,
+           CAST((co_count * 1000000) // sa.cnt AS BIGINT) AS conf_a_to_b_ppm,
+           CAST((co_count * nb.n * 1000000) // (sa.cnt * sb.cnt) AS BIGINT)
+             AS lift_ppm
+    FROM p
+    JOIN sup sa ON sa.it = p.item_a
+    JOIN sup sb ON sb.it = p.item_b
+    CROSS JOIN nb
+    """,
+    description="Association rules / market-basket mining (operators/"
+    "ranking.association_rules): 2-itemsets over order baskets with "
+    "support, confidence and lift in exact integer ppm — distinct-per-"
+    "basket first, oversized baskets capped BEFORE the pair expansion "
+    "(the winnowing skew rule), basket-keyed self-join (no cross-"
+    "basket product), per-item supports broadcast back. The Apriori "
+    "pair level every recommender/affinity pipeline starts from.",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.ranking import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey",
+        min_co=_AR_MIN_CO, max_basket_items=_AR_MAX_BASKET,
+    )

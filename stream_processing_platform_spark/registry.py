@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "q_correlation",
     "q_phrase_search",
     "q_winsorize",
+    "q_association_rules",
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mmr_diversify",

@@ -380,3 +380,20 @@ def test_phrase_search_overlaps_and_counts(spark):
 
     with pytest.raises(ValueError, match="two tokens"):
         phrase_search(d, ["a"])
+
+
+def test_association_rules_hand_computed_and_skew_cap(spark):
+    """Baskets {1:(a,b,c), 2:(a,b), 3:(a,b), 4:(x...)} with the x-basket
+    oversized: (a,b) co=3, conf(a->b)=3/3, lift=(3*3)/(3*3); the capped
+    basket contributes nothing; duplicate items dedupe."""
+    from stream_processing_platform_spark.operators.ranking import association_rules
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"), (3, "a"), (3, "b")]
+    rows += [(4, f"x{i}") for i in range(5)]  # oversized at cap 4
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {(r.item_a, r.item_b): (r.co_count, r.supp_ppm, r.conf_a_to_b_ppm, r.lift_ppm)
+           for r in association_rules(df, "bk", "it", min_co=2,
+                                      max_basket_items=4).collect()}
+    # 3 surviving baskets; (a,b) in all 3
+    assert got == {("a", "b"): (3, 1_000_000, 1_000_000, 1_000_000)}
