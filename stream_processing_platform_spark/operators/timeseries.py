@@ -251,3 +251,69 @@ def ewma(
     return df.groupBy(F.col(key_col).alias(key_col)).agg(
         F.count("*").alias("n"), folded.alias("ewma_c")
     )
+
+
+def holt(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    alpha: float,
+    beta: float,
+    seq_col: str,
+) -> DataFrame:
+    """Per-key Holt linear (double-exponential) smoothing — EWMA's
+    trend-aware sibling:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}      (l_1 = x_1, b_1 = 0)
+
+    Same ordered-fold shape as :func:`ewma` (one key shuffle,
+    array_sort, aggregate HOF), but the accumulator is a (level, trend)
+    STRUCT — DuckDB's ``list_reduce`` folds the same struct with the
+    same IEEE op sequence, so the result is bit-identical with no
+    rounding (pick binary-exact α, β). The new level appears in both
+    struct fields; the expression is duplicated textually on BOTH
+    engines, so the doubles still agree.
+
+    Output: key, n (BIGINT), level_c, trend_c, forecast_1_c (DOUBLE
+    cents; forecast_1 = level + trend, the one-step-ahead forecast).
+    """
+    a, b = alpha, beta
+    one_a, one_b = 1.0 - alpha, 1.0 - beta
+    ts_ms = epoch_ms(F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    pt = F.struct(
+        ts_ms.alias("t"), F.col(seq_col).alias("s"),
+        cents.cast("double").alias("v"),
+    )
+    vs = F.transform(F.array_sort(F.collect_list(pt)), lambda p: p["v"])
+    states = F.transform(
+        vs, lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b"))
+    )
+
+    def step(acc, x):
+        # new_l appears in both fields: the subtree is duplicated (and
+        # re-evaluated) on BOTH engines identically, so values agree
+        new_l = x["l"] * F.lit(a) + (acc["l"] + acc["b"]) * F.lit(one_a)
+        return F.when(acc["l"].isNull(), x).otherwise(
+            F.struct(
+                new_l.alias("l"),
+                ((new_l - acc["l"]) * F.lit(b) + acc["b"] * F.lit(one_b)).alias("b"),
+            )
+        )
+
+    init = F.lit(None).cast("struct<l:double,b:double>")
+    folded = F.aggregate(states, init, step)
+    # materialize the fold ONCE per group; field extraction afterwards
+    # (three references to `folded` in agg would run the fold 3×)
+    g = df.groupBy(F.col(key_col).alias(key_col)).agg(
+        F.count("*").alias("n"), folded.alias("_hb")
+    )
+    return g.select(
+        key_col,
+        "n",
+        F.col("_hb")["l"].alias("level_c"),
+        F.col("_hb")["b"].alias("trend_c"),
+        (F.col("_hb")["l"] + F.col("_hb")["b"]).alias("forecast_1_c"),
+    )

@@ -222,3 +222,51 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ts_col="ts", value_col="value", key_col="user_id",
         alpha=0.25, seq_col="event_id",
     )
+
+
+@query(
+    "q_holt",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT user_id,
+             CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS i
+      FROM events
+    ),
+    sz AS (SELECT user_id, CAST(max(i) AS BIGINT) AS n FROM p GROUP BY user_id),
+    rec AS (
+      SELECT user_id, i, v AS l, CAST(0.0 AS DOUBLE) AS b FROM p WHERE i = 1
+      UNION ALL
+      SELECT p.user_id, p.i,
+             p.v * CAST(0.5 AS DOUBLE)
+               + (rec.l + rec.b) * CAST(0.5 AS DOUBLE) AS l,
+             (p.v * CAST(0.5 AS DOUBLE)
+               + (rec.l + rec.b) * CAST(0.5 AS DOUBLE) - rec.l)
+               * CAST(0.25 AS DOUBLE)
+               + rec.b * CAST(0.75 AS DOUBLE) AS b
+      FROM rec JOIN p ON p.user_id = rec.user_id AND p.i = rec.i + 1
+    )
+    SELECT r.user_id, sz.n,
+           r.l AS level_c,
+           r.b AS trend_c,
+           r.l + r.b AS forecast_1_c
+    FROM rec r JOIN sz ON sz.user_id = r.user_id AND r.i = sz.n
+    """,
+    description="Per-user Holt linear (double-exponential) smoothing, "
+    "alpha=0.5 beta=0.25 (operators/timeseries.holt): the trend-aware "
+    "sibling of q_ewma — same ordered per-key fold, but the "
+    "accumulator is a (level, trend) STRUCT. The oracle is a RECURSIVE "
+    "CTE stepping each key's sorted series one row at a time with the "
+    "identical scalar IEEE op sequence (list_reduce is unusable here: "
+    "DuckDB updates struct accumulators field-by-field, so a trend "
+    "referencing the old level would see the new one), making "
+    "level/trend/one-step forecast bit-identical with no rounding "
+    "step. One shuffle on the key.",
+)
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.holt(
+        e, ts_col="ts", value_col="value", key_col="user_id",
+        alpha=0.5, beta=0.25, seq_col="event_id",
+    )

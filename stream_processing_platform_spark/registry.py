@@ -86,6 +86,7 @@ _loaded = False
 _PRIORITY: list[str] = [
     # -- (a) new oracle queries in round 7
     "q_ewma",
+    "q_holt",
     "q_stream_ewma",
     "q_triangle_counts",
     "q_incremental_agg_refresh",

@@ -159,3 +159,15 @@ def test_ewma_ties_broken_by_seq_and_single_point(spark):
     }
     assert rows[1].ewma_c == 400 * 0.75 + 800 * 0.25  # id 1 first, then id 2
     assert rows[2].n == 1 and rows[2].ewma_c == 1200.0
+
+
+def test_holt_hand_computed_level_and_trend(spark):
+    from stream_processing_platform_spark.operators.timeseries import holt
+
+    # cents 100,200,300; alpha=.5 beta=.25:
+    # l1=100,b1=0; l2=150,b2=12.5; l3=231.25,b3=29.6875
+    df = _events(spark, [(1, 0, 1, 1.0), (2, 1, 1, 2.0), (3, 2, 1, 3.0)])
+    [r] = holt(df, "ts", "value", "user_id", alpha=0.5, beta=0.25,
+               seq_col="event_id").collect()
+    assert (r.n, r.level_c, r.trend_c) == (3, 231.25, 29.6875)
+    assert r.forecast_1_c == 231.25 + 29.6875
