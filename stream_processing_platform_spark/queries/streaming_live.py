@@ -804,6 +804,44 @@ def q_stream_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_holt_oracle() -> str:
+    from stream_processing_platform_spark.queries.timeseries import holt_oracle
+
+    return holt_oracle(key_alias="key")
+
+
+@query(
+    "q_stream_holt",
+    oracle=_stream_holt_oracle(),
+    description="LIVE streaming Holt linear smoothing (streaming/"
+    "stateful_v2.holt_state — the coupled level+trend twin of "
+    "q_stream_ewma): two scalars of ValueState per key, each batch "
+    "sorted by (ts, event_id) and folded through the standard Holt "
+    "recurrences on the RocksDB provider. Shares q_holt's recursive-"
+    "CTE oracle; the replay delivers batches in event-time order, so "
+    "the arrival-order fold IS the event-order fold and the doubles "
+    "are bit-identical.",
+)
+def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.stateful_v2 import holt_state
+
+    s = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(holt_state(s, "user_id", alpha=0.5, beta=0.25))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select("key", "n", "level_c", "trend_c", "forecast_1_c")
+
+
 def _stream_ewma_oracle() -> str:
     from stream_processing_platform_spark.queries.timeseries import ewma_oracle
 

@@ -224,9 +224,10 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_holt",
-    oracle="""
+def holt_oracle(key_alias: str = "user_id") -> str:
+    """The Holt recursive-CTE oracle, shared by the batch and LIVE
+    streaming queries (generated-oracle doctrine)."""
+    return f"""
     WITH RECURSIVE p AS (
       SELECT user_id,
              CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v,
@@ -247,12 +248,17 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                + rec.b * CAST(0.75 AS DOUBLE) AS b
       FROM rec JOIN p ON p.user_id = rec.user_id AND p.i = rec.i + 1
     )
-    SELECT r.user_id, sz.n,
+    SELECT r.user_id AS {key_alias}, sz.n,
            r.l AS level_c,
            r.b AS trend_c,
            r.l + r.b AS forecast_1_c
     FROM rec r JOIN sz ON sz.user_id = r.user_id AND r.i = sz.n
-    """,
+    """
+
+
+@query(
+    "q_holt",
+    oracle=holt_oracle(),
     description="Per-user Holt linear (double-exponential) smoothing, "
     "alpha=0.5 beta=0.25 (operators/timeseries.holt): the trend-aware "
     "sibling of q_ewma — same ordered per-key fold, but the "

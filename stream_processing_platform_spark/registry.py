@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "q_ewma",
     "q_holt",
     "q_stream_ewma",
+    "q_stream_holt",
     "q_triangle_counts",
     "q_incremental_agg_refresh",
     "q_window_distribution",

@@ -393,6 +393,94 @@ def ewma_state(
     )
 
 
+class HoltProcessor(StatefulProcessor):
+    """Streaming Holt linear smoothing — the coupled (level, trend)
+    twin of :class:`EwmaProcessor`: TWO scalars of ValueState per key
+    (operators/timeseries.holt keeps the semantics; this keeps the
+    O(1)-state streaming contract). Batch rows sort by (ts, seq), then
+
+        l' = α·x + (1−α)·(l + b);  b' = β·(l' − l) + (1−β)·b
+
+    with the first-ever row initialising (l, b) = (x, 0).
+    """
+
+    def __init__(
+        self,
+        alpha: float,
+        beta: float,
+        ts_ms_col: str = "ts_ms",
+        seq_col: str = "event_id",
+        value_col: str = "value_cents",
+    ):
+        self._alpha = alpha
+        self._beta = beta
+        self._ts = ts_ms_col
+        self._seq = seq_col
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._s = handle.getValueState("holt", "l double, b double, n long")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([self._ts, self._seq], kind="mergesort")
+        prev = self._s.get() if self._s.exists() else None
+        l, b, n = (
+            (float(prev[0]), float(prev[1]), int(prev[2]))
+            if prev is not None
+            else (None, 0.0, 0)
+        )
+        a, bb = self._alpha, self._beta
+        one_a, one_b = 1.0 - a, 1.0 - bb
+        for x in pdf[self._value_col].tolist():
+            x = float(x)
+            if l is None:
+                l, b = x, 0.0
+            else:
+                new_l = x * a + (l + b) * one_a
+                b = (new_l - l) * bb + b * one_b
+                l = new_l
+        n += int(len(pdf))
+        self._s.update((l, b, n))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [n],
+                "level_c": [l],
+                "trend_c": [b],
+                "forecast_1_c": [l + b],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def holt_state(
+    df: DataFrame,
+    key_col: str,
+    alpha: float,
+    beta: float,
+    ts_ms_col: str = "ts_ms",
+    seq_col: str = "event_id",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Per-key streaming Holt smoothing via transformWithState. Output
+    (key, n, level_c, trend_c, forecast_1_c); update output mode."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        HoltProcessor(alpha, beta, ts_ms_col, seq_col, value_col),
+        outputStructType=(
+            "key long, n long, level_c double, trend_c double, forecast_1_c double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class ExpiringCountProcessor(StatefulProcessor):
     """Timer surface demo (reference KeyedProcessOperator timers /
     state eviction): every input batch updates a per-key count and

@@ -373,3 +373,44 @@ def test_ewma_state_folds_across_batches_in_order(spark, tmp_path):
     latest = {r.key: (r.n, r.ewma_c) for r in spark.table("v2ewma").collect()}
     assert latest[1] == (3, 775.0)  # 400 -> .75*400+.25*800=500 -> .75*500+.25*1600=775
     assert latest[2] == (1, 1200.0)
+
+
+@pytest.mark.skipif(
+    not requires_state_v2_runtime(),
+    reason="no protobuf runtime (installed or vendored minipb shim)",
+)
+def test_holt_state_folds_across_batches_with_trend(spark, tmp_path):
+    """Level AND trend must carry across micro-batches: cents 100, 200
+    (batch 1) then 300 (batch 2) with alpha=.5 beta=.25 give
+    l=231.25, b=29.6875 — identical to the single-batch batch fold."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.streaming.stateful_v2 import holt_state
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, "a", T(1), 1.0), (1, "b", T(2), 2.0)],
+        [(1, "c", T(3), 3.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    out = holt_state(stream, "user_id", alpha=0.5, beta=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("v2holt")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = {r.key: (r.n, r.level_c, r.trend_c) for r in spark.table("v2holt").collect()}
+    assert latest[1] == (3, 231.25, 29.6875)
