@@ -194,6 +194,7 @@ def main() -> None:
         "q_phrase_search",
         "q_winsorize",
         "q_association_rules",
+        "q_holt",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
