@@ -431,3 +431,62 @@ def test_cdc_apply_matches_python_fold(spark, ops):
         if op != "d":
             want[k] = (v, s, len(h))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    radius=st.integers(min_value=1, max_value=10**5),
+)
+@settings(**SETTINGS)
+def test_near_pairs_equals_brute_force(spark, rows, radius):
+    """The banded self-join finds EXACTLY the brute-force pair set for
+    arbitrary values (negative, duplicated, cross-bucket) and radii."""
+    from itertools import combinations
+
+    from stream_processing_platform_spark.operators.joins import near_pairs
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k string, v long")
+    got = {(r.id_a, r.id_b) for r in near_pairs(df, "id", "v", radius, "k").collect()}
+    want = {
+        (a[0], b[0])
+        for a, b in combinations(sorted(data, key=lambda t: (t[2], t[0])), 2)
+        if a[1] == b[1] and abs(a[2] - b[2]) <= radius
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**7), max_value=10**7), min_size=1, max_size=60
+    )
+)
+@settings(**SETTINGS)
+def test_ewma_fold_bit_identical_to_python(spark, vals):
+    """The aggregate-HOF fold is BIT-identical to the same IEEE fold in
+    Python for arbitrary integer series — the exactness claim the
+    DuckDB oracle relies on."""
+    import datetime as dt
+
+    from stream_processing_platform_spark.operators.timeseries import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + dt.timedelta(seconds=i), 1, c / 100.0) for i, c in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, value double"
+    )
+    [row] = ewma(df, "ts", "value", "user_id", alpha=0.25, seq_col="event_id").collect()
+    s = None
+    for c in vals:
+        x = float(round(c / 100.0 * 100))  # same cents scaling
+        s = x if s is None else s * 0.75 + x * 0.25
+    assert row.ewma_c == s  # == : bit-identity, not approx
