@@ -333,12 +333,16 @@ def association_rules(
     Output: item_a, item_b (item_a < item_b), co_count, supp_ppm,
     conf_a_to_b_ppm (co/support(a)), lift_ppm.
     """
+    from stream_processing_platform_spark.operators.graph import _checkpointer
+
     b = baskets.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
     sized = b.groupBy("_b").agg(F.count("*").alias("_bs"))
     ok = sized.filter(F.col("_bs") <= max_basket_items).select("_b")
-    b = b.join(ok, "_b", "semi")
+    # four consumers (count, supports, both self-join sides) — left
+    # un-materialized each would re-run the distinct + cap chain
+    b = _checkpointer(b)(b.join(ok, "_b", "semi"))
     n_baskets = b.select("_b").distinct().count()
     support = b.groupBy("_i").agg(F.count("*").alias("cnt"))
     l, r = b.alias("l"), b.alias("r")
