@@ -781,7 +781,14 @@ def incremental_semantic_dedup(
     the clusters the batch touches. Output: ``id_col``, ``cluster``,
     ``kept`` for the INCOMING batch only.
     """
-    inc = _sem_members(incoming, centroids, id_col, vec_col, centroid_id, centroid_vec, assign)
+    from stream_processing_platform_spark.operators.graph import _checkpointer
+
+    # four consumers of the batch-side members (both join probes, the
+    # tie-ordered self-join side, the final keep join) — materialize
+    # once or each re-runs the Arrow assignment pass over the batch
+    inc = _checkpointer(incoming)(
+        _sem_members(incoming, centroids, id_col, vec_col, centroid_id, centroid_vec, assign)
+    )
     ex = _sem_members(existing_kept, centroids, id_col, vec_col, centroid_id, centroid_vec, assign)
     b = inc.select(
         F.col(id_col).alias("_idb"), F.col("cluster").alias("_cl"),
