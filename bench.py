@@ -195,6 +195,7 @@ def main() -> None:
         "q_winsorize",
         "q_association_rules",
         "q_holt",
+        "q_clustering_coeff",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

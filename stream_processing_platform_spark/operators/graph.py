@@ -424,3 +424,43 @@ def kcore_peel(
             )
         )
     return degrees(e)
+
+
+def clustering_coefficients(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``2·triangles / (deg·(deg−1))`` — how close each vertex's
+    neighborhood is to a clique, the standard cohesion metric next to
+    triangle counts. Vertices with deg < 2 are excluded (undefined).
+
+    Reuses :func:`triangle_counts` (edge-iterator closing) plus one
+    degree aggregate and a vertex-keyed join; the ratio is exact
+    integer ppm (floor division), so it crosses engines exactly.
+    Output: id, deg (BIGINT), triangles (BIGINT), cc_ppm (BIGINT).
+    """
+    e = (
+        pairs.select(
+            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_counts(pairs, a_col, b_col)
+    out = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "id", "left")
+        .withColumn("triangles", F.coalesce(F.col("triangles"), F.lit(0).cast("long")))
+    )
+    return out.select(
+        "id",
+        "deg",
+        "triangles",
+        F.expr("(2 * triangles * 1000000) div (deg * (deg - 1))").alias("cc_ppm"),
+    )

@@ -141,3 +141,58 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_peel(
         _customer_pairs(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
     )
+
+
+def _cc_oracle() -> str:
+    # triangle CTE chain shared with q_triangle_counts via _EDGE_SQL
+    return f"""
+    WITH {_EDGE_SQL},
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+      GROUP BY id
+    ),
+    o AS (
+      SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+      FROM e
+      JOIN deg da ON da.id = e.a
+      JOIN deg db ON db.id = e.b
+    ),
+    w AS (
+      SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      FROM o o1 JOIN o o2
+        ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+    ),
+    t AS (SELECT x, y, z FROM w JOIN o ON o.u = w.y AND o.v = w.z),
+    tc AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT x AS id FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t)
+      GROUP BY id
+    )
+    SELECT deg.id, deg.deg,
+           CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
+           CAST((2 * COALESCE(tc.triangles, 0) * 1000000)
+                // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
+    FROM deg LEFT JOIN tc ON tc.id = deg.id
+    WHERE deg.deg >= 2
+    """
+
+
+@query(
+    "q_clustering_coeff",
+    oracle=_cc_oracle(),
+    description="Local clustering coefficients over the customer "
+    "proximity graph (operators/graph.clustering_coefficients): "
+    "2·triangles / (deg·(deg−1)) per vertex in exact integer ppm — "
+    "neighborhood cohesion next to raw triangle counts; reuses the "
+    "edge-iterator triangle pipeline plus one degree aggregate and a "
+    "vertex-keyed join. Oracle shares the brute-force edge CTE with "
+    "q_triangle_counts (its wedge-form triangle chain is an "
+    "independent formulation of the same counts).",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.clustering_coefficients(_customer_pairs(spark, sf_dir))

@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "q_percentiles_distributed",
     "q_snapshot_diff",
     "q_kcore",
+    "q_clustering_coeff",
     "q_impute_mode",
     "q_window_range_frame",
     "q_kanon_pseudonymize",

@@ -231,3 +231,22 @@ def test_near_pairs_rejects_degenerate_radius(spark):
     df = spark.createDataFrame([(1, 5)], "id long, v long")
     with pytest.raises(ValueError, match="radius"):
         near_pairs(df, "id", "v", 0)
+
+
+def test_clustering_coefficients_hand_computed(spark):
+    """K4: cc=1.0 for all; pendant e (deg 1) excluded; d (deg 4, 3
+    triangles among its 6 neighbor pairs) cc = 3/6."""
+    from stream_processing_platform_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    k4p = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("d", "e")],
+        "id_a string, id_b string",
+    )
+    got = {r.id: (r.deg, r.triangles, r.cc_ppm)
+           for r in clustering_coefficients(k4p).collect()}
+    assert got["a"] == (3, 3, 1_000_000)
+    assert got["d"] == (4, 3, 500_000)
+    assert "e" not in got  # deg 1: undefined, excluded
