@@ -781,12 +781,12 @@ def incremental_semantic_dedup(
     the clusters the batch touches. Output: ``id_col``, ``cluster``,
     ``kept`` for the INCOMING batch only.
     """
-    from stream_processing_platform_spark.operators.graph import _checkpointer
+    from stream_processing_platform_spark.partitioning import checkpointer
 
     # four consumers of the batch-side members (both join probes, the
     # tie-ordered self-join side, the final keep join) — materialize
     # once or each re-runs the Arrow assignment pass over the batch
-    inc = _checkpointer(incoming)(
+    inc = checkpointer(incoming)(
         _sem_members(incoming, centroids, id_col, vec_col, centroid_id, centroid_vec, assign)
     )
     ex = _sem_members(existing_kept, centroids, id_col, vec_col, centroid_id, centroid_vec, assign)

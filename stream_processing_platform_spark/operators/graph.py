@@ -29,22 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stream_processing_platform_spark.partitioning import checkpointer
 
-def _checkpointer(df: DataFrame):
-    """Reliable ``.checkpoint()`` when a checkpoint dir is configured,
-    ``localCheckpoint`` otherwise. Both materialize eagerly and truncate
-    lineage; only the reliable form survives executor loss.
 
-    Housekeeping: Spark does not delete reliable checkpoint files by
-    default — a long-running service calling this repeatedly should set
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (removes
-    them when the RDD is GC'd) or prune the checkpoint dir between
-    batches; each connected_components run writes edges + one labels
-    dataset per round."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return lambda d: d.checkpoint(eager=True)
-    return lambda d: d.localCheckpoint(eager=True)
+# Shared materialization helper — promoted to partitioning.checkpointer
+# (generic infrastructure: graph rounds, ranking baskets, dedup batch
+# members all use it); kept importable here for its original callers.
+_checkpointer = checkpointer
 
 
 def connected_components(
@@ -332,14 +323,25 @@ def triangle_counts(
     one-row-per-pair or both-directions input is accepted.
     Output: id, triangles (BIGINT) for every vertex in ≥1 triangle.
     """
-    ckpt = _checkpointer(pairs)
-    e = ckpt(
+    return _triangles_from_edges(_canonical_edges(pairs, a_col, b_col))
+
+
+def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Checkpointed canonical edge set (a < b, distinct, no loops) —
+    materialized once so every consumer (degrees, orientation,
+    clustering coefficients) reads blocks instead of re-running the
+    caller's candidate-generation lineage."""
+    return _checkpointer(pairs)(
         pairs.select(
             F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+
+def _triangles_from_edges(e: DataFrame) -> DataFrame:
+    ckpt = _checkpointer(e)
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
@@ -439,20 +441,17 @@ def clustering_coefficients(
     integer ppm (floor division), so it crosses engines exactly.
     Output: id, deg (BIGINT), triangles (BIGINT), cc_ppm (BIGINT).
     """
-    e = (
-        pairs.select(
-            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    # ONE checkpointed edge set feeds both the degree branch and the
+    # triangle pipeline — duplicating the canonicalization would re-run
+    # the caller's candidate-generation lineage per branch
+    e = _canonical_edges(pairs, a_col, b_col)
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
-    tri = triangle_counts(pairs, a_col, b_col)
+    tri = _triangles_from_edges(e)
     out = (
         deg.filter(F.col("deg") >= 2)
         .join(tri, "id", "left")

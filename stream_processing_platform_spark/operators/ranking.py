@@ -333,7 +333,7 @@ def association_rules(
     Output: item_a, item_b (item_a < item_b), co_count, supp_ppm,
     conf_a_to_b_ppm (co/support(a)), lift_ppm.
     """
-    from stream_processing_platform_spark.operators.graph import _checkpointer
+    from stream_processing_platform_spark.partitioning import checkpointer
 
     b = baskets.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
@@ -342,8 +342,11 @@ def association_rules(
     ok = sized.filter(F.col("_bs") <= max_basket_items).select("_b")
     # four consumers (count, supports, both self-join sides) — left
     # un-materialized each would re-run the distinct + cap chain
-    b = _checkpointer(b)(b.join(ok, "_b", "semi"))
-    n_baskets = b.select("_b").distinct().count()
+    b = checkpointer(b)(b.join(ok, "_b", "semi"))
+    # basket total as a LAZY one-row frame (the oracle's CROSS JOIN nb
+    # shape) — an eager count() would run jobs at construction time and
+    # bake a stale literal into the plan
+    nb = b.agg(F.count_distinct("_b").alias("_n"))
     support = b.groupBy("_i").agg(F.count("*").alias("cnt"))
     l, r = b.alias("l"), b.alias("r")
     pairs = (
@@ -354,7 +357,11 @@ def association_rules(
     )
     sa = support.select(F.col("_i").alias("item_a"), F.col("cnt").alias("_ca"))
     sb = support.select(F.col("_i").alias("item_b"), F.col("cnt").alias("_cb"))
-    out = pairs.join(F.broadcast(sa), "item_a").join(F.broadcast(sb), "item_b")
+    out = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(nb))
+    )
     co = F.col("co_count")
     return out.select(
         "item_a",
@@ -363,13 +370,19 @@ def association_rules(
         (co * 1_000_000).cast("long").alias("_s"),
         F.col("_ca"),
         F.col("_cb"),
+        F.col("_n"),
     ).select(
         "item_a",
         "item_b",
         "co_count",
-        F.expr(f"_s div {max(n_baskets, 1)}").alias("supp_ppm"),
+        F.expr("_s div _n").alias("supp_ppm"),
         F.expr("_s div _ca").alias("conf_a_to_b_ppm"),
-        F.expr(f"(co_count * {max(n_baskets, 1)} * 1000000) div (_ca * _cb)").alias(
-            "lift_ppm"
-        ),
+        # lift's numerator co·n·1e6 exceeds int64 once co·n > 9.2e12
+        # (any popular pair at lake scale): run the one wide product in
+        # DECIMAL(38,0) — exact integer floor, same value duckdb's
+        # HUGEINT `//` computes
+        F.expr(
+            "CAST(floor(CAST(co_count AS DECIMAL(38,0)) * _n * 1000000"
+            " / (CAST(_ca AS DECIMAL(38,0)) * _cb)) AS BIGINT)"
+        ).alias("lift_ppm"),
     )

@@ -57,3 +57,25 @@ def enable_runtime_bloom_filters(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         application_side_threshold,
     )
+
+
+def checkpointer(df: DataFrame):
+    """Materialization helper shared by every operator whose lineage
+    feeds MULTIPLE downstream branches (iterative graph rounds,
+    self-joined candidate sets, batch members consumed by several
+    probes): returns a function that checkpoints a DataFrame eagerly
+    and truncates lineage, so each consumer reads the materialized
+    blocks instead of re-running the upstream chain.
+
+    Reliable ``.checkpoint()`` when the SparkContext has a checkpoint
+    dir configured (blocks re-readable from shared storage — survives
+    executor loss on a cluster), ``localCheckpoint`` otherwise (blocks
+    on executors — fine on local[n]). Housekeeping: Spark does not
+    delete reliable checkpoint files by default; long-running services
+    should set ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    or prune the checkpoint dir between runs.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return lambda d: d.checkpoint(eager=True)
+    return lambda d: d.localCheckpoint(eager=True)

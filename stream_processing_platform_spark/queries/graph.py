@@ -54,19 +54,21 @@ def _customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.near_pairs(c, "id", "cents", _RADIUS, key_cols=["nk"])
 
 
-@query(
-    "q_triangle_counts",
-    oracle=f"""
-    WITH {_EDGE_SQL},
+
+# Wedge-form triangle CTE chain (deg/o/w/t/tc), shared by the
+# q_triangle_counts and q_clustering_coeff oracles — the nontrivial SQL
+# exists ONCE (same doctrine as _EDGE_SQL); it is an independent
+# formulation of the counts the Spark edge-iterator computes.
+_TRI_SQL = """
     deg AS (
-      SELECT id, CAST(count(*) AS BIGINT) AS d
+      SELECT id, CAST(count(*) AS BIGINT) AS deg
       FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
       GROUP BY id
     ),
     o AS (
-      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
-             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
-             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+      SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
       FROM e
       JOIN deg da ON da.id = e.a
       JOIN deg db ON db.id = e.b
@@ -76,12 +78,21 @@ def _customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o o1 JOIN o o2
         ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
     ),
-    t AS (SELECT x, y, z FROM w JOIN o ON o.u = w.y AND o.v = w.z)
-    SELECT id, CAST(count(*) AS BIGINT) AS triangles
-    FROM (SELECT x AS id FROM t
-          UNION ALL SELECT y FROM t
-          UNION ALL SELECT z FROM t)
-    GROUP BY id
+    t AS (SELECT x, y, z FROM w JOIN o ON o.u = w.y AND o.v = w.z),
+    tc AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT x AS id FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t)
+      GROUP BY id
+    )"""
+
+
+@query(
+    "q_triangle_counts",
+    oracle=f"""
+    WITH {_EDGE_SQL},{_TRI_SQL}
+    SELECT id, triangles FROM tc
     """,
     description="Per-customer triangle counts over the same-nation "
     "balance-proximity graph: edges from the banded numeric self-join "
@@ -144,35 +155,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_oracle() -> str:
-    # triangle CTE chain shared with q_triangle_counts via _EDGE_SQL
     return f"""
-    WITH {_EDGE_SQL},
-    deg AS (
-      SELECT id, CAST(count(*) AS BIGINT) AS deg
-      FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
-      GROUP BY id
-    ),
-    o AS (
-      SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
-             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
-             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
-      FROM e
-      JOIN deg da ON da.id = e.a
-      JOIN deg db ON db.id = e.b
-    ),
-    w AS (
-      SELECT o1.u AS x, o1.v AS y, o2.v AS z
-      FROM o o1 JOIN o o2
-        ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
-    ),
-    t AS (SELECT x, y, z FROM w JOIN o ON o.u = w.y AND o.v = w.z),
-    tc AS (
-      SELECT id, CAST(count(*) AS BIGINT) AS triangles
-      FROM (SELECT x AS id FROM t
-            UNION ALL SELECT y FROM t
-            UNION ALL SELECT z FROM t)
-      GROUP BY id
-    )
+    WITH {_EDGE_SQL},{_TRI_SQL}
     SELECT deg.id, deg.deg,
            CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
            CAST((2 * COALESCE(tc.triangles, 0) * 1000000)

@@ -3370,8 +3370,8 @@ _AR_MAX_BASKET = 100
     SELECT item_a, item_b, co_count,
            CAST((co_count * 1000000) // nb.n AS BIGINT) AS supp_ppm,
            CAST((co_count * 1000000) // sa.cnt AS BIGINT) AS conf_a_to_b_ppm,
-           CAST((co_count * nb.n * 1000000) // (sa.cnt * sb.cnt) AS BIGINT)
-             AS lift_ppm
+           CAST((CAST(co_count AS HUGEINT) * nb.n * 1000000)
+                // (CAST(sa.cnt AS HUGEINT) * sb.cnt) AS BIGINT) AS lift_ppm
     FROM p
     JOIN sup sa ON sa.it = p.item_a
     JOIN sup sb ON sb.it = p.item_b
