@@ -276,7 +276,21 @@ def main() -> None:
                 "sufficient-statistic correlation, phrase search, "
                 "winsorize; q_stream_ewma/q_stream_avro stay out with "
                 "the other live streaming queries, q_avro_roundtrip "
-                "out because it measures file staging, not a plan",
+                "out because it measures file staging, not a plan. "
+                "r7b measurement notes: two full runs landed at 11.1s/"
+                "11.45s total while the 15-min load average was still "
+                "draining from a 19-minute pytest suite — stable-query "
+                "medians (q01 0.48-0.56, minhash 0.80, near_dup "
+                "1.10-1.17 vs r5's 1.55) are level with r5/r6, and no "
+                "r7b commit touched a headline query's plan, so treat "
+                "total deltas vs r6's 9.3 as harness variance unless a "
+                "per-query plan gate says otherwise. r7b extended "
+                "wins (median-of-3, quiet): q_triangle_counts 4.7->2.2s "
+                "(edge-iterator closing + checkpointed reused frames), "
+                "q_association_rules 2.3->1.1s and "
+                "q_semdedup_incremental 2.2->1.5s (checkpoint the "
+                "multiply-consumed frame — un-materialized, every "
+                "consumer re-ran the upstream candidate generation)",
             }
         )
     )
