@@ -463,3 +463,44 @@ def clustering_coefficients(
         "triangles",
         F.expr("(2 * triangles * 1000000) div (deg * (deg - 1))").alias("cc_ppm"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: hop distance from
+    the nearest source, for every vertex within ``rounds`` hops — the
+    reachability/neighborhood-radius primitive next to connected
+    components (bounded rounds keep the recurrence oracle-able as a
+    generated per-round CTE chain, the q_lpa_labels doctrine).
+
+    Per round: ship each labeled vertex's distance along its edges
+    (one key join), take the min per destination including the current
+    label (one shuffle) — the frontier-relaxation step every Pregel
+    BFS runs, as DataFrame ops with checkpoint-truncated lineage and
+    no driver-side adjacency. Output: id, hops (BIGINT, 0 for the
+    sources themselves).
+    """
+    ckpt = _checkpointer(edges)
+    sym = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = ckpt(
+        sym.union(sym.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).distinct()
+    )
+    dist = ckpt(
+        sources.select(F.col(id_col).alias("_v"), F.lit(0).cast("long").alias("hops"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(dist, sym["_s"] == dist["_v"])
+            .select(F.col("_d").alias("_v"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = ckpt(
+            dist.unionByName(relaxed).groupBy("_v").agg(F.min("hops").alias("hops"))
+        )
+    return dist.select(F.col("_v").alias(id_col), "hops")

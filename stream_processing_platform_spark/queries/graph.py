@@ -180,3 +180,46 @@ def _cc_oracle() -> str:
 )
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.clustering_coefficients(_customer_pairs(spark, sf_dir))
+
+
+_BFS_ROUNDS = 3
+_BFS_SRC_MOD = 97  # sources: custkey % 97 == 0 — a sparse seed set
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        f"WITH {_EDGE_SQL}",
+        "sym AS (SELECT a AS s, b AS d FROM e UNION SELECT b, a FROM e)",
+        f"d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM c"
+        f" WHERE id % {_BFS_SRC_MOD} = 0)",
+    ]
+    for t in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f"d{t} AS (SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM ("
+            f"SELECT id, hops FROM d{t - 1}"
+            f" UNION ALL"
+            f" SELECT sym.d AS id, p.hops + 1 AS hops"
+            f" FROM sym JOIN d{t - 1} p ON sym.s = p.id"
+            f") GROUP BY id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, hops FROM d{_BFS_ROUNDS}"
+
+
+@query(
+    "q_bfs_hops",
+    oracle=_bfs_oracle(),
+    description=f"Multi-source BFS hop distances (operators/graph."
+    f"bfs_hops, {_BFS_ROUNDS} rounds) over the customer proximity "
+    "graph from a sparse seed set — per round one edge join + one "
+    "min-per-vertex shuffle (the Pregel frontier relaxation), lineage "
+    "checkpoint-truncated. Oracle is a GENERATED per-round CTE chain "
+    "over the shared brute-force edge CTE; exact integer hops.",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.graph import bfs_hops
+
+    pairs = _customer_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % _BFS_SRC_MOD == 0
+    ).select(F.col("c_custkey").alias("id"))
+    return bfs_hops(pairs, src, rounds=_BFS_ROUNDS)

@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "q_snapshot_diff",
     "q_kcore",
     "q_clustering_coeff",
+    "q_bfs_hops",
     "q_impute_mode",
     "q_window_range_frame",
     "q_kanon_pseudonymize",

@@ -250,3 +250,19 @@ def test_clustering_coefficients_hand_computed(spark):
     assert got["a"] == (3, 3, 1_000_000)
     assert got["d"] == (4, 3, 500_000)
     assert "e" not in got  # deg 1: undefined, excluded
+
+
+def test_bfs_hops_multi_source_min_and_bound(spark):
+    """Chain a-b-c-d-e with sources {a, e}: hops are min-distance to the
+    NEAREST source; rounds bound the frontier (rounds=1 leaves the
+    middle unreached)."""
+    from stream_processing_platform_spark.operators.graph import bfs_hops
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "id_a string, id_b string"
+    )
+    src = spark.createDataFrame([("a",), ("e",)], "id string")
+    got = {r.id: r.hops for r in bfs_hops(chain, src, rounds=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 0}
+    one = {r.id: r.hops for r in bfs_hops(chain, src, rounds=1).collect()}
+    assert one == {"a": 0, "b": 1, "d": 1, "e": 0}  # c beyond round 1
