@@ -3393,3 +3393,86 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey",
         min_co=_AR_MIN_CO, max_basket_items=_AR_MAX_BASKET,
     )
+
+
+@query(
+    "q_rolling_slope",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id,
+             epoch_ms(ts) AS ts_ms,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, ts_ms, v,
+             (ts_ms - min(ts_ms) OVER (PARTITION BY user_id)) // 1000 AS t
+      FROM b
+    ),
+    s AS (
+      SELECT event_id, user_id, ts_ms,
+             CAST(count(*) OVER w AS BIGINT)   AS n,
+             CAST(sum(t) OVER w AS BIGINT)     AS st,
+             CAST(sum(v) OVER w AS BIGINT)     AS sv,
+             CAST(sum(t * t) OVER w AS BIGINT) AS stt,
+             CAST(sum(t * v) OVER w AS BIGINT) AS stv
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                   RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts_ms, n,
+           CAST(CASE
+             WHEN CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st = 0.0 THEN 0
+             ELSE floor((CAST(n AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+                        / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                        * 1000000.0 + 0.5)
+           END AS BIGINT) AS slope_ppm
+    FROM s
+    """,
+    description="Rolling OLS trend features: each event's trailing "
+    "6-hour per-user regression slope (cents per second, integer ppm) "
+    "from five sufficient-statistic sums maintained by ONE RANGE-"
+    "framed window pass — the q_correlation algebra fused with the "
+    "q_window_range_frame shape; no per-window self-join, one "
+    "partition-keyed sort. t is rebased per user (seconds since first "
+    "event) so the integer sums stay in range; final algebra in "
+    "identical IEEE doubles with floor(x+0.5), degenerate windows "
+    "(single point / zero time spread) emit the 0 sentinel.",
+)
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        windows_batch.epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    # integer floor division on both engines — duckdb's / is FLOAT
+    # division and its double->int cast ROUNDS, Spark's truncates
+    r = e.withColumn("_mn", F.min("ts_ms").over(wu)).withColumn(
+        "t", F.expr("(ts_ms - _mn) div 1000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms"))
+        .rangeBetween(-21_600_000, 0)
+    )
+    s = r.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.count("*").over(w).alias("n"),
+        F.sum("t").over(w).alias("st"),
+        F.sum("v").over(w).alias("sv"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("stt"),
+        F.sum(F.col("t") * F.col("v")).over(w).alias("stv"),
+    )
+    nd = F.col("n").cast("double")
+    std, svd = F.col("st").cast("double"), F.col("sv").cast("double")
+    denom = nd * F.col("stt") - std * F.col("st")
+    slope = F.when(denom == 0.0, F.lit(0)).otherwise(
+        F.floor((nd * F.col("stv") - std * svd) / denom * 1_000_000.0 + 0.5)
+    )
+    return s.select(
+        "event_id", "user_id", "ts_ms", "n", slope.cast("long").alias("slope_ppm")
+    )

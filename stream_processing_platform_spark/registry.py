@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "q_kcore",
     "q_clustering_coeff",
     "q_bfs_hops",
+    "q_rolling_slope",
     "q_impute_mode",
     "q_window_range_frame",
     "q_kanon_pseudonymize",
