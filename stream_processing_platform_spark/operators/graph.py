@@ -38,6 +38,16 @@ from stream_processing_platform_spark.partitioning import checkpointer
 _checkpointer = checkpointer
 
 
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Checkpointed undirected closure of an edge list: both directions,
+    distinct, columns (_s, _d) — the shared first step of every
+    undirected graph traversal in this module."""
+    sym = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    return _checkpointer(edges)(
+        sym.union(sym.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).distinct()
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -55,9 +65,7 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir(...)`` (see module docstring).
     """
     ckpt = _checkpointer(edges)
-    sym = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
-    sym = sym.union(sym.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).distinct()
-    sym = ckpt(sym)
+    sym = _symmetrize(edges, src_col, dst_col)
 
     labels = ckpt(
         vertices.select(F.col(id_col).alias("_v"), F.col(id_col).alias("component"))
@@ -487,20 +495,29 @@ def bfs_hops(
     sources themselves).
     """
     ckpt = _checkpointer(edges)
-    sym = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
-    sym = ckpt(
-        sym.union(sym.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).distinct()
-    )
+    sym = _symmetrize(edges, src_col, dst_col)
     dist = ckpt(
         sources.select(F.col(id_col).alias("_v"), F.lit(0).cast("long").alias("hops"))
         .distinct()
     )
+    # Frontier-only relaxation (standard Pregel BFS): a vertex settled
+    # at hop k can never improve a neighbor after round k+1, so only
+    # the vertices REACHED LAST ROUND ship offers — edge-join work is
+    # O(reached × degree) total, not × rounds.
+    frontier = dist
     for _ in range(rounds):
-        relaxed = (
-            sym.join(dist, sym["_s"] == dist["_v"])
-            .select(F.col("_d").alias("_v"), (F.col("hops") + 1).alias("hops"))
+        offers = sym.join(frontier, sym["_s"] == frontier["_v"]).select(
+            F.col("_d").alias("_v"), (F.col("hops") + 1).alias("hops")
         )
-        dist = ckpt(
-            dist.unionByName(relaxed).groupBy("_v").agg(F.min("hops").alias("hops"))
+        merged = ckpt(
+            dist.unionByName(offers).groupBy("_v").agg(F.min("hops").alias("hops"))
         )
+        frontier = (
+            merged.join(
+                dist.select("_v", F.col("hops").alias("_old")), "_v", "left"
+            )
+            .where(F.col("_old").isNull() | (F.col("hops") < F.col("_old")))
+            .select("_v", "hops")
+        )
+        dist = merged
     return dist.select(F.col("_v").alias(id_col), "hops")

@@ -216,10 +216,8 @@ def _bfs_oracle() -> str:
     "over the shared brute-force edge CTE; exact integer hops.",
 )
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_platform_spark.operators.graph import bfs_hops
-
     pairs = _customer_pairs(spark, sf_dir)
     src = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % _BFS_SRC_MOD == 0
     ).select(F.col("c_custkey").alias("id"))
-    return bfs_hops(pairs, src, rounds=_BFS_ROUNDS)
+    return graph.bfs_hops(pairs, src, rounds=_BFS_ROUNDS)
