@@ -206,94 +206,25 @@ def main() -> None:
             samples.append(time.time() - t0)
         samples.sort()
         extended[name] = round(samples[len(samples) // 2], 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "stream_rows_per_sec": int(stream_rows / stream_sec),
-                # r3 methodology change: median-of-3 with a FRESH
-                # DataFrame per run. Earlier rounds timed a re-collect of
-                # the warm-up's DataFrame, which silently skipped
-                # completed shuffle map stages — shuffle-heavy queries
-                # (minhash/simhash/embedding LSH) were under-measured by
-                # 2-3x. r3 numbers are comparable to each other and to
-                # future rounds, not to r1/r2 for those queries.
-                "methodology": "median-of-3, fresh lineage per run",
-                # r5 operators measured identically but excluded from
-                # `value` so the headline total stays the fixed 21-query
-                # set comparable to r3/r4.
-                "extended_queries": extended,
-                # q_window_session r2->r3 delta (0.88->1.17 s) is fully
-                # accounted for by that methodology fix: the plan was and
-                # is single-shuffle (one Exchange+Sort feeds both window
-                # passes AND the final session aggregate, which rides the
-                # same user_id partitioning — verified via formatted
-                # explain); 0.88 s timed a warm re-collect.
-                "notes": "q_window_session r2 number was stage-reuse "
-                "under-measurement (plan unchanged: single-shuffle, "
-                "verified via formatted explain); absolute cost varies "
-                "with harness load — 1.17s in r3, 0.67s in r4. "
-                "q08_market_share r3->r4 +14% (0.626->0.713s) was run "
-                "variance, not a regression: r5 measures 0.515s with an "
-                "unchanged, gate-verified 5x-BroadcastHashJoin plan. "
-                "r5's flagged q_embedding_near_dup +23% / q_dedup_exact "
-                "+24% were likewise variance: r6 re-measured both "
-                "median-of-5 against the r4 code in a worktree on the "
-                "same harness — q_dedup_exact's r4 code measured SLOWER "
-                "(0.318s) than current (0.279s), and the near-dup "
-                "normalized formatted plan is hash-identical r4<->r6 "
-                "(shape now pinned: 1 shuffle Exchange + broadcast "
-                "verify join in test_plan_quality). r6 headline: total "
-                "10.3->9.3s, stream throughput 127k->152k rows/s; "
-                "q_winnow_dup_pairs 6.74->2.2s (cross-engine polynomial "
-                "hash on an Arrow path replaced the md5-per-gram chain; "
-                "oracle still MATCHes); gap_fill's lead+explode rewrite "
-                "replaced the grid join (~2.5x on its extended reading). "
-                "q_approx_percentile bench readings >1.3s are "
-                "cold-first-sample variance — solo median-of-5 on a "
-                "quiet harness is 0.87s with an unchanged sketch plan; "
-                "q_ann_pq wobbles 1.3-2.1s run-to-run (codebook build "
-                "dominates at sf0.1), full-corpus ADC is inherent to "
-                "PQ-without-IVF and the IVFPQ tier is the bounded path. "
-                "r7: q02 pushes its part/EUROPE filters below the cost "
-                "aggregate as broadcast semi-joins and bm25 drops the "
-                "doc-length token-explode shuffle (size(tokens) in the "
-                "scan + in-array term filter) — 0.82->0.31s and "
-                "0.96->0.37s on a quiet harness; semdedup member prep "
-                "moved from interpreted HOF dots to one mapInPandas "
-                "matmul pass (3.5->1.35s, expression twin pytest-pinned); "
-                "extended gains six new round-7 queries (the two live streaming r7 queries stay out — the stream metric already covers the streaming path) "
-                "plus the r7b set: q_ewma (ordered per-key fold), "
-                "q_triangle_counts (degree-oriented triangles over the "
-                "banded proximity self-join), q_incremental_agg_refresh "
-                "(state merge), q_window_distribution (percent_rank/"
-                "cume_dist), rank-select percentiles, snapshot diff, "
-                "k-core, mode imputation, RANGE frames, k-anonymity, "
-                "sufficient-statistic correlation, phrase search, "
-                "winsorize; q_stream_ewma/q_stream_avro stay out with "
-                "the other live streaming queries, q_avro_roundtrip "
-                "out because it measures file staging, not a plan. "
-                "r7b measurement notes: two full runs landed at 11.1s/"
-                "11.45s total while the 15-min load average was still "
-                "draining from a 19-minute pytest suite — stable-query "
-                "medians (q01 0.48-0.56, minhash 0.80, near_dup "
-                "1.10-1.17 vs r5's 1.55) are level with r5/r6, and no "
-                "r7b commit touched a headline query's plan, so treat "
-                "total deltas vs r6's 9.3 as harness variance unless a "
-                "per-query plan gate says otherwise. r7b extended "
-                "wins (median-of-3, quiet): q_triangle_counts 4.7->2.2s "
-                "(edge-iterator closing + checkpointed reused frames), "
-                "q_association_rules 2.3->1.1s and "
-                "q_semdedup_incremental 2.2->1.5s (checkpoint the "
-                "multiply-consumed frame — un-materialized, every "
-                "consumer re-ran the upstream candidate generation)",
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stream_rows_per_sec": int(stream_rows / stream_sec),
+        "methodology": "median-of-3, fresh lineage per run",
+        # Operators added after r4 are measured identically but
+        # excluded from `value` so the headline total stays the
+        # fixed 21-query set comparable to r3+.
+        "extended_queries": extended,
+        # HARD CAP: the driver tail-captures this line; a long notes
+        # field broke JSON parsing in r6/r7 (parsed: null). All
+        # measurement prose lives in BENCH_NOTES.md.
+        "notes": "methodology + per-round prose in BENCH_NOTES.md",
+    }
+    assert len(payload["notes"]) <= 200, "notes must stay tail-capturable"
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
