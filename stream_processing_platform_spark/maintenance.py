@@ -12,18 +12,31 @@ filesystem rename — callers flip their readers to the new path.
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def parquet_bytes(path: str) -> int:
-    """Total bytes of parquet data files under ``path`` (local FS)."""
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Resolve ``path`` through the Hadoop FileSystem API — the same
+    abstraction every Spark read/write uses, so maintenance ops work on
+    any Spark-supported store (``file:``, ``hdfs:``, ``s3a:``, …), not
+    just the driver's local disk. Returns ``(fs, jpath)``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def parquet_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of parquet data files under ``path`` (recursive),
+    via the Hadoop FS API — works against any Spark-supported scheme."""
+    fs, jpath = _hadoop_fs(spark, path)
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     return total
 
 
@@ -43,7 +56,7 @@ def compact_parquet(
     target (splitting requires a shuffle). Returns the compacted
     DataFrame reading from ``dst_path``."""
     df = spark.read.parquet(src_path)
-    n_files = max(1, math.ceil(parquet_bytes(src_path) / (target_file_mb * 1024 * 1024)))
+    n_files = max(1, math.ceil(parquet_bytes(spark, src_path) / (target_file_mb * 1024 * 1024)))
     n_input = df.rdd.getNumPartitions()
     out = df.coalesce(n_files) if n_input >= n_files else df.repartition(n_files)
     out.write.mode("error").parquet(dst_path)
@@ -73,7 +86,7 @@ def compact_parquet_zorder(
 
     df = spark.read.parquet(src_path)
     n_files = num_files or max(
-        1, math.ceil(parquet_bytes(src_path) / (target_file_mb * 1024 * 1024))
+        1, math.ceil(parquet_bytes(spark, src_path) / (target_file_mb * 1024 * 1024))
     )
     z = layout.zorder_value(
         [layout.normalize_to_bits(F.col(c), lo, hi, bits) for c, lo, hi in zorder_cols],
@@ -106,19 +119,21 @@ def retention_prune(
     anything is deleted: a stray ``col=`` prefix or a value whose
     length/character-class skeleton differs from every on-disk value
     (e.g. ``2024-1-7`` against zero-padded ``2024-01-07``) raises
-    instead of silently dropping the wrong set. Local-filesystem only
-    (``os.listdir``/``shutil``) — at lake scale the same partition-
-    directory contract applies but deletion goes through the store's
-    own FS API; this entry point targets the local spark-warehouse.
+    instead of silently dropping the wrong set. Listing and deletion go
+    through the Hadoop FileSystem API — the same abstraction every
+    Spark read/write uses — so this works against any Spark-supported
+    store (``file:``, ``hdfs:``, ``s3a:``, …), not just the driver's
+    local disk (the 100 TB framing assumes an object store).
     Returns the dropped (or would-drop, with ``dry_run``) partition
     values; refuses paths that are not partitioned by ``partition_col``.
     """
-    import shutil
+    fs, jpath = _hadoop_fs(spark, path)
 
     prefix = f"{partition_col}="
     parts = sorted(
-        e for e in os.listdir(path)
-        if e.startswith(prefix) and os.path.isdir(os.path.join(path, e))
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
     )
     if not parts:
         raise ValueError(f"{path!r} has no {prefix}* partition directories")
@@ -140,6 +155,7 @@ def retention_prune(
         )
     doomed = [e for e in parts if e[len(prefix):] < keep_from]
     if not dry_run:
+        jvm = spark._jvm
         for e in doomed:
-            shutil.rmtree(os.path.join(path, e))
+            fs.delete(jvm.org.apache.hadoop.fs.Path(jpath, e), True)
     return [e[len(prefix):] for e in doomed]

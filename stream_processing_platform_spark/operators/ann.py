@@ -21,6 +21,35 @@ from stream_processing_platform_spark.functions.similarity import as_double_arra
 from stream_processing_platform_spark.functions.text import let
 
 
+def _stack_checked(pdf, id_name: str, vec_name: str, dim: int):
+    """``np.stack`` with a clear error for NULL / ragged embeddings.
+
+    A bare ``np.stack`` over a batch containing a NULL vector or one of
+    the wrong length dies with an opaque numpy shape error deep in an
+    executor. The LSH sigrun path masks such rows because its expression
+    twin defines all-zero semantics for them; the Arrow assignment /
+    encoding twins here have NO defined degradation (their expression
+    twins produce murky null-ordering artifacts), so the contract is a
+    loud, named error: fix or filter upstream."""
+    import numpy as np
+
+    arrs = pdf[vec_name].to_numpy()
+    lens = np.fromiter(
+        (len(a) if a is not None else -1 for a in arrs),
+        dtype=np.int64,
+        count=len(pdf),
+    )
+    bad = lens != dim
+    if bad.any():
+        examples = pdf[id_name].to_numpy()[bad][:5].tolist()
+        raise ValueError(
+            f"{vec_name}: {int(bad.sum())} row(s) with NULL or non-{dim}-dim "
+            f"vectors (example {id_name}s: {examples}); embeddings must be "
+            f"non-null fixed-length arrays — filter or repair upstream"
+        )
+    return np.stack(arrs).astype(np.float64, copy=False)
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
     from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
@@ -249,7 +278,7 @@ def _encode_codes(
                 n = len(pdf)
                 if n == 0:
                     continue
-                X = np.stack(pdf[vec_name].to_numpy()).astype(np.float64, copy=False)
+                X = _stack_checked(pdf, id_name, vec_name, M * d)
                 if normalize:
                     X = X / np.linalg.norm(X, axis=1, keepdims=True)
                 S = X.reshape(n, M, d)
@@ -323,7 +352,7 @@ def _assign_cells(
                 n = len(pdf)
                 if n == 0:
                     continue
-                X = np.stack(pdf[vec_name].to_numpy()).astype(np.float64, copy=False)
+                X = _stack_checked(pdf, id_name, vec_name, C.shape[1])
                 sims = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ Cn.T
                 cell = cells[sims.argmax(axis=1)].astype("int32")
                 data = {"cell": cell, id_name: pdf[id_name].to_numpy()}

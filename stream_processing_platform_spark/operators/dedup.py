@@ -615,7 +615,9 @@ def _sem_members_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            from stream_processing_platform_spark.operators.ann import _stack_checked
+
+            X = _stack_checked(pdf, id_col, vec_col, C.shape[1])
             nrm = np.sqrt((X * X).sum(axis=1))
             NV = X / nrm[:, None]
             d = (NV * NV).sum(axis=1, keepdims=True) - 2.0 * (NV @ C.T) + c_sq[None, :]

@@ -212,7 +212,20 @@ def near_pairs(
             "plain groupBy on the value)"
         )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    bk = F.floor(F.col(value_col) / F.lit(radius)).cast("long")
+    # Bucket ids must be EXACT: floor(value/radius) is a DOUBLE division,
+    # and past 2^53 the quotient loses ulps — a boundary row lands in the
+    # wrong bucket and its qualifying pairs silently vanish (the same
+    # float-division class CLAUDE.md flags for oracles). For integral
+    # value columns compute the floor in pure integer arithmetic:
+    # (v - pmod(v, r)) div r — pmod is non-negative, so this is a true
+    # floor for negative values too (bare `div` truncates toward zero).
+    integral = dict(df.dtypes).get(value_col) in ("tinyint", "smallint", "int", "bigint")
+    if integral:
+        bk = F.expr(
+            f"(`{value_col}` - pmod(`{value_col}`, {int(radius)})) div {int(radius)}"
+        ).cast("long")
+    else:
+        bk = F.floor(F.col(value_col) / F.lit(radius)).cast("long")
     left = df.select(
         F.col(id_col).alias("_ida"), *keys, F.col(value_col).alias("_va"),
         F.explode(F.array(bk, bk + 1)).alias("_bk"),

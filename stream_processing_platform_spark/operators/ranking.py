@@ -50,7 +50,11 @@ def bm25_scores(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(
         F.col(id_col),
-        F.size("_toks").alias("dl"),
+        # size(NULL) is -1 (legacy sizeOfNull): left uncorrected, each
+        # null-text doc would SUBTRACT 1 from total_tokens and skew
+        # avgdl. greatest(,0) keeps the old explode-shape contract
+        # (null/empty docs contribute 0 and never match a term).
+        F.greatest(F.size("_toks"), F.lit(0)).alias("dl"),
         F.col("_toks").alias("_toks"),
     )
     # Corpus totals: narrow map-side aggregate, no explode, no join.

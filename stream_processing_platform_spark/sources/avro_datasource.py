@@ -183,12 +183,26 @@ class AvroBatchWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         files = [m.name for m in messages if m is not None]
         mf_path = os.path.join(self._path, MANIFEST)
-        if not self._overwrite and os.path.exists(mf_path):
-            # append mode UNIONS with the committed set — a manifest
-            # listing only the new job's files would silently hide all
-            # previously committed data from manifest-trusting readers
-            with open(mf_path) as fh:
-                files = json.load(fh)["files"] + files
+        if not self._overwrite:
+            if os.path.exists(mf_path):
+                # append mode UNIONS with the committed set — a manifest
+                # listing only the new job's files would silently hide
+                # all previously committed data from manifest-trusting
+                # readers
+                with open(mf_path) as fh:
+                    files = json.load(fh)["files"] + files
+            else:
+                # appending into a FOREIGN-written directory (*.avro
+                # files, no manifest): readers previously saw that data
+                # via the listing fallback — seed the committed set from
+                # the listing (minus this job's own parts, already on
+                # disk at commit time) so the first manifest doesn't
+                # hide it
+                new = set(files)
+                files = sorted(
+                    e for e in os.listdir(self._path)
+                    if e.endswith(".avro") and e not in new
+                ) + files
         tmp = os.path.join(self._path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump({"files": files}, fh)

@@ -141,6 +141,31 @@ def test_hyperplane_lsh_leading_empty_vector_keeps_dims(spark):
     assert pairs == {(1, 2)}, pairs
 
 
+def test_arrow_twins_name_null_and_ragged_vectors(spark):
+    """The Arrow assignment/encoding twins (_assign_cells, _encode_codes,
+    _sem_members_arrow) stack each batch with np.stack: a NULL or
+    wrong-length embedding used to die with an opaque numpy shape error
+    deep in an executor. The contract is now a loud, named error (the
+    LSH sigrun masks such rows only because its expression twin defines
+    all-zero semantics for them; these twins have none)."""
+    from stream_processing_platform_spark.operators.ann import ivf_topk
+    from stream_processing_platform_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(8)]
+    bad = spark.createDataFrame(
+        rows + [(98, None), (99, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL or non-4-dim"):
+        ivf_topk(bad, q, num_cells=2, nprobe=2).collect()
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid long, cvec array<double>",
+    )
+    with pytest.raises(Exception, match="NULL or non-4-dim"):
+        semantic_dedup(bad, cents).collect()
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {

@@ -209,3 +209,29 @@ def test_append_mode_unions_manifest_and_overwrite_retires_parts(spark, tmp_path
     # the replaced parts are GONE from disk, not just from the manifest
     n_parts = len([e for e in os.listdir(out) if e.endswith(".avro")])
     assert n_parts == 1
+
+
+def test_append_into_foreign_dir_seeds_manifest_from_listing(spark, tmp_path):
+    """Appending into a directory of *.avro files written WITHOUT a
+    manifest (a foreign writer): readers previously saw that data via
+    the listing fallback, so the first manifest this job writes must
+    seed its committed set from the listing — not list only its own
+    parts and silently hide the pre-existing data."""
+    from stream_processing_platform_spark.sources.avrocodec import write_ocf
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = tmp_path / "foreign"
+    out.mkdir()
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    write_ocf(str(out / "foreign-000.avro"), schema, [(0,), (1,)])
+
+    spark.range(2, 4).coalesce(1).write.format("spp_avro").mode("append").save(str(out))
+    got = sorted(r.id for r in spark.read.format("spp_avro").load(str(out)).collect())
+    assert got == [0, 1, 2, 3]  # foreign rows survive the first manifest

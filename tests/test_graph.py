@@ -223,6 +223,20 @@ def test_kcore_peel_cascade_and_fixpoint(spark):
     assert core1 == core5 == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
 
 
+def test_near_pairs_exact_buckets_past_2_53(spark):
+    """Bucket ids come from integer floor-division, not double division:
+    past 2^53 a double quotient loses ulps and a boundary row lands in
+    the wrong bucket, silently dropping its qualifying pairs. Also pins
+    the true-floor (not truncate-toward-zero) contract for negatives."""
+    from stream_processing_platform_spark.operators.joins import near_pairs
+
+    big = 1 << 60  # 2^60: doubles here step in units of 128
+    vals = [(1, big), (2, big + 3), (3, big + 1000), (4, -7), (5, -2)]
+    df = spark.createDataFrame(vals, "id long, v long")
+    got = {(r.id_a, r.id_b) for r in near_pairs(df, "id", "v", 5).collect()}
+    assert got == {(1, 2), (4, 5)}  # |3| <= 5 at 2^60; -7/-2 cross bucket -2/-1
+
+
 def test_near_pairs_rejects_degenerate_radius(spark):
     import pytest
 

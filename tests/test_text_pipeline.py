@@ -359,6 +359,24 @@ def test_mmr_rerank_sparse_sims_and_duplicate_bm25_terms(spark):
     assert bm25_oracle_sql(["join", "join"]) == bm25_oracle_sql(["join"])
 
 
+def test_bm25_null_text_contributes_zero_length(spark):
+    """size(tokens(NULL)) is -1 under legacy sizeOfNull: uncorrected, a
+    null-text doc SUBTRACTS 1 from total_tokens and skews avgdl for
+    every scored doc. The fix (greatest(size, 0)) restores the old
+    explode-shape contract — null/empty docs contribute 0 and scores
+    are identical with or without the null rows present."""
+    from stream_processing_platform_spark.operators.ranking import bm25_scores
+
+    base = [(1, "join join hash"), (2, "scan filter join")]
+    clean = spark.createDataFrame(base, "doc_id bigint, text string")
+    with_nulls = spark.createDataFrame(
+        base + [(3, None), (4, "")], "doc_id bigint, text string"
+    )
+    want = {r.doc_id: (r.n_terms, r.bm25) for r in bm25_scores(clean, ["join"]).collect()}
+    got = {r.doc_id: (r.n_terms, r.bm25) for r in bm25_scores(with_nulls, ["join"]).collect()}
+    assert got == want  # null/empty docs neither appear nor skew avgdl
+
+
 def test_phrase_search_overlaps_and_counts(spark):
     """Overlapping occurrences count separately ('a a a' contains
     'a a' twice), missing-phrase docs are absent, first_pos is
