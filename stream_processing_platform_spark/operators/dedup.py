@@ -261,30 +261,74 @@ def minhash_lsh_pairs(
     return _verify_pairs(cands, sh, threshold)
 
 
+# SimHash sign source: a 60-bit md5-derived token hash folded mod a
+# 31-bit prime, then one affine mixer (a_i·h + b_i) mod p per bit. Every
+# op is exact int64 arithmetic available identically in Spark and duckdb
+# (the generated-oracle doctrine — same family as the winnow polynomial
+# hash), which is what lets q_simhash_pairs carry a full hash-MATCH
+# oracle instead of a rows-only check. a_i·h < 2^31·2^31 = 2^62 never
+# overflows ANSI int64.
+SIMHASH_P = 2_147_483_647  # 2^31 - 1, prime
+
+
+def simhash_mixers(num_bits: int = 64, seed: int = 0x51A5) -> list[tuple[int, int]]:
+    """Per-bit affine mixer constants (a_i, b_i), a_i ∈ [1, p), b_i ∈
+    [0, p) — sampled once from a seeded RNG so the Spark expression and
+    the generated SQL oracle embed the SAME literals."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, SIMHASH_P), rnd.randrange(SIMHASH_P))
+        for _ in range(num_bits)
+    ]
+
+
 def simhash_bits(toks: Column, num_bits: int = 64) -> Column:
     """SimHash as a bit array: bit i is 1 when the sum over tokens of ±1
-    (sign of xxhash64(token, seed=i)) is positive. Seeded hashes replace
-    bit extraction — pure arithmetic, fully JVM-side.
+    is positive, where token t votes ``+1`` iff
+    ``((a_i·h(t) + b_i) mod p)·2 < p`` with ``h(t)`` the first 15 md5
+    hex digits of t as an integer, mod p. One md5 per token (hoisted,
+    let-bound); per (token, bit) work is a multiply-add-mod — cheaper
+    than the per-(token, bit) xxhash64 this replaces, and exactly
+    reproducible in ANSI SQL (duckdb ``('0x' || substr(md5(t),1,15))
+    ::BIGINT``), so the operator carries a full cross-engine oracle.
 
-    The token array is let-bound so the (possibly expensive) tokenizer
-    expression runs once per row, not once per bit."""
+    The mixer constants ride as one array-of-struct literal; the
+    per-bit lambda references its ELEMENT (no literal re-splice per
+    token — the expression-tree caveat in CLAUDE.md)."""
     from stream_processing_platform_spark.functions.text import let
 
-    def body(bound: Column) -> Column:
+    mixers = simhash_mixers(num_bits)
+    M = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in mixers
+        ]
+    )
+
+    def body(hs: Column) -> Column:
         return F.transform(
-            F.sequence(F.lit(0), F.lit(num_bits - 1)),
-            lambda i: F.when(
+            M,
+            lambda m: F.when(
                 F.aggregate(
-                    bound,
-                    F.lit(0).cast("long"),
-                    lambda acc, t: acc + F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1),
+                    hs,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(
+                        ((m["a"] * h + m["b"]) % SIMHASH_P) * 2 < SIMHASH_P, 1
+                    ).otherwise(-1),
                 )
                 > 0,
                 1,
             ).otherwise(0),
         )
 
-    return let(toks, body)
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % SIMHASH_P,
+    )
+    return let(hs, body)
 
 
 def simhash_pairs(

@@ -261,17 +261,68 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d.select("doc_id"), pairs)
 
 
+# SimHash oracle: generated from the SAME mixer constants the Spark
+# signature embeds (dedup.simhash_mixers — the winnow/bm25/zorder
+# generated-twin doctrine). The oracle is brute-force pairs over packed
+# 32-bit signature halves with bit_count(xor()) hamming; the Spark side
+# is the banded bucket join, which is EXACT (not approximate) here by
+# pigeonhole: max_hamming=3 ≤ bands-1, so any qualifying pair shares at
+# least one untouched 16-bit band. Packing folds each half as
+# acc*2 + bit (list_reduce's first element is its init — the same fold)
+# — 32 bits per half so no int64 sign-bit overflow on either engine.
+_SIMHASH_BITS, _SIMHASH_MAXH, _SIMHASH_BANDS = 64, 3, 4
+# One VALUES row per bit — NOT a 64-element list literal indexed inside
+# the per-token lambda (duckdb re-materializes a list literal per
+# evaluation: measured 54 s at sf0.01; the mixer-table form is ~1 s).
+_SIMHASH_MIXERS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.simhash_mixers(_SIMHASH_BITS))
+)
+
+
 @query(
     "q_simhash_pairs",
-    oracle=None,  # simhash bit-vote arithmetic has no faithful SQL twin
-    description="SimHash(64-bit) near-dup candidates: banded fingerprint "
-    "(4×16 bits), exact hamming ≤ 3 verification via bit_count(xor). "
-    "Rows-only check; recall/precision covered by pytest against the "
-    "exact Jaccard pairs.",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(toks,
+               t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {dedup.SIMHASH_P}) AS hs
+      FROM tok),
+    mixers AS (SELECT * FROM (VALUES {_SIMHASH_MIXERS}) AS m(i, a, b)),
+    votes AS (
+      SELECT doc_id, m.i,
+             CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                    CASE WHEN ((m.a * h + m.b) % {dedup.SIMHASH_P}) * 2
+                              < {dedup.SIMHASH_P}
+                         THEN 1 ELSE -1 END)), 0) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM hs CROSS JOIN mixers m),
+    bits AS (SELECT doc_id, list(bit ORDER BY i) AS bits FROM votes GROUP BY doc_id),
+    packed AS (
+      SELECT doc_id,
+             list_reduce(bits[1:32], (acc, b) -> acc * 2 + b) AS hi,
+             list_reduce(bits[33:64], (acc, b) -> acc * 2 + b) AS lo
+      FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+    FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_SIMHASH_MAXH}
+    """,
+    description="SimHash(64-bit) near-dup pairs: md5-derived token hash "
+    "+ per-bit affine mixers (constants shared with the generated SQL "
+    "twin), banded fingerprint (4×16 bits), exact hamming ≤ 3 verify. "
+    "Banding is EXACT here (pigeonhole: 3 ≤ bands-1), so the "
+    "brute-force bit_count(xor) oracle hash-MATCHes the bucket-join "
+    "plan that never shuffles an all-pairs product.",
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+    return dedup.simhash_pairs(
+        d, "doc_id", "text", max_hamming=_SIMHASH_MAXH, bands=_SIMHASH_BANDS
+    )
 
 
 # --------------------------------------------------------------------------
