@@ -24,6 +24,14 @@ Semantics mapping:
   checkpoint's commit log (reference api.py:401-429).
 - GET /taskmanagers — live executors from the status tracker
   (reference api.py:517-539).
+- POST /api/data/process — upload-and-process a CSV/JSON file with one
+  of the five ``api/file_ops`` ops (reference gui/app_gcp.py:212-410,
+  ``POST /api/data/process``): multipart/form-data (``file`` + ``op`` +
+  ``params`` fields, the reference's upload form) or a JSON body with
+  inline ``content``. Returns the processed rows (capped, like the
+  reference's 500-row preview) and records a history entry.
+- GET /api/data/history — past processing runs, newest first
+  (reference gui/app_gcp.py:392-410, ``GET /api/data/history``).
 """
 
 from __future__ import annotations
@@ -54,6 +62,7 @@ class JobServer:
         self.spark = spark
         self.pipelines: dict[str, PipelineBuilder] = {}
         self.jobs: dict[str, dict[str, Any]] = {}
+        self.history: list[dict[str, Any]] = []  # data-process runs, newest first
         self._lock = threading.Lock()
 
     def register_pipeline(self, name: str, builder: PipelineBuilder) -> None:
@@ -126,6 +135,70 @@ class JobServer:
     def cluster_metrics(self) -> tuple[int, dict]:
         return 200, jc.cluster_metrics(self.spark)
 
+    def data_process(self, body: dict) -> tuple[int, dict]:
+        """POST /api/data/process (reference gui/app_gcp.py:212-410):
+        stage the uploaded content to a temp file, run the requested
+        ``api/file_ops`` op as a DataFrame plan, return a capped row
+        preview, and append a history entry. The reference row-loops in
+        Python capped at 500 rows; here only the PREVIEW is capped —
+        the plan itself is distributed."""
+        import datetime
+        import os
+
+        from stream_processing_platform_spark.api import file_ops
+
+        op = body.get("op", "passthrough")
+        if op not in file_ops.OPS:
+            return 400, {"error": f"unknown op {op!r}", "expected": list(file_ops.OPS)}
+        content = body.get("content")
+        if content is None:
+            return 400, {"error": "no file content (multipart 'file' field or JSON 'content')"}
+        filename = body.get("filename") or "upload.csv"
+        try:
+            limit = int(body.get("limit", 500))
+        except (TypeError, ValueError):
+            return 400, {"error": f"limit must be an integer, got {body.get('limit')!r}"}
+        suffix = "." + filename.rsplit(".", 1)[-1] if "." in filename else ".csv"
+        fd, path = tempfile.mkstemp(prefix="spp_upload_", suffix=suffix)
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(content)
+            df = file_ops.process_file(self.spark, path, op, body.get("params") or {})
+            rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+            columns = df.columns
+        except KeyError as e:  # missing required param for the op
+            return 400, {"error": f"missing required param {e}"}
+        except Exception as e:  # malformed file / bad column — caller error
+            return 400, {"error": str(e)}
+        finally:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        with self._lock:
+            entry = {
+                "id": len(self.history) + 1,
+                "filename": filename,
+                "op": op,
+                "row_count": len(rows),
+                "columns": columns,
+                "processed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            }
+            self.history.insert(0, entry)
+        return 200, {
+            "history_id": entry["id"],
+            "op": op,
+            "columns": columns,
+            "rows": rows,
+            "row_count": len(rows),
+        }
+
+    def data_history(self) -> tuple[int, dict]:
+        """GET /api/data/history — processing runs, newest first
+        (reference gui/app_gcp.py:392-410)."""
+        with self._lock:
+            return 200, {"history": list(self.history)}
+
     def checkpoints(self, job_id: str) -> tuple[int, dict]:
         meta = self.jobs.get(job_id)
         if meta is None:
@@ -191,11 +264,45 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/jobs/([^/]+)/checkpoints$"), "checkpoints"),
     ("GET", re.compile(r"^/taskmanagers$"), "taskmanagers"),
     ("GET", re.compile(r"^/cluster/metrics$"), "cluster_metrics"),
+    ("GET", re.compile(r"^/api/data/history$"), "data_history"),
     ("POST", re.compile(r"^/jobs/submit$"), "submit"),
     ("POST", re.compile(r"^/jobs/([^/]+)/cancel$"), "cancel"),
     ("POST", re.compile(r"^/jobs/([^/]+)/savepoint$"), "savepoint"),
     ("POST", re.compile(r"^/jobs/([^/]+)/recover$"), "recover"),
+    ("POST", re.compile(r"^/api/data/process$"), "data_process"),
 ]
+
+
+def _multipart_to_body(content_type: str, raw: bytes) -> dict:
+    """Minimal multipart/form-data parser (the stdlib ``cgi`` module is
+    gone in 3.13): the ``file`` part supplies filename + content; other
+    parts are plain fields (``params`` is parsed as JSON). Enough for
+    the reference's upload form — not a general MIME implementation."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart body without a boundary")
+    body: dict = {}
+    for part in raw.split(b"--" + m.group(1).encode()):
+        part = part.removeprefix(b"\r\n")
+        if part in (b"", b"--", b"--\r\n"):
+            continue
+        header, sep, value = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        value = value.removesuffix(b"\r\n")
+        headers = header.decode("utf-8", errors="replace")
+        name = re.search(r'name="([^"]+)"', headers)
+        if not name:
+            continue
+        fname = re.search(r'filename="([^"]*)"', headers)
+        if fname:
+            body["filename"] = fname.group(1)
+            body["content"] = value.decode("utf-8", errors="replace")
+        else:
+            body[name.group(1)] = value.decode("utf-8", errors="replace")
+    if isinstance(body.get("params"), str):
+        body["params"] = json.loads(body["params"])
+    return body
 
 
 def _make_handler(server: JobServer):
@@ -261,6 +368,20 @@ def _make_handler(server: JobServer):
                             n = int(self.headers.get("Content-Length") or 0)
                             body = json.loads(self.rfile.read(n) or b"{}")
                             code, payload = server.submit(body)
+                        elif fn == "data_process":
+                            n = int(self.headers.get("Content-Length") or 0)
+                            raw = self.rfile.read(n)
+                            ctype = self.headers.get("Content-Type", "")
+                            try:
+                                body = (
+                                    _multipart_to_body(ctype, raw)
+                                    if ctype.startswith("multipart/form-data")
+                                    else json.loads(raw or b"{}")
+                                )
+                            except (ValueError, json.JSONDecodeError) as e:
+                                body, code, payload = None, 400, {"error": str(e)}
+                            if body is not None:
+                                code, payload = server.data_process(body)
                         elif fn == "cancel":
                             qs = parse_qs(parsed.query)
                             wsp = (qs.get("with_savepoint", ["false"])[0]).lower() == "true"

@@ -141,6 +141,81 @@ def test_rest_stream_metrics_unknown_job_404(spark, rest):
     assert code == 404 and "unknown job" in out["error"]
 
 
+_CSV = "name,temp\nalpha,12.5\nbeta,99.1\ngamma,7.0\n"
+
+
+def test_rest_data_process_json_and_history(spark, rest):
+    """POST /api/data/process with a JSON body (inline content) runs the
+    file_ops DataFrame plan and records history; GET /api/data/history
+    returns runs newest-first (reference gui/app_gcp.py:212-410)."""
+    port = rest
+    code, out = _call(
+        port, "POST", "/api/data/process",
+        {"filename": "t.csv", "content": _CSV, "op": "anomaly",
+         "params": {"column": "temp", "threshold": 50}},
+    )
+    assert code == 200, out
+    assert out["row_count"] == 3 and "status" in out["columns"]
+    by_name = {r["name"]: r["status"] for r in out["rows"]}
+    assert by_name == {"alpha": "NORMAL", "beta": "ANOMALY", "gamma": "NORMAL"}
+
+    code, out2 = _call(
+        port, "POST", "/api/data/process",
+        {"filename": "t.csv", "content": _CSV, "op": "aggregate",
+         "params": {"group_by": "name", "agg": "avg", "column": "temp"}},
+    )
+    assert code == 200 and out2["row_count"] == 3 and "avg_temp" in out2["columns"]
+
+    code, hist = _call(port, "GET", "/api/data/history")
+    assert code == 200
+    ops = [h["op"] for h in hist["history"][:2]]
+    assert ops == ["aggregate", "anomaly"]  # newest first
+    assert all({"id", "filename", "op", "row_count", "processed_at"} <= set(h)
+               for h in hist["history"])
+
+
+def test_rest_data_process_multipart_upload(spark, rest):
+    """The reference's upload form is multipart/form-data: file part +
+    op/params fields. The row preview honors the limit field."""
+    port = rest
+    boundary = "testboundary42"
+    parts = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="up.csv"\r\nContent-Type: text/csv\r\n\r\n{_CSV}\r\n'
+        f'--{boundary}\r\nContent-Disposition: form-data; name="op"\r\n\r\nfilter\r\n'
+        f'--{boundary}\r\nContent-Disposition: form-data; name="params"\r\n\r\n'
+        f'{json.dumps({"column": "name", "value": "beta"})}\r\n'
+        f'--{boundary}\r\nContent-Disposition: form-data; name="limit"\r\n\r\n500\r\n'
+        f"--{boundary}--\r\n"
+    )
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/data/process",
+        method="POST",
+        data=parts.encode(),
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        out = json.loads(r.read())
+    assert out["row_count"] == 1 and out["rows"][0]["name"] == "beta"
+
+    # history recorded the multipart upload by its real filename
+    _, hist = _call(port, "GET", "/api/data/history")
+    assert hist["history"][0]["filename"] == "up.csv"
+
+
+def test_rest_data_process_error_paths(spark, rest):
+    port = rest
+    code, out = _call(port, "POST", "/api/data/process",
+                      {"content": _CSV, "op": "nope"})
+    assert code == 400 and "unknown op" in out["error"]
+    code, out = _call(port, "POST", "/api/data/process", {"op": "passthrough"})
+    assert code == 400 and "content" in out["error"]
+    # missing required param for the op → 400, not a 500
+    code, out = _call(port, "POST", "/api/data/process",
+                      {"content": _CSV, "op": "aggregate", "params": {}})
+    assert code == 400, out
+
+
 def test_dashboard_served_at_root(spark, rest):
     """GET / (and /dashboard) returns the embedded single-file GUI —
     the engine-side answer to the reference's Flask dashboard."""
