@@ -12,11 +12,12 @@ Decoder tiers:
 
 - ``decoder="image"`` / ``decoder="audio"`` — REAL decode via the
   dependency-free codecs in :mod:`imagecodec` (netpbm P5/P6,
-  uncompressed BMP, PNG via stdlib zlib, baseline JPEG via the
-  from-scratch :mod:`jpegcodec`, PCM WAV): actual pixels/samples drive
-  resize and feature extraction. MP4 (and progressive/subsampled JPEG)
-  still need codec libraries not present in this container and raise
-  with a clear message.
+  uncompressed BMP, PNG via stdlib zlib, baseline AND progressive
+  JPEG at any integral subsampling via the from-scratch
+  :mod:`jpegcodec`, PCM WAV): actual pixels/samples drive resize and
+  feature extraction. MP4 (and arithmetic/12-bit JPEG) still need
+  codec libraries not present in this container and raise with a
+  clear message.
 - ``decoder="fake"`` — deterministic stub that synthesizes features
   from the payload's sha256 (stable, testable, same schema and batch
   shape as a real decoder); the default so pipelines over arbitrary

