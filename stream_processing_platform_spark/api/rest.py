@@ -32,6 +32,12 @@ Semantics mapping:
   reference's 500-row preview) and records a history entry.
 - GET /api/data/history — past processing runs, newest first
   (reference gui/app_gcp.py:392-410, ``GET /api/data/history``).
+- POST /api/demo/start|stop + GET /api/demo/status — demo orchestration
+  (reference gui/app_gcp.py:700-791): start launches the real IoT
+  synthetic generator through an anomaly-labeling streaming pipeline
+  (the reference spins a Python thread + auto-submits a Kafka job);
+  status reports LIVE numbers from the StreamingQuery and the sink
+  table where the reference returns mocks.
 """
 
 from __future__ import annotations
@@ -199,6 +205,95 @@ class JobServer:
         with self._lock:
             return 200, {"history": list(self.history)}
 
+    # -- demo orchestration (reference gui/app_gcp.py:700-791) -----------
+    # The reference's demo spins a Python generator thread + auto-submits
+    # a Kafka passthrough job, then reports MOCKED stats. Here /demo/start
+    # launches the real IoT synthetic generator (sources/generators.py)
+    # through an anomaly-labeling pipeline into a memory sink, and
+    # /demo/status reads every number from the live StreamingQuery and
+    # the sink table — no mocks.
+
+    _DEMO_TABLE = "spp_demo_events"
+
+    def demo_start(self, rows_per_second: int = 200) -> tuple[int, dict]:
+        from pyspark.sql import functions as F
+
+        from stream_processing_platform_spark.sources.generators import (
+            iot_sensor_stream,
+        )
+
+        with self._lock:
+            demo = self.jobs.get("__demo__")
+            if demo is not None and any(
+                str(q.id) == demo["job_id"] for q in self.spark.streams.active
+            ):
+                return 200, {"status": "already running", "job_id": demo["job_id"]}
+        checkpoint = tempfile.mkdtemp(prefix="spp_demo_ckpt_")
+        events = iot_sensor_stream(self.spark, rows_per_second).withColumn(
+            "is_anomaly", F.col("temperature") == -999.9
+        )
+        q = (
+            events.writeStream.format("memory")
+            .queryName(self._DEMO_TABLE)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        with self._lock:
+            self.jobs["__demo__"] = {
+                "job_id": str(q.id),
+                "checkpoint": checkpoint,
+                "pipeline": "demo_iot",
+                "options": {"rows_per_second": rows_per_second},
+            }
+            self.jobs[str(q.id)] = self.jobs["__demo__"]
+        return 200, {"status": "started", "job_id": str(q.id)}
+
+    def demo_stop(self) -> tuple[int, dict]:
+        with self._lock:
+            demo = self.jobs.get("__demo__")
+        if demo is None:
+            return 200, {"status": "stopped"}
+        jc.cancel_job(self.spark, demo["job_id"])
+        return 200, {"status": "stopped", "job_id": demo["job_id"]}
+
+    def demo_status(self) -> tuple[int, dict]:
+        from pyspark.sql import functions as F
+
+        with self._lock:
+            demo = self.jobs.get("__demo__")
+        if demo is None:
+            return 200, {"running": False, "stats": {}, "recent_events": [],
+                         "latest_checkpoint": None}
+        m = jc.job_metrics(self.spark, demo["job_id"])
+        running = any(
+            str(q.id) == demo["job_id"] for q in self.spark.streams.active
+        )
+        try:
+            t = self.spark.table(self._DEMO_TABLE)
+            agg = t.agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("is_anomaly"), 1)).alias("anom"),
+            ).collect()[0]
+            recent = [
+                r.asDict() for r in
+                t.orderBy(F.col("ts").desc()).limit(20).collect()
+            ]
+        except Exception:  # sink table not materialized yet
+            agg, recent = None, []
+        ck = jc.job_checkpoints(self.spark, demo["job_id"], demo["checkpoint"])
+        return 200, {
+            "running": running,
+            "stats": {
+                "total_events": int(agg["n"]) if agg is not None else 0,
+                "anomalies": int(agg["anom"]) if agg is not None else 0,
+                "throughput": m.get("records_per_second", 0.0),
+                "checkpoints": len(ck.get("checkpoints", [])),
+            },
+            "recent_events": recent,
+            "latest_checkpoint": ck.get("latest_checkpoint_id"),
+        }
+
     def checkpoints(self, job_id: str) -> tuple[int, dict]:
         meta = self.jobs.get(job_id)
         if meta is None:
@@ -265,6 +360,9 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/taskmanagers$"), "taskmanagers"),
     ("GET", re.compile(r"^/cluster/metrics$"), "cluster_metrics"),
     ("GET", re.compile(r"^/api/data/history$"), "data_history"),
+    ("GET", re.compile(r"^/api/demo/status$"), "demo_status"),
+    ("POST", re.compile(r"^/api/demo/start$"), "demo_start"),
+    ("POST", re.compile(r"^/api/demo/stop$"), "demo_stop"),
     ("POST", re.compile(r"^/jobs/submit$"), "submit"),
     ("POST", re.compile(r"^/jobs/([^/]+)/cancel$"), "cancel"),
     ("POST", re.compile(r"^/jobs/([^/]+)/savepoint$"), "savepoint"),

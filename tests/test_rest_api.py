@@ -216,6 +216,41 @@ def test_rest_data_process_error_paths(spark, rest):
     assert code == 400, out
 
 
+def test_rest_demo_lifecycle(spark, rest):
+    """POST /api/demo/start launches the real IoT generator pipeline;
+    /api/demo/status reports live counts (total/anomalies/throughput/
+    checkpoints) from the StreamingQuery + memory sink — not the
+    reference's mocks; start is idempotent; stop cancels the query
+    (reference gui/app_gcp.py:700-791)."""
+    port = rest
+    code, out = _call(port, "POST", "/api/demo/start")
+    assert code == 200 and out["status"] == "started"
+    job_id = out["job_id"]
+
+    # idempotent start
+    code, again = _call(port, "POST", "/api/demo/start")
+    assert again["status"] == "already running" and again["job_id"] == job_id
+
+    # events flow: totals grow, anomaly labeling is live, checkpoint commits
+    def has_events():
+        _, st = _call(port, "GET", "/api/demo/status")
+        return st["running"] and st["stats"]["total_events"] > 0
+    assert _wait(has_events)
+    _, st = _call(port, "GET", "/api/demo/status")
+    assert st["stats"]["total_events"] >= st["stats"]["anomalies"] >= 0
+    assert len(st["recent_events"]) > 0
+    ev = st["recent_events"][0]
+    assert {"ts", "sensor_id", "temperature", "humidity", "is_anomaly"} <= set(ev)
+    assert _wait(lambda: _call(port, "GET", "/api/demo/status")[1]["stats"]["checkpoints"] > 0)
+
+    code, out = _call(port, "POST", "/api/demo/stop")
+    assert code == 200 and out["status"] == "stopped"
+    assert _wait(lambda: not _call(port, "GET", "/api/demo/status")[1]["running"])
+    # status still serves the final tallies after stop
+    _, st = _call(port, "GET", "/api/demo/status")
+    assert st["stats"]["total_events"] > 0
+
+
 def test_dashboard_served_at_root(spark, rest):
     """GET / (and /dashboard) returns the embedded single-file GUI —
     the engine-side answer to the reference's Flask dashboard."""
