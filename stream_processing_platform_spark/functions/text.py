@@ -294,6 +294,61 @@ def winnow_fingerprints(text: Column, k: int = 12, w: int = 6) -> Column:
     return _winnow(normalize_text(text))
 
 
+def gram_hashes_expr(text: Column, k: int) -> Column:
+    """Declarative twin of :func:`gram_hashes` (the per-position stage of
+    :func:`winnow_fingerprints_expr` without the window minima) — kept as
+    the cross-implementation pin; not the bench path (interpreted HOF)."""
+    return let(
+        normalize_text(text),
+        lambda norm: let(
+            F.when(F.length(norm) > 0, F.transform(
+                F.sequence(F.lit(1), F.length(norm)),
+                lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
+            )).otherwise(F.array().cast("array<long>")),
+            lambda codes: F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(norm) - k, F.lit(0))),
+                lambda j: _poly_gram_hash(codes, j, k),
+            ),
+        ),
+    )
+
+
+def gram_hashes(text: Column, k: int) -> Column:
+    """Per-position polynomial k-gram hashes of the normalized text —
+    position p (1-based = array index) hashes chars [p, p+k-1], chars
+    past the end contributing 0 (clipped-slice semantics, so a doc
+    shorter than k still emits one gram). Same fixed-power polynomial
+    and Arrow execution as :func:`winnow_fingerprints`; unlike winnowing
+    this keeps EVERY position, which is what substring-span duplicate
+    detection needs (the covered character ranges, not a sampled
+    fingerprint set). duckdb reproduces the values bit-for-bit."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    powers = np.array(
+        [pow(WINNOW_HASH_B, k - 1 - i, WINNOW_HASH_M) for i in range(k)],
+        dtype=np.uint64,
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            codes = np.frombuffer((s or "").encode("utf-32-le"), dtype="<u4")
+            n = len(codes)
+            g = max(n - k + 1, 1)
+            padded = np.concatenate(
+                [codes.astype(np.uint64), np.zeros(k, dtype=np.uint64)]
+            )
+            h = np.zeros(g, dtype=np.uint64)
+            m = np.uint64(WINNOW_HASH_M)
+            for i in range(k):
+                h = (h + (padded[i : i + g] * powers[i]) % m) % m
+            out.append(h.astype(np.int64))
+        return pd.Series(out)
+
+    return _hashes(normalize_text(text))
+
+
 def ngram_list(text: Column, n: int) -> Column:
     """ALL n-token shingles in order (duplicates kept — the denominator
     of the repetition ratio). Empty array when the document has fewer

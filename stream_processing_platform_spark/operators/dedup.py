@@ -386,6 +386,82 @@ def simhash_pairs(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 25,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans (the character-level dedup of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — there via a suffix array; here via
+    position-indexed gram hashes, the shape that distributes): for each
+    document, the maximal character ranges of the NORMALIZED text
+    covered by ``min_len``-char grams whose hash occurs in at least
+    ``min_docs`` DISTINCT documents. High span coverage = the document
+    is largely boilerplate / memorization risk even when no whole-doc
+    near-dup pair fires; the spans themselves are what a training
+    pipeline cuts out.
+
+    Scale shape: one Arrow gram-hash scan (no shuffle), one
+    hash-keyed distinct + frequency aggregate, one hash-keyed join
+    back, then a per-document sort for the interval merge — every
+    shuffle is key-partitioned and linear in gram count, never a
+    pairwise product. Same polynomial gram hash as the winnowing
+    family, so duckdb reproduces it bit-for-bit and the operator
+    carries a full oracle. Within-doc repeats alone do NOT flag a gram
+    (distinct-doc counting) — cross-document duplication only.
+
+    Output: id_col, span_start, span_end (1-based, inclusive, clipped
+    to the normalized length), span_len.
+    """
+    from stream_processing_platform_spark.functions.text import (
+        gram_hashes,
+        normalize_text,
+    )
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.length(normalize_text(F.col(text_col))).alias("_len"),
+        gram_hashes(F.col(text_col), min_len).alias("_hs"),
+    )
+    g = base.select(
+        id_col, "_len", F.posexplode("_hs").alias("_p0", "_h")
+    ).select(id_col, "_len", (F.col("_p0") + 1).cast("long").alias("pos"), "_h")
+    dup_hashes = (
+        g.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    covered = g.join(dup_hashes, "_h").select(id_col, "_len", "pos")
+    # Interval merge (gaps-and-islands): grams at p1 < p2 cover a
+    # contiguous region iff p2 <= p1 + min_len; both windows ride ONE
+    # per-document sort (same partition key + order).
+    w_lag = Window.partitionBy(id_col).orderBy("pos")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w_lag) > min_len, 1).otherwise(0)
+    spans = (
+        covered.withColumn("_brk", brk)
+        .withColumn("_isl", F.sum("_brk").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + (min_len - 1), F.first("_len")).alias("span_end"),
+        )
+    )
+    return spans.select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+    )
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     id_col: str,

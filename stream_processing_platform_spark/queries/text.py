@@ -814,7 +814,7 @@ def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K, _WINNOW_W = 12, 6
 
 
-def _winnow_sql_hash(j_expr: str) -> str:
+def _sql_gram_hash(j_expr: str, k: int) -> str:
     """duckdb twin of functions.text._poly_gram_hash: the same
     fixed-power polynomial over the codepoint list, per-term mod, chars
     past the end contributing 0 (codes[out-of-range] is NULL)."""
@@ -825,11 +825,15 @@ def _winnow_sql_hash(j_expr: str) -> str:
 
     terms = " + ".join(
         f"((coalesce(codes[CAST({j_expr} + {i} AS INTEGER)], 0)"
-        f" * {pow(WINNOW_HASH_B, _WINNOW_K - 1 - i, WINNOW_HASH_M)})"
+        f" * {pow(WINNOW_HASH_B, k - 1 - i, WINNOW_HASH_M)})"
         f" % {WINNOW_HASH_M})"
-        for i in range(_WINNOW_K)
+        for i in range(k)
     )
     return f"(({terms}) % {WINNOW_HASH_M})"
+
+
+def _winnow_sql_hash(j_expr: str) -> str:
+    return _sql_gram_hash(j_expr, _WINNOW_K)
 
 
 # Shared fps stage for both winnow oracles: normalize -> codepoint list
@@ -948,6 +952,62 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+# Substring-span duplicate detection: gram length (chars of normalized
+# text) — long enough that a shared span is real duplication, short
+# enough that the sf0.01 planted near-dups light up.
+_SPAN_LEN = 25
+
+
+@query(
+    "q_substring_dup_spans",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+    c AS (SELECT doc_id, len(t) AS L,
+                 list_transform(range(1, len(t) + 1),
+                   i -> CAST(unicode(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)
+                 ) AS codes
+          FROM n),
+    h AS (SELECT doc_id, L,
+                 list_transform(range(1, greatest(L - {_SPAN_LEN - 1}, 1) + 1),
+                   j -> {_sql_gram_hash('j', _SPAN_LEN)}) AS hs
+          FROM c),
+    g AS (SELECT doc_id, L, unnest(hs) AS fp,
+                 CAST(generate_subscripts(hs, 1) AS BIGINT) AS pos
+          FROM h),
+    dup AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd FROM g GROUP BY fp)
+            WHERE nd >= 2),
+    cov AS (SELECT g.doc_id, g.L, g.pos FROM g JOIN dup USING (fp)),
+    brk AS (
+      SELECT doc_id, L, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_SPAN_LEN} THEN 1 ELSE 0 END AS b
+      FROM cov),
+    isl AS (
+      SELECT doc_id, L, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk)
+    SELECT doc_id,
+           min(pos) AS span_start,
+           least(max(pos) + {_SPAN_LEN - 1}, any_value(L)) AS span_end,
+           least(max(pos) + {_SPAN_LEN - 1}, any_value(L)) - min(pos) + 1 AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+    description=f"Exact substring-duplication SPANS (Lee et al. 2021, "
+    f"arXiv:2107.06499 — character-level dedup): maximal normalized-"
+    f"text ranges covered by {_SPAN_LEN}-char grams appearing in >= 2 "
+    f"distinct documents (operators/dedup.substring_dup_spans). The "
+    f"suffix-array formulation doesn't distribute; position-indexed "
+    f"polynomial gram hashes do — one Arrow hash scan, a hash-keyed "
+    f"distinct-doc frequency aggregate, a hash join back, and a "
+    f"per-document gaps-and-islands interval merge riding one sort. "
+    f"Same gram hash as the winnow family, full cross-engine oracle.",
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dup_spans(d, "doc_id", "text", min_len=_SPAN_LEN)
 
 
 @query(

@@ -75,6 +75,8 @@ _loaded = False
 # from the CORRECTNESS_r01..r07 ledger (last round each query was green).
 # New round-8 queries (if any) are PREPENDED above group (a) as they land.
 _PRIORITY: list[str] = [
+    # -- new in round 8 (no official row yet)
+    'q_substring_dup_spans',
     # -- (a) never driver-checked (rows-only; forcing one official row each)
     'q_kmeans_embeddings',
     'q_ann_ivf_trained',

@@ -252,6 +252,61 @@ def test_winnow_arrow_path_equals_declarative_expr(spark, sf_dir):
     assert sb.where(F.col("arrow") != F.col("expr")).count() == 0
 
 
+def test_gram_hashes_arrow_equals_expr(spark, sf_dir):
+    """gram_hashes (Arrow, position-ordered — substring-span dedup's
+    input) must equal its declarative HOF twin element-for-element,
+    including clipped short docs and empties."""
+    from stream_processing_platform_spark.functions.text import (
+        gram_hashes,
+        gram_hashes_expr,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    both = d.select(
+        gram_hashes(F.col("text"), 25).alias("arrow"),
+        gram_hashes_expr(F.col("text"), 25).alias("expr"),
+    )
+    assert both.where(F.col("arrow") != F.col("expr")).count() == 0
+    short = spark.createDataFrame(
+        [(i, "abcdefghij klmnopq uvwxyz"[:i]) for i in range(26)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    sb = short.select(
+        gram_hashes(F.col("text"), 25).alias("arrow"),
+        gram_hashes_expr(F.col("text"), 25).alias("expr"),
+    )
+    assert sb.where(F.col("arrow") != F.col("expr")).count() == 0
+
+
+def test_substring_dup_spans_hand_computed(spark):
+    """Planted duplication: docs 1 and 2 share one long run embedded in
+    different surroundings → each reports exactly ONE span covering the
+    shared run (merged across overlapping grams); doc 3 (unique text)
+    reports nothing; a doc repeating a gram only WITHIN itself is not
+    flagged (distinct-doc counting)."""
+    from stream_processing_platform_spark.operators.dedup import substring_dup_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCCCCCCC " + shared + " DDDD"),
+            (3, "totally unrelated text with nothing shared at all here"),
+            (4, "xyxyxyxyxyxyxyxyxyxyxyxyxyxyxy xyxyxyxyxyxyxyxyxyxyxyxyxyxyxy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in substring_dup_spans(docs, "doc_id", "text", min_len=25).collect()
+    }
+    assert set(got) == {1, 2}
+    # brute-force truth (grams of one doc present in the other, merged):
+    # doc 1 normalized = "aaaa <shared> bbbb" — the shared region incl.
+    # its leading space starts at char 5; doc 2 at char 10
+    assert got[1] == (5, 65) and got[2] == (10, 70)
+
+
 def test_strip_html_edge_cases(spark):
     from stream_processing_platform_spark.functions.html import strip_html, text_density
 
