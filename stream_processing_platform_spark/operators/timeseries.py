@@ -317,3 +317,92 @@ def holt(
         F.col("_hb")["b"].alias("trend_c"),
         (F.col("_hb")["l"] + F.col("_hb")["b"]).alias("forecast_1_c"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    seq_col: str,
+) -> DataFrame:
+    """Per-key Holt-Winters ADDITIVE seasonal (triple-exponential)
+    smoothing — the seasonal sibling of :func:`holt`:
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    with the textbook simple initialisation at t = m: l_m = mean of the
+    first m points (exact: integer-cents sums are exact doubles in any
+    summation order, so the one division is the only float op and both
+    engines divide the same integers), b_m = 0, s_i = x_i − l_m.
+
+    Same ordered-fold shape as :func:`holt` (one key shuffle,
+    array_sort, aggregate HOF), but the accumulator carries the ROLLING
+    SEASONAL WINDOW as an m-element array (oldest first): each step
+    reads s_{t−m} at index 1, drops it, appends s_t — the duckdb oracle
+    is a recursive CTE rotating a LIST column through the identical
+    scalar op sequence, so level/trend/seasonal/forecast are
+    bit-identical with NO rounding (pick binary-exact α, β, γ). The
+    new-level subtree is textually duplicated into the trend and
+    seasonal expressions on BOTH engines (the q_holt doctrine —
+    list_reduce's in-order struct-field mutation makes it unusable for
+    coupled state).
+
+    Keys with fewer than period+1 points are dropped (not enough data
+    to initialise AND step). Output: key, n (BIGINT), level_c, trend_c,
+    season_1_c (the next period's seasonal index), forecast_1_c
+    (= level + trend + season_1) — DOUBLE cents.
+    """
+    a, bb, g, m = alpha, beta, gamma, period
+    one_a, one_b, one_g = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    ts_ms = epoch_ms(F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    pt = F.struct(
+        ts_ms.alias("t"), F.col(seq_col).alias("s"),
+        cents.cast("double").alias("v"),
+    )
+    vs = F.transform(F.array_sort(F.collect_list(pt)), lambda p: p["v"])
+    firstm = F.slice(vs, 1, m)
+    l0 = F.aggregate(firstm, F.lit(0.0), lambda acc, x: acc + x) / float(m)
+    init = F.struct(
+        l0.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.transform(firstm, lambda x: x - l0).alias("s"),
+    )
+
+    def step(acc, x):
+        # new_l referenced three times = three textual copies of the
+        # subtree, mirrored exactly in the oracle SQL (values agree;
+        # only bounded CPU is duplicated)
+        new_l = (x - F.element_at(acc["s"], 1)) * F.lit(a) + (
+            acc["l"] + acc["b"]
+        ) * F.lit(one_a)
+        new_b = (new_l - acc["l"]) * F.lit(bb) + acc["b"] * F.lit(one_b)
+        new_s = (x - new_l) * F.lit(g) + F.element_at(acc["s"], 1) * F.lit(one_g)
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(new_s)).alias("s"),
+        )
+
+    rest = F.slice(vs, m + 1, F.greatest(F.size(vs) - m, F.lit(0)))
+    folded = F.aggregate(rest, init, step)
+    grp = df.groupBy(F.col(key_col).alias(key_col)).agg(
+        F.count("*").alias("n"), folded.alias("_hw")
+    )
+    return grp.where(F.col("n") > m).select(
+        key_col,
+        "n",
+        F.col("_hw")["l"].alias("level_c"),
+        F.col("_hw")["b"].alias("trend_c"),
+        F.element_at(F.col("_hw")["s"], 1).alias("season_1_c"),
+        (
+            F.col("_hw")["l"] + F.col("_hw")["b"] + F.element_at(F.col("_hw")["s"], 1)
+        ).alias("forecast_1_c"),
+    )

@@ -276,3 +276,72 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ts_col="ts", value_col="value", key_col="user_id",
         alpha=0.5, beta=0.25, seq_col="event_id",
     )
+
+
+# Holt-Winters constants: binary-exact smoothing weights, weekly-ish
+# period. Every float op below is the identical IEEE sequence on both
+# engines; the only division (the init mean) divides exact integers.
+_HW_A, _HW_B, _HW_G, _HW_M = 0.5, 0.25, 0.25, 7
+_HW_NEW_L = (
+    f"(p.v - rec.s[1]) * CAST({_HW_A} AS DOUBLE)"
+    f" + (rec.l + rec.b) * CAST({1.0 - _HW_A} AS DOUBLE)"
+)
+
+
+@query(
+    "q_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT user_id,
+             CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS i
+      FROM events
+    ),
+    sz AS (SELECT user_id, CAST(max(i) AS BIGINT) AS n FROM p GROUP BY user_id),
+    init AS (
+      SELECT user_id,
+             list_sum(list(v ORDER BY i) FILTER (i <= {_HW_M}))
+               / CAST({_HW_M} AS DOUBLE) AS l0,
+             list(v ORDER BY i) FILTER (i <= {_HW_M}) AS firstm
+      FROM p GROUP BY user_id
+    ),
+    rec AS (
+      SELECT user_id, CAST({_HW_M} AS BIGINT) AS i, l0 AS l,
+             CAST(0.0 AS DOUBLE) AS b,
+             list_transform(firstm, x -> x - l0) AS s
+      FROM init
+      UNION ALL
+      SELECT p.user_id, p.i,
+             {_HW_NEW_L} AS l,
+             (({_HW_NEW_L}) - rec.l) * CAST({_HW_B} AS DOUBLE)
+               + rec.b * CAST({1.0 - _HW_B} AS DOUBLE) AS b,
+             rec.s[2:{_HW_M}] ||
+               [(p.v - ({_HW_NEW_L})) * CAST({_HW_G} AS DOUBLE)
+                + rec.s[1] * CAST({1.0 - _HW_G} AS DOUBLE)] AS s
+      FROM rec JOIN p ON p.user_id = rec.user_id AND p.i = rec.i + 1
+    )
+    SELECT r.user_id, sz.n,
+           r.l AS level_c,
+           r.b AS trend_c,
+           r.s[1] AS season_1_c,
+           r.l + r.b + r.s[1] AS forecast_1_c
+    FROM rec r JOIN sz ON sz.user_id = r.user_id AND r.i = sz.n
+    WHERE sz.n > {_HW_M}
+    """,
+    description=f"Per-user Holt-Winters ADDITIVE seasonal (triple-"
+    f"exponential) smoothing, alpha={_HW_A} beta={_HW_B} gamma={_HW_G} "
+    f"period={_HW_M} (operators/timeseries.holt_winters): the seasonal "
+    f"sibling of q_holt. The fold accumulator carries the rolling "
+    f"m-seasonal window as an ARRAY (read s_t-m at the head, rotate, "
+    f"append s_t); the oracle is a recursive CTE rotating a LIST column "
+    f"through the identical scalar IEEE sequence, textbook l_m=mean/"
+    f"b_m=0/s_i=x_i-l_m init — level/trend/seasonal/one-step forecast "
+    f"all bit-identical, no rounding. One shuffle on the key.",
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.holt_winters(
+        e, ts_col="ts", value_col="value", key_col="user_id",
+        alpha=_HW_A, beta=_HW_B, gamma=_HW_G, period=_HW_M, seq_col="event_id",
+    )

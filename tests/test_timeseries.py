@@ -171,3 +171,35 @@ def test_holt_hand_computed_level_and_trend(spark):
                seq_col="event_id").collect()
     assert (r.n, r.level_c, r.trend_c) == (3, 231.25, 29.6875)
     assert r.forecast_1_c == 231.25 + 29.6875
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """Triple exponential smoothing vs a literal pure-Python transcription
+    of the recurrence (the oracle is a third, SQL transcription): the
+    rolling seasonal array must rotate correctly, the init must be the
+    textbook l_m=mean / b_m=0 / s_i=x_i−l_m, and every output is
+    bit-equal (==, not approx). Keys with n <= m are dropped."""
+    from stream_processing_platform_spark.operators.timeseries import holt_winters
+
+    a, b, g, m = 0.5, 0.25, 0.25, 3
+    vals = [1.0, 2.0, 3.0, 2.5, 1.5, 3.5, 4.0, 2.0]
+    rows = [(i + 1, i, 1, v) for i, v in enumerate(vals)]
+    rows += [(100 + i, i, 2, 9.9) for i in range(m)]  # user 2: only m points
+    df = _events(spark, rows)
+
+    x = [v * 100.0 for v in vals]  # integer cents as doubles
+    l = sum(x[:m]) / m
+    bt = 0.0
+    s = [xi - l for xi in x[:m]]
+    for xi in x[m:]:
+        new_l = (xi - s[0]) * a + (l + bt) * (1.0 - a)
+        bt = (new_l - l) * b + bt * (1.0 - b)
+        s = s[1:] + [(xi - new_l) * g + s[0] * (1.0 - g)]
+        l = new_l
+
+    out = holt_winters(df, "ts", "value", "user_id", alpha=a, beta=b,
+                       gamma=g, period=m, seq_col="event_id").collect()
+    assert [r.user_id for r in out] == [1]  # user 2 lacks m+1 points
+    [r] = out
+    assert (r.n, r.level_c, r.trend_c) == (len(vals), l, bt)
+    assert r.season_1_c == s[0] and r.forecast_1_c == l + bt + s[0]
