@@ -196,6 +196,10 @@ def main() -> None:
         "q_association_rules",
         "q_holt",
         "q_clustering_coeff",
+        # round-8 additions
+        "q_simhash_pairs",
+        "q_substring_dup_spans",
+        "q_holt_winters",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

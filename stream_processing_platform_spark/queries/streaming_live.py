@@ -842,6 +842,60 @@ def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "n", "level_c", "trend_c", "forecast_1_c")
 
 
+def _stream_hw_oracle() -> str:
+    from stream_processing_platform_spark.queries.timeseries import (
+        holt_winters_oracle,
+    )
+
+    return holt_winters_oracle(key_alias="key")
+
+
+@query(
+    "q_stream_holt_winters",
+    oracle=_stream_hw_oracle(),
+    description="LIVE streaming Holt-Winters additive seasonal "
+    "smoothing (streaming/stateful_v2.holt_winters_state — the "
+    "seasonal sibling of q_stream_holt): per-key ValueState carries "
+    "(level, trend, the m=7 rolling seasonal ARRAY, warm-up buffer, n) "
+    "— O(m) state where the batch operator collects the series. Keys "
+    "emit only once past the init horizon (n > m), the batch drop "
+    "rule, so this run hash-MATCHes the same list-rotating recursive-"
+    "CTE oracle as q_holt_winters.",
+)
+def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.queries.timeseries import (
+        _HW_A,
+        _HW_B,
+        _HW_G,
+        _HW_M,
+    )
+    from stream_processing_platform_spark.streaming.stateful_v2 import (
+        holt_winters_state,
+    )
+
+    s = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(
+            holt_winters_state(
+                s, "user_id", alpha=_HW_A, beta=_HW_B, gamma=_HW_G, period=_HW_M
+            )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select(
+        "key", "n", "level_c", "trend_c", "season_1_c", "forecast_1_c"
+    )
+
+
 def _stream_ewma_oracle() -> str:
     from stream_processing_platform_spark.queries.timeseries import ewma_oracle
 

@@ -288,9 +288,10 @@ _HW_NEW_L = (
 )
 
 
-@query(
-    "q_holt_winters",
-    oracle=f"""
+def holt_winters_oracle(key_alias: str = "user_id") -> str:
+    """The Holt-Winters list-rotating recursive-CTE oracle, shared by
+    the batch and LIVE streaming queries (generated-oracle doctrine)."""
+    return f"""
     WITH RECURSIVE p AS (
       SELECT user_id,
              CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v,
@@ -321,14 +322,19 @@ _HW_NEW_L = (
                 + rec.s[1] * CAST({1.0 - _HW_G} AS DOUBLE)] AS s
       FROM rec JOIN p ON p.user_id = rec.user_id AND p.i = rec.i + 1
     )
-    SELECT r.user_id, sz.n,
+    SELECT r.user_id AS {key_alias}, sz.n,
            r.l AS level_c,
            r.b AS trend_c,
            r.s[1] AS season_1_c,
            r.l + r.b + r.s[1] AS forecast_1_c
     FROM rec r JOIN sz ON sz.user_id = r.user_id AND r.i = sz.n
     WHERE sz.n > {_HW_M}
-    """,
+    """
+
+
+@query(
+    "q_holt_winters",
+    oracle=holt_winters_oracle(),
     description=f"Per-user Holt-Winters ADDITIVE seasonal (triple-"
     f"exponential) smoothing, alpha={_HW_A} beta={_HW_B} gamma={_HW_G} "
     f"period={_HW_M} (operators/timeseries.holt_winters): the seasonal "

@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     # -- new in round 8 (no official row yet)
     'q_substring_dup_spans',
     'q_holt_winters',
+    'q_stream_holt_winters',
     # -- (a) never driver-checked (rows-only; forcing one official row each)
     'q_kmeans_embeddings',
     'q_ann_ivf_trained',

@@ -481,6 +481,116 @@ def holt_state(
     )
 
 
+class HoltWintersProcessor(StatefulProcessor):
+    """Streaming Holt-Winters additive seasonal smoothing — the
+    seasonal sibling of :class:`HoltProcessor`: per-key ValueState is
+    (level, trend, the m-element rolling seasonal ARRAY, the warm-up
+    buffer, n). The first m points buffer; point m triggers the
+    textbook init (l = mean, b = 0, s_i = x_i − l); every later point
+    steps the coupled recurrences and rotates the seasonal window.
+    State is O(m) per key (m ≈ 7) — the streaming contract the batch
+    operator's collect-per-group cannot offer. Emits only once a key
+    has stepped at least once (n > m), matching the batch operator's
+    drop rule so both share one oracle. Python float arithmetic is
+    IEEE double — the same op sequence as the batch fold and the
+    recursive-CTE oracle, so results are bit-identical."""
+
+    def __init__(
+        self,
+        alpha: float,
+        beta: float,
+        gamma: float,
+        period: int,
+        ts_ms_col: str = "ts_ms",
+        seq_col: str = "event_id",
+        value_col: str = "value_cents",
+    ):
+        self._alpha = alpha
+        self._beta = beta
+        self._gamma = gamma
+        self._m = period
+        self._ts = ts_ms_col
+        self._seq = seq_col
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._s = handle.getValueState(
+            "hw", "l double, b double, s array<double>, buf array<double>, n long"
+        )
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([self._ts, self._seq], kind="mergesort")
+        prev = self._s.get() if self._s.exists() else None
+        if prev is not None:
+            l, b = (None if prev[0] is None else float(prev[0])), float(prev[1])
+            s = [float(v) for v in (prev[2] or [])]
+            buf = [float(v) for v in (prev[3] or [])]
+            n = int(prev[4])
+        else:
+            l, b, s, buf, n = None, 0.0, [], [], 0
+        a, bb, g, m = self._alpha, self._beta, self._gamma, self._m
+        one_a, one_b, one_g = 1.0 - a, 1.0 - bb, 1.0 - g
+        for x in pdf[self._value_col].tolist():
+            x = float(x)
+            if not s:
+                buf.append(x)
+                if len(buf) == m:
+                    l = sum(buf) / float(m)
+                    b = 0.0
+                    s = [xi - l for xi in buf]
+                    buf = []
+            else:
+                new_l = (x - s[0]) * a + (l + b) * one_a
+                b = (new_l - l) * bb + b * one_b
+                s = s[1:] + [(x - new_l) * g + s[0] * one_g]
+                l = new_l
+            n += 1
+        self._s.update((l, b, s, buf, n))
+        if n > m:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n": [n],
+                    "level_c": [l],
+                    "trend_c": [b],
+                    "season_1_c": [s[0]],
+                    "forecast_1_c": [l + b + s[0]],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def holt_winters_state(
+    df: DataFrame,
+    key_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    ts_ms_col: str = "ts_ms",
+    seq_col: str = "event_id",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Per-key streaming Holt-Winters via transformWithState. Output
+    (key, n, level_c, trend_c, season_1_c, forecast_1_c); update mode."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        HoltWintersProcessor(alpha, beta, gamma, period, ts_ms_col, seq_col, value_col),
+        outputStructType=(
+            "key long, n long, level_c double, trend_c double, "
+            "season_1_c double, forecast_1_c double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class ExpiringCountProcessor(StatefulProcessor):
     """Timer surface demo (reference KeyedProcessOperator timers /
     state eviction): every input batch updates a per-key count and

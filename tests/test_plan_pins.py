@@ -53,7 +53,21 @@ PINNED = [
 
 
 def _normalized_plan(df) -> str:
-    s = df._jdf.queryExecution().executedPlan().toString()
+    spark = df.sparkSession
+    # toString truncates metadata lists (DataFilters, ReadSchema, …) at a
+    # byte width, so the truncation point SHIFTS as global expression-id
+    # lengths grow across a long session (#12 vs #1234) — the full suite
+    # flipped 8 pins on exactly that artifact. Render untruncated, then
+    # normalize the ids away.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     s = re.sub(r"#\d+[A-Z]*", "#", s)  # expression ids
     s = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", s)
     s = re.sub(r"\[id=#?\d*\]", "[id=]", s)

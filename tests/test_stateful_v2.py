@@ -414,3 +414,65 @@ def test_holt_state_folds_across_batches_with_trend(spark, tmp_path):
     q.awaitTermination(120)
     latest = {r.key: (r.n, r.level_c, r.trend_c) for r in spark.table("v2holt").collect()}
     assert latest[1] == (3, 231.25, 29.6875)
+
+
+@pytest.mark.skipif(
+    not requires_state_v2_runtime(),
+    reason="no protobuf runtime (installed or vendored minipb shim)",
+)
+def test_holt_winters_state_init_spans_batches(spark, tmp_path):
+    """The m-point warm-up buffer, the init, AND the seasonal rotation
+    must all survive micro-batch boundaries: with m=3, batch 1 delivers
+    only 2 points (key stays silent — still buffering), batch 2
+    delivers 4 more (init fires mid-batch, then 3 steps). The final
+    row must be bit-equal to the pure-Python recurrence, and no row may
+    be emitted before n > m."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.streaming.stateful_v2 import (
+        holt_winters_state,
+    )
+
+    a, bb, g, m = 0.5, 0.25, 0.25, 3
+    vals = [1.0, 2.0, 3.0, 2.5, 1.5, 3.5]
+    src = str(tmp_path / "src_hw")
+    batches = [
+        [(1, f"e{i}", T(i + 1), v) for i, v in enumerate(vals[:2])],
+        [(1, f"e{i + 2}", T(i + 3), v) for i, v in enumerate(vals[2:])],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    out = holt_winters_state(stream, "user_id", alpha=a, beta=bb, gamma=g, period=m)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("v2hw")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("v2hw").collect()
+    # batch 1 (2 points, still buffering) must emit NOTHING
+    assert all(r.n > m for r in rows)
+    x = [v * 100.0 for v in vals]
+    l = sum(x[:m]) / m
+    b = 0.0
+    s = [xi - l for xi in x[:m]]
+    for xi in x[m:]:
+        new_l = (xi - s[0]) * a + (l + b) * (1.0 - a)
+        b = (new_l - l) * bb + b * (1.0 - bb)
+        s = s[1:] + [(xi - new_l) * g + s[0] * (1.0 - g)]
+        l = new_l
+    latest = {r.key: r for r in rows}
+    r = latest[1]
+    assert (r.n, r.level_c, r.trend_c, r.season_1_c) == (len(vals), l, b, s[0])
+    assert r.forecast_1_c == l + b + s[0]
