@@ -331,6 +331,73 @@ def simhash_bits(toks: Column, num_bits: int = 64) -> Column:
     return let(hs, body)
 
 
+def _simhash_bits_arrow(
+    df: DataFrame, id_col: str, text_col: str, num_bits: int
+) -> DataFrame:
+    """Arrow twin of :func:`simhash_bits`: per batch, tokenize + md5 in
+    one Python pass and run all (token × bit) mixers as one numpy
+    matrix op. Unlike the float Arrow twins (semdedup/PQ/IVF), this one
+    is EXACTLY bit-identical to the expression form — every op is int64
+    arithmetic (a·h < 2^62, no overflow, no summation-order channel) —
+    and the pytest pin asserts full equality, not closeness. Replaces a
+    per-(token, bit) interpreted HOF that cost 3.9 s at sf0.1 (the
+    md5-vs-HOF lesson from the winnow family, CLAUDE.md). Tokenization
+    mirrors functions.text.tokens: Java regex \\s is the ASCII class
+    [ \\t\\n\\x0b\\f\\r], NOT Python's unicode \\s — split on exactly
+    that class. Output: (_id, _hi, _lo) — the fingerprint packed into
+    two 32-bit halves (acc*2+bit fold order), the same packing the
+    duckdb oracle uses: the banded join then shuffles two longs per
+    row instead of a 64-int array, and hamming is JVM
+    bit_count(xor) instead of an interpreted zip_with fold."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    mixers = simhash_mixers(num_bits)
+    A = np.array([a for a, _ in mixers], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in mixers], dtype=np.int64)[:, None]
+    P = SIMHASH_P
+    half = num_bits // 2
+    pow_hi = (1 << np.arange(half - 1, -1, -1)).astype(np.int64)
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"_id {id_type}, _hi long, _lo long"
+
+    def run(batches):
+        memo: dict[str, int] = {}  # token -> md5-derived hash: corpora
+        # repeat tokens heavily, so the vocabulary is far smaller than
+        # the token stream — hash each distinct token once per task
+
+        def th(t: str) -> int:
+            h = memo.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % P
+                memo[t] = h
+            return h
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            his, los = [], []
+            for s in pdf[text_col]:
+                toks = [t for t in ws.split((s or "").lower()) if t]
+                if not toks:
+                    his.append(0)
+                    los.append(0)
+                    continue
+                hs = np.fromiter((th(t) for t in toks), dtype=np.int64, count=len(toks))
+                g = (A * hs[None, :] + B) % P
+                bits = (np.where(g * 2 < P, 1, -1).sum(axis=1) > 0).astype(np.int64)
+                his.append(int(bits[:half] @ pow_hi))
+                los.append(int(bits[half:] @ pow_hi))
+            yield pd.DataFrame(
+                {"_id": pdf[id_col].to_numpy(), "_hi": his, "_lo": los}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -338,45 +405,75 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     num_bits: int = 64,
+    signature: str = "arrow",
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints, banded into ``bands`` chunks
     (pigeonhole: hamming ≤ bands-1 guarantees a shared chunk; for
     max_hamming ≥ bands it is approximate), verified with exact hamming
     distance. Candidates only meet inside a (band, chunk) bucket — no
-    all-pairs shuffle. Output: id_a, id_b, hamming."""
+    all-pairs shuffle. ``signature="arrow"`` (default) computes the
+    fingerprints via :func:`_simhash_bits_arrow` (bit-identical, pytest-
+    pinned); ``"expr"`` keeps the pure expression form — the fallback
+    switch if a boundary mismatch ever fires. Output: id_a, id_b,
+    hamming."""
     from stream_processing_platform_spark.functions.text import tokens as tok_fn
     from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)
     width = num_bits // bands
-    fp = df.select(
-        F.col(id_col).alias("_id"), simhash_bits(tok_fn(F.col(text_col)), num_bits).alias("_fp")
-    )
-    # Chunk value = the band's bits folded into an int (acc*2 + bit).
+    half = num_bits // 2
+    if num_bits != 2 * half or width < 1 or half % width:
+        raise ValueError(
+            f"bands={bands} must split each {half}-bit fingerprint half into "
+            f"whole chunks (num_bits={num_bits})"
+        )
+    if signature == "arrow":
+        fp = _simhash_bits_arrow(df, id_col, text_col, num_bits)
+    else:
+        bits = simhash_bits(tok_fn(F.col(text_col)), num_bits)
+        pack = lambda lohi: F.aggregate(  # noqa: E731 — acc*2 + bit fold
+            lohi, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+        )
+        fp = df.select(F.col(id_col).alias("_id"), bits.alias("_bits")).select(
+            "_id",
+            pack(F.slice(F.col("_bits"), 1, half)).alias("_hi"),
+            pack(F.slice(F.col("_bits"), half + 1, half)).alias("_lo"),
+        )
+    # Band chunks shift+mask straight out of the packed halves — no
+    # per-bit work survives past the signature stage.
+    mask = (1 << width) - 1
+    per_half = half // width
+
+    def chunk(b: int):
+        src = F.col("_hi") if b < per_half else F.col("_lo")
+        shift = half - width * ((b % per_half) + 1)
+        return F.shiftright(src, shift).bitwiseAND(F.lit(mask))
+
     banded = fp.select(
         "_id",
-        "_fp",
+        "_hi",
+        "_lo",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.aggregate(
-                        F.slice(F.col("_fp"), b * width + 1, width),
-                        F.lit(0).cast("long"),
-                        lambda acc, bit: acc * 2 + bit,
-                    ).alias("chunk"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), chunk(b).alias("chunk"))
+                    for b in range(bands)
+                ]
             )
         ).alias("_bb"),
-    ).select("_id", "_fp", "_bb.band", "_bb.chunk")
-    l = banded.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"), "band", "chunk")
-    r = banded.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"), "band", "chunk")
-    hamming = F.aggregate(
-        F.zip_with(F.col("_fa"), F.col("_fb"), lambda x, y: F.when(x != y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    ).select("_id", "_hi", "_lo", "_bb.band", "_bb.chunk")
+    l = banded.select(
+        F.col("_id").alias("id_a"), F.col("_hi").alias("_ha"),
+        F.col("_lo").alias("_la"), "band", "chunk",
     )
+    r = banded.select(
+        F.col("_id").alias("id_b"), F.col("_hi").alias("_hb"),
+        F.col("_lo").alias("_lb"), "band", "chunk",
+    )
+    hamming = (
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
+    ).cast("int")
     return (
         l.join(r, ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -438,7 +535,12 @@ def substring_dup_spans(
         .where(F.col("_nd") >= min_docs)
         .select("_h")
     )
-    covered = g.join(dup_hashes, "_h").select(id_col, "_len", "pos")
+    # NEVER broadcast this join: the duplicated-hash set scales with the
+    # corpus (10-50% of all grams on boilerplate-heavy corpora), so AQE's
+    # small-SF size estimate inverts the 100 TB plan (and OOMed the
+    # local bench building a multi-million-row hashed relation). Both
+    # sides are large → sort-merge on the hash key.
+    covered = g.join(dup_hashes.hint("merge"), "_h").select(id_col, "_len", "pos")
     # Interval merge (gaps-and-islands): grams at p1 < p2 cover a
     # contiguous region iff p2 <= p1 + min_len; both windows ride ONE
     # per-document sort (same partition key + order).

@@ -55,6 +55,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # Local mode puts driver + all 32 executor threads in ONE JVM;
+        # Spark's 1g default heap GC-thrashes under that (GCLocker retry
+        # aborts killed a bench run). Only effective at JVM launch —
+        # sessions created by spark-submit keep the submitted value.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         # Event-time arithmetic must be zone-free and match the duckdb oracle.
         .config("spark.sql.session.timeZone", "UTC")
         # AQE: coalesce tiny shuffle partitions, split skewed ones, convert

@@ -166,6 +166,53 @@ def test_arrow_twins_name_null_and_ragged_vectors(spark):
         semantic_dedup(bad, cents).collect()
 
 
+def test_simhash_arrow_signature_equals_expr(spark, sf_dir):
+    """The Arrow simhash fingerprints must equal the expression twin
+    EXACTLY (pure int64 arithmetic — no float-noise allowance, unlike
+    the semdedup/PQ twins): real corpus + adversarial strings (empty,
+    whitespace-only, ASCII-control whitespace, 16+-token runs)."""
+    from stream_processing_platform_spark.functions.text import tokens as tok_fn
+    from stream_processing_platform_spark.operators.dedup import (
+        _simhash_bits_arrow,
+        simhash_bits,
+    )
+
+    def both_equal(df):
+        arrow = _simhash_bits_arrow(df, "doc_id", "text", 64)
+        bits = simhash_bits(tok_fn(F.col("text")), 64)
+        pack = lambda lohi: F.aggregate(  # noqa: E731
+            lohi, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+        )
+        expr = df.select(F.col("doc_id").alias("_id"), bits.alias("_b")).select(
+            "_id",
+            pack(F.slice(F.col("_b"), 1, 32)).alias("_hi"),
+            pack(F.slice(F.col("_b"), 33, 32)).alias("_lo"),
+        )
+        j = arrow.alias("a").join(expr.alias("e"), "_id")
+        assert j.count() == df.count()
+        return (
+            j.where(
+                (F.col("a._hi") != F.col("e._hi")) | (F.col("a._lo") != F.col("e._lo"))
+            ).count()
+            == 0
+        )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    assert both_equal(docs)
+    adversarial = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "   \t\n  "),
+            (4, "ONE"),
+            (5, "MiXeD Case TOKENS here\tand\nthere\x0band\x0celsewhere"),
+            (6, " ".join(f"tok{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    assert both_equal(adversarial)
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {

@@ -421,6 +421,18 @@ def test_distributed_percentiles_single_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_substring_spans_never_broadcast_dup_hashes(spark, sf_dir):
+    """The duplicated-hash set scales with the corpus (10-50% of grams
+    on boilerplate-heavy corpora): AQE's small-SF estimate would
+    broadcast it and invert the 100 TB plan (it OOMed the sf0.1 bench).
+    The covered-grams join must stay a sort-merge on the hash key, and
+    the interval merge's two window functions must ride ONE sort."""
+    plan = _plan(queries()["q_substring_dup_spans"](spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_triangle_and_near_pairs_no_product(spark, sf_dir):
     """The banded proximity self-join + degree-oriented triangles must
     be pure equi-joins end to end: bucket probes and vertex keys, never
