@@ -171,6 +171,71 @@ def contamination_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_postings: int = 200,
+) -> DataFrame:
+    """Within-corpus shingle-CONTAINMENT pairs — the quote-inclusion /
+    near-superset duplication Jaccard misses: a short document fully
+    quoted inside a long one has Jaccard ≈ |A|/|B| (tiny) but
+    containment |A∩B| / |A| = 1. The standard report for boilerplate
+    inclusion inside a corpus (the corpus→benchmark directional form is
+    :func:`contamination_pairs`; RefinedWeb-style pipelines run both).
+
+    Same bucket pair-expansion as the winnow dup-pair stage: distinct
+    (shingle → sorted doc posting list), lists longer than
+    ``max_postings`` dropped as boilerplate on BOTH engines (the
+    inverted-index skew cap that bounds the m² expansion at 100 TB),
+    each bucket expands its C(m,2) pairs inline, shared counts
+    aggregate per pair — never an all-pairs product. Containments are
+    exact integer quotients rounded via ``floor(x*1e6+0.5)``.
+
+    Output: id_a, id_b (id_a < id_b), n_shared, cont_a (= shared/|A|),
+    cont_b (= shared/|B|), keeping pairs whose LARGER directional
+    containment clears ``threshold``.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    buckets = (
+        ex.groupBy("_s")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_postings))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+
+    def rnd(c: Column) -> Column:
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("cont_a", rnd(F.col("n_shared") / F.col("_sza")))
+        .withColumn("cont_b", rnd(F.col("n_shared") / F.col("_szb")))
+        .where(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("id_a", "id_b", "n_shared", "cont_a", "cont_b")
+    )
+
+
 def incremental_dedup(
     incoming: DataFrame, existing_keys: DataFrame, key_col: str, order_col: str
 ) -> DataFrame:

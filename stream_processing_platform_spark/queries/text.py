@@ -223,6 +223,56 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment cap shared with the oracle (inverted-index skew cap).
+_CONT_CAP, _CONT_T = 200, 0.8
+
+
+@query(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    buckets AS (
+      SELECT s, list_sort(list(doc_id)) AS ds FROM ex GROUP BY s
+      HAVING count(*) BETWEEN 2 AND {_CONT_CAP}
+    ),
+    pairs AS (
+      SELECT unnest(flatten(list_transform(ds,
+               (x, i) -> list_transform(ds[i+1:], y -> {{'id_a': x, 'id_b': y}})))) AS p
+      FROM buckets
+    ),
+    inter AS (
+      SELECT p.id_a AS id_a, p.id_b AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM pairs GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b, n_shared,
+             floor((CAST(n_shared AS DOUBLE) / sa.sz) * 1000000.0 + 0.5)
+               / 1000000.0 AS cont_a,
+             floor((CAST(n_shared AS DOUBLE) / sb.sz) * 1000000.0 + 0.5)
+               / 1000000.0 AS cont_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+    )
+    SELECT * FROM scored WHERE greatest(cont_a, cont_b) >= {_CONT_T}
+    """,
+    description=f"Within-corpus shingle-containment pairs at "
+    f"max-direction >= {_CONT_T} (operators/dedup.containment_pairs): "
+    f"the quote-inclusion / near-superset duplication Jaccard misses — "
+    f"a short doc fully quoted in a long one scores containment 1.0 at "
+    f"tiny Jaccard. Bucket pair-expansion over (shingle -> posting "
+    f"list) with the {_CONT_CAP}-doc boilerplate cap on both engines; "
+    f"exact integer quotients, floor(x*1e6+0.5) rounding.",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "doc_id", "text", threshold=_CONT_T, n=3, max_postings=_CONT_CAP
+    )
+
+
 @query(
     "q_dedup_clusters",
     oracle=f"""

@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     'q_substring_dup_spans',
     'q_holt_winters',
     'q_stream_holt_winters',
+    'q_containment_pairs',
     # -- (a) never driver-checked (rows-only; forcing one official row each)
     'q_kmeans_embeddings',
     'q_ann_ivf_trained',

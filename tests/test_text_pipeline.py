@@ -278,6 +278,36 @@ def test_gram_hashes_arrow_equals_expr(spark, sf_dir):
     assert sb.where(F.col("arrow") != F.col("expr")).count() == 0
 
 
+def test_containment_pairs_catch_quote_inclusion(spark):
+    """A short doc fully quoted inside a much longer one: Jaccard is
+    tiny (misses at 0.5) but containment of the short side is 1.0 —
+    exactly the pair class this operator exists for. Unrelated docs
+    produce nothing; cont_a/cont_b are directional."""
+    from stream_processing_platform_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the five boxing wizards jump quickly tonight"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("filler", "tail")),
+            (3, "completely different content about something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count() == 0
+    got = {
+        (r.id_a, r.id_b): (r.cont_a, r.cont_b)
+        for r in containment_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    cont_a, cont_b = got[(1, 2)]
+    assert cont_a == 1.0 and cont_b < 0.2  # directional: short side contained
+
+
 def test_substring_dup_spans_hand_computed(spark):
     """Planted duplication: docs 1 and 2 share one long run embedded in
     different surroundings → each reports exactly ONE span covering the
