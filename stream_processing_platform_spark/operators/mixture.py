@@ -72,3 +72,70 @@ def corpus_mixture(
         .where(F.col("_cum_before") < F.col("mix_target"))
         .drop("_cum_before")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_picks: int,
+    id_col: str = "doc_id",
+    bucket_size: int = 10_000,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling — the
+    sampling half of corpus construction (pick ~``n_picks`` documents
+    with inclusion probability ∝ token weight, e.g. for token-budgeted
+    eval subsets): classic systematic PPS over the cumulative weight
+    axis, entirely in EXACT integer arithmetic (no RNG, no floats) so
+    the draw is reproducible across engines, runs, and cluster sizes,
+    and the duckdb oracle hash-MATCHes.
+
+    A document with cumulative range (cum−w, cum] receives
+    ``picks = (cum·N) div total − ((cum−w)·N) div total`` — its exact
+    share of the N evenly-spaced selection points. The per-document
+    count telescopes: ``sum(picks) == N`` EXACTLY (heavier-than-stride
+    documents get multiplicity > 1, the standard PPS-with-replacement
+    convention). Bound: cum·N must fit int64 — fine up to ~10^12 total
+    tokens × 10^6 picks.
+
+    The cumulative sum is the distributed two-phase prefix: bucket by
+    ``id div bucket_size`` (assumes roughly-uniform id density — dense
+    surrogate ids; pre-rank arbitrary keys first), per-bucket totals,
+    prefix offsets over the SMALL bucket table (one-partition window
+    over n_buckets rows — bounded, like a broadcast recipe), then a
+    within-bucket window riding one bucket-keyed shuffle. Never a
+    global single-partition window over the corpus.
+
+    Output: id_col, weight, picks (rows with picks > 0 only).
+    """
+    if n_picks <= 0:
+        raise ValueError("n_picks must be >= 1")
+    w = F.col(weight_col).cast("long")
+    base = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.expr(f"`{id_col}` div {int(bucket_size)}").alias("_bk"),
+    ).where(F.col("_w") > 0)
+    bt = base.groupBy("_bk").agg(F.sum("_w").alias("_bt"))
+    w_pref = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bt.select(
+        "_bk",
+        F.coalesce(F.sum("_bt").over(w_pref), F.lit(0)).alias("_off"),
+    )
+    totals = bt.agg(F.sum("_bt").alias("_total"))
+    w_in = Window.partitionBy("_bk").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (F.col("_off") + F.sum("_w").over(w_in)).alias("_cum")
+    scored = (
+        base.join(F.broadcast(offsets), "_bk")
+        .select(id_col, "_w", cum)
+        .crossJoin(F.broadcast(totals))
+    )
+    picks = F.expr(f"(_cum * {int(n_picks)}) div _total") - F.expr(
+        f"((_cum - _w) * {int(n_picks)}) div _total"
+    )
+    return (
+        scored.withColumn("picks", picks)
+        .where(F.col("picks") > 0)
+        .select(id_col, F.col("_w").alias("weight"), "picks")
+    )

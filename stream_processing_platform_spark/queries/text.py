@@ -1136,6 +1136,52 @@ _SQL_MIX_TGT = ", ".join(
 )
 
 
+_PPS_N, _PPS_BK = 100, 100
+
+
+@query(
+    "q_pps_sample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS w,
+                      doc_id // {_PPS_BK} AS bk
+               FROM documents
+               WHERE len({_SQL_TOKENS}) > 0),
+    bt AS (SELECT bk, sum(w) AS btot FROM t GROUP BY bk),
+    offs AS (SELECT bk, COALESCE(sum(btot) OVER (ORDER BY bk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             FROM bt),
+    tot AS (SELECT sum(btot) AS total FROM bt),
+    cums AS (
+      SELECT t.doc_id, t.w,
+             offs.off + sum(t.w) OVER (PARTITION BY t.bk ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t JOIN offs USING (bk)
+    )
+    SELECT doc_id, w AS weight,
+           (cum * {_PPS_N}) // total - ((cum - w) * {_PPS_N}) // total AS picks
+    FROM cums CROSS JOIN tot
+    WHERE (cum * {_PPS_N}) // total - ((cum - w) * {_PPS_N}) // total > 0
+    """,
+    description=f"Systematic PPS sample, {_PPS_N} picks proportional to "
+    f"token weight (operators/mixture.pps_systematic_sample): exact "
+    f"integer selection — picks = (cum·N) div total − ((cum−w)·N) div "
+    f"total, telescoping to exactly N — over a DISTRIBUTED two-phase "
+    f"prefix sum (bucket totals + small-table prefix offsets + "
+    f"within-bucket window; never a global single-partition window). "
+    f"No RNG, no floats: reproducible across engines/runs/cluster "
+    f"sizes, integer `div` on both sides (duckdb // — the "
+    f"q_rolling_slope rule).",
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", T.token_count(F.col("text")).cast("long").alias("n"))
+    return mixture.pps_systematic_sample(
+        t, "n", _PPS_N, id_col="doc_id", bucket_size=_PPS_BK
+    )
+
+
 @query(
     "q_corpus_mixture",
     oracle=f"""

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     'q_holt_winters',
     'q_stream_holt_winters',
     'q_containment_pairs',
+    'q_pps_sample',
     # -- (a) never driver-checked (rows-only; forcing one official row each)
     'q_kmeans_embeddings',
     'q_ann_ivf_trained',

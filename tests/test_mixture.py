@@ -100,3 +100,35 @@ def test_corpus_mixture_bpe_matches_pure_python_greedy(spark, sf_dir):
         if n_docs:
             expected[src] = (n_docs, tok, targets[src])
     assert got == expected
+
+
+def test_pps_systematic_sample_exact_invariants(spark):
+    """Systematic PPS in exact integers: (1) sum(picks) == N exactly
+    (the telescoping guarantee); (2) a document heavier than the stride
+    gets multiplicity proportional to its weight; (3) zero-weight rows
+    never selected; (4) the draw is identical under a different
+    bucket_size (the two-phase prefix is an implementation detail, not
+    a semantics knob)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.mixture import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 201)] + [
+        (500, 0),      # zero weight: excluded
+        (600, 5000),   # whale: ~N * 5000/total picks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    n = 37
+    out = {r.doc_id: r.picks for r in pps_systematic_sample(df, "w", n).collect()}
+    assert sum(out.values()) == n
+    assert 500 not in out
+    total = sum(w for _, w in rows)
+    expect_whale = n * 5000 / total
+    assert abs(out[600] - expect_whale) <= 1  # within one stride
+    out2 = {
+        r.doc_id: r.picks
+        for r in pps_systematic_sample(df, "w", n, bucket_size=7).collect()
+    }
+    assert out2 == out

@@ -69,6 +69,10 @@ def _normalized_plan(df) -> str:
         else:
             spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     s = re.sub(r"#\d+[A-Z]*", "#", s)  # expression ids
+    # HOF lambda variables are numbered by a session-global counter
+    # (lambda x_2 / y_2 in a fresh session, x_16 / y_17 after other HOF
+    # plans compiled); every reference prints with the "lambda " prefix
+    s = re.sub(r"\blambda ([a-z]+)_\d+", r"lambda \1_", s)
     s = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", s)
     s = re.sub(r"\[id=#?\d*\]", "[id=]", s)
     s = re.sub(r"file:[^\s,\]\)]+", "PATH", s)
