@@ -14,15 +14,18 @@ Decoder tiers:
   dependency-free codecs in :mod:`imagecodec` (netpbm P5/P6,
   uncompressed BMP, PNG via stdlib zlib, baseline AND progressive
   JPEG at any integral subsampling via the from-scratch
-  :mod:`jpegcodec`, PCM WAV): actual pixels/samples drive resize and
-  feature extraction. MP4 (and arithmetic/12-bit JPEG) still need
-  codec libraries not present in this container and raise with a
-  clear message.
+  :mod:`jpegcodec`, animated GIF via :mod:`gifcodec`, PCM WAV):
+  actual pixels/samples drive resize, feature extraction, AND frame
+  sampling (``sample_video_frames(decoder="image")`` walks the GIF
+  delay timeline). MP4 (and arithmetic/12-bit JPEG) still need codec
+  libraries not present in this container and raise with a clear
+  message.
 - ``decoder="fake"`` — deterministic stub that synthesizes features
   from the payload's sha256 (stable, testable, same schema and batch
   shape as a real decoder); the default so pipelines over arbitrary
   binary payloads stay runnable.
-- ``decoder="video"`` frame sampling remains STUBBED (ffmpeg required).
+- ``decoder="video"``-style MP4 frame sampling remains STUBBED
+  (ffmpeg required); GIF frame sampling is real.
 """
 
 from __future__ import annotations
@@ -251,13 +254,66 @@ def sample_video_frames(
     """Video frame-sampling stage: 1 input row → N frame rows via
     Arrow-batched mapInPandas (the fan-out shape a real ffmpeg sampler
     needs — per-frame rows, not an array column, so frames repartition
-    independently downstream). The stub treats ``duration_col`` (bytes)
-    as milliseconds and derives each frame's payload deterministically
-    from (hash, frame_idx); a real decoder swaps into the inner loop."""
+    independently downstream).
+
+    ``decoder="image"`` runs a REAL decode for animated GIF payloads
+    (:mod:`gifcodec` — the one moving-image format tractable without
+    ffmpeg): frames compose on the per-frame delay timeline and the
+    frame shown at each ``every_ms`` tick is emitted as a PNG payload
+    (``frame_ts_ms`` = the tick). MP4 and friends still raise — a
+    from-scratch H.264 decoder is out of scope. ``decoder="fake"``
+    (default) treats ``duration_col`` (bytes) as milliseconds and
+    derives payloads deterministically from (hash, frame_idx)."""
+    if decoder == "image":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from stream_processing_platform_spark.multimodal.gifcodec import (
+                decode_gif,
+            )
+            from stream_processing_platform_spark.multimodal.imagecodec import (
+                encode_png,
+            )
+
+            for pdf in batches:
+                out: dict[str, list] = {
+                    "content_hash": [],
+                    "frame_idx": [],
+                    "frame_ts_ms": [],
+                    "frame": [],
+                }
+                for h, payload in zip(pdf["content_hash"], pdf[content_col]):
+                    raw = bytes(payload) if payload is not None else b""
+                    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            "real frame sampling supports animated GIF only "
+                            "(MP4/H.264 needs ffmpeg, not in container)"
+                        )
+                    frames, delays = decode_gif(raw)
+                    # frame k is on screen during [start_k, start_k + delay_k)
+                    starts = np.concatenate(([0], np.cumsum(delays)))
+                    total = int(starts[-1])
+                    k = 0
+                    for i, ts in enumerate(range(0, max(total, 1), every_ms)):
+                        while k + 1 < len(frames) and starts[k + 1] <= ts:
+                            k += 1
+                        out["content_hash"].append(h)
+                        out["frame_idx"].append(i)
+                        out["frame_ts_ms"].append(ts)
+                        out["frame"].append(encode_png(frames[k]))
+                yield pd.DataFrame(
+                    {
+                        "content_hash": out["content_hash"],
+                        "frame_idx": np.array(out["frame_idx"], dtype=np.int32),
+                        "frame_ts_ms": np.array(out["frame_ts_ms"], dtype=np.int64),
+                        "frame": out["frame"],
+                    }
+                )
+
+        return df.mapInPandas(run, _FRAMES_SCHEMA)
     if decoder != "fake":
         raise NotImplementedError(
-            "frame sampling requires ffmpeg (not in container); plumbing is "
-            "identical to decoder='fake'"
+            "frame sampling beyond GIF requires ffmpeg (not in container); "
+            "plumbing is identical to decoder='fake'"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

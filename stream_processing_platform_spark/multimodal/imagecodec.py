@@ -254,6 +254,11 @@ def decode_image(b: bytes) -> np.ndarray:
         from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from stream_processing_platform_spark.multimodal.gifcodec import decode_gif
+
+        return decode_gif(b)[0][0]  # first frame; frame sampling is
+        # codecs.sample_video_frames(decoder="image")
     raise ValueError(f"unrecognized image payload (magic {b[:4]!r})")
 
 

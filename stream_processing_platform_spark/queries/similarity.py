@@ -686,6 +686,12 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for sub in ("444", "420")
         for prog in (False, True)
     ]
+    # plus one animated GIF (decode_image takes the first frame; the
+    # frame-sampling path is pinned in tests/test_gifcodec.py)
+    from stream_processing_platform_spark.multimodal.gifcodec import encode_gif
+
+    q = (img // 64) * 64  # quantize to <=256 colors for the GIF palette
+    jpegs.append((bytearray(encode_gif([q, q[::-1]])),))
     docs = docs.unionByName(spark.createDataFrame(jpegs, "content binary"))
     binary = docs.withColumn("content_hash", F.sha2(F.col("content"), 256))
     resized = resize_images(binary, 8, 8, decoder="image")
