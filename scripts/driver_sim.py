@@ -20,6 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from stream_processing_platform_spark.oracle_types import (  # noqa: E402
+    canon_duck_type,
+    canon_spark_type,
+    duck_type_ok,
+    types_agree,
+)
+
 TABLES = (
     "region",
     "nation",
@@ -81,16 +88,36 @@ def main() -> int:
         srows = [tuple(r) for r in sdf.collect()]
         if name in oracles:
             rel = con.sql(oracles[name])
+            dtypes = [str(t) for t in rel.types]
             drows, dcols = rel.fetchall(), list(rel.columns)
             s_names, s_set = canon_rows(sdf.columns, srows)
             d_names, d_set = canon_rows(dcols, drows)
-            ok = s_names == d_names and s_set == d_set
+            # The driver's hash is TYPE-sensitive (duckdb HUGEINT vs
+            # Spark BIGINT failed q_pps_sample in r8 while a str()-only
+            # compare said MATCH).  Reproduce that sensitivity: every
+            # duckdb output type must be whitelisted, and per-column
+            # canonical types must agree with Spark's schema.
+            type_errs = []
+            duck_by_name = dict(zip(dcols, dtypes))
+            spark_by_name = {f.name: f.dataType for f in sdf.schema.fields}
+            for col in d_names:
+                dt = duck_by_name.get(col)
+                if dt is not None and not duck_type_ok(dt):
+                    type_errs.append(f"{col}: duck type {dt} not whitelisted")
+                sf_t = spark_by_name.get(col)
+                if dt is not None and sf_t is not None:
+                    sc, dc = canon_spark_type(sf_t), canon_duck_type(dt)
+                    if not types_agree(sc, dc):
+                        type_errs.append(f"{col}: spark {sc} vs duck {dc}")
+            ok = s_names == d_names and s_set == d_set and not type_errs
             status = "MATCH" if ok else "MISMATCH"
             if not ok:
                 failures.append(name)
+                for e in type_errs:
+                    print(f"  type: {e}")
                 if s_names != d_names:
                     print(f"  cols: spark={s_names} duck={d_names}")
-                else:
+                elif s_set != d_set:
                     s_only = [r for r in s_set if r not in set(d_set)][:3]
                     d_only = [r for r in d_set if r not in set(s_set)][:3]
                     print(f"  spark-only: {s_only}\n  duck-only : {d_only}")

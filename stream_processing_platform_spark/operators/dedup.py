@@ -200,11 +200,31 @@ def containment_pairs(
     """
     sh = _shingled(df, id_col, text_col, n)
     sizes = sh.select("_id", F.size("_sh").alias("_sz"))
-    ex = sh.select("_id", F.explode("_sh").alias("_s"))
-    buckets = (
+    # Count-first, list-second (r8 verdict #4): a mega-hot boilerplate
+    # shingle appearing in 10^8 docs must never materialize its full
+    # posting list on one reducer before the cap filter sees it.
+    # count(*) keeps O(1) state per key; only keys with 2..max_postings
+    # docs survive to the collect_list. One explicit shingle-keyed
+    # exchange feeds BOTH branches (count + list) so Catalyst reuses the
+    # exchange and the shingling scan runs once; the surviving-key join
+    # is fp-co-partitioned (zero extra shuffle), and AQE skew-split
+    # handles the hot key's oversized-but-streaming merge partition.
+    ex = sh.select("_id", F.explode("_sh").alias("_s")).repartition("_s")
+    # count(_id), not count(*): keeps _id referenced so column pruning
+    # can't specialize this branch's subplan — both branches share one
+    # identical shingle-keyed Exchange and ReusedExchange runs the
+    # shingling scan once (_id is never null; counts identical).
+    keep = (
         ex.groupBy("_s")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= max_postings))
+        .agg(F.count("_id").alias("_cnt"))
+        .where((F.col("_cnt") >= 2) & (F.col("_cnt") <= max_postings))
+        .select("_s")
+    )
+    # merge hint: the surviving-key set scales with the corpus — AQE's
+    # small-SF estimate would broadcast it and invert the 100 TB plan
+    # (same rationale as substring_dup_spans' pinned sort-merge).
+    buckets = ex.join(keep.hint("merge"), "_s").groupBy("_s").agg(
+        F.sort_array(F.collect_list("_id")).alias("ds")
     )
     pair_arr = F.flatten(
         F.transform(

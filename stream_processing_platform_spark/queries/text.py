@@ -978,14 +978,32 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    # Count-first, list-second (r8 verdict #4): the boilerplate cap must
+    # filter hot fingerprints BEFORE any posting list materializes — a
+    # print shared by 10^8 docs is a multi-GB single-reducer array if
+    # collect_list runs first. count(*) state is O(1) per key; one
+    # explicit fp-keyed exchange feeds both the count branch and the
+    # list branch (ReusedExchange — the Arrow fingerprint scan runs
+    # once), and the surviving-key join is co-partitioned on fp.
     fps = d.select(
         "doc_id",
         F.explode(T.winnow_fingerprints(F.col("text"), _WINNOW_K, _WINNOW_W)).alias("fp"),
-    )
-    buckets = (
+    ).repartition("fp")
+    # count(doc_id), not count(*): keeps doc_id referenced so column
+    # pruning can't specialize this branch's subplan — both branches
+    # share one identical fp-keyed Exchange and Catalyst's ReusedExchange
+    # runs the Arrow fingerprint scan ONCE (doc_id is never null, so the
+    # counts are identical).
+    keep = (
         fps.groupBy("fp")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= _WINNOW_MAX_POSTINGS))
+        .agg(F.count("doc_id").alias("_cnt"))
+        .where((F.col("_cnt") >= 2) & (F.col("_cnt") <= _WINNOW_MAX_POSTINGS))
+        .select("fp")
+    )
+    # merge hint: surviving keys scale with the corpus — AQE's small-SF
+    # estimate would broadcast them and invert the 100 TB plan.
+    buckets = fps.join(keep.hint("merge"), "fp").groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
     pair_arr = F.flatten(
         F.transform(
@@ -1158,7 +1176,8 @@ _PPS_N, _PPS_BK = 100, 100
       FROM t JOIN offs USING (bk)
     )
     SELECT doc_id, w AS weight,
-           (cum * {_PPS_N}) // total - ((cum - w) * {_PPS_N}) // total AS picks
+           CAST((cum * {_PPS_N}) // total - ((cum - w) * {_PPS_N}) // total
+                AS BIGINT) AS picks
     FROM cums CROSS JOIN tot
     WHERE (cum * {_PPS_N}) // total - ((cum - w) * {_PPS_N}) // total > 0
     """,

@@ -69,211 +69,208 @@ _loaded = False
 # Registry order = the order the driver runs queries in, and the driver
 # verifies only the first ~50 per round. With >50 registered queries the
 # order IS the coverage policy, so it is explicit here (not an accident of
-# import order) and rotates per round: queries that have never had an
-# official CORRECTNESS row go first, then those whose last green row is
-# oldest, then the most-recently-verified set. Round-8 rotation, computed
-# from the CORRECTNESS_r01..r07 ledger (last round each query was green).
-# New round-8 queries (if any) are PREPENDED above group (a) as they land.
+# import order) and rotates per round: fix-needed / newly-oracled queries
+# go first, then staleness ascending (oldest official CORRECTNESS row
+# first), freshest last. Round-9 rotation, computed from the
+# CORRECTNESS_r01..r08 ledger: q_pps_sample (the r8 red row, oracle type
+# fixed) + the three rows-only->oracle conversions lead, then the 43
+# queries whose last official row is r5 (the whole stale block fits the
+# window), then r6/r7/r8 ascending. New round-9 queries are PREPENDED as
+# they land.
 _PRIORITY: list[str] = [
-    # -- new in round 8 (no official row yet)
-    'q_substring_dup_spans',
-    'q_holt_winters',
-    'q_stream_holt_winters',
-    'q_containment_pairs',
     'q_pps_sample',
-    # -- (a) never driver-checked (rows-only; forcing one official row each)
     'q_kmeans_embeddings',
-    'q_ann_ivf_trained',
-    'q_ann_pq_trained',
-    'q_audio_segments',
-    'q_custom_source_ticks',
-    'q_ann_ivfpq_residual',
-    # -- (b) last official row r4 (the stale tail) — (a)+(b)=40 of the ~50-slot window
-    'q_join_left',
-    'q_join_semi',
-    'q_join_anti',
-    'q_join_interval',
-    'q_join_asof',
-    'q_dedup_exact',
-    'q_orderby_limit',
-    'q_topk_per_group',
-    'q_set_ops',
-    'q_window_rank',
-    'q_window_running',
-    'q_join_salted',
-    'q_percentiles',
-    'q_cosine_topk',
-    'q_embedding_near_dup',
-    'q_embedding_dedup_clusters',
-    'q_text_tokens',
-    'q_text_quality',
-    'q_lang_id',
-    'q_fingerprint',
-    'q_dedup_exact_docs',
-    'q_ngram_jaccard_pairs',
-    'q_minhash_lsh_pairs',
-    'q_dedup_clusters',
-    'q_repetition_ratio',
-    'q_quality_filter',
-    'q_corpus_stats',
-    'q_token_histogram',
-    'q_approx_distinct',
-    'q_approx_percentile',
     'q_multimodal_features',
-    'q_simhash_pairs',
     'q_bpe_real',
-    'q_sequence_packing_bpe',
-    # -- (c) last official row r5 — first ~10 fill the window, rest spill to r9
-    'q_ann_ivf',
-    'q_ann_pq',
-    'q_ann_ivfpq',
-    'q_multimodal_real_decode',
-    'q_corpus_mixture_bpe',
-    'q_doc_chunking_bpe',
-    'q_flatmap_wordcount',
-    'q_case_when_anomaly',
-    'q_json_extract',
-    'q_unpivot_event_counts',
-    'q_join_range',
-    'q_window_navigation',
-    'q_event_sequence',
-    'q_anomaly_zscore',
-    'q_interevent_gaps',
-    'q06_forecast_revenue',
-    'q10_returned_items',
-    'q_string_agg',
-    'q_sql_exists',
-    'q_grouping_sets',
     'q04_order_priority',
+    'q06_forecast_revenue',
     'q07_volume_shipping',
+    'q08_market_share',
     'q09_product_profit',
+    'q10_returned_items',
     'q12_priority_shipments',
+    'q13_customer_distribution',
     'q14_promo_revenue',
     'q18_large_volume',
     'q19_discounted_revenue',
-    'q08_market_share',
-    'q13_customer_distribution',
+    'q_anomaly_zscore',
+    'q_bpe_token_count',
+    'q_case_when_anomaly',
+    'q_contamination',
+    'q_corpus_mixture',
+    'q_doc_chunking',
+    'q_doc_chunking_bpe',
+    'q_doc_commonness',
+    'q_dup_ngram_rate',
     'q_embedding_quantize',
-    'q_stream_window_tumbling',
-    'q_stream_running_agg',
-    'q_stream_window_session',
+    'q_event_sequence',
+    'q_flatmap_wordcount',
+    'q_grouping_sets',
+    'q_interevent_gaps',
+    'q_join_range',
+    'q_json_extract',
+    'q_sequence_packing',
+    'q_sql_exists',
+    'q_stream_dedup',
+    'q_stream_enrich',
+    'q_stream_event_sequence',
     'q_stream_join_interval',
     'q_stream_join_left',
-    'q_stream_dedup',
-    'q_stream_window_sliding',
     'q_stream_keyed_process',
-    'q_stream_event_sequence',
-    'q_stream_enrich',
-    'q_bpe_token_count',
-    'q_doc_chunking',
-    'q_sequence_packing',
-    'q_contamination',
-    'q_dup_ngram_rate',
+    'q_stream_running_agg',
+    'q_stream_window_session',
+    'q_stream_window_sliding',
+    'q_stream_window_tumbling',
+    'q_string_agg',
     'q_top_tokens',
-    'q_doc_commonness',
-    'q_corpus_mixture',
-    # -- (d) last official row r6
-    'q_pagerank_near_dups',
-    'q_kmeans_assign',
-    'q_ohlc_bars',
-    'q_gap_fill_locf',
-    'q_gap_fill_linear',
-    'q_stream_join_semi',
-    'q_lpa_labels',
-    'q_bm25_rank',
-    'q_json_variant',
-    'q_mad_outliers',
-    'q_stream_ohlc',
-    'q_cogroup_attribution',
-    'q_sentence_split',
-    'q_fuzzy_token_pairs',
-    'q_cluster_safe_split',
-    'q_line_dedup',
-    'q_stream_chained_agg',
-    'q_cdc_apply',
-    'q_data_expectations',
-    'q_pipeline_funnel',
-    'q_stream_cdc_apply',
+    'q_unpivot_event_counts',
+    'q_window_navigation',
     'q02_min_cost_supplier',
     'q11_important_stock',
-    'q16_supplier_part_types',
-    'q20_concentrated_suppliers',
-    'q_heavy_hitters',
-    'q_zorder_events',
-    'q_unigram_logprob',
-    'q_stream_join_full',
-    'q_hierarchical_rollup',
-    'q_scd2_customers',
-    'q_html_extract',
-    'q_stream_window_collect',
-    'q_stream_state_v2',
-    'q_stream_state_v2_map',
-    'q_stream_state_v2_list',
-    'q_stream_state_v2_reduce',
-    'q_ann_rerank',
-    'q_winnow_fingerprints',
-    'q_winnow_dup_pairs',
-    'q_corpus_split',
-    'q_stratified_sample',
     'q15_top_supplier',
+    'q16_supplier_part_types',
     'q17_small_quantity_revenue',
+    'q20_concentrated_suppliers',
     'q21_waiting_suppliers',
     'q22_dormant_customers',
+    'q_ann_rerank',
+    'q_bm25_rank',
+    'q_cdc_apply',
+    'q_cluster_safe_split',
+    'q_cogroup_attribution',
+    'q_corpus_split',
+    'q_data_expectations',
     'q_embedding_centroids',
-    'q_window_tumbling',
-    'q_window_sliding',
+    'q_fuzzy_token_pairs',
+    'q_gap_fill_linear',
+    'q_gap_fill_locf',
+    'q_heavy_hitters',
+    'q_hierarchical_rollup',
+    'q_html_extract',
+    'q_json_variant',
+    'q_kmeans_assign',
+    'q_line_dedup',
+    'q_lpa_labels',
+    'q_mad_outliers',
+    'q_ohlc_bars',
+    'q_pagerank_near_dups',
+    'q_pipeline_funnel',
+    'q_scd2_customers',
+    'q_sentence_split',
+    'q_stratified_sample',
+    'q_stream_cdc_apply',
+    'q_stream_chained_agg',
+    'q_stream_join_full',
+    'q_stream_join_semi',
+    'q_stream_ohlc',
+    'q_stream_state_v2',
+    'q_stream_state_v2_list',
+    'q_stream_state_v2_map',
+    'q_stream_state_v2_reduce',
+    'q_stream_window_collect',
+    'q_unigram_logprob',
     'q_window_session',
-    # -- (e) last official row r7 — freshest, lowest priority
-    'q_ewma',
-    'q_holt',
-    'q_stream_ewma',
-    'q_stream_holt',
-    'q_triangle_counts',
-    'q_incremental_agg_refresh',
-    'q_window_distribution',
-    'q_avro_roundtrip',
-    'q_stream_avro',
-    'q_percentiles_distributed',
-    'q_snapshot_diff',
-    'q_kcore',
-    'q_clustering_coeff',
-    'q_bfs_hops',
-    'q_rolling_slope',
-    'q_impute_mode',
-    'q_window_range_frame',
-    'q_kanon_pseudonymize',
-    'q_correlation',
-    'q_phrase_search',
-    'q_winsorize',
-    'q_association_rules',
-    'q_semdedup',
-    'q_hybrid_rrf',
-    'q_mmr_diversify',
-    'q_cohort_retention',
-    'q_semdedup_incremental',
-    'q_stream_semdedup',
-    'q_recursive_hierarchy',
-    'q_stream_window_session_dynamic',
-    'q_pagerank_exact',
-    'q_key_skew',
-    'q_window_collect',
-    'q_incremental_dedup',
-    'q_pii_redaction',
-    'q_udaf_geomean',
+    'q_window_sliding',
+    'q_window_tumbling',
+    'q_winnow_dup_pairs',
+    'q_winnow_fingerprints',
+    'q_zorder_events',
     'q01_pricing_summary',
     'q03_shipping_priority',
     'q05_local_supplier_volume',
-    'q_filter_threshold',
-    'q_map_scalar',
-    'q_datetime_funcs',
-    'q_string_funcs',
-    'q_agg_running',
     'q_agg_global',
+    'q_agg_running',
+    'q_association_rules',
+    'q_avro_roundtrip',
+    'q_bfs_hops',
+    'q_clustering_coeff',
+    'q_cohort_retention',
+    'q_correlation',
     'q_count_distinct',
-    'q_rollup_revenue',
     'q_cube_orders',
-    'q_pivot_event_counts',
+    'q_datetime_funcs',
+    'q_ewma',
+    'q_filter_threshold',
+    'q_holt',
+    'q_hybrid_rrf',
+    'q_impute_mode',
+    'q_incremental_agg_refresh',
+    'q_incremental_dedup',
     'q_join_inner',
+    'q_kanon_pseudonymize',
+    'q_kcore',
+    'q_key_skew',
+    'q_map_scalar',
+    'q_mmr_diversify',
+    'q_pagerank_exact',
+    'q_percentiles_distributed',
+    'q_phrase_search',
+    'q_pii_redaction',
+    'q_pivot_event_counts',
+    'q_recursive_hierarchy',
+    'q_rolling_slope',
+    'q_rollup_revenue',
+    'q_semdedup',
+    'q_semdedup_incremental',
+    'q_snapshot_diff',
+    'q_stream_avro',
+    'q_stream_ewma',
+    'q_stream_holt',
+    'q_stream_semdedup',
+    'q_stream_window_session_dynamic',
+    'q_string_funcs',
+    'q_triangle_counts',
+    'q_udaf_geomean',
+    'q_window_collect',
+    'q_window_distribution',
+    'q_window_range_frame',
+    'q_winsorize',
+    'q_ann_ivf',
+    'q_ann_ivf_trained',
+    'q_ann_ivfpq',
+    'q_ann_ivfpq_residual',
+    'q_ann_pq',
+    'q_ann_pq_trained',
+    'q_approx_distinct',
+    'q_approx_percentile',
+    'q_audio_segments',
+    'q_containment_pairs',
+    'q_corpus_mixture_bpe',
+    'q_corpus_stats',
+    'q_cosine_topk',
+    'q_custom_source_ticks',
+    'q_dedup_clusters',
+    'q_dedup_exact',
+    'q_dedup_exact_docs',
+    'q_embedding_dedup_clusters',
+    'q_embedding_near_dup',
+    'q_fingerprint',
+    'q_holt_winters',
+    'q_join_anti',
+    'q_join_asof',
+    'q_join_interval',
+    'q_join_left',
+    'q_join_salted',
+    'q_join_semi',
+    'q_lang_id',
+    'q_minhash_lsh_pairs',
+    'q_multimodal_real_decode',
+    'q_ngram_jaccard_pairs',
+    'q_orderby_limit',
+    'q_percentiles',
+    'q_quality_filter',
+    'q_repetition_ratio',
+    'q_sequence_packing_bpe',
+    'q_set_ops',
+    'q_simhash_pairs',
+    'q_stream_holt_winters',
+    'q_substring_dup_spans',
+    'q_text_quality',
+    'q_text_tokens',
+    'q_token_histogram',
+    'q_topk_per_group',
+    'q_window_rank',
+    'q_window_running',
 ]
 
 

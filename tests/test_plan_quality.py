@@ -440,3 +440,20 @@ def test_triangle_and_near_pairs_no_product(spark, sf_dir):
     plan = _plan(queries()["q_triangle_counts"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_posting_list_expanders_count_before_collect(spark, sf_dir):
+    """r8 verdict #4: the boilerplate cap must filter hot keys BEFORE
+    any posting list materializes. In the physical plan that reads
+    (top-down): collect_list aggregate ABOVE the pinned sort-merge
+    semi-filter join ABOVE the O(1)-state count filter. The join must
+    never broadcast the surviving-key side (it scales with the corpus —
+    AQE's small-SF estimate would invert the 100 TB plan)."""
+    for name in ("q_winnow_dup_pairs", "q_containment_pairs"):
+        plan = _plan(queries()[name](spark, sf_dir))
+        i_cl = plan.find("collect_list")
+        i_join = plan.find("SortMergeJoin")
+        i_cnt = plan.find("_cnt")
+        assert 0 <= i_cl < i_join < i_cnt, (name, i_cl, i_join, i_cnt)
+        # the keep-keys join is the SMJ; no broadcast of _cnt-derived keys
+        assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[1].split("HashAggregate")[0], name
