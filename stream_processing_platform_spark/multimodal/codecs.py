@@ -111,13 +111,19 @@ def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for codec decode + feature extraction:
     expands the payload's sha256 into ``dim`` floats in [0, 1). Stable
     across runs/executors — this is the STUB layer; swap with a real
-    decoder (PIL/torchvision/ffmpeg) where available."""
+    decoder (PIL/torchvision/ffmpeg) where available.
+
+    Expansion stays in the HEX-STRING domain (seed = hex digest of the
+    payload; per-8-dim block = sha256 of ``seed|i`` as text) so the
+    q_multimodal_features duckdb oracle can replicate it exactly —
+    duckdb's sha256 takes VARCHAR only, and the hex seed sidesteps
+    NUL-byte round-trips for arbitrary binary payloads."""
     out = np.empty(dim, dtype=np.float32)
-    h = payload or b""
+    seed = hashlib.sha256(payload or b"").hexdigest()
     block = b""
     for i in range(dim):
         if i % 8 == 0:
-            block = hashlib.sha256(h + i.to_bytes(4, "little")).digest()
+            block = hashlib.sha256(f"{seed}|{i}".encode()).digest()
         out[i] = int.from_bytes(block[(i % 8) * 4 : (i % 8) * 4 + 4], "little") / 2**32
     return out
 

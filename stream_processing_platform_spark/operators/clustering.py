@@ -150,6 +150,114 @@ def kmeans_assign(
     return df.select(F.col(id_col), a["cluster"].alias("cluster"), a["sqdist"].alias("sqdist"))
 
 
+def _assign_udf_rounded(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment over distances ROUNDED
+    to 1e-6 via ``floor(d*1e6+0.5)/1e6`` — the cross-engine form
+    ``assign_expr`` and the duckdb oracles use. Rounding BEFORE the
+    argmin makes the winning cluster a function of the rounded value,
+    so the numpy matmul's pairwise-summation noise (~1e-15 vs the
+    sequential fold) can only matter exactly on a 0.5e-6 boundary — the
+    repo's accepted Arrow-twin exception, pinned to the expression form
+    in tests/test_clustering.py. ``np.argmin`` takes the first minimum:
+    lowest cluster index, the same tie-break as ``min(struct(d, cid))``."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("struct<cluster: int, sqdist: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "sqdist": pd.Series([], dtype="float64")})
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        d = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T) + c_sq[None, :]
+        d = np.floor(d * 1e6 + 0.5) / 1e6  # no clamp: mirror assign_expr exactly
+        idx = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype("int32"), "sqdist": d[np.arange(len(idx)), idx]}
+        )
+
+    return assign
+
+
+# Reproducible-training constants, shared verbatim by the generated
+# duckdb oracle (queries/similarity.py:_kmeans_embeddings_oracle):
+# Knuth multiplicative-hash init ordering and the 2^24 integer scale
+# the mean update quantizes to.
+REPRO_INIT_MULT = 2654435761
+REPRO_INIT_MOD = 2147483647
+REPRO_SCALE = float(1 << 24)
+
+
+def kmeans_fit_reproducible(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> KMeansModel:
+    """Lloyd's k-means whose ENTIRE training trajectory is bit-identical
+    cross-engine, so a duckdb oracle can replay it (q_kmeans_embeddings):
+
+    - init: the k vectors with the smallest ``(id*MULT) % MOD`` (Knuth
+      multiplicative hash — SQL-expressible, unlike xxhash64), cluster
+      index = rank in that order;
+    - assignment: rounded-distance argmin (``_assign_udf_rounded``,
+      lowest-index tie-break — the q_kmeans_assign doctrine);
+    - update: means quantized to the 2^-24 grid through EXACT integer
+      arithmetic — per-dimension ``sum(floor(x * 2^24))`` as BIGINT
+      (float32 inputs make ``x * 2^24`` exact in double, so the floor
+      is deterministic), then ``floor(s/n + 0.5) / 2^24`` on the
+      driver. No order-dependent float summation anywhere: shuffle
+      order, partition count, and engine all cancel out.
+    - fixed ``iters`` rounds (no float-tolerance early stop — the stop
+      test itself would be order-sensitive).
+
+    Same scale shape as :func:`kmeans_fit`: one Arrow corpus scan + one
+    k-group integer aggregate per round, k×dim driver state."""
+    import math
+
+    vecs = df.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    )
+    rows = (
+        vecs.withColumn(
+            "_h", (F.col("_id") * F.lit(REPRO_INIT_MULT)) % F.lit(REPRO_INIT_MOD)
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds the number of input vectors ({len(rows)})")
+    C = np.array([r["_v"] for r in rows], dtype=np.float64)
+    dim = C.shape[1]
+    for _ in range(iters):
+        assigned = vecs.withColumn("_a", _assign_udf_rounded(C)(F.col("_v")))
+        stats = (
+            assigned.groupBy(F.col("_a.cluster").alias("cluster"))
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.floor(F.element_at("_v", j + 1) * REPRO_SCALE).cast("long")).alias(
+                        f"s{j}"
+                    )
+                    for j in range(dim)
+                ],
+            )
+            .collect()  # k rows × (dim+1) ints — bounded, corpus-independent
+        )
+        new_C = C.copy()  # empty clusters keep their previous centroid
+        for r in stats:
+            # Python int/int is the correctly-rounded IEEE quotient of the
+            # exact integers — identical to duckdb's DOUBLE division.
+            new_C[r["cluster"]] = [
+                math.floor(r[f"s{j}"] / r["n"] + 0.5) / REPRO_SCALE for j in range(dim)
+            ]
+        C = new_C
+    return KMeansModel(centroids=C.tolist(), inertia=[], iterations=iters)
+
+
 def _sqdist_expr(a: Column, b: Column) -> Column:
     """||a-b||² via the three sequential-fold dot products (dot(a,a) -
     2·dot(a,b) + dot(b,b)) — bit-identical to duckdb's

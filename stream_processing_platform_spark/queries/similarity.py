@@ -615,14 +615,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_features",
-    oracle=None,  # the mapInPandas feature vector has no SQL twin;
-    # determinism + plumbing are asserted in tests/test_multimodal.py
+    oracle=None,  # patched below: generated sha256-expansion oracle
     description="Multimodal column path end-to-end on the documents "
     "table: text payload -> binary content column -> Arrow-batched "
     "mapInPandas decode/feature stub (multimodal/codecs.py) -> "
-    "(content_hash, 64-dim feature, n_bytes). Rows-only oracle; the "
-    "decode stage is the stubbed fake decoder (deterministic sha256 "
-    "expansion), the Spark plumbing is the real 100 TB path.",
+    "(content_hash, 64-dim feature, n_bytes). The decode stage is the "
+    "stubbed fake decoder (deterministic hex-domain sha256 expansion), "
+    "the Spark plumbing is the real 100 TB path; the duckdb oracle "
+    "replicates the expansion bit-for-bit (generated 64-term float32 "
+    "fold — see _multimodal_features_oracle), so even the stub tier is "
+    "hash-checked end to end.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_platform_spark.multimodal.codecs import extract_features
@@ -638,10 +640,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     feats = extract_features(binary, dim=64)
+    # floor(x*1e4+0.5), not round(x, 4): the cross-engine half-boundary
+    # rounding rule (CLAUDE.md); the fold is the same left-to-right
+    # sequential sum the oracle emits as a 64-term chain.
     return feats.select(
         "content_hash",
         "n_bytes",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+        (
+            F.floor(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) * 10000.0 + 0.5)
+            / 10000.0
+        ).alias("feat_sum"),
     )
 
 
@@ -893,27 +901,34 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmeans_embeddings",
-    oracle=None,  # iterative float training — objective monotonicity,
-    # numpy-vs-expression assignment parity, and determinism are pinned
-    # in tests/test_clustering.py
+    oracle=None,  # patched below: generated per-iteration CTE replay
     description="Trained k-means cluster profile (k=8, 5 Lloyd's "
-    "iterations): per-cluster population of the embeddings corpus "
-    "after training. Per iteration: one Arrow-vectorized corpus scan "
-    "(X @ C.T batch matmul in the pandas_udf — no join, no shuffle) + "
-    "one k-group JVM aggregate whose shuffle moves k*(dim+2) doubles "
-    "per task; driver state is the k*dim centroid matrix (the MLlib "
-    "KMeans design).",
+    "iterations, operators/clustering.py:kmeans_fit_reproducible): "
+    "per-cluster population of the embeddings corpus after training. "
+    "Per iteration: one Arrow-vectorized corpus scan (X @ C.T batch "
+    "matmul in the pandas_udf — no join, no shuffle) + one k-group "
+    "integer aggregate; driver state is the k*dim centroid matrix "
+    "(the MLlib KMeans design). The training trajectory is made "
+    "cross-engine exact (Knuth-hash init, rounded-distance argmin, "
+    "2^-24-quantized means via exact integer sums), so the duckdb "
+    "oracle replays ALL 5 iterations as a generated CTE chain — the "
+    "q_lpa_labels doctrine applied to float training.",
 )
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from stream_processing_platform_spark.functions.similarity import as_double_array
     from stream_processing_platform_spark.operators import clustering
 
     e = load_table(spark, sf_dir, "embeddings")
-    model = clustering.kmeans_fit(e, k=8, max_iter=5)
+    model = clustering.kmeans_fit_reproducible(e, k=8, iters=5)
+    a = clustering._assign_udf_rounded(np.asarray(model.centroids))(
+        as_double_array(F.col("embedding"))
+    )
     return (
-        clustering.kmeans_assign(e, model)
+        e.select(a["cluster"].alias("cluster"))
         .groupBy("cluster")
         .agg(F.count("*").alias("n"))
-        .select("cluster", "n")
     )
 
 
@@ -1172,3 +1187,129 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     res = ann.ivfpq_topk(e, e.where(F.col("vec_id") < 20), k=5, nprobe=6, residual=True)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Generated q_multimodal_features oracle (r9): the fake-decoder stub is
+# a pure hex-string sha256 expansion (multimodal/codecs.py:
+# _fake_decode_features — seed = hex(sha256(payload)); block b =
+# sha256('seed|8b'); dim i reads the little-endian uint32 at byte
+# offset 4*(i%8) of block i//8, scaled by 2^-32 and rounded to
+# float32), so duckdb replicates it exactly: VARCHAR sha256 for the
+# blocks, CAST('0x'||hexpair AS BIGINT) per byte, CAST(... AS FLOAT)
+# for the float32 rounding, and a literal 64-term left-to-right
+# addition chain mirroring the Spark-side sequential F.aggregate fold.
+# Generated-oracle doctrine: one constant (dim=64), two engines.
+# --------------------------------------------------------------------------
+
+_MMF_DIM = 64
+
+
+def _multimodal_features_oracle(dim: int = _MMF_DIM) -> str:
+    def byte(block: str, hexpos: int) -> str:
+        return f"CAST('0x' || substr({block}, {hexpos}, 2) AS BIGINT)"
+
+    def f32(i: int) -> str:
+        block = f"h{i // 8}"
+        p = (i % 8) * 8 + 1  # 1-based hex offset of the u32's first byte
+        u32 = " + ".join(
+            f"{byte(block, p + 2 * k)} * {256 ** k}" for k in range(4)
+        )
+        return f"CAST(({u32}) / CAST(4294967296 AS DOUBLE) AS FLOAT)"
+
+    fold = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        fold = f"({fold} + {f32(i)})"
+    blocks = ", ".join(
+        f"sha256(seed || '|{8 * b}') AS h{b}" for b in range((dim + 7) // 8)
+    )
+    return f"""
+    WITH s0 AS (SELECT sha256(text) AS seed,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM documents),
+    s1 AS (SELECT seed, n_bytes, {blocks} FROM s0)
+    SELECT seed AS content_hash, n_bytes,
+           floor({fold} * 10000.0 + 0.5) / 10000.0 AS feat_sum
+    FROM s1
+    """
+
+
+_REG_SIM = __import__(
+    "stream_processing_platform_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+from dataclasses import replace as _dc_replace_sim  # noqa: E402
+
+_REG_SIM["q_multimodal_features"] = _dc_replace_sim(
+    _REG_SIM["q_multimodal_features"], oracle=_multimodal_features_oracle()
+)
+
+
+# --------------------------------------------------------------------------
+# Generated q_kmeans_embeddings oracle (r9): replays ALL of
+# kmeans_fit_reproducible's training — init, every Lloyd's iteration,
+# final assignment — as a CTE chain emitted from the same Python
+# constants the Spark side runs (k, iters, init hash, 2^24 scale).
+# Cross-engine exactness by construction: the init ordering is integer;
+# assignment argmin runs over distances rounded to 1e-6 (the
+# q_kmeans_assign doctrine) with min(struct).cid low-id tie-break; the
+# mean update is floor(sum(floor(x*2^24))/n + 0.5)/2^24 — exact BIGINT
+# sums, one IEEE division of exact integers, so shuffle order and
+# engine both cancel.  duckdb's sum(BIGINT) binds HUGEINT mid-chain;
+# only the final (cluster, n) columns face the type whitelist.
+# --------------------------------------------------------------------------
+
+
+def _kmeans_embeddings_oracle(k: int = 8, iters: int = 5) -> str:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+        REPRO_SCALE,
+    )
+
+    def dist(c: str) -> str:
+        return (
+            f"floor((list_inner_product(e.v, e.v)"
+            f" - 2.0 * list_inner_product(e.v, {c}.v)"
+            f" + list_inner_product({c}.v, {c}.v)) * 1000000.0 + 0.5) / 1000000.0"
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT e.vec_id,"
+            f" min({{'d': {dist('c')}, 'cid': c.cid}}).cid AS cluster"
+            f" FROM e CROSS JOIN {cents} c GROUP BY e.vec_id)"
+        )
+
+    ctes = [
+        f"e AS ({_SQL_VECS})",
+        f"c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v FROM"
+        f" (SELECT v, row_number() OVER (ORDER BY"
+        f" (vec_id * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn"
+        f" FROM e) WHERE rn <= {k})",
+    ]
+    for t in range(iters):
+        ctes.append(assign(f"a{t}", f"c{t}"))
+        ctes.append(
+            f"u{t} AS (SELECT cluster AS cid, list(cv ORDER BY j) AS v FROM"
+            f" (SELECT cluster, j,"
+            f" floor(CAST(sum(CAST(floor(x * {REPRO_SCALE}) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE) + 0.5) / {REPRO_SCALE} AS cv"
+            f" FROM (SELECT a.cluster, unnest(e.v) AS x,"
+            f" unnest(range(len(e.v))) AS j"
+            f" FROM a{t} a JOIN e USING (vec_id))"
+            f" GROUP BY cluster, j) GROUP BY cluster)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT c.cid, COALESCE(u.v, c.v) AS v"
+            f" FROM c{t} c LEFT JOIN u{t} u USING (cid))"
+        )
+    ctes.append(assign("af", f"c{iters}"))
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    SELECT cluster,"
+        " CAST(count(*) AS BIGINT) AS n FROM af GROUP BY cluster"
+    )
+
+
+_REG_SIM["q_kmeans_embeddings"] = _dc_replace_sim(
+    _REG_SIM["q_kmeans_embeddings"], oracle=_kmeans_embeddings_oracle()
+)

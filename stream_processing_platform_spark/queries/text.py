@@ -1297,16 +1297,19 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Real BPE tokenization (functions/bpe.py): the fidelity upgrade over the
 # regex pre-token ESTIMATE used by q_bpe_token_count / q_doc_chunking /
-# q_sequence_packing. No SQL twin exists (greedy merge order is
-# inherently procedural), so these register oracle=None; correctness is
-# pinned by tests/test_bpe.py (known-merge encodings, lossless
-# round-trip, Spark-vs-pure-Python equality on the corpus).
+# q_sequence_packing. Greedy merge order IS SQL-expressible after all:
+# q_bpe_real and q_sequence_packing_bpe get GENERATED duckdb oracles
+# (rank-order replace-chain — see _bpe_count_ctes at the end of this
+# file) patched in via _dc_replace2; q_doc_chunking_bpe (decoded chunk
+# TEXT, not just counts) stays oracle=None, pinned by tests/test_bpe.py
+# (known-merge encodings, lossless round-trip, Spark-vs-pure-Python
+# equality on the corpus).
 # --------------------------------------------------------------------------
 
 
 @query(
     "q_bpe_real",
-    oracle=None,  # greedy BPE merges have no SQL twin — tests/test_bpe.py
+    oracle=None,  # patched below: generated rank-order replace-chain oracle
     description="Real byte-level BPE token count per document (trained "
     "merge table broadcast to executors, Arrow pandas_udf encode) next "
     "to the regex pre-token estimate it supersedes; estimate_err is the "
@@ -1326,9 +1329,9 @@ def q_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sequence_packing_bpe",
-    oracle=None,  # real-BPE counts have no SQL twin — packing invariants
-    # (per-source token conservation, contiguous pack ids, budget bound)
-    # proven in tests/test_bpe.py::test_sequence_packing_bpe_invariants
+    oracle=None,  # patched below: generated BPE-count CTE + pack window;
+    # packing invariants additionally proven in
+    # tests/test_bpe.py::test_sequence_packing_bpe_invariants
     description=f"Training-sequence packing on REAL BPE token counts "
     f"(same greedy per-source running-sum pack rule as "
     f"q_sequence_packing, {_PACK_BUDGET}-token budget) — the variant a "
@@ -1962,3 +1965,97 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return phrase_search(d, _PHRASE)
+
+
+# --------------------------------------------------------------------------
+# Generated REAL-BPE oracles (r9): greedy min-rank BPE is equivalent to
+# applying the merge table IN RANK ORDER (merging pair r can only mint
+# tokens whose later merges rank > r, so no lower-rank pair is ever
+# created — the GPT-2 inference-order identity), and rank-order merging
+# over one pre-token is exactly a chain of left-to-right non-overlapping
+# string REPLACEs when the token state is rendered with full boundary
+# anchoring. State encoding: each byte as 2 uppercase hex chars, tokens
+# joined by '__', whole word wrapped in '_'; pattern for pair (a, b) is
+# '_hexA__hexB_' -> '_hexAhexB_' (both tokens boundary-anchored; the
+# shared '__' between adjacent pairs is re-split by the replacement's
+# trailing '_', so chained same-pair merges stay left-to-right greedy —
+# verified exhaustively vs encode() plus a 3000-case fuzz).  The oracle
+# is GENERATED from default_merges() — the same embedded-seed-trained
+# table the Spark UDF broadcasts — under the q_lpa/q_zorder generated-
+# oracle doctrine: one constant, two engines, never two hand copies.
+# Distinct pre-tokens are encoded ONCE (dw CTE) then joined back to
+# per-doc instances — the duckdb mirror of the Spark side's per-row
+# Arrow encode (duckdb has no vectorized-Python tier; dedup-then-join
+# keeps the 384-replace chain off the per-instance path).
+# --------------------------------------------------------------------------
+
+
+def _bpe_count_ctes() -> str:
+    """CTE chain: documents -> (doc_id, n real-BPE tokens) as ``bpe_n``."""
+    from stream_processing_platform_spark.functions import bpe as _bpe
+
+    merges = list(_bpe.default_merges())
+    hx = lambda b: "".join(f"{c:02X}" for c in b)  # noqa: E731
+    # 16 nested replaces per CTE bounds parser depth (384 merges -> 24)
+    steps = []
+    for g in range(0, len(merges), 16):
+        e = "s"
+        for a, b in merges[g : g + 16]:
+            e = f"replace({e}, '_{hx(a)}__{hx(b)}_', '_{hx(a)}{hx(b)}_')"
+        steps.append(e)
+    ctes = [
+        f"pt AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+        f" '{_bpe.PRETOK_RE.pattern}')) AS tok FROM documents)",
+        "dw AS (SELECT DISTINCT tok FROM pt)",
+        "m0 AS (SELECT tok, '_' || array_to_string("
+        "regexp_extract_all(hex(encode(tok)), '..'), '__') || '_' AS s FROM dw)",
+    ]
+    for i, e in enumerate(steps):
+        ctes.append(f"m{i + 1} AS (SELECT tok, {e} AS s FROM m{i})")
+    ctes.append(
+        f"wc AS (SELECT tok, (length(s) - length(replace(s, '_', ''))) // 2"
+        f" AS n FROM m{len(steps)})"
+    )
+    ctes.append(
+        "bpe_n AS (SELECT d.doc_id,"
+        " CAST(COALESCE(sum(wc.n), 0) AS BIGINT) AS n"
+        " FROM documents d LEFT JOIN pt USING (doc_id)"
+        " LEFT JOIN wc USING (tok) GROUP BY d.doc_id)"
+    )
+    return ",\n    ".join(ctes)
+
+
+def _bpe_real_oracle() -> str:
+    return f"""
+    WITH {_bpe_count_ctes()}
+    SELECT b.doc_id,
+           CAST(b.n AS INTEGER) AS n_bpe_real,
+           CAST(len(regexp_extract_all(d.text, '{T.BPE_RE}')) AS INTEGER)
+               AS n_bpe_estimate,
+           CAST(len(regexp_extract_all(d.text, '{T.BPE_RE}')) - b.n AS INTEGER)
+               AS estimate_err
+    FROM bpe_n b JOIN documents d USING (doc_id)
+    """
+
+
+def _sequence_packing_bpe_oracle() -> str:
+    return f"""
+    WITH {_bpe_count_ctes()},
+    t AS (SELECT d.doc_id, d.source, b.n
+          FROM documents d JOIN bpe_n b USING (doc_id)),
+    w AS (SELECT source, doc_id, n,
+                 COALESCE(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM t)
+    SELECT source, CAST(floor(cum_before / {_PACK_BUDGET}.0) AS INTEGER) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS pack_tokens
+    FROM w GROUP BY source, pack_id
+    """
+
+
+_REG2["q_bpe_real"] = _dc_replace2(_REG2["q_bpe_real"], oracle=_bpe_real_oracle())
+_REG2["q_sequence_packing_bpe"] = _dc_replace2(
+    _REG2["q_sequence_packing_bpe"], oracle=_sequence_packing_bpe_oracle()
+)

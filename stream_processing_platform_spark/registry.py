@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     'q_kmeans_embeddings',
     'q_multimodal_features',
     'q_bpe_real',
+    'q_sequence_packing_bpe',
     'q04_order_priority',
     'q06_forecast_revenue',
     'q07_volume_shipping',

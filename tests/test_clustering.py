@@ -222,3 +222,37 @@ def test_streaming_kmeans_foreachbatch_runs(spark, tmp_path):
         spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     ).collect()}
     assert all(got[i] == i % 2 for i in range(20))
+
+
+def test_reproducible_fit_rounded_assignment_matches_expression_form(spark, emb):
+    """kmeans_fit_reproducible's rounded-argmin Arrow path agrees
+    row-for-row with assign_expr (whose floor(d*1e6+0.5)/1e6 + low-id
+    tie-break IS the generated q_kmeans_embeddings oracle's form) on
+    the trained centroids — the twin pin behind the full-training
+    oracle. If a boundary mismatch ever fires, the fallback switch is
+    assigning via assign_expr inside the fit loop."""
+    from stream_processing_platform_spark.operators.clustering import (
+        _assign_udf_rounded,
+        kmeans_fit_reproducible,
+    )
+    from stream_processing_platform_spark.functions.similarity import as_double_array
+
+    model = kmeans_fit_reproducible(emb, k=8, iters=3)
+    C = np.asarray(model.centroids)
+    a = _assign_udf_rounded(C)(as_double_array(F.col("embedding")))
+    fast = {r.vec_id: r.cluster for r in emb.select("vec_id", a["cluster"].alias("cluster")).collect()}
+    cents = spark.createDataFrame(
+        [(i, list(map(float, C[i]))) for i in range(len(C))], "cid int, cvec array<double>"
+    )
+    expr = {r.vec_id: r.cluster for r in assign_expr(emb, cents).collect()}
+    assert fast == expr
+
+
+def test_reproducible_fit_is_deterministic(spark, emb):
+    from stream_processing_platform_spark.operators.clustering import (
+        kmeans_fit_reproducible,
+    )
+
+    m1 = kmeans_fit_reproducible(emb, k=5, iters=2)
+    m2 = kmeans_fit_reproducible(emb.repartition(7), k=5, iters=2)
+    assert m1.centroids == m2.centroids  # partitioning must cancel out

@@ -49,6 +49,13 @@ PINNED = [
     "q_minhash_lsh_pairs",
     "q_contamination",
     "q_embedding_near_dup",
+    # the most expensive extended query, with a hand-pinned sort-merge
+    # join AQE actively wants to invert (broadcasting the corpus-scaled
+    # dup-hash set) — pinned so the merge hint can't silently regress
+    "q_substring_dup_spans",
+    # count-before-collect_list de-skew shape (r9) — shares the pinned
+    # merge-hint rationale
+    "q_containment_pairs",
 ]
 
 
