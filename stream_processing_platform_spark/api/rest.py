@@ -52,6 +52,11 @@ from typing import Any, Callable
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
+
+# /api/data/process preview cap (the reference caps its row loop at 500)
+# and the history ring size a long-lived server retains.
+_PREVIEW_LIMIT_MAX = 500
+_HISTORY_MAX = 100
 from pyspark.sql.streaming import StreamingQuery
 
 from stream_processing_platform_spark.api import job_control as jc
@@ -70,6 +75,11 @@ class JobServer:
         self.jobs: dict[str, dict[str, Any]] = {}
         self.history: list[dict[str, Any]] = []  # data-process runs, newest first
         self._lock = threading.Lock()
+        # held across demo_start's check+start so two concurrent starts
+        # can't race past the existence check into a duplicate
+        # queryName start (self._lock can't cover it: the streaming
+        # start is slow and other endpoints need the main lock)
+        self._demo_lock = threading.Lock()
 
     def register_pipeline(self, name: str, builder: PipelineBuilder) -> None:
         self.pipelines[name] = builder
@@ -164,6 +174,10 @@ class JobServer:
             limit = int(body.get("limit", 500))
         except (TypeError, ValueError):
             return 400, {"error": f"limit must be an integer, got {body.get('limit')!r}"}
+        # clamp: the preview is driver-side .collect() — an unbounded
+        # client value (limit=10**9) would pull the whole upload onto
+        # the driver (the reference caps its row loop at 500)
+        limit = max(0, min(limit, _PREVIEW_LIMIT_MAX))
         suffix = "." + filename.rsplit(".", 1)[-1] if "." in filename else ".csv"
         fd, path = tempfile.mkstemp(prefix="spp_upload_", suffix=suffix)
         try:
@@ -191,6 +205,7 @@ class JobServer:
                 "processed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
             }
             self.history.insert(0, entry)
+            del self.history[_HISTORY_MAX:]  # bound a long-lived server's memory
         return 200, {
             "history_id": entry["id"],
             "op": op,
@@ -216,6 +231,10 @@ class JobServer:
     _DEMO_TABLE = "spp_demo_events"
 
     def demo_start(self, rows_per_second: int = 200) -> tuple[int, dict]:
+        with self._demo_lock:
+            return self._demo_start_locked(rows_per_second)
+
+    def _demo_start_locked(self, rows_per_second: int) -> tuple[int, dict]:
         from pyspark.sql import functions as F
 
         from stream_processing_platform_spark.sources.generators import (

@@ -256,6 +256,7 @@ def sample_video_frames(
     content_col: str = "content",
     duration_col: str = "content_size",
     decoder: str = "fake",
+    on_foreign: str = "error",
 ) -> DataFrame:
     """Video frame-sampling stage: 1 input row → N frame rows via
     Arrow-batched mapInPandas (the fan-out shape a real ffmpeg sampler
@@ -263,19 +264,51 @@ def sample_video_frames(
     independently downstream).
 
     ``decoder="image"`` runs a REAL decode for animated GIF payloads
-    (:mod:`gifcodec` — the one moving-image format tractable without
-    ffmpeg): frames compose on the per-frame delay timeline and the
-    frame shown at each ``every_ms`` tick is emitted as a PNG payload
-    (``frame_ts_ms`` = the tick). MP4 and friends still raise — a
-    from-scratch H.264 decoder is out of scope. ``decoder="fake"``
-    (default) treats ``duration_col`` (bytes) as milliseconds and
-    derives payloads deterministically from (hash, frame_idx)."""
+    (:mod:`gifcodec`) and Motion-JPEG MP4 (:mod:`mp4codec` container
+    tables + :mod:`jpegcodec` sample decode): frames compose on the
+    per-frame delay / stts timeline and the frame shown at each
+    ``every_ms`` tick is emitted as a PNG payload (``frame_ts_ms`` =
+    the tick). AVC/HEVC-in-MP4 parses (sample offsets/keyframes) but
+    cannot entropy-decode — such payloads follow ``on_foreign``.
+    ``on_foreign`` controls undecodable payloads in a mixed corpus:
+    ``"error"`` (default) fails the job — callers pre-filter by magic
+    bytes; ``"skip"`` emits zero frame rows for that payload so one
+    foreign file can't kill a full-corpus sampling job.
+    ``decoder="fake"`` (default) treats ``duration_col`` (bytes) as
+    milliseconds and derives payloads deterministically from
+    (hash, frame_idx)."""
+    if on_foreign not in ("error", "skip"):
+        raise ValueError(f"on_foreign must be 'error' or 'skip', got {on_foreign!r}")
     if decoder == "image":
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from stream_processing_platform_spark.multimodal.gifcodec import (
-                decode_gif,
+        def decode_timeline(raw: bytes) -> tuple[list[np.ndarray], list[int]]:
+            """(frames, start_ms per frame) for any supported container."""
+            from stream_processing_platform_spark.multimodal import mp4codec
+            from stream_processing_platform_spark.multimodal.gifcodec import decode_gif
+            from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg
+
+            if raw[:6] in (b"GIF87a", b"GIF89a"):
+                frames, delays = decode_gif(raw)
+                starts = np.concatenate(([0], np.cumsum(delays)))
+                return frames, [int(s) for s in starts]
+            if mp4codec.is_mp4(raw):
+                f = mp4codec.parse_mp4(raw)
+                for t in f.video_tracks():
+                    if t.codec in ("jpeg", "mjpa") and t.n_samples:
+                        samples = mp4codec.extract_samples(raw, t)
+                        frames = [decode_jpeg(p) for _, _, p, _ in samples]
+                        starts = [ts for _, ts, _, _ in samples] + [t.duration_ms()]
+                        return frames, starts
+                raise NotImplementedError(
+                    "MP4 parsed but no MJPEG video track (AVC/HEVC entropy "
+                    "decode is out of scope)"
+                )
+            raise NotImplementedError(
+                "real frame sampling supports animated GIF and MJPEG MP4 "
+                "(other codecs need ffmpeg, not in container)"
             )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from stream_processing_platform_spark.multimodal.imagecodec import (
                 encode_png,
             )
@@ -289,14 +322,13 @@ def sample_video_frames(
                 }
                 for h, payload in zip(pdf["content_hash"], pdf[content_col]):
                     raw = bytes(payload) if payload is not None else b""
-                    if raw[:6] not in (b"GIF87a", b"GIF89a"):
-                        raise NotImplementedError(
-                            "real frame sampling supports animated GIF only "
-                            "(MP4/H.264 needs ffmpeg, not in container)"
-                        )
-                    frames, delays = decode_gif(raw)
-                    # frame k is on screen during [start_k, start_k + delay_k)
-                    starts = np.concatenate(([0], np.cumsum(delays)))
+                    try:
+                        frames, starts = decode_timeline(raw)
+                    except NotImplementedError:
+                        if on_foreign == "skip":
+                            continue
+                        raise
+                    # frame k is on screen during [start_k, start_{k+1})
                     total = int(starts[-1])
                     k = 0
                     for i, ts in enumerate(range(0, max(total, 1), every_ms)):

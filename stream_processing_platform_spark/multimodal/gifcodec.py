@@ -162,7 +162,13 @@ def encode_gif(
     h, w = frames[0].shape[:2]
     if any(f.shape != frames[0].shape for f in frames):
         raise ValueError("all frames must share one shape")
-    delays = delays_ms or [100] * len(frames)
+    delays = delays_ms if delays_ms is not None else [100] * len(frames)
+    if len(delays) != len(frames):
+        # loud, like the shape/palette validations: a silent zip
+        # truncation here would drop trailing frames from the output
+        raise ValueError(
+            f"delays_ms has {len(delays)} entries for {len(frames)} frames"
+        )
     stack = np.concatenate([f.reshape(-1, 3) for f in frames])
     palette, inverse = np.unique(stack, axis=0, return_inverse=True)
     if len(palette) > 256:

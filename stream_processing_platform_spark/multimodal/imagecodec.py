@@ -259,6 +259,20 @@ def decode_image(b: bytes) -> np.ndarray:
 
         return decode_gif(b)[0][0]  # first frame; frame sampling is
         # codecs.sample_video_frames(decoder="image")
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from stream_processing_platform_spark.multimodal import mp4codec
+        from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg
+
+        f = mp4codec.parse_mp4(b)
+        for t in f.video_tracks():
+            if t.codec in ("jpeg", "mjpa") and t.n_samples:
+                _, _, payload, _ = mp4codec.extract_samples(b, t)[0]
+                return decode_jpeg(payload)  # first frame, as with GIF
+        codecs_seen = [t.codec for t in f.video_tracks()] or ["<none>"]
+        raise NotImplementedError(
+            f"MP4 container parsed but no decodable video track "
+            f"(codecs {codecs_seen}; AVC/HEVC entropy decode is out of scope)"
+        )
     raise ValueError(f"unrecognized image payload (magic {b[:4]!r})")
 
 

@@ -699,7 +699,17 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_platform_spark.multimodal.gifcodec import encode_gif
 
     q = (img // 64) * 64  # quantize to <=256 colors for the GIF palette
-    jpegs.append((bytearray(encode_gif([q, q[::-1]])),))
+    jpegs.append((bytearray(encode_gif([q, q[::-1]], [100, 100])),))
+    # plus one MJPEG MP4 (from-scratch ISO-BMFF muxer; decode_image
+    # extracts + decodes the first sample via the container tables —
+    # tests/test_mp4codec.py pins the full timeline/keyframe surface)
+    from stream_processing_platform_spark.multimodal.mp4codec import encode_mp4
+
+    mjpeg = [
+        encode_jpeg(img, quality=85),
+        encode_jpeg(img[::-1].copy(), quality=85),
+    ]
+    jpegs.append((bytearray(encode_mp4(mjpeg, [40, 40], 16, 24)),))
     docs = docs.unionByName(spark.createDataFrame(jpegs, "content binary"))
     binary = docs.withColumn("content_hash", F.sha2(F.col("content"), 256))
     resized = resize_images(binary, 8, 8, decoder="image")

@@ -175,13 +175,25 @@ class AvroBatchWriter(DataSourceWriter):
         os.makedirs(self._path, exist_ok=True)
 
     def write(self, iterator) -> AvroPartFile:
+        # Tasks write DOT-PREFIXED temp names (invisible to the *.avro
+        # listing fallback and to the foreign-dir manifest seeding
+        # below); commit() renames the acknowledged set into place.
+        # Without this, an orphan part from a failed/retried attempt of
+        # THIS job — final-named on disk but absent from the commit
+        # messages — would be indistinguishable from foreign data and
+        # get committed, surfacing uncommitted/duplicate rows.
         name = f"part-{uuid.uuid4().hex}.avro"
-        full = os.path.join(self._path, name)
+        full = os.path.join(self._path, "." + name + ".tmp")
         write_ocf(full, self._schema, (tuple(row) for row in iterator), codec=self._codec)
         return AvroPartFile(name)
 
     def commit(self, messages) -> None:
         files = [m.name for m in messages if m is not None]
+        for name in files:
+            os.replace(
+                os.path.join(self._path, "." + name + ".tmp"),
+                os.path.join(self._path, name),
+            )
         mf_path = os.path.join(self._path, MANIFEST)
         if not self._overwrite:
             if os.path.exists(mf_path):
@@ -195,9 +207,10 @@ class AvroBatchWriter(DataSourceWriter):
                 # appending into a FOREIGN-written directory (*.avro
                 # files, no manifest): readers previously saw that data
                 # via the listing fallback — seed the committed set from
-                # the listing (minus this job's own parts, already on
-                # disk at commit time) so the first manifest doesn't
-                # hide it
+                # the listing so the first manifest doesn't hide it.
+                # Safe against this job's own parts: they were renamed
+                # from dot-temps just above, so subtract them; orphans
+                # from failed attempts never got final names.
                 new = set(files)
                 files = sorted(
                     e for e in os.listdir(self._path)
@@ -222,10 +235,13 @@ class AvroBatchWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None:
-                try:
-                    os.remove(os.path.join(self._path, m.name))
-                except FileNotFoundError:
-                    pass
+                # temp name normally; final name too, in case abort
+                # raced a partially-run commit's renames
+                for name in ("." + m.name + ".tmp", m.name):
+                    try:
+                        os.remove(os.path.join(self._path, name))
+                    except FileNotFoundError:
+                        pass
 
 
 class AvroStreamReader(DataSourceStreamReader):

@@ -235,3 +235,37 @@ def test_append_into_foreign_dir_seeds_manifest_from_listing(spark, tmp_path):
     spark.range(2, 4).coalesce(1).write.format("spp_avro").mode("append").save(str(out))
     got = sorted(r.id for r in spark.read.format("spp_avro").load(str(out)).collect())
     assert got == [0, 1, 2, 3]  # foreign rows survive the first manifest
+
+
+def test_orphan_task_attempt_never_committed(spark, tmp_path):
+    """r8 advice: tasks write dot-prefixed temps and commit() renames
+    only the ACKNOWLEDGED set — an orphan part from a failed/retried
+    attempt (on disk but absent from the commit messages) must not be
+    swept into the manifest by the foreign-dir listing seed, and must
+    stay invisible to readers."""
+    import json as _json
+
+    from stream_processing_platform_spark.sources.avrocodec import write_ocf
+    from stream_processing_platform_spark.sources.avro_datasource import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = tmp_path / "orphans"
+    out.mkdir()
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    write_ocf(str(out / "foreign-000.avro"), schema, [(0,), (1,)])
+    # plant an orphan the way a dead task attempt now leaves one:
+    # dot-temp named, never renamed
+    write_ocf(str(out / ".part-deadbeef.avro.tmp"), schema, [(99,)])
+
+    spark.range(2, 4).coalesce(1).write.format("spp_avro").mode("append").save(str(out))
+    mf = _json.load(open(out / "_spp_avro_manifest.json"))
+    assert "foreign-000.avro" in mf["files"]
+    assert not any(n.startswith(".") or n.endswith(".tmp") for n in mf["files"])
+    got = sorted(r.id for r in spark.read.format("spp_avro").load(str(out)).collect())
+    assert got == [0, 1, 2, 3]  # foreign + appended rows; never 99

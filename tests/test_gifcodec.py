@@ -125,9 +125,10 @@ def test_decode_image_returns_first_gif_frame():
 
 def test_spark_frame_sampling_decodes_real_gif(spark):
     """sample_video_frames(decoder='image'): a 3-frame GIF with 100 ms
-    delays sampled every 70 ms emits the frame ON SCREEN at each tick
-    (0,70→f1; 140,210→f2; 280→f3), each payload a PNG of the COMPOSED
-    frame — decoded back and compared pixel-for-pixel."""
+    delays sampled every 70 ms emits the frame ON SCREEN at each tick —
+    frame k shows during [100k, 100(k+1)), so ticks 0,70→frame0,
+    140→frame1, 210,280→frame2 — each payload a PNG of the COMPOSED
+    frame, decoded back and compared pixel-for-pixel."""
     from pyspark.sql import functions as F
 
     from stream_processing_platform_spark.multimodal.codecs import (

@@ -266,3 +266,30 @@ def test_dashboard_served_at_root(spark, rest):
     assert "cancel" in html               # job actions
     # XSS hardening: job fields must never be interpolated into innerHTML
     assert "${j.pipeline}" not in html and "${j.state}" not in html
+
+
+def test_rest_preview_limit_clamped_and_history_bounded(spark, rest):
+    """r8 advice: the preview limit is clamped server-side (limit=10**9
+    must not drive an unbounded driver collect) and the history ring
+    keeps at most its cap."""
+    from stream_processing_platform_spark.api.rest import (
+        _HISTORY_MAX,
+        _PREVIEW_LIMIT_MAX,
+        JobServer,
+    )
+
+    port = rest
+    csv = "a,b\n" + "\n".join(f"{i},{i * 2}" for i in range(_PREVIEW_LIMIT_MAX + 50))
+    status, out = _call(
+        port, "POST", "/api/data/process",
+        {"content": csv, "filename": "big.csv", "op": "passthrough", "limit": 10**9},
+    )
+    assert status == 200
+    assert out["row_count"] == _PREVIEW_LIMIT_MAX  # clamped, not 550
+    # history ring bound, checked directly on a fresh server
+    srv = JobServer(spark)
+    srv.history = [{"id": i} for i in range(_HISTORY_MAX)]
+    status, out = srv.data_process(
+        {"content": "a\n1", "filename": "t.csv", "op": "passthrough"}
+    )
+    assert status == 200 and len(srv.history) == _HISTORY_MAX
