@@ -431,27 +431,56 @@ def segment_audio(
             out: dict[str, list] = {f.name: [] for f in _SEGMENT_SCHEMA.fields}
             for mid, payload in zip(pdf[id_col], pdf[content_col]):
                 rate, samples = imagecodec.decode_wav(bytes(payload))
-                spf = max(1, rate * frame_ms // 1000)  # samples per frame
-                n_frames = len(samples) // spf
-                if n_frames == 0:
-                    continue
-                x = samples[: n_frames * spf].astype(np.float64).reshape(n_frames, spf)
-                rms = np.sqrt((x * x).mean(axis=1))
-                voiced = rms > threshold
-                # run boundaries: transitions in the voiced mask
-                edges = np.flatnonzero(np.diff(np.concatenate(([0], voiced.view(np.int8), [0]))))
-                seg_idx = 0
-                for f0, f1 in zip(edges[::2], edges[1::2]):
-                    if f1 - f0 < min_frames:
-                        continue
-                    seg = samples[f0 * spf : f1 * spf].astype(np.float64)
+                for seg_idx, s_ms, e_ms, n, rms in segment_pcm(
+                    rate, samples, frame_ms, threshold, min_frames
+                ):
                     out["media_id"].append(int(mid))
                     out["seg_idx"].append(seg_idx)
-                    seg_idx += 1
-                    out["start_ms"].append(int(f0 * spf * 1000 // rate))
-                    out["end_ms"].append(int(f1 * spf * 1000 // rate))
-                    out["n_samples"].append(int(len(seg)))
-                    out["rms"].append(round(float(np.sqrt((seg * seg).mean())), 6))
+                    out["start_ms"].append(s_ms)
+                    out["end_ms"].append(e_ms)
+                    out["n_samples"].append(n)
+                    out["rms"].append(rms)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, _SEGMENT_SCHEMA)
+
+
+def segment_pcm(
+    rate: int,
+    samples: np.ndarray,
+    frame_ms: int,
+    threshold: float,
+    min_frames: int,
+) -> list[tuple[int, int, int, int, float]]:
+    """The per-payload segmentation core of :func:`segment_audio` as a
+    pure function — (seg_idx, start_ms, end_ms, n_samples, rms) per
+    voiced run — so the q_audio_segments oracle generator can replay
+    the EXACT same numpy path sequentially on the driver (the
+    sequential-replay doctrine; any drift between the UDF and the
+    oracle would be a code path, not a copy)."""
+    spf = max(1, rate * frame_ms // 1000)  # samples per frame
+    n_frames = len(samples) // spf
+    if n_frames == 0:
+        return []
+    x = samples[: n_frames * spf].astype(np.float64).reshape(n_frames, spf)
+    rms = np.sqrt((x * x).mean(axis=1))
+    voiced = rms > threshold
+    # run boundaries: transitions in the voiced mask
+    edges = np.flatnonzero(np.diff(np.concatenate(([0], voiced.view(np.int8), [0]))))
+    out: list[tuple[int, int, int, int, float]] = []
+    seg_idx = 0
+    for f0, f1 in zip(edges[::2], edges[1::2]):
+        if f1 - f0 < min_frames:
+            continue
+        seg = samples[f0 * spf : f1 * spf].astype(np.float64)
+        out.append(
+            (
+                seg_idx,
+                int(f0 * spf * 1000 // rate),
+                int(f1 * spf * 1000 // rate),
+                int(len(seg)),
+                round(float(np.sqrt((seg * seg).mean())), 6),
+            )
+        )
+        seg_idx += 1
+    return out

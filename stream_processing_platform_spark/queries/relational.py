@@ -2401,12 +2401,38 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ticks_oracle() -> str:
+    """GENERATED oracle (planted-fixture doctrine): the tick feed is a
+    pure function of tick_id, so the expected per-symbol aggregate is
+    computed here by a SEQUENTIAL driver-side replay of the same rule
+    and emitted as a typed VALUES table. What the hash-match then
+    proves is the DISTRIBUTED path — partition planning, pushed
+    tick_id pruning, Arrow transport, shuffle aggregation — reproduces
+    the sequential truth exactly (a partition-boundary or pushdown bug
+    shows up as a count/sum drift)."""
+    from stream_processing_platform_spark.sources.custom_datasource import tick_row
+
+    agg: dict[str, list[int]] = {}
+    for i in range(16_000):
+        _, _, sym, price, volume = tick_row(i)
+        a = agg.setdefault(sym, [0, 0, 0])
+        a[0] += 1
+        a[1] += round(price * 100)
+        a[2] += volume
+    rows = ", ".join(
+        f"('{s}', CAST({a[0]} AS BIGINT), CAST({a[1]} AS BIGINT),"
+        f" CAST({a[2]} AS BIGINT))"
+        for s, a in sorted(agg.items())
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows})"
+        f" AS t(symbol, n, sum_price_c, sum_volume)"
+    )
+
+
 @query(
     "q_custom_source_ticks",
-    oracle=None,  # the source generates its own data — duckdb sees only
-    # the fixture parquet; determinism, filter pushdown, and the
-    # exactly-once streaming offsets are pinned in
-    # tests/test_custom_datasource.py (9 tests)
+    oracle=_ticks_oracle(),
     description="Custom Python DataSource scan (sources/"
     "custom_datasource.py:TickDataSource — the Spark-4 custom-transport "
     "path standing in for the reference's KafkaSourceOperator class, "

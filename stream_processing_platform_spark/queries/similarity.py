@@ -1065,41 +1065,81 @@ def q_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lpa_label", F.col("lpa_label").cast("int"))
 
 
+_AUDIO_RATE = 8000
+_AUDIO_MODS = (3, 5, 7)  # burst lengths cycle with doc_id % lcm = 105
+
+
+def _synth_audio_payload(d: int) -> bytes:
+    """Deterministic 16-bit PCM WAV for one doc id — three 440 Hz
+    bursts whose lengths derive from (d%3, d%5, d%7) with 200 ms
+    silence gaps. Pure function of ``d % 105``; shared by the Spark UDF
+    and the oracle generator."""
+    import numpy as np
+
+    from stream_processing_platform_spark.multimodal.imagecodec import encode_wav
+
+    chunks = []
+    for mod in _AUDIO_MODS:
+        n = (d % mod + 1) * _AUDIO_RATE // 10  # 100-400 ms bursts
+        t = np.arange(n) / _AUDIO_RATE
+        chunks.append(0.4 * np.sin(2 * np.pi * 440.0 * t))
+        chunks.append(np.zeros(_AUDIO_RATE // 5))  # 200 ms silence
+    return encode_wav(np.concatenate(chunks), _AUDIO_RATE)
+
+
+def _audio_segments_oracle() -> str:
+    """GENERATED oracle (sequential-replay doctrine): the WAV payload is
+    a pure function of ``doc_id % 105``, so the expected segment table
+    for all 105 residue classes is computed here by running the SAME
+    synth → int16 WAV round-trip → ``segment_pcm`` path sequentially,
+    and joined to documents on the residue. The hash-match then proves
+    the distributed Arrow mapInPandas fan-out reproduces the sequential
+    truth. rms doubles are emitted via repr (shortest round-trip) and
+    CAST AS DOUBLE (a bare literal would bind DECIMAL — whitelist)."""
+    from stream_processing_platform_spark.multimodal.codecs import segment_pcm
+    from stream_processing_platform_spark.multimodal.imagecodec import decode_wav
+
+    rows = []
+    for rem in range(105):
+        rate, samples = decode_wav(_synth_audio_payload(rem))
+        for seg_idx, s_ms, e_ms, n, rms in segment_pcm(rate, samples, 20, 0.05, 2):
+            rows.append(
+                f"({rem}, CAST({seg_idx} AS INTEGER), CAST({s_ms} AS BIGINT),"
+                f" CAST({e_ms} AS BIGINT), CAST({n} AS BIGINT),"
+                f" CAST({rms!r} AS DOUBLE))"
+            )
+    return f"""
+    WITH exp(rem, seg_idx, start_ms, end_ms, n_samples, rms)
+         AS (VALUES {", ".join(rows)})
+    SELECT d.doc_id AS media_id, e.seg_idx, e.start_ms, e.end_ms,
+           e.n_samples, e.rms
+    FROM documents d JOIN exp e ON d.doc_id % 105 = e.rem
+    """
+
+
 @query(
     "q_audio_segments",
-    oracle=None,  # WAV decode + RMS segmentation has no SQL twin;
-    # boundary-exact behavior is pinned in tests/test_multimodal.py
+    oracle=None,  # patched below: generated sequential-replay oracle
     description="Silence-split audio segmentation end-to-end "
     "(multimodal/codecs.py:segment_audio — the audio analog of doc "
     "chunking): a deterministic 16-bit PCM WAV is synthesized per "
     "document (three 440 Hz bursts whose lengths derive from doc_id, "
     "200 ms silence gaps), then decoded and split into voiced segments "
     "by 20 ms-frame RMS thresholding, all Arrow-batched mapInPandas "
-    "1-in-N-out with no shuffle. Rows-only oracle.",
+    "1-in-N-out with no shuffle. Full oracle since r9: payloads are a "
+    "pure function of doc_id % 105, so the oracle replays all 105 "
+    "residue classes through the same segment_pcm core sequentially "
+    "and joins on the residue.",
 )
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from stream_processing_platform_spark.multimodal.codecs import segment_audio
-    from stream_processing_platform_spark.multimodal.imagecodec import encode_wav
-
-    rate = 8000
 
     @pandas_udf("binary")
     def synth(ids: pd.Series) -> pd.Series:
-        payloads = []
-        for did in ids:
-            d = int(did)
-            chunks = []
-            for k, mod in enumerate((3, 5, 7)):
-                n = (d % mod + 1) * rate // 10  # 100-400 ms bursts
-                t = np.arange(n) / rate
-                chunks.append(0.4 * np.sin(2 * np.pi * 440.0 * t))
-                chunks.append(np.zeros(rate // 5))  # 200 ms silence
-            payloads.append(encode_wav(np.concatenate(chunks), rate))
-        return pd.Series(payloads)
+        return pd.Series([_synth_audio_payload(int(d)) for d in ids])
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), synth(F.col("doc_id")).alias("content")
@@ -1322,4 +1362,8 @@ def _kmeans_embeddings_oracle(k: int = 8, iters: int = 5) -> str:
 
 _REG_SIM["q_kmeans_embeddings"] = _dc_replace_sim(
     _REG_SIM["q_kmeans_embeddings"], oracle=_kmeans_embeddings_oracle()
+)
+
+_REG_SIM["q_audio_segments"] = _dc_replace_sim(
+    _REG_SIM["q_audio_segments"], oracle=_audio_segments_oracle()
 )

@@ -2059,3 +2059,199 @@ _REG2["q_bpe_real"] = _dc_replace2(_REG2["q_bpe_real"], oracle=_bpe_real_oracle(
 _REG2["q_sequence_packing_bpe"] = _dc_replace2(
     _REG2["q_sequence_packing_bpe"], oracle=_sequence_packing_bpe_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule filter + DSIR-style importance weights (r9): the two
+# most-cited public pretraining-curation methods not yet first-class
+# here (Rae et al. 2021 "Scaling Language Models" Appendix A quality
+# rules; Xie et al. 2023 "Data Selection for LMs via Importance
+# Resampling"). Both restated in EXACT integer arithmetic so the duckdb
+# oracles hash-match: rule thresholds compare scaled integers (never a
+# float fraction), importance ratios are integer-scaled quotients under
+# the q_rolling_slope div doctrine.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+_SQL_STOPS = "(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n,
+                  CAST(length(tok) AS BIGINT) AS wlen
+           FROM tok GROUP BY doc_id, tok),
+    s AS (SELECT doc_id,
+                 CAST(sum(n) AS BIGINT) AS n_words,
+                 CAST(count(*) AS BIGINT) AS n_unique,
+                 CAST(max(n) AS BIGINT) AS max_tf,
+                 CAST(sum(wlen * n) AS BIGINT) AS n_chars,
+                 CAST(sum(CASE WHEN tok IN {_SQL_STOPS} THEN n ELSE 0 END)
+                      AS BIGINT) AS n_stop
+          FROM tf GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           n_words BETWEEN 30 AND 400 AS rule_word_count,
+           3000 * n_words <= 1000 * n_chars
+               AND 1000 * n_chars <= 10000 * n_words AS rule_mean_word_len,
+           n_stop >= 2 AS rule_stopwords,
+           max_tf * 5 <= n_words AS rule_max_word_share,
+           n_unique * 2 >= n_words AS rule_unique_share,
+           (n_words BETWEEN 30 AND 400)
+               AND 3000 * n_words <= 1000 * n_chars
+               AND 1000 * n_chars <= 10000 * n_words
+               AND n_stop >= 2
+               AND max_tf * 5 <= n_words
+               AND n_unique * 2 >= n_words AS passed
+    FROM s
+    """,
+    description="Gopher-style document quality rules (Rae et al. 2021 "
+    "Appendix A, adapted to this corpus's register) in exact integer "
+    "arithmetic: word-count bounds, mean word length via scaled cross-"
+    "multiplication (3000·n <= 1000·chars <= 10000·n — never a float "
+    "fraction), minimum stopword hits, max single-word share <= 20%, "
+    "unique-word share >= 50%. Scale shape: two doc-keyed aggregates "
+    "(per-(doc,word) tf, then per-doc stats), both partial-aggregated "
+    "map-side; per-doc state bounded by document length, never corpus "
+    "width.",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    s = tf.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count("*").alias("n_unique"),
+        F.max("n").alias("max_tf"),
+        F.sum(F.length("tok") * F.col("n")).alias("n_chars"),
+        F.sum(
+            F.when(F.col("tok").isin(*_GOPHER_STOPWORDS), F.col("n")).otherwise(F.lit(0))
+        ).alias("n_stop"),
+    )
+    rule_wc = F.col("n_words").between(30, 400)
+    rule_mwl = (3000 * F.col("n_words") <= 1000 * F.col("n_chars")) & (
+        1000 * F.col("n_chars") <= 10000 * F.col("n_words")
+    )
+    rule_stop = F.col("n_stop") >= 2
+    rule_share = F.col("max_tf") * 5 <= F.col("n_words")
+    rule_uniq = F.col("n_unique") * 2 >= F.col("n_words")
+    return s.select(
+        "doc_id",
+        "n_words",
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_stop.alias("rule_stopwords"),
+        rule_share.alias("rule_max_word_share"),
+        rule_uniq.alias("rule_unique_share"),
+        (rule_wc & rule_mwl & rule_stop & rule_share & rule_uniq).alias("passed"),
+    )
+
+
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+_DSIR_SCALE = 1_000_000  # per-token likelihood-ratio precision
+_DSIR_SHIFT_AT = 1 << 40  # counts past this get coarse-shifted first
+_DSIR_SHIFT = 1 << 20  # ...by 2^20: relative error <= 2^-20, overflow-free
+_SQL_DSIR_TGT = "(" + ", ".join(f"'{s}'" for s in _DSIR_TARGET) + ")"
+
+# Overflow-safe integer likelihood ratio, IDENTICAL text on both engines
+# modulo the div operator (duckdb `//`, Spark `div`): the naive
+# (f_t*total_c*SCALE) div (f_c*total_t) overflows int64 once
+# f_t*total_c > 2^63/SCALE — reached by any hot token in a ~10^12-token
+# corpus, and ANSI mode turns that into a job failure at exactly the
+# scale this engine targets. Instead: q = (f_t*SCALE) div f_c (safe:
+# counts past 2^40 are pre-shifted by 2^20, a <=2^-20 relative error),
+# T = the totals ratio at the same scale, ratio = q*T div SCALE.
+# Every operation is exact integer -> deterministic cross-engine; the
+# shift branch is data-dependent but identically data-dependent.
+
+
+def _dsir_q_expr(div: str) -> str:
+    s = f"(CASE WHEN f_c > {_DSIR_SHIFT_AT} THEN {_DSIR_SHIFT} ELSE 1 END)"
+    return (
+        f"(((f_t {div} {s}) * {_DSIR_SCALE}) {div} greatest(f_c {div} {s}, 1))"
+    )
+
+
+def _dsir_t_expr(div: str) -> str:
+    s = f"(CASE WHEN total_c > {_DSIR_SHIFT_AT} THEN {_DSIR_SHIFT} ELSE 1 END)"
+    return (
+        f"(((total_c {div} {s}) * {_DSIR_SCALE}) {div} greatest(total_t {div} {s}, 1))"
+    )
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_SQL_TOKENS}) AS tok
+                 FROM documents),
+    freq AS (SELECT tok,
+                    CAST(1 + sum(CASE WHEN source IN {_SQL_DSIR_TGT}
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS f_t,
+                    CAST(1 + count(*) AS BIGINT) AS f_c
+             FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(f_t) AS BIGINT) AS total_t,
+                   CAST(sum(f_c) AS BIGINT) AS total_c
+            FROM freq),
+    r AS (SELECT tok,
+                 ({_dsir_q_expr('//')} * {_dsir_t_expr('//')})
+                     // {_DSIR_SCALE} AS ratio_scaled
+          FROM freq CROSS JOIN tot)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(r.ratio_scaled) AS BIGINT) AS weight,
+           CAST(sum(r.ratio_scaled) // count(*) AS BIGINT) AS avg_ratio
+    FROM tok t JOIN r USING (tok)
+    GROUP BY t.doc_id
+    """,
+    description=f"DSIR-style importance weights (Xie et al. 2023) for "
+    f"selecting corpus documents toward a target distribution (sources "
+    f"{_DSIR_TARGET}): per-token importance ratio = (f_target/total_t)"
+    f" / (f_corpus/total_c), add-1 smoothed, restated in OVERFLOW-SAFE "
+    f"exact integer arithmetic — q = (f_t*{_DSIR_SCALE}) div f_c and "
+    f"the totals ratio computed separately, counts past 2^40 coarse-"
+    f"shifted by 2^20 first (<=2^-20 relative error), then q*T div "
+    f"SCALE — because the naive one-shot product overflows int64 for "
+    f"any hot token in a 10^12-token corpus and ANSI mode makes that a "
+    f"job failure. Both engines run the same expression text (duckdb "
+    f"// vs Spark div — the q_rolling_slope doctrine), emitted from "
+    f"one generator. Scale shape: one token-keyed frequency aggregate "
+    f"(map-side partials), ratio table joined back token-keyed (same "
+    f"skew profile as q_doc_commonness; AQE skew-join the mitigation), "
+    f"one doc-keyed sum.",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(
+        (
+            1
+            + F.sum(
+                F.when(F.col("source").isin(*_DSIR_TARGET), F.lit(1)).otherwise(F.lit(0))
+            )
+        ).alias("f_t"),
+        (1 + F.count("*")).alias("f_c"),
+    )
+    tot = freq.agg(
+        F.sum("f_t").alias("total_t"), F.sum("f_c").alias("total_c")
+    )
+    r = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr(
+            f"({_dsir_q_expr('div')} * {_dsir_t_expr('div')}) div {_DSIR_SCALE}"
+        ).alias("ratio_scaled"),
+    )
+    return (
+        tok.join(r, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("ratio_scaled").alias("weight"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight",
+            F.expr("weight div n_tokens").alias("avg_ratio"),
+        )
+    )

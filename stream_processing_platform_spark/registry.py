@@ -78,6 +78,12 @@ _loaded = False
 # window), then r6/r7/r8 ascending. New round-9 queries are PREPENDED as
 # they land.
 _PRIORITY: list[str] = [
+    # -- new in round 9 (no official row yet)
+    'q_gopher_rules',
+    'q_dsir_weights',
+    # -- r9 rows-only -> oracle conversions + the r8 red-row fix
+    'q_custom_source_ticks',
+    'q_audio_segments',
     'q_pps_sample',
     'q_kmeans_embeddings',
     'q_multimodal_features',
@@ -234,12 +240,10 @@ _PRIORITY: list[str] = [
     'q_ann_pq_trained',
     'q_approx_distinct',
     'q_approx_percentile',
-    'q_audio_segments',
     'q_containment_pairs',
     'q_corpus_mixture_bpe',
     'q_corpus_stats',
     'q_cosine_topk',
-    'q_custom_source_ticks',
     'q_dedup_clusters',
     'q_dedup_exact',
     'q_dedup_exact_docs',
@@ -261,7 +265,6 @@ _PRIORITY: list[str] = [
     'q_percentiles',
     'q_quality_filter',
     'q_repetition_ratio',
-    'q_sequence_packing_bpe',
     'q_set_ops',
     'q_simhash_pairs',
     'q_stream_holt_winters',
