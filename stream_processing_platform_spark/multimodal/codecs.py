@@ -281,38 +281,7 @@ def sample_video_frames(
         raise ValueError(f"on_foreign must be 'error' or 'skip', got {on_foreign!r}")
     if decoder == "image":
 
-        def decode_timeline(raw: bytes) -> tuple[list[np.ndarray], list[int]]:
-            """(frames, start_ms per frame) for any supported container."""
-            from stream_processing_platform_spark.multimodal import mp4codec
-            from stream_processing_platform_spark.multimodal.gifcodec import decode_gif
-            from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg
-
-            if raw[:6] in (b"GIF87a", b"GIF89a"):
-                frames, delays = decode_gif(raw)
-                starts = np.concatenate(([0], np.cumsum(delays)))
-                return frames, [int(s) for s in starts]
-            if mp4codec.is_mp4(raw):
-                f = mp4codec.parse_mp4(raw)
-                for t in f.video_tracks():
-                    if t.codec in ("jpeg", "mjpa") and t.n_samples:
-                        samples = mp4codec.extract_samples(raw, t)
-                        frames = [decode_jpeg(p) for _, _, p, _ in samples]
-                        starts = [ts for _, ts, _, _ in samples] + [t.duration_ms()]
-                        return frames, starts
-                raise NotImplementedError(
-                    "MP4 parsed but no MJPEG video track (AVC/HEVC entropy "
-                    "decode is out of scope)"
-                )
-            raise NotImplementedError(
-                "real frame sampling supports animated GIF and MJPEG MP4 "
-                "(other codecs need ffmpeg, not in container)"
-            )
-
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from stream_processing_platform_spark.multimodal.imagecodec import (
-                encode_png,
-            )
-
             for pdf in batches:
                 out: dict[str, list] = {
                     "content_hash": [],
@@ -323,21 +292,16 @@ def sample_video_frames(
                 for h, payload in zip(pdf["content_hash"], pdf[content_col]):
                     raw = bytes(payload) if payload is not None else b""
                     try:
-                        frames, starts = decode_timeline(raw)
+                        sampled = sample_frames_from_payload(raw, every_ms)
                     except NotImplementedError:
                         if on_foreign == "skip":
                             continue
                         raise
-                    # frame k is on screen during [start_k, start_{k+1})
-                    total = int(starts[-1])
-                    k = 0
-                    for i, ts in enumerate(range(0, max(total, 1), every_ms)):
-                        while k + 1 < len(frames) and starts[k + 1] <= ts:
-                            k += 1
+                    for i, ts, png in sampled:
                         out["content_hash"].append(h)
                         out["frame_idx"].append(i)
                         out["frame_ts_ms"].append(ts)
-                        out["frame"].append(encode_png(frames[k]))
+                        out["frame"].append(png)
                 yield pd.DataFrame(
                     {
                         "content_hash": out["content_hash"],
@@ -398,6 +362,57 @@ _SEGMENT_SCHEMA = StructType(
         StructField("rms", DoubleType()),
     ]
 )
+
+
+def decode_frame_timeline(raw: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """(frames, start_ms per frame boundary) for any supported moving-
+    image container — animated GIF (delay timeline) or MJPEG MP4 (stts
+    timeline). Raises NotImplementedError for undecodable codecs."""
+    from stream_processing_platform_spark.multimodal import mp4codec
+    from stream_processing_platform_spark.multimodal.gifcodec import decode_gif
+    from stream_processing_platform_spark.multimodal.jpegcodec import decode_jpeg
+
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        frames, delays = decode_gif(raw)
+        starts = np.concatenate(([0], np.cumsum(delays)))
+        return frames, [int(s) for s in starts]
+    if mp4codec.is_mp4(raw):
+        f = mp4codec.parse_mp4(raw)
+        for t in f.video_tracks():
+            if t.codec in ("jpeg", "mjpa") and t.n_samples:
+                samples = mp4codec.extract_samples(raw, t)
+                frames = [decode_jpeg(p) for _, _, p, _ in samples]
+                starts = [ts for _, ts, _, _ in samples] + [t.duration_ms()]
+                return frames, starts
+        raise NotImplementedError(
+            "MP4 parsed but no MJPEG video track (AVC/HEVC entropy "
+            "decode is out of scope)"
+        )
+    raise NotImplementedError(
+        "real frame sampling supports animated GIF and MJPEG MP4 "
+        "(other codecs need ffmpeg, not in container)"
+    )
+
+
+def sample_frames_from_payload(
+    raw: bytes, every_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """The per-payload core of :func:`sample_video_frames` as a pure
+    function — (frame_idx, tick_ms, PNG payload) for the frame ON
+    SCREEN at each ``every_ms`` tick (frame k shows during
+    [start_k, start_{k+1})). Shared by the Arrow UDF and the
+    q_video_frame_sample oracle generator (sequential-replay doctrine)."""
+    from stream_processing_platform_spark.multimodal.imagecodec import encode_png
+
+    frames, starts = decode_frame_timeline(raw)
+    total = int(starts[-1])
+    out: list[tuple[int, int, bytes]] = []
+    k = 0
+    for i, ts in enumerate(range(0, max(total, 1), every_ms)):
+        while k + 1 < len(frames) and starts[k + 1] <= ts:
+            k += 1
+        out.append((i, ts, encode_png(frames[k])))
+    return out
 
 
 def segment_audio(

@@ -1367,3 +1367,117 @@ _REG_SIM["q_kmeans_embeddings"] = _dc_replace_sim(
 _REG_SIM["q_audio_segments"] = _dc_replace_sim(
     _REG_SIM["q_audio_segments"], oracle=_audio_segments_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# q_video_frame_sample (r9): the moving-image frame-sampling surface as
+# a driver-checked query. Per document a deterministic animation is
+# synthesized — a pure function of doc_id % 30 (frame count from %3,
+# per-frame delay from %5, container from parity: GIF for even
+# residues, MJPEG MP4 for odd) — sampled on the delay/stts timeline,
+# and each emitted PNG frame is reported as its sha256. The oracle
+# replays all 30 residue classes through the SAME
+# sample_frames_from_payload core sequentially and joins on the
+# residue: the hash-match proves the distributed Arrow fan-out (and
+# both container codecs under it) reproduce the sequential truth.
+# --------------------------------------------------------------------------
+
+_VID_MOD = 30
+_VID_EVERY_MS = 60
+
+
+def _synth_video_payload(d: int) -> bytes:
+    """Deterministic per-doc animation; pure function of d % 30."""
+    import numpy as np
+
+    from stream_processing_platform_spark.multimodal.gifcodec import encode_gif
+    from stream_processing_platform_spark.multimodal.jpegcodec import encode_jpeg
+    from stream_processing_platform_spark.multimodal.mp4codec import encode_mp4
+
+    r = d % _VID_MOD
+    n_frames = r % 3 + 2  # 2-4 frames
+    delay = (r % 5 + 1) * 40  # 40-200 ms per frame
+    yy, xx = np.mgrid[0:16, 0:16]
+    frames = [
+        (
+            np.stack(
+                [(yy * 3 + r * 5 + k * 17) % 4, (xx * 7 + k * 3) % 4, (yy + xx + k) % 4],
+                -1,
+            )
+            * 64
+        ).astype(np.uint8)
+        for k in range(n_frames)
+    ]
+    if r % 2 == 0:
+        return encode_gif(frames, [delay] * n_frames)
+    return encode_mp4(
+        [encode_jpeg(f, quality=90) for f in frames], [delay] * n_frames, 16, 16
+    )
+
+
+def _video_frame_sample_oracle() -> str:
+    import hashlib
+
+    from stream_processing_platform_spark.multimodal.codecs import (
+        sample_frames_from_payload,
+    )
+
+    rows = []
+    for rem in range(_VID_MOD):
+        payload = _synth_video_payload(rem)
+        chash = hashlib.sha256(payload).hexdigest()
+        for idx, ts, png in sample_frames_from_payload(payload, _VID_EVERY_MS):
+            fsha = hashlib.sha256(png).hexdigest()
+            rows.append(
+                f"({rem}, '{chash}', CAST({idx} AS INTEGER),"
+                f" CAST({ts} AS BIGINT), '{fsha}')"
+            )
+    return f"""
+    WITH exp(rem, content_hash, frame_idx, frame_ts_ms, frame_sha)
+         AS (VALUES {", ".join(rows)})
+    SELECT e.content_hash, e.frame_idx, e.frame_ts_ms, e.frame_sha
+    FROM documents d JOIN exp e ON d.doc_id % {_VID_MOD} = e.rem
+    """
+
+
+@query(
+    "q_video_frame_sample",
+    oracle=None,  # patched below: generated sequential-replay oracle
+    description=f"Moving-image frame sampling end-to-end "
+    f"(multimodal/codecs.py:sample_video_frames decoder='image'): a "
+    f"deterministic animation per document — GIF or MJPEG MP4 by "
+    f"residue parity, 2-4 frames, 40-200 ms delays, all a pure "
+    f"function of doc_id % {_VID_MOD} — decoded through the "
+    f"from-scratch gif/mp4/jpeg codecs, sampled every "
+    f"{_VID_EVERY_MS} ms on the composition timeline, each emitted "
+    f"PNG frame reported as its sha256. Full oracle since r9: "
+    f"sequential replay of all {_VID_MOD} residue classes through the "
+    f"same sample_frames_from_payload core, joined on the residue. "
+    f"Scale shape: 1-in-N-out Arrow mapInPandas, no shuffle — a "
+    f"100 TB video corpus samples at scan speed.",
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from stream_processing_platform_spark.multimodal.codecs import sample_video_frames
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([_synth_video_payload(int(d)) for d in ids])
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        synth(F.col("doc_id")).alias("content")
+    ).withColumn("content_hash", F.sha2(F.col("content"), 256))
+    frames = sample_video_frames(docs, every_ms=_VID_EVERY_MS, decoder="image")
+    return frames.select(
+        "content_hash",
+        "frame_idx",
+        "frame_ts_ms",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
+_REG_SIM["q_video_frame_sample"] = _dc_replace_sim(
+    _REG_SIM["q_video_frame_sample"], oracle=_video_frame_sample_oracle()
+)

@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     # -- new in round 9 (no official row yet)
     'q_gopher_rules',
     'q_dsir_weights',
+    'q_video_frame_sample',
     # -- r9 rows-only -> oracle conversions + the r8 red-row fix
     'q_custom_source_ticks',
     'q_audio_segments',
