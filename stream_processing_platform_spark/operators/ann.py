@@ -130,7 +130,13 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_centroid")))
+        # rounded similarity (floor(x*1e6+0.5)/1e6): probe choice must be
+        # a function of the rounded value so the duckdb oracle's rank
+        # window picks identical cells
+        .withColumn(
+            "_sim",
+            F.floor(cosine(F.col("_qv"), F.col("_centroid")) * 1e6 + F.lit(0.5)) / 1e6,
+        )
         .withColumn("_rn", F.row_number().over(probe_w))
         .where(F.col("_rn") <= nprobe)
         .select("query_id", "_qv", "cell")
@@ -166,9 +172,18 @@ def _ivf_centroids(c: DataFrame, num_cells: int, train_iters: int) -> DataFrame:
         return trained_centroids(
             c, id_col="cid", vec_col="_cv", num_cells=num_cells, train_iters=train_iters
         )
+    # Knuth multiplicative-hash ordering (shared with
+    # kmeans_fit_reproducible), not xxhash64: equally deterministic and
+    # id-agnostic, but SQL-expressible — which is what lets q_ann_ivf
+    # carry a FULL duckdb oracle (r9) instead of a rows-only check.
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+    )
+
     cell_w = Window.orderBy("_h", "cid")
     return (
-        c.withColumn("_h", F.xxhash64(F.col("cid"), F.lit(0xC3)))
+        c.withColumn("_h", (F.col("cid") * F.lit(REPRO_INIT_MULT)) % F.lit(REPRO_INIT_MOD))
         .orderBy("_h", "cid")
         .limit(num_cells)
         .withColumn("cell", (F.row_number().over(cell_w) - 1).cast("int"))
@@ -340,7 +355,15 @@ def _assign_cells(
             key=lambda r: r["cell"],
         )
         cells = np.array([r["cell"] for r in rows], dtype=np.int64)
-        C = np.ascontiguousarray([r["_centroid"] for r in rows], dtype=np.float64)
+        vecs = [r["_centroid"] for r in rows]
+        dim = next((len(v) for v in vecs if v is not None), 0)
+        bad = [i for i, v in enumerate(vecs) if v is None or len(v) != dim]
+        if bad:
+            raise ValueError(
+                f"IVF centroid rows {bad} have NULL or non-{dim}-dim vectors "
+                f"(the sampled corpus rows must be valid embeddings)"
+            )
+        C = np.ascontiguousarray(vecs, dtype=np.float64)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         id_type = dict(c.dtypes)[id_name]
         out_cols = f"cell int, {id_name} {id_type}" + (
@@ -354,6 +377,14 @@ def _assign_cells(
                     continue
                 X = _stack_checked(pdf, id_name, vec_name, C.shape[1])
                 sims = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ Cn.T
+                # rounded BEFORE the argmax (r9): the winning cell is a
+                # function of the 1e-6-rounded similarity, so the matmul's
+                # pairwise-sum noise vs the fold (~1e-15) can only matter
+                # exactly on a boundary — the accepted Arrow-twin
+                # exception, and what makes the duckdb IVF oracle's
+                # argmax reproduce this one. np.argmax takes the first
+                # max: lowest cell, same as min(struct(-sim, cell)).
+                sims = np.floor(sims * 1e6 + 0.5) / 1e6
                 cell = cells[sims.argmax(axis=1)].astype("int32")
                 data = {"cell": cell, id_name: pdf[id_name].to_numpy()}
                 if keep_vec:
@@ -372,9 +403,10 @@ def _assign_cells(
     ]
     if keep_vec:
         aggs.append(F.first(vec_name).alias(vec_name))
+    rounded = F.floor(cosine(F.col(vec_name), F.col("_centroid")) * 1e6 + F.lit(0.5)) / 1e6
     out = (
         c.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col(vec_name), F.col("_centroid")))
+        .withColumn("_sim", rounded)
         .groupBy(id_name)
         .agg(*aggs)
     )

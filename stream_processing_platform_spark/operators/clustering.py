@@ -311,18 +311,20 @@ def trained_centroids(
     vec_col: str = "embedding",
     num_cells: int = 16,
     train_iters: int = 5,
-    salt: int = 0xC3,
 ) -> DataFrame:
     """k-means-refined centroid set in the shape ``operators/ann.py``
-    consumes (``cell``, ``_centroid``) — same hash-sample INIT (salt
-    included) as the untrained tiers, so iteration 0 starts from
-    exactly the untrained tiers' centroid set and each Lloyd's pass
-    strictly refines it."""
+    consumes (``cell``, ``_centroid``) — same Knuth-hash INIT as the
+    untrained tiers, so iteration 0 starts from exactly the untrained
+    tiers' centroid set and each Lloyd's pass strictly refines it.
+    Training runs the REPRODUCIBLE fit (r9): exact-integer mean
+    updates, rounded-argmin assignment — which is what lets the
+    trained-IVF tier carry a full duckdb oracle replaying the whole
+    trajectory."""
     spark = corpus.sparkSession
     if train_iters <= 0:
         raise ValueError("train_iters must be >= 1; use the in-line hash sample otherwise")
-    model = kmeans_fit(
-        corpus, id_col=id_col, vec_col=vec_col, k=num_cells, max_iter=train_iters, salt=salt
+    model = kmeans_fit_reproducible(
+        corpus, id_col=id_col, vec_col=vec_col, k=num_cells, iters=train_iters
     )
     rows = [(i, c) for i, c in enumerate(model.centroids)]
     return F.broadcast(

@@ -479,10 +479,15 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_ivf",
-    oracle=None,  # approximate by construction — recall vs brute force in pytest
+    oracle=None,  # patched below: full IVF-pipeline oracle (r9)
     description="IVF approximate nearest neighbors (16 cells, probe 4): "
     "the 100 TB scale path — corpus partitioned into centroid cells via "
-    "broadcast join, queries probe nearest cells only.",
+    "broadcast join, queries probe nearest cells only. Full oracle "
+    "since r9: Knuth-ordered centroid sample + 1e-6-rounded "
+    "assignment/probe similarities make the whole pipeline a "
+    "deterministic pure function both engines compute identically — "
+    "'approximate' means recall vs brute force (still measured in "
+    "pytest), not nondeterminism.",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -944,8 +949,9 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_ivf_trained",
-    oracle=None,  # approximate by construction — recall vs brute force
-    # (and vs the untrained hash-sample tier) in tests/test_clustering.py
+    oracle=None,  # patched below: reproducible-training CTE chain +
+    # the same IVF-pipeline oracle (r9); recall vs brute force
+    # (and vs the untrained tier) stays in tests/test_clustering.py
     description="IVF approximate nearest neighbors with k-means-TRAINED "
     "centroids (16 cells, probe 4, 3 Lloyd's iterations refining the "
     "same hash-sample init the untrained tier uses): closes the "
@@ -1309,7 +1315,11 @@ _REG_SIM["q_multimodal_features"] = _dc_replace_sim(
 # --------------------------------------------------------------------------
 
 
-def _kmeans_embeddings_oracle(k: int = 8, iters: int = 5) -> str:
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """The reproducible-training CTE chain (init c0, per-iteration
+    assign a{t} / update u{t} / centroids c{t+1}), ending at c{iters}.
+    Shared by the q_kmeans_embeddings oracle and the trained-IVF oracle
+    (one generator, every consumer — the generated-oracle doctrine)."""
     from stream_processing_platform_spark.operators.clustering import (
         REPRO_INIT_MOD,
         REPRO_INIT_MULT,
@@ -1353,7 +1363,21 @@ def _kmeans_embeddings_oracle(k: int = 8, iters: int = 5) -> str:
             f"c{t + 1} AS (SELECT c.cid, COALESCE(u.v, c.v) AS v"
             f" FROM c{t} c LEFT JOIN u{t} u USING (cid))"
         )
-    ctes.append(assign("af", f"c{iters}"))
+    return ctes
+
+
+def _kmeans_embeddings_oracle(k: int = 8, iters: int = 5) -> str:
+    ctes = _kmeans_ctes(k, iters)
+    dist = (
+        f"floor((list_inner_product(e.v, e.v)"
+        f" - 2.0 * list_inner_product(e.v, c.v)"
+        f" + list_inner_product(c.v, c.v)) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    ctes.append(
+        f"af AS (SELECT e.vec_id,"
+        f" min({{'d': {dist}, 'cid': c.cid}}).cid AS cluster"
+        f" FROM e CROSS JOIN c{iters} c GROUP BY e.vec_id)"
+    )
     return (
         "WITH " + ",\n    ".join(ctes) + "\n    SELECT cluster,"
         " CAST(count(*) AS BIGINT) AS n FROM af GROUP BY cluster"
@@ -1480,4 +1504,90 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REG_SIM["q_video_frame_sample"] = _dc_replace_sim(
     _REG_SIM["q_video_frame_sample"], oracle=_video_frame_sample_oracle()
+)
+
+
+# --------------------------------------------------------------------------
+# q_ann_ivf full oracle (r9): "approximate" never meant
+# "non-deterministic" — the IVF pipeline is a pure function of the
+# corpus once (a) the hash-sample init orders by the SQL-expressible
+# Knuth mix instead of xxhash64 and (b) cell assignment / probe choice
+# run on 1e-6-rounded similarities (the q_kmeans_assign doctrine). The
+# oracle replays the EXACT pipeline: centroid pick, rounded-argmax cell
+# assignment (min-struct low-cell tie-break), per-query rounded probe
+# ranking, candidate cosine top-k. What "approximate" still means —
+# recall vs brute force — stays measured in tests/test_ann_quality.py;
+# what the driver now hash-checks is that the distributed plan computes
+# this approximation EXACTLY.
+# --------------------------------------------------------------------------
+
+
+def _ivf_oracle(
+    k: int = 5, num_cells: int = 16, nprobe: int = 4, train_iters: int = 0
+) -> str:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+    )
+
+    if train_iters:
+        # trained tier: the reproducible k-means CTE chain refines the
+        # same Knuth init; the final centroid table feeds the identical
+        # probe/assign/rank pipeline
+        head = (
+            "WITH "
+            + ",\n    ".join(_kmeans_ctes(num_cells, train_iters))
+            + f",\n    cent AS (SELECT cid AS cell, v FROM c{train_iters})"
+        )
+    else:
+        head = f"""
+    WITH e AS ({_SQL_VECS}),
+    cent AS (
+      SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM
+        (SELECT v, row_number() OVER (ORDER BY
+           (vec_id * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+         FROM e) WHERE rn <= {num_cells})"""
+    cos = (
+        "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+        " * sqrt(list_inner_product({b}, {b})))"
+    )
+    cosr = f"floor(({cos}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    {head},
+    assigned AS (
+      SELECT e.vec_id,
+             min({{'ns': -{cosr.format(a='e.v', b='c.v')}, 'cell': c.cell}}).cell
+                 AS cell
+      FROM e CROSS JOIN cent c GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cosr.format(a='q.v', b='c.v')} DESC, c.cell ASC) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({cos.format(a='q.v', b='e.v')}, 6) AS cos
+      FROM probes p
+      JOIN assigned a USING (cell)
+      JOIN q ON q.query_id = p.query_id
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+_REG_SIM["q_ann_ivf"] = _dc_replace_sim(_REG_SIM["q_ann_ivf"], oracle=_ivf_oracle())
+_REG_SIM["q_ann_ivf_trained"] = _dc_replace_sim(
+    _REG_SIM["q_ann_ivf_trained"], oracle=_ivf_oracle(train_iters=3)
 )

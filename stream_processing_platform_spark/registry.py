@@ -85,6 +85,8 @@ _PRIORITY: list[str] = [
     # -- r9 rows-only -> oracle conversions + the r8 red-row fix
     'q_custom_source_ticks',
     'q_audio_segments',
+    'q_ann_ivf',
+    'q_ann_ivf_trained',
     'q_pps_sample',
     'q_kmeans_embeddings',
     'q_multimodal_features',
@@ -233,8 +235,6 @@ _PRIORITY: list[str] = [
     'q_window_distribution',
     'q_window_range_frame',
     'q_winsorize',
-    'q_ann_ivf',
-    'q_ann_ivf_trained',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',
     'q_ann_pq',
