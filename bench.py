@@ -200,6 +200,11 @@ def main() -> None:
         "q_simhash_pairs",
         "q_substring_dup_spans",
         "q_holt_winters",
+        # round-9 additions
+        "q_gopher_rules",
+        "q_dsir_weights",
+        "q_video_frame_sample",
+        "q_ann_ivf",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

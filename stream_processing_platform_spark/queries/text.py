@@ -2255,3 +2255,31 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("weight div n_tokens").alias("avg_ratio"),
         )
     )
+
+
+def _corpus_mixture_bpe_oracle() -> str:
+    """GENERATED oracle (r9): q_corpus_mixture's admission SQL with the
+    regex token estimate replaced by the real-BPE count CTE chain
+    (_bpe_count_ctes) — now that greedy BPE has a SQL twin, the
+    production mixture variant is hash-checkable too."""
+    return f"""
+    WITH {_bpe_count_ctes()},
+    tgt(source, mix_target) AS (VALUES {_SQL_MIX_TGT}),
+    t AS (SELECT d.doc_id, d.source, b.n, {_SQL_FP.replace('text', 'd.text')} AS h
+          FROM documents d JOIN bpe_n b USING (doc_id)),
+    w AS (SELECT t.source, t.n, tgt.mix_target,
+                 COALESCE(sum(t.n) OVER (PARTITION BY t.source
+                          ORDER BY t.h, t.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM t JOIN tgt USING (source))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS mix_tokens,
+           CAST(max(mix_target) AS BIGINT) AS mix_target
+    FROM w WHERE cum_before < mix_target GROUP BY source
+    """
+
+
+_REG2["q_corpus_mixture_bpe"] = _dc_replace2(
+    _REG2["q_corpus_mixture_bpe"], oracle=_corpus_mixture_bpe_oracle()
+)

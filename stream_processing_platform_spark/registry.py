@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     'q_audio_segments',
     'q_ann_ivf',
     'q_ann_ivf_trained',
+    'q_corpus_mixture_bpe',
     'q_pps_sample',
     'q_kmeans_embeddings',
     'q_multimodal_features',
@@ -242,7 +243,6 @@ _PRIORITY: list[str] = [
     'q_approx_distinct',
     'q_approx_percentile',
     'q_containment_pairs',
-    'q_corpus_mixture_bpe',
     'q_corpus_stats',
     'q_cosine_topk',
     'q_dedup_clusters',
