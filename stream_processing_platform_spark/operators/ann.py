@@ -207,9 +207,21 @@ def _pq_codebook(
             c, id_col="neighbor_id", vec_col="_cv", dim=dim,
             num_subspaces=num_subspaces, num_codes=num_codes, train_iters=train_iters,
         )
+    # Knuth ordering with the 0x51 offset (distinct from the IVF cell
+    # sample), not xxhash64: SQL-expressible, which is what lets
+    # q_ann_pq carry a full duckdb oracle (r9).
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+    )
+
     code_w = Window.orderBy("_h", "neighbor_id")
     return (
-        c.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x51)))
+        c.withColumn(
+            "_h",
+            ((F.col("neighbor_id") + F.lit(0x51)) * F.lit(REPRO_INIT_MULT))
+            % F.lit(REPRO_INIT_MOD),
+        )
         .orderBy("_h", "neighbor_id")
         .limit(num_codes)
         .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
@@ -299,6 +311,13 @@ def _encode_codes(
                 S = X.reshape(n, M, d)
                 cross = np.einsum("nmd,mkd->nmk", S, CB)
                 dist = (S * S).sum(axis=2)[:, :, None] - 2.0 * cross + cb_sq[None, :, :]
+                # rounded BEFORE the argmin (r9): the winning code is a
+                # function of the 1e-6-rounded distance, so the einsum's
+                # summation-order noise vs the expression fold can only
+                # matter on a boundary — the accepted Arrow-twin
+                # exception (pinned code-for-code by pytest), and what
+                # makes the duckdb PQ oracle's argmin reproduce this one.
+                dist = np.floor(dist * 1e6 + 0.5)
                 codes = dist.argmin(axis=2).astype("int32")
                 yield pd.DataFrame(
                     {id_name: pdf[id_name].to_numpy(), "codes": list(codes)}
@@ -316,7 +335,7 @@ def _encode_codes(
     # sort the full N x subspaces x codes expansion instead.
     return (
         subs.join(F.broadcast(codebook), "m")
-        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .withColumn("_d", F.floor(_l2sq(F.col("sub"), F.col("csub")) * 1e6 + F.lit(0.5)))
         .groupBy(id_name, "m")
         .agg(F.min(F.struct("_d", "code"))["code"].alias("code"))
         .groupBy(id_name)
@@ -463,7 +482,10 @@ def pq_topk(
         c, "neighbor_id", "_cv", codebook, dim, num_subspaces, normalize=True
     )
 
-    # Per-query ADC table: dtable[m][code] = L2^2(q_sub_m, code vector).
+    # Per-query ADC table: dtable[m][code] = L2^2(q_sub_m, code vector),
+    # on the 1e-6 INTEGER grid (r9): integer table entries make the
+    # per-candidate sum exact and order-free, so candidate ranking is
+    # bit-deterministic cross-engine — what the duckdb oracle replays.
     q_subs = q.select(
         "query_id",
         F.posexplode(_subvectors(_l2_normalized(F.col("_qv")), dim, num_subspaces)).alias(
@@ -472,7 +494,7 @@ def pq_topk(
     )
     qtab = (
         q_subs.join(F.broadcast(codebook), "m")
-        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .withColumn("_d", F.floor(_l2sq(F.col("sub"), F.col("csub")) * 1e6 + F.lit(0.5)))
         .groupBy("query_id", "m")
         .agg(
             F.transform(
@@ -496,7 +518,7 @@ def pq_topk(
             "pq_dist",
             F.aggregate(
                 F.zip_with("codes", "dtable", lambda code, row: F.element_at(row, code + 1)),
-                F.lit(0.0),
+                F.lit(0).cast("long"),
                 lambda s, v: s + v,
             ),
         )
@@ -634,9 +656,18 @@ def ivfpq_topk(
                 train_iters=train_iters, salt=0x52, normalize=False,
             )
         else:
+            from stream_processing_platform_spark.operators.clustering import (
+                REPRO_INIT_MOD,
+                REPRO_INIT_MULT,
+            )
+
             code_w = Window.orderBy("_h", "neighbor_id")
             codebook = (
-                rres.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(0x52)))
+                rres.withColumn(
+                    "_h",
+                    ((F.col("neighbor_id") + F.lit(0x52)) * F.lit(REPRO_INIT_MULT))
+                    % F.lit(REPRO_INIT_MOD),
+                )
                 .orderBy("_h", "neighbor_id")
                 .limit(num_codes)
                 .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
@@ -672,7 +703,10 @@ def ivfpq_topk(
     probe_w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_centroid")))
+        .withColumn(
+            "_sim",
+            F.floor(cosine(F.col("_qv"), F.col("_centroid")) * 1e6 + F.lit(0.5)) / 1e6,
+        )
         .withColumn("_rn", F.row_number().over(probe_w))
         .where(F.col("_rn") <= nprobe)
         .select("query_id", "cell", "_qv")
@@ -696,7 +730,7 @@ def ivfpq_topk(
     )
     probe_tabs = (
         q_subs.join(F.broadcast(codebook), "m")
-        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        .withColumn("_d", F.floor(_l2sq(F.col("sub"), F.col("csub")) * 1e6 + F.lit(0.5)))
         .groupBy("query_id", "cell", "m")
         .agg(
             F.transform(
@@ -762,7 +796,12 @@ def ivfpq_query(
     probe_w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_centroid")))
+        # rounded: probe choice must be a function of the 1e-6-rounded
+        # similarity so the duckdb oracle picks identical cells (r9)
+        .withColumn(
+            "_sim",
+            F.floor(cosine(F.col("_qv"), F.col("_centroid")) * 1e6 + F.lit(0.5)) / 1e6,
+        )
         .withColumn("_rn", F.row_number().over(probe_w))
         .where(F.col("_rn") <= nprobe)
         .select("query_id", "cell")
@@ -775,7 +814,8 @@ def ivfpq_query(
     )
     qtab = (
         q_subs.join(F.broadcast(codebook), "m")
-        .withColumn("_d", _l2sq(F.col("sub"), F.col("csub")))
+        # integer 1e-6 grid: exact order-free candidate sums (r9)
+        .withColumn("_d", F.floor(_l2sq(F.col("sub"), F.col("csub")) * 1e6 + F.lit(0.5)))
         .groupBy("query_id", "m")
         .agg(
             F.transform(

@@ -658,71 +658,144 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_multimodal_real_decode",
-    oracle=None,  # pixel decode has no SQL twin; codec correctness is
-    # pinned in tests/test_imagecodec.py + tests/test_multimodal.py
-    description="REAL image decode end-to-end (multimodal/imagecodec.py): "
-    "synthesize a binary PPM payload per document JVM-side (header + "
-    "text bytes as a 16x16 raster), plus four driver-built JPEG "
-    "payloads — baseline and PROGRESSIVE (SOF2), each at 4:4:4 and "
-    "4:2:0 — through the from-scratch jpegcodec; then decode ACTUAL "
-    "pixels -> nearest-neighbor resize to 8x8 -> Rec.601 luma-grid "
-    "features, all Arrow-batched mapInPandas. Deterministic, rows-only "
-    "oracle.",
-)
-def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+_RASTER = 16 * 16 * 3  # 768 raster bytes per 16x16 RGB image
+
+
+def _real_decode_fixture_payloads() -> list[bytes]:
+    """The driver-built media fixtures, shared by the query and its
+    oracle generator: four JPEGs (baseline + PROGRESSIVE, each at 4:4:4
+    and 4:2:0 — what real web corpora are full of), one animated GIF
+    (decode_image takes the first frame), one MJPEG MP4 (first sample
+    through the ISO-BMFF tables)."""
     import numpy as np
 
-    from stream_processing_platform_spark.multimodal.codecs import (
-        extract_features,
-        resize_images,
-    )
+    from stream_processing_platform_spark.multimodal.gifcodec import encode_gif
     from stream_processing_platform_spark.multimodal.jpegcodec import encode_jpeg
+    from stream_processing_platform_spark.multimodal.mp4codec import encode_mp4
 
-    raster = 16 * 16 * 3  # 768 raster bytes per 16x16 RGB image
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.concat(
-            F.lit(b"P6\n16 16\n255\n"),
-            F.expr(f"substring(encode(rpad(text, {raster}, 'x'), 'utf-8'), 1, {raster})"),
-        ).alias("content")
-    )
-    # JPEG fixtures: deterministic gradient, every (mode × sampling)
-    # combination the codec decodes — the progressive rows are what
-    # real web corpora are full of
     yy, xx = np.mgrid[0:24, 0:16]
     img = np.stack(
         [(yy * 9) % 256, (xx * 13) % 256, ((yy + xx) * 7) % 256], -1
     ).astype(np.uint8)
-    jpegs = [
-        (bytearray(encode_jpeg(img, quality=85, subsampling=sub, progressive=prog)),)
+    payloads = [
+        encode_jpeg(img, quality=85, subsampling=sub, progressive=prog)
         for sub in ("444", "420")
         for prog in (False, True)
     ]
-    # plus one animated GIF (decode_image takes the first frame; the
-    # frame-sampling path is pinned in tests/test_gifcodec.py)
-    from stream_processing_platform_spark.multimodal.gifcodec import encode_gif
-
     q = (img // 64) * 64  # quantize to <=256 colors for the GIF palette
-    jpegs.append((bytearray(encode_gif([q, q[::-1]], [100, 100])),))
-    # plus one MJPEG MP4 (from-scratch ISO-BMFF muxer; decode_image
-    # extracts + decodes the first sample via the container tables —
-    # tests/test_mp4codec.py pins the full timeline/keyframe surface)
-    from stream_processing_platform_spark.multimodal.mp4codec import encode_mp4
+    payloads.append(encode_gif([q, q[::-1]], [100, 100]))
+    payloads.append(
+        encode_mp4(
+            [encode_jpeg(img, quality=85), encode_jpeg(img[::-1].copy(), quality=85)],
+            [40, 40],
+            16,
+            24,
+        )
+    )
+    return payloads
 
-    mjpeg = [
-        encode_jpeg(img, quality=85),
-        encode_jpeg(img[::-1].copy(), quality=85),
-    ]
-    jpegs.append((bytearray(encode_mp4(mjpeg, [40, 40], 16, 24)),))
-    docs = docs.unionByName(spark.createDataFrame(jpegs, "content binary"))
+
+def _real_decode_oracle() -> str:
+    """GENERATED oracle (r9): the text->PPM rows are replayed entirely
+    IN SQL — the pipeline (PPM decode -> nearest-neighbor resize to 8x8
+    -> re-encode -> decode -> Rec.601 luma 4x4 grid / 256) reduces to
+    sampling pixel (4i, 4j) of the 16x16 raster, i.e. 48 byte reads off
+    the padded text (pure ASCII corpus: ascii(substr()) IS the byte),
+    pushed through the exact float32 op chain numpy runs (duckdb
+    FLOAT*FLOAT stays FLOAT; verified bit-equal). The six driver-built
+    codec fixtures are replayed sequentially in Python through the same
+    decode/resize/feature path and emitted as VALUES."""
+    import hashlib
+
+    from stream_processing_platform_spark.multimodal import imagecodec as ic
+
+    # -- text rows: 16 features = luma(4i, 4j)/256 over the 16x16 raster
+    def byte(p: int) -> str:  # 1-based char position in the padded text
+        return f"CAST(ascii(substr(pad, {p}, 1)) AS FLOAT)"
+
+    feats = []
+    for i in range(4):
+        for j in range(4):
+            base = (4 * i * 16 + 4 * j) * 3  # 0-based byte offset of R
+            r, g, b = (byte(base + k + 1) for k in range(3))
+            luma = (
+                f"CAST(CAST({r} * CAST(0.299 AS FLOAT) AS FLOAT)"
+                f" + CAST({g} * CAST(0.587 AS FLOAT) AS FLOAT) AS FLOAT)"
+                f" + CAST({b} * CAST(0.114 AS FLOAT) AS FLOAT)"
+            )
+            feats.append(f"CAST(CAST({luma} AS FLOAT) / CAST(256 AS FLOAT) AS FLOAT)")
+    fold = "CAST(0.0 AS DOUBLE)"
+    for f in feats:
+        fold = f"({fold} + {f})"
+    header = "'P6' || chr(10) || '16 16' || chr(10) || '255' || chr(10)"
+
+    # -- fixture rows: sequential replay through the same pipeline
+    rows = []
+    for payload in _real_decode_fixture_payloads():
+        ppm = ic.encode_ppm(ic.resize_nearest(ic.decode_image(payload), 8, 8))
+        fs = ic.image_features(ic.decode_image(ppm), 16)
+        s = 0.0
+        for v in fs:
+            s += float(v)
+        import math
+
+        feat_sum = math.floor(s * 10000.0 + 0.5) / 10000.0
+        rows.append(
+            f"('{hashlib.sha256(payload).hexdigest()}',"
+            f" CAST({len(ppm)} AS BIGINT), CAST({feat_sum!r} AS DOUBLE))"
+        )
+    return f"""
+    WITH t AS (SELECT substr(rpad(text, {_RASTER}, 'x'), 1, {_RASTER}) AS pad
+               FROM documents)
+    SELECT sha256({header} || pad) AS content_hash,
+           CAST({11 + 8 * 8 * 3} AS BIGINT) AS n_bytes,
+           floor({fold} * 10000.0 + 0.5) / 10000.0 AS feat_sum
+    FROM t
+    UNION ALL
+    SELECT * FROM (VALUES {", ".join(rows)})
+           AS fx(content_hash, n_bytes, feat_sum)
+    """
+
+
+@query(
+    "q_multimodal_real_decode",
+    oracle=None,  # patched below: generated SQL-replay + fixture oracle
+    description="REAL image decode end-to-end (multimodal/imagecodec.py): "
+    "synthesize a binary PPM payload per document JVM-side (header + "
+    "text bytes as a 16x16 raster), plus driver-built JPEG (baseline + "
+    "PROGRESSIVE, 4:4:4 + 4:2:0), animated GIF, and MJPEG MP4 payloads "
+    "through the from-scratch codecs; then decode ACTUAL pixels -> "
+    "nearest-neighbor resize to 8x8 -> Rec.601 luma-grid features, all "
+    "Arrow-batched mapInPandas. Full oracle since r9: the text-PPM rows "
+    "replay in pure SQL (byte sampling + the exact float32 op chain), "
+    "the codec fixtures replay sequentially in Python — the hash-match "
+    "covers the real pixel path end to end.",
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.multimodal.codecs import (
+        extract_features,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit(b"P6\n16 16\n255\n"),
+            F.expr(f"substring(encode(rpad(text, {_RASTER}, 'x'), 'utf-8'), 1, {_RASTER})"),
+        ).alias("content")
+    )
+    fixtures = [(bytearray(p),) for p in _real_decode_fixture_payloads()]
+    docs = docs.unionByName(spark.createDataFrame(fixtures, "content binary"))
     binary = docs.withColumn("content_hash", F.sha2(F.col("content"), 256))
     resized = resize_images(binary, 8, 8, decoder="image")
     feats = extract_features(resized, dim=16, decoder="image")
+    # floor(x*1e4+0.5), not round(x, 4): cross-engine half-boundary rule
     return feats.select(
         "content_hash",
         "n_bytes",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+        (
+            F.floor(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) * 10000.0 + 0.5)
+            / 10000.0
+        ).alias("feat_sum"),
     )
 
 
@@ -1590,4 +1663,272 @@ def _ivf_oracle(
 _REG_SIM["q_ann_ivf"] = _dc_replace_sim(_REG_SIM["q_ann_ivf"], oracle=_ivf_oracle())
 _REG_SIM["q_ann_ivf_trained"] = _dc_replace_sim(
     _REG_SIM["q_ann_ivf_trained"], oracle=_ivf_oracle(train_iters=3)
+)
+
+_REG_SIM["q_multimodal_real_decode"] = _dc_replace_sim(
+    _REG_SIM["q_multimodal_real_decode"], oracle=_real_decode_oracle()
+)
+
+
+# --------------------------------------------------------------------------
+# q_ann_pq full oracle (r9): same doctrine as q_ann_ivf — the PQ
+# pipeline is a deterministic pure function once (a) the codebook
+# sample orders by the Knuth mix (offset 0x51), (b) encode argmin and
+# the per-query ADC tables live on the 1e-6 INTEGER distance grid
+# (exact, order-free candidate sums), and (c) every tie breaks on the
+# id. The oracle replays codebook pick -> per-subspace rounded-argmin
+# encode -> integer ADC candidate ranking -> exact-cosine re-rank.
+# Compression loss (recall vs brute force) stays measured in pytest.
+# --------------------------------------------------------------------------
+
+
+def _pq_oracle(
+    k: int = 5,
+    dim: int = 64,
+    num_subspaces: int = 16,
+    num_codes: int = 64,
+    refine: int = 16,
+) -> str:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+    )
+
+    d = dim // num_subspaces
+
+    def l2sq(a: str, b: str) -> str:
+        terms = [
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, d + 1)
+        ]
+        e = terms[0]
+        for t in terms[1:]:
+            e = f"({e} + {t})"
+        return e
+
+    di = f"CAST(floor(({l2sq('s.sub', 'cb.csub')}) * 1000000.0 + 0.5) AS BIGINT)"
+    nv = "list_transform(v, x -> x / sqrt(list_inner_product(v, v)))"
+    cos = (
+        "round(list_inner_product(qv.v, nb.v)"
+        " / (sqrt(list_inner_product(qv.v, qv.v))"
+        " * sqrt(list_inner_product(nb.v, nb.v))), 6)"
+    )
+    return f"""
+    WITH e AS ({_SQL_VECS}),
+    ms AS (SELECT CAST(unnest(range({num_subspaces})) AS INTEGER) AS m),
+    cb0 AS (
+      SELECT CAST(rn - 1 AS INTEGER) AS code, {nv} AS nv FROM
+        (SELECT v, row_number() OVER (ORDER BY
+           ((vec_id + {0x51}) * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+         FROM e) WHERE rn <= {num_codes}
+    ),
+    cb AS (SELECT code, m, nv[{d}*m+1 : {d}*m+{d}] AS csub FROM cb0 CROSS JOIN ms),
+    cn AS (SELECT vec_id, {nv} AS nv FROM e),
+    subs AS (SELECT vec_id, m, nv[{d}*m+1 : {d}*m+{d}] AS sub
+             FROM cn CROSS JOIN ms),
+    enc AS (
+      SELECT s.vec_id, s.m, min({{'d': {di}, 'code': cb.code}}).code AS code
+      FROM subs s JOIN cb USING (m) GROUP BY s.vec_id, s.m
+    ),
+    qsubs AS (SELECT vec_id AS query_id, m, sub FROM subs WHERE vec_id < 20),
+    qd AS (
+      SELECT s.query_id, s.m, cb.code, {di.replace('s.sub', 's.sub')} AS di
+      FROM qsubs s JOIN cb USING (m)
+    ),
+    cand AS (
+      SELECT q.query_id, enc.vec_id AS neighbor_id,
+             CAST(sum(q.di) AS BIGINT) AS pq
+      FROM enc JOIN qd q ON q.m = enc.m AND q.code = enc.code
+      WHERE q.query_id <> enc.vec_id
+      GROUP BY q.query_id, enc.vec_id
+    ),
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq ASC, neighbor_id ASC) AS rn
+        FROM cand)
+      WHERE rn <= {k * refine}
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT t.query_id, t.neighbor_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY t.query_id
+               ORDER BY {cos} DESC, t.neighbor_id ASC) AS rank
+      FROM topc t
+      JOIN e qv ON qv.vec_id = t.query_id
+      JOIN e nb ON nb.vec_id = t.neighbor_id)
+    WHERE rank <= {k}
+    """
+
+
+_REG_SIM["q_ann_pq"] = _dc_replace_sim(_REG_SIM["q_ann_pq"], oracle=_pq_oracle())
+
+
+# --------------------------------------------------------------------------
+# q_ann_ivfpq / q_ann_ivfpq_residual full oracles (r9): the FAISS-style
+# composition under the same doctrine — IVF cells (Knuth sample,
+# rounded-cosine assignment/probes) bound WHICH candidates are scored,
+# PQ codes (Knuth+salt sample, rounded-argmin encode, integer ADC)
+# bound the scoring, exact-cosine re-rank restores fidelity. The
+# residual variant additionally replays x/|x| − c/|c| encoding with
+# per-(query, cell) residual tables. One generator, both variants.
+# --------------------------------------------------------------------------
+
+
+def _sql_l2sq(a: str, b: str, d: int) -> str:
+    terms = [f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, d + 1)]
+    e = terms[0]
+    for t in terms[1:]:
+        e = f"({e} + {t})"
+    return e
+
+
+def _ivfpq_oracle(
+    residual: bool,
+    k: int = 5,
+    dim: int = 64,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 16,
+    num_codes: int = 64,
+    refine: int = 16,
+) -> str:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+    )
+
+    d = dim // num_subspaces
+    cos = (
+        "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+        " * sqrt(list_inner_product({b}, {b})))"
+    )
+    cosr = f"floor(({cos}) * 1000000.0 + 0.5) / 1000000.0"
+    nv = "list_transform(v, x -> x / sqrt(list_inner_product(v, v)))"
+    di = (
+        f"CAST(floor(({_sql_l2sq('s.sub', 'cb.csub', d)}) * 1000000.0 + 0.5)"
+        f" AS BIGINT)"
+    )
+    salt = 0x52 if residual else 0x51
+    common = f"""
+    WITH e AS ({_SQL_VECS}),
+    ms AS (SELECT CAST(unnest(range({num_subspaces})) AS INTEGER) AS m),
+    cent AS (
+      SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM
+        (SELECT v, row_number() OVER (ORDER BY
+           (vec_id * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+         FROM e) WHERE rn <= {num_cells}
+    ),
+    assigned AS (
+      SELECT e.vec_id,
+             min({{'ns': -{cosr.format(a='e.v', b='c.v')}, 'cell': c.cell}}).cell
+                 AS cell
+      FROM e CROSS JOIN cent c GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cosr.format(a='q.v', b='c.v')} DESC, c.cell ASC) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= {nprobe}
+    ),
+    cb_order AS (
+      SELECT vec_id, row_number() OVER (ORDER BY
+        ((vec_id + {salt}) * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+      FROM e
+    )"""
+    if not residual:
+        body = f""",
+    cb0 AS (SELECT CAST(o.rn - 1 AS INTEGER) AS code, {nv} AS nvec
+            FROM cb_order o JOIN e USING (vec_id) WHERE o.rn <= {num_codes}),
+    cb AS (SELECT code, m, nvec[{d}*m+1 : {d}*m+{d}] AS csub
+           FROM cb0 CROSS JOIN ms),
+    subs AS (SELECT vec_id, m, nvec[{d}*m+1 : {d}*m+{d}] AS sub FROM
+             (SELECT vec_id, {nv} AS nvec FROM e) CROSS JOIN ms),
+    enc AS (SELECT s.vec_id, s.m, min({{'d': {di}, 'code': cb.code}}).code AS code
+            FROM subs s JOIN cb USING (m) GROUP BY s.vec_id, s.m),
+    qd AS (SELECT s.vec_id AS query_id, s.m, cb.code, {di} AS di
+           FROM subs s JOIN cb USING (m) WHERE s.vec_id < 20),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, CAST(sum(qq.di) AS BIGINT) AS pq
+      FROM probes p
+      JOIN assigned a USING (cell)
+      JOIN enc ON enc.vec_id = a.vec_id
+      JOIN qd qq ON qq.query_id = p.query_id AND qq.m = enc.m
+                AND qq.code = enc.code
+      WHERE p.query_id <> a.vec_id
+      GROUP BY p.query_id, a.vec_id
+    )"""
+    else:
+        body = f""",
+    ncent AS (SELECT cell, {nv} AS nc FROM cent),
+    rvt AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range({dim}),
+               i -> nvec[i + 1] - nc[i + 1]) AS rv
+      FROM assigned a
+      JOIN (SELECT vec_id, {nv} AS nvec FROM e) n USING (vec_id)
+      JOIN ncent USING (cell)
+    ),
+    cb0 AS (SELECT CAST(o.rn - 1 AS INTEGER) AS code, r.rv
+            FROM cb_order o JOIN rvt r USING (vec_id) WHERE o.rn <= {num_codes}),
+    cb AS (SELECT code, m, rv[{d}*m+1 : {d}*m+{d}] AS csub
+           FROM cb0 CROSS JOIN ms),
+    subs AS (SELECT vec_id, m, rv[{d}*m+1 : {d}*m+{d}] AS sub
+             FROM rvt CROSS JOIN ms),
+    enc AS (SELECT s.vec_id, s.m, min({{'d': {di}, 'code': cb.code}}).code AS code
+            FROM subs s JOIN cb USING (m) GROUP BY s.vec_id, s.m),
+    qrv AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range({dim}), i -> nqv[i + 1] - nc[i + 1]) AS rv
+      FROM probes p
+      JOIN (SELECT vec_id AS query_id, {nv} AS nqv FROM e WHERE vec_id < 20) n
+           USING (query_id)
+      JOIN ncent USING (cell)
+    ),
+    qd AS (SELECT s.query_id, s.cell, s.m, cb.code, {di} AS di FROM
+           (SELECT query_id, cell, m, rv[{d}*m+1 : {d}*m+{d}] AS sub
+            FROM qrv CROSS JOIN ms) s
+           JOIN cb USING (m)),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, CAST(sum(qq.di) AS BIGINT) AS pq
+      FROM probes p
+      JOIN assigned a USING (cell)
+      JOIN enc ON enc.vec_id = a.vec_id
+      JOIN qd qq ON qq.query_id = p.query_id AND qq.cell = p.cell
+                AND qq.m = enc.m AND qq.code = enc.code
+      WHERE p.query_id <> a.vec_id
+      GROUP BY p.query_id, a.vec_id
+    )"""
+    final_cos = (
+        "round(list_inner_product(qv.v, nb.v)"
+        " / (sqrt(list_inner_product(qv.v, qv.v))"
+        " * sqrt(list_inner_product(nb.v, nb.v))), 6)"
+    )
+    return f"""{common}{body},
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq ASC, neighbor_id ASC) AS rn
+        FROM cand)
+      WHERE rn <= {k * refine}
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT t.query_id, t.neighbor_id, {final_cos} AS cos,
+             row_number() OVER (PARTITION BY t.query_id
+               ORDER BY {final_cos} DESC, t.neighbor_id ASC) AS rank
+      FROM topc t
+      JOIN e qv ON qv.vec_id = t.query_id
+      JOIN e nb ON nb.vec_id = t.neighbor_id)
+    WHERE rank <= {k}
+    """
+
+
+_REG_SIM["q_ann_ivfpq"] = _dc_replace_sim(
+    _REG_SIM["q_ann_ivfpq"], oracle=_ivfpq_oracle(residual=False, nprobe=6)
+)
+_REG_SIM["q_ann_ivfpq_residual"] = _dc_replace_sim(
+    _REG_SIM["q_ann_ivfpq_residual"], oracle=_ivfpq_oracle(residual=True, nprobe=6)
 )

@@ -87,6 +87,10 @@ _PRIORITY: list[str] = [
     'q_audio_segments',
     'q_ann_ivf',
     'q_ann_ivf_trained',
+    'q_ann_pq',
+    'q_ann_ivfpq',
+    'q_ann_ivfpq_residual',
+    'q_multimodal_real_decode',
     'q_corpus_mixture_bpe',
     'q_pps_sample',
     'q_kmeans_embeddings',
@@ -236,9 +240,6 @@ _PRIORITY: list[str] = [
     'q_window_distribution',
     'q_window_range_frame',
     'q_winsorize',
-    'q_ann_ivfpq',
-    'q_ann_ivfpq_residual',
-    'q_ann_pq',
     'q_ann_pq_trained',
     'q_approx_distinct',
     'q_approx_percentile',
@@ -260,7 +261,6 @@ _PRIORITY: list[str] = [
     'q_join_semi',
     'q_lang_id',
     'q_minhash_lsh_pairs',
-    'q_multimodal_real_decode',
     'q_ngram_jaccard_pairs',
     'q_orderby_limit',
     'q_percentiles',
