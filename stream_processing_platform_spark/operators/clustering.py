@@ -354,6 +354,11 @@ def _pq_assign_udf(codebooks: np.ndarray, normalize: bool = True):
         # ||s||^2 - 2 s.c + ||c||^2 per subspace: einsum over d
         cross = np.einsum("nmd,mkd->nmk", S, CB)
         dist = (S * S).sum(axis=2)[:, :, None] - 2.0 * cross + cb_sq[None, :, :]
+        # rounded BEFORE the argmin (r9): the winning code is a function
+        # of the 1e-6-rounded distance — einsum-vs-fold noise can only
+        # matter on a boundary (the accepted Arrow-twin exception), and
+        # the trained-PQ duckdb oracle's argmin reproduces this one
+        dist = np.floor(dist * 1e6 + 0.5)
         codes = dist.argmin(axis=2).astype("int32")  # (N, M)
         return pd.Series(list(codes))
 
@@ -394,8 +399,13 @@ def pq_train_codebooks(
     )
     # init: the m-th normalized subvector of hash-sample j is code j of
     # subspace m (identical to the inline codebook in ann.pq_topk)
+    # Knuth ordering with the salt offset (shared with the untrained
+    # inline samples) — SQL-expressible, so the trained tier's oracle
+    # can replay the exact init (r9)
     init_rows = (
-        pts.withColumn("_h", F.xxhash64(F.col("_id"), F.lit(salt)))
+        pts.withColumn(
+            "_h", ((F.col("_id") + F.lit(salt)) * F.lit(REPRO_INIT_MULT)) % F.lit(REPRO_INIT_MOD)
+        )
         .orderBy("_h", "_id")
         .limit(num_codes)
         .select("_v")
@@ -424,13 +434,25 @@ def pq_train_codebooks(
             .groupBy("m", "code")
             .agg(
                 F.count("*").alias("n"),
-                *[F.sum(F.element_at("sub", j + 1)).alias(f"s{j}") for j in range(d)],
+                # exact integer sums on the 2^-24 grid: the mean update
+                # is invariant to shuffle order AND engine (the
+                # kmeans_fit_reproducible rule, r9)
+                *[
+                    F.sum(
+                        F.floor(F.element_at("sub", j + 1) * REPRO_SCALE).cast("long")
+                    ).alias(f"s{j}")
+                    for j in range(d)
+                ],
             )
-            .collect()  # M x K rows of (d+2) doubles — bounded
+            .collect()  # M x K rows of (d+2) ints — bounded
         )
+        import math
+
         new_CB = CB.copy()  # empty codes keep their previous centroid
         for r in stats:
-            new_CB[r["m"]][r["code"]] = [r[f"s{j}"] / r["n"] for j in range(d)]
+            new_CB[r["m"]][r["code"]] = [
+                math.floor(r[f"s{j}"] / r["n"] + 0.5) / REPRO_SCALE for j in range(d)
+            ]
         CB = new_CB
     rows = [
         (j, m, CB[m][j].tolist())

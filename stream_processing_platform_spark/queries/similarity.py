@@ -1932,3 +1932,109 @@ _REG_SIM["q_ann_ivfpq"] = _dc_replace_sim(
 _REG_SIM["q_ann_ivfpq_residual"] = _dc_replace_sim(
     _REG_SIM["q_ann_ivfpq_residual"], oracle=_ivfpq_oracle(residual=True, nprobe=6)
 )
+
+
+# --------------------------------------------------------------------------
+# q_ann_pq_trained full oracle (r9): pq_train_codebooks is now the
+# reproducible fit (Knuth+salt init, rounded-argmin encode, means
+# quantized to 2^-24 via exact BIGINT sums), so the oracle replays the
+# per-subspace training — all 16 subspaces per iteration in one CTE —
+# then runs the same integer-ADC pipeline as q_ann_pq against the
+# trained codebook.
+# --------------------------------------------------------------------------
+
+
+def _pq_trained_oracle(
+    k: int = 5,
+    dim: int = 64,
+    num_subspaces: int = 16,
+    num_codes: int = 64,
+    refine: int = 16,
+    train_iters: int = 2,
+    salt: int = 0x51,
+) -> str:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+        REPRO_SCALE,
+    )
+
+    d = dim // num_subspaces
+    nv = "list_transform(v, x -> x / sqrt(list_inner_product(v, v)))"
+    di = (
+        f"CAST(floor(({_sql_l2sq('s.sub', 'cb.csub', d)}) * 1000000.0 + 0.5)"
+        f" AS BIGINT)"
+    )
+    ctes = [
+        f"e AS ({_SQL_VECS})",
+        f"ms AS (SELECT CAST(unnest(range({num_subspaces})) AS INTEGER) AS m)",
+        f"cb_order AS (SELECT vec_id, row_number() OVER (ORDER BY"
+        f" ((vec_id + {salt}) * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id)"
+        f" AS rn FROM e)",
+        f"subs AS (SELECT vec_id, m, nvec[{d}*m+1 : {d}*m+{d}] AS sub FROM"
+        f" (SELECT vec_id, {nv} AS nvec FROM e) CROSS JOIN ms)",
+        f"t0 AS (SELECT CAST(o.rn - 1 AS INTEGER) AS code, {nv} AS nvec"
+        f" FROM cb_order o JOIN e USING (vec_id) WHERE o.rn <= {num_codes})",
+        f"cb0 AS (SELECT code, m, nvec[{d}*m+1 : {d}*m+{d}] AS csub"
+        f" FROM t0 CROSS JOIN ms)",
+    ]
+    for t in range(train_iters):
+        ctes.append(
+            f"enc{t} AS (SELECT s.vec_id, s.m,"
+            f" min({{'d': {di}, 'code': cb.code}}).code AS code"
+            f" FROM subs s JOIN cb{t} cb USING (m) GROUP BY s.vec_id, s.m)"
+        )
+        ctes.append(
+            f"u{t} AS (SELECT m, code, list(cv ORDER BY j) AS csub FROM"
+            f" (SELECT m, code, j,"
+            f" floor(CAST(sum(CAST(floor(x * {REPRO_SCALE}) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE) + 0.5) / {REPRO_SCALE} AS cv"
+            f" FROM (SELECT a.m, a.code, unnest(s.sub) AS x,"
+            f" unnest(range({d})) AS j"
+            f" FROM enc{t} a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m)"
+            f" GROUP BY m, code, j) GROUP BY m, code)"
+        )
+        ctes.append(
+            f"cb{t + 1} AS (SELECT c.code, c.m, COALESCE(u.csub, c.csub) AS csub"
+            f" FROM cb{t} c LEFT JOIN u{t} u ON u.m = c.m AND u.code = c.code)"
+        )
+    cbf = f"cb{train_iters}"
+    cos = (
+        "round(list_inner_product(qv.v, nb.v)"
+        " / (sqrt(list_inner_product(qv.v, qv.v))"
+        " * sqrt(list_inner_product(nb.v, nb.v))), 6)"
+    )
+    ctes += [
+        f"encf AS (SELECT s.vec_id, s.m,"
+        f" min({{'d': {di}, 'code': cb.code}}).code AS code"
+        f" FROM subs s JOIN {cbf} cb USING (m) GROUP BY s.vec_id, s.m)",
+        f"qd AS (SELECT s.vec_id AS query_id, s.m, cb.code, {di} AS di"
+        f" FROM subs s JOIN {cbf} cb USING (m) WHERE s.vec_id < 20)",
+        f"cand AS (SELECT q.query_id, encf.vec_id AS neighbor_id,"
+        f" CAST(sum(q.di) AS BIGINT) AS pq"
+        f" FROM encf JOIN qd q ON q.m = encf.m AND q.code = encf.code"
+        f" WHERE q.query_id <> encf.vec_id GROUP BY q.query_id, encf.vec_id)",
+        f"topc AS (SELECT query_id, neighbor_id FROM"
+        f" (SELECT query_id, neighbor_id, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY pq ASC, neighbor_id ASC) AS rn"
+        f" FROM cand) WHERE rn <= {k * refine})",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT t.query_id, t.neighbor_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY t.query_id
+               ORDER BY {cos} DESC, t.neighbor_id ASC) AS rank
+      FROM topc t
+      JOIN e qv ON qv.vec_id = t.query_id
+      JOIN e nb ON nb.vec_id = t.neighbor_id)
+    WHERE rank <= {k}
+    """
+    )
+
+
+_REG_SIM["q_ann_pq_trained"] = _dc_replace_sim(
+    _REG_SIM["q_ann_pq_trained"], oracle=_pq_trained_oracle()
+)

@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',
+    'q_ann_pq_trained',
     'q_multimodal_real_decode',
     'q_corpus_mixture_bpe',
     'q_pps_sample',
@@ -240,7 +241,6 @@ _PRIORITY: list[str] = [
     'q_window_distribution',
     'q_window_range_frame',
     'q_winsorize',
-    'q_ann_pq_trained',
     'q_approx_distinct',
     'q_approx_percentile',
     'q_containment_pairs',
