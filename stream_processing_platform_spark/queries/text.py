@@ -2016,6 +2016,13 @@ def _bpe_count_ctes() -> str:
         f"wc AS (SELECT tok, (length(s) - length(replace(s, '_', ''))) // 2"
         f" AS n FROM m{len(steps)})"
     )
+    # per-pre-token TOKEN BYTE LENGTHS, in order: the final state string
+    # IS the token sequence (hex bytes, '__' separators) — q_doc_chunking_bpe
+    # reconstructs chunk text from these via byte-offset prefix sums
+    ctes.append(
+        f"wl AS (SELECT tok, list_transform(string_split(trim(s, '_'), '__'),"
+        f" t -> CAST(length(t) // 2 AS BIGINT)) AS lens FROM m{len(steps)})"
+    )
     ctes.append(
         "bpe_n AS (SELECT d.doc_id,"
         " CAST(COALESCE(sum(wc.n), 0) AS BIGINT) AS n"
@@ -2282,4 +2289,62 @@ def _corpus_mixture_bpe_oracle() -> str:
 
 _REG2["q_corpus_mixture_bpe"] = _dc_replace2(
     _REG2["q_corpus_mixture_bpe"], oracle=_corpus_mixture_bpe_oracle()
+)
+
+
+def _doc_chunking_bpe_oracle() -> str:
+    """GENERATED oracle (r9): chunk TEXT without decoding — byte-level
+    BPE token byte-lengths come straight from the replace-chain state
+    string (the ``wl`` CTE), pre-token instances flatten in order, and
+    a per-doc prefix sum turns token boundaries into BYTE offsets into
+    the original text (the pre-tokenizer PARTITIONS the string, so the
+    token concatenation IS the text). ``chunk_text`` is then a plain
+    substring; on this pure-ASCII corpus byte==char offsets and the
+    decoder's UTF-8 edge trim is a no-op (the Spark side stays general;
+    the oracle is data-specific like every oracle here)."""
+    from stream_processing_platform_spark.functions.bpe import PRETOK_RE
+
+    pretok = PRETOK_RE.pattern
+    return f"""
+    WITH {_bpe_count_ctes()},
+    inst AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pretok}')) AS tok,
+                 unnest(range(len(regexp_extract_all(text, '{pretok}')))) AS pos
+             FROM documents),
+    flat AS (SELECT i.doc_id, i.pos, unnest(w.lens) AS l,
+                    unnest(range(len(w.lens))) AS j
+             FROM inst i JOIN wl w USING (tok)),
+    ord_t AS (SELECT doc_id, l,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos, j) AS ti,
+                     sum(l) OVER (PARTITION BY doc_id ORDER BY pos, j
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM flat),
+    chunks AS (
+      SELECT b.doc_id, CAST(unnest(range(
+               CASE WHEN b.n <= {_CHUNK} THEN 1
+                    ELSE CAST(ceil((b.n - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1
+               END)) AS INTEGER) AS chunk_id, b.n
+      FROM bpe_n b
+    ),
+    bounds AS (
+      SELECT c.doc_id, c.chunk_id,
+             CAST(least(CAST({_CHUNK} AS BIGINT),
+                        c.n - c.chunk_id * {_STRIDE}) AS INTEGER)
+                 AS n_chunk_tokens,
+             COALESCE(s.cum, 0) AS b0,
+             COALESCE(e.cum, 0) AS b1
+      FROM chunks c
+      LEFT JOIN ord_t s ON s.doc_id = c.doc_id
+                       AND s.ti = c.chunk_id * {_STRIDE}
+      LEFT JOIN ord_t e ON e.doc_id = c.doc_id
+                       AND e.ti = least(c.chunk_id * {_STRIDE} + {_CHUNK}, c.n)
+    )
+    SELECT b.doc_id, b.chunk_id, b.n_chunk_tokens,
+           substr(d.text, CAST(b.b0 + 1 AS INTEGER),
+                  CAST(b.b1 - b.b0 AS INTEGER)) AS chunk_text
+    FROM bounds b JOIN documents d USING (doc_id)
+    """
+
+
+_REG2["q_doc_chunking_bpe"] = _dc_replace2(
+    _REG2["q_doc_chunking_bpe"], oracle=_doc_chunking_bpe_oracle()
 )

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',
     'q_ann_pq_trained',
+    'q_doc_chunking_bpe',
     'q_multimodal_real_decode',
     'q_corpus_mixture_bpe',
     'q_pps_sample',
@@ -115,7 +116,6 @@ _PRIORITY: list[str] = [
     'q_contamination',
     'q_corpus_mixture',
     'q_doc_chunking',
-    'q_doc_chunking_bpe',
     'q_doc_commonness',
     'q_dup_ngram_rate',
     'q_embedding_quantize',
