@@ -4,13 +4,16 @@ Closes the last honestly-gated image format (imagecodec.decode_image
 raised ``NotImplementedError`` for JPEG while PPM/PGM/BMP/PNG decode for
 real). Scope: baseline sequential DCT (SOF0/1) AND progressive DCT
 (SOF2 — spectral selection + successive approximation, ITU-T T.81
-Annex G: real web corpora are heavily progressive), 8-bit, Huffman,
-grayscale or color at ANY integral sampling-factor layout — 4:4:4, the
+Annex G: real web corpora are heavily progressive), Huffman, grayscale
+or color at ANY integral sampling-factor layout — 4:4:4, the
 real-world default 4:2:0 (16×16 MCUs: 4 luma blocks + box-averaged
 Cb/Cr), 4:2:2 et al. — plus restart-marker handling (baseline and
-per-scan progressive). Arithmetic-coded, 12-bit, lossless and
-hierarchical streams raise with a clear message rather than decoding
-wrong.
+per-scan progressive), at 8-bit AND 12-bit precision (r9:
+extended-sequential SOF1 with 16-bit DQT entries, 2048 level shift,
+extended Huffman alphabets — DC categories to 15, AC sizes to 14 —
+decoding to uint16; ``encode_jpeg(bits=12)`` produces it).
+Arithmetic-coded, lossless, hierarchical, and 12-bit-progressive
+streams raise with a clear message rather than decoding wrong.
 
 Both modes decode through ONE coefficient-domain path: every scan
 accumulates into per-component zigzag coefficient grids (baseline is
@@ -58,6 +61,18 @@ _QUANT_CHROMA = np.array([
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int64)
+
+# 12-bit extended-sequential Huffman tables: flat canonical tables
+# covering the larger symbol alphabets T.81 F.1.2 allows at 12-bit
+# precision (DC categories 0..15, AC sizes 1..14). Kraft-safe: 16
+# symbols at length 5 and 242 at length 9 leave slack below the
+# reserved all-ones codeword (226 = EOB + ZRL + 16 runs x 14 sizes).
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0]
+_AC12_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
 
 _DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_LUMA_VALS = list(range(12))
@@ -241,6 +256,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     subsampling: str = "444",
     progressive: bool = False,
+    bits: int = 8,
 ) -> bytes:
     """JFIF bytes for an (H, W) grayscale or (H, W, 3) RGB uint8 array.
     ``subsampling``: "444" (one 8×8 block per component per MCU) or
@@ -255,8 +271,19 @@ def encode_jpeg(
     (interleaved DC first at Al=1, per-component spectral-selection AC
     bands, then one successive-approximation refinement pass per
     component and a DC refinement) over the fixed uniform Huffman
-    tables above."""
+    tables above.
+    ``bits=12`` emits EXTENDED SEQUENTIAL (SOF1, T.81 12-bit
+    precision): samples in [0, 4095] (uint16 input), level shift 2048,
+    quant tables scaled x16 and written as 16-bit DQT entries, extended
+    flat Huffman tables covering DC categories 0..15 / AC sizes 1..14.
+    Progressive stays 8-bit (SOF2 at 12-bit would need its own scan
+    script — honestly gated)."""
     img = np.asarray(img)
+    if bits not in (8, 12):
+        raise ValueError(f"bits must be 8 or 12, got {bits}")
+    if bits == 12 and progressive:
+        raise NotImplementedError("12-bit progressive JPEG unsupported (SOF2 is 8-bit here)")
+    center = float(1 << (bits - 1))
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -265,8 +292,8 @@ def encode_jpeg(
     else:
         rgb = img.astype(np.float64)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = 128.0 - 0.168735892 * rgb[..., 0] - 0.331264108 * rgb[..., 1] + 0.5 * rgb[..., 2]
-        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418687589 * rgb[..., 1] - 0.081312411 * rgb[..., 2]
+        cb = center - 0.168735892 * rgb[..., 0] - 0.331264108 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = center + 0.5 * rgb[..., 0] - 0.418687589 * rgb[..., 1] - 0.081312411 * rgb[..., 2]
         if subsampling == "444":
             planes = [y, cb, cr]
             samps = [(1, 1), (1, 1), (1, 1)]
@@ -289,6 +316,12 @@ def encode_jpeg(
 
     ql = _quality_scale(_QUANT_LUMA, quality)
     qc = _quality_scale(_QUANT_CHROMA, quality)
+    if bits == 12:
+        # x16 keeps quantized coefficient magnitudes in the 8-bit
+        # regime over the 16x larger sample range (the standard
+        # practice); entries exceed 255, forcing the 16-bit DQT form
+        ql = np.clip(ql * 16, 1, 65535)
+        qc = np.clip(qc * 16, 1, 65535)
     quants = [ql] if gray else [ql, qc]  # table 0 = luma, 1 = chroma
 
     # De-zigzag view of the quant tables (they are stored in zigzag order).
@@ -310,7 +343,7 @@ def encode_jpeg(
             mode="edge",
         )
         grid = (
-            plane.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+            plane.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3) - center
         )
         dct = np.einsum("ij,rcjk,lk->rcil", _C, grid, _C)
         q = raster_q[0 if ci == 0 else 1]
@@ -321,11 +354,18 @@ def encode_jpeg(
             quantized, samps, gray, h, w, mcus_x, mcus_y, quants, restart_interval
         )
 
-    dc_tabs = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
-    ac_tabs = [_huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if not gray:
-        dc_tabs.append(_huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
-        ac_tabs.append(_huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if bits == 12:
+        dc_tabs = [_huff_encode_table(_DC12_BITS, _DC12_VALS)]
+        ac_tabs = [_huff_encode_table(_AC12_BITS, _AC12_VALS)]
+        if not gray:
+            dc_tabs.append(dc_tabs[0])
+            ac_tabs.append(ac_tabs[0])
+    else:
+        dc_tabs = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+        ac_tabs = [_huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+        if not gray:
+            dc_tabs.append(_huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+            ac_tabs.append(_huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -386,15 +426,26 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for ti, t in enumerate(quants):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + bytes(int(x) for x in t)
+        if bits == 12 or int(t.max()) > 255:  # 16-bit entries (pq=1)
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10 | ti])
+            out += b"".join(struct.pack(">H", int(x)) for x in t)
+        else:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti])
+            out += bytes(int(x) for x in t)
     nc = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = b"\xff\xc0" if bits == 8 else b"\xff\xc1"  # SOF1: extended sequential
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, bits, h, w, nc)
     for ci in range(nc):
         hi, vi = samps[ci]
         out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])  # id, sampling, quant id
-    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if not gray:
-        huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS), (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    if bits == 12:
+        huffs = [(0x00, _DC12_BITS, _DC12_VALS), (0x10, _AC12_BITS, _AC12_VALS)]
+        if not gray:
+            huffs += [(0x01, _DC12_BITS, _DC12_VALS), (0x11, _AC12_BITS, _AC12_VALS)]
+    else:
+        huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+        if not gray:
+            huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS), (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
     for tc, bits, vals in huffs:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
         out += bytes(bits) + bytes(vals)
@@ -877,10 +928,16 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("JPEG: 16-bit quant tables unsupported")
-                quants[tq] = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(np.int64)
-                p += 65
+                if pq == 0:
+                    quants[tq] = np.frombuffer(
+                        seg[p + 1:p + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 65
+                else:  # 16-bit entries (the 12-bit-precision form)
+                    quants[tq] = np.frombuffer(
+                        seg[p + 1:p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 129
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -896,8 +953,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
-            if precision != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision supported")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG: {precision}-bit precision unsupported (8/12 decode)"
+                )
             comps = []
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
@@ -962,7 +1021,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         raster = np.zeros((by, bx, 64), dtype=np.float64)
         raster[..., ZIGZAG] = zz * quants[tq]
         blocks = raster.reshape(by, bx, 8, 8)
-        pix = np.einsum("ji,rcjk,kl->rcil", _C, blocks, _C) + 128.0
+        center = float(1 << (precision - 1))
+        pix = np.einsum("ji,rcjk,kl->rcil", _C, blocks, _C) + center
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ch = (h * vi + vmax - 1) // vmax
         cw = (w * hi + hmax - 1) // hmax
@@ -970,10 +1030,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w])
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     if nc == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, maxv).astype(dtype)
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    bch = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, bch], axis=-1)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136286 * (cb - center) - 0.714136286 * (cr - center)
+    bch = y + 1.772 * (cb - center)
+    return np.clip(np.round(np.stack([r, g, bch], axis=-1)), 0, maxv).astype(dtype)

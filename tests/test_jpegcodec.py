@@ -223,3 +223,59 @@ def test_bad_subsampling_arg_raises():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img, subsampling="422x")
+
+
+class Test12Bit:
+    """Extended-sequential 12-bit precision (r9): SOF1, 16-bit DQT,
+    2048 level shift, extended Huffman alphabets, uint16 pixels."""
+
+    def _img(self, w=16, h=24):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return ((yy * 150 + xx * 97) % 4096).astype(np.uint16)
+
+    def test_gray_roundtrip_uint16(self):
+        img = self._img()
+        b = encode_jpeg(img, quality=95, bits=12)
+        assert b[3] == 0xE0  # JFIF APP0 right after SOI
+        assert b"\xff\xc1" in b and b"\xff\xc0" not in b[2:]  # SOF1, not SOF0
+        dec = decode_jpeg(b)
+        assert dec.dtype == np.uint16 and dec.shape == img.shape
+        # lossy, but within the same relative error budget as 8-bit
+        assert np.abs(dec.astype(int) - img.astype(int)).max() < 4096 * 0.05
+
+    def test_smooth_gradient_near_exact(self):
+        img = np.linspace(0, 4000, 24 * 16).reshape(24, 16).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg(img, quality=98, bits=12))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+    def test_flat_field_survives(self):
+        img = np.full((16, 16), 3000, dtype=np.uint16)
+        dec = decode_jpeg(encode_jpeg(img, quality=90, bits=12))
+        assert np.abs(dec.astype(int) - 3000).max() <= 2
+
+    def test_color_roundtrip(self):
+        yy, xx = np.mgrid[0:24, 0:16]
+        rgb = np.stack(
+            [(yy * 99) % 4096, (xx * 211) % 4096, ((yy + xx) * 53) % 4096], -1
+        ).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg(rgb, quality=95, bits=12))
+        assert dec.dtype == np.uint16 and dec.shape == rgb.shape
+
+    def test_restart_markers(self):
+        img = self._img()
+        b = encode_jpeg(img, quality=95, bits=12, restart_interval=2)
+        assert b"\xff\xdd" in b
+        dec = decode_jpeg(b)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() < 4096 * 0.05
+
+    def test_sixteen_bit_dqt_emitted_and_parsed(self):
+        b = encode_jpeg(self._img(), quality=95, bits=12)
+        # DQT segment with pq=1 nibble (length 131)
+        i = b.index(b"\xff\xdb")
+        assert b[i + 4] >> 4 == 1
+
+    def test_progressive_12bit_gated(self):
+        with pytest.raises(NotImplementedError, match="12-bit progressive"):
+            encode_jpeg(self._img(), bits=12, progressive=True)
+        with pytest.raises(ValueError, match="bits"):
+            encode_jpeg(self._img(), bits=10)
