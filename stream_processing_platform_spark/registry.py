@@ -69,36 +69,19 @@ _loaded = False
 # Registry order = the order the driver runs queries in, and the driver
 # verifies only the first ~50 per round. With >50 registered queries the
 # order IS the coverage policy, so it is explicit here (not an accident of
-# import order) and rotates per round: fix-needed / newly-oracled queries
-# go first, then staleness ascending (oldest official CORRECTNESS row
-# first), freshest last. Round-9 rotation, computed from the
-# CORRECTNESS_r01..r08 ledger: q_pps_sample (the r8 red row, oracle type
-# fixed) + the three rows-only->oracle conversions lead, then the 43
-# queries whose last official row is r5 (the whole stale block fits the
-# window), then r6/r7/r8 ascending. New round-9 queries are PREPENDED as
-# they land.
+# import order) and rotates per round. Round-9 rotation, FINAL: the 3
+# brand-new queries (never checked) + q_pps_sample (the r8 red row,
+# oracle type fixed) lead, then ALL 43 queries whose last official row
+# is r5 — the whole stale block fits the window, so post-r9 no query's
+# row is older than r6 (the r8 verdict's criterion). The 15 rows-only->
+# oracle conversions follow (each already has a fresh r8 row; their
+# first ORACLE rows land r10), then r6/r7/r8 ascending.
 _PRIORITY: list[str] = [
-    # -- new in round 9 (no official row yet)
     'q_gopher_rules',
     'q_dsir_weights',
     'q_video_frame_sample',
-    # -- r9 rows-only -> oracle conversions + the r8 red-row fix
-    'q_custom_source_ticks',
-    'q_audio_segments',
-    'q_ann_ivf',
-    'q_ann_ivf_trained',
-    'q_ann_pq',
-    'q_ann_ivfpq',
-    'q_ann_ivfpq_residual',
-    'q_ann_pq_trained',
-    'q_doc_chunking_bpe',
-    'q_multimodal_real_decode',
-    'q_corpus_mixture_bpe',
     'q_pps_sample',
-    'q_kmeans_embeddings',
-    'q_multimodal_features',
-    'q_bpe_real',
-    'q_sequence_packing_bpe',
+    'q_doc_chunking_bpe',
     'q04_order_priority',
     'q06_forecast_revenue',
     'q07_volume_shipping',
@@ -141,6 +124,20 @@ _PRIORITY: list[str] = [
     'q_top_tokens',
     'q_unpivot_event_counts',
     'q_window_navigation',
+    'q_ann_ivf',
+    'q_ann_pq',
+    'q_kmeans_embeddings',
+    'q_ann_ivf_trained',
+    'q_ann_pq_trained',
+    'q_ann_ivfpq',
+    'q_ann_ivfpq_residual',
+    'q_multimodal_features',
+    'q_multimodal_real_decode',
+    'q_bpe_real',
+    'q_sequence_packing_bpe',
+    'q_corpus_mixture_bpe',
+    'q_custom_source_ticks',
+    'q_audio_segments',
     'q02_min_cost_supplier',
     'q11_important_stock',
     'q15_top_supplier',
