@@ -56,6 +56,10 @@ PINNED = [
     # count-before-collect_list de-skew shape (r9) — shares the pinned
     # merge-hint rationale
     "q_containment_pairs",
+    # ANN tiers whose broadcast sides + rounded-distance stages are now
+    # oracle-critical (r9): probes/codebooks broadcast, corpus streams
+    "q_ann_ivf",
+    "q_ann_pq",
 ]
 
 
