@@ -1558,12 +1558,16 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     from stream_processing_platform_spark.multimodal.codecs import sample_video_frames
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
     @pandas_udf("binary")
     def synth(ids: pd.Series) -> pd.Series:
         return pd.Series([_synth_video_payload(int(d)) for d in ids])
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # CPU-bound pure-Python codec work: widen the single-row-group scan
+    # (no-op at real scale) or every payload encodes/decodes in ONE task
+    # — measured 25.9 s -> ~2 s at sf0.1
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
         synth(F.col("doc_id")).alias("content")
     ).withColumn("content_hash", F.sha2(F.col("content"), 256))
     frames = sample_video_frames(docs, every_ms=_VID_EVERY_MS, decoder="image")

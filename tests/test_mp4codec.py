@@ -130,3 +130,26 @@ def test_mixed_corpus_on_foreign_skip(spark):
         sample_video_frames(df, every_ms=50, decoder="image").collect()
     with pytest.raises(ValueError, match="on_foreign"):
         sample_video_frames(df, every_ms=50, decoder="image", on_foreign="quarantine")
+
+
+def test_malformed_streams_fail_loudly_never_hang():
+    """Truncations/corruptions of a valid MP4 must raise promptly
+    (ValueError / struct.error from a truncated table read), never
+    loop or return garbage silently — parse_boxes' size >= header
+    check forbids zero-advance."""
+    import struct as _struct
+
+    mp4, _ = _mjpeg_mp4(2)
+    for cut in (10, 30, len(mp4) // 2, len(mp4) - 5):
+        try:
+            mp4codec.parse_mp4(mp4[:cut])
+        except (ValueError, _struct.error, NotImplementedError):
+            pass
+    # bit flips in the box-structure region
+    for pos in range(0, 60, 7):
+        bad = bytearray(mp4)
+        bad[pos] ^= 0xFF
+        try:
+            mp4codec.parse_mp4(bytes(bad))
+        except (ValueError, _struct.error, NotImplementedError):
+            pass
