@@ -1262,3 +1262,98 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ops",
         )
     )
+
+
+_GATE_STOPS = ("the", "a", "and", "of", "to")
+_SQL_GATE_STOPS = "(" + ", ".join(f"'{w}'" for w in _GATE_STOPS) + ")"
+_SQL_GATE_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "q_stream_gopher_gate",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(len({_SQL_GATE_TOKS}) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform({_SQL_GATE_TOKS},
+                  t -> length(t))) AS BIGINT) AS n_chars,
+             CAST(len(list_filter({_SQL_GATE_TOKS},
+                  t -> t IN {_SQL_GATE_STOPS})) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct({_SQL_GATE_TOKS})) AS BIGINT) AS n_unique,
+             CAST(list_max(list_transform(list_distinct({_SQL_GATE_TOKS}),
+                  t -> len(list_filter({_SQL_GATE_TOKS}, x -> x = t))))
+                  AS BIGINT) AS max_tf
+      FROM documents
+    ),
+    flags AS (
+      SELECT source, n_words,
+             (n_words BETWEEN 30 AND 400)
+               AND 3000 * n_words <= 1000 * n_chars
+               AND 1000 * n_chars <= 10000 * n_words
+               AND n_stop >= 2
+               AND max_tf * 5 <= n_words
+               AND n_unique * 2 >= n_words AS passed
+      FROM s
+    )
+    SELECT source, passed,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM flags GROUP BY source, passed
+    """,
+    description="LIVE streaming Gopher quality gate: the documents table "
+    "streamed through the file source, every rule computed as PURE "
+    "per-row HOF expressions (size/aggregate/filter/array_distinct over "
+    "the token array — no explode, no per-doc aggregation, so the whole "
+    "gate is a stateless projection a stream can run), then ONE "
+    "update-mode (source, passed) aggregate — the admission dashboard a "
+    "continuously-fed curation pipeline watches. Same integer-exact "
+    "rule arithmetic as q_gopher_rules; single stateful operator, "
+    "state = |sources| x 2 rows. The oracle replays the rules with "
+    "duckdb list HOFs and the streaming engine's own final emission is "
+    "hash-checked.",
+)
+def q_stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    static = spark.read.parquet(path)
+    stage = tempfile.mkdtemp(prefix="spp_stream_docs_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    stream = file_source(spark, stage, static.schema)
+
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    stats = stream.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin(*_GATE_STOPS))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).alias("max_tf"),
+    )
+    passed = (
+        F.col("n_words").between(30, 400)
+        & (3000 * F.col("n_words") <= 1000 * F.col("n_chars"))
+        & (1000 * F.col("n_chars") <= 10000 * F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+        & (F.col("max_tf") * 5 <= F.col("n_words"))
+        & (F.col("n_unique") * 2 >= F.col("n_words"))
+    )
+    agg = (
+        stats.withColumn("passed", passed)
+        .groupBy("source", "passed")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )
+    return _run_to_table(agg).select(
+        "source", "passed", "n_docs", "total_words"
+    )

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     'q_gopher_rules',
     'q_dsir_weights',
     'q_video_frame_sample',
+    'q_stream_gopher_gate',
     'q_pps_sample',
     'q_doc_chunking_bpe',
     'q04_order_priority',
