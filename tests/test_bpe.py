@@ -218,3 +218,45 @@ def test_chunking_bpe_multibyte_doc_does_not_crash(spark):
     assert len(rows) > 3
     for r in rows:
         assert r["chunk_text"] and r["chunk_text"] in text
+
+
+# --- the equivalence the generated BPE oracles stand on ----------------
+
+
+def _hex_replace_chain_count(tok: str) -> int:
+    """The oracle's scheme in pure Python: boundary-anchored hex state,
+    merges applied in RANK ORDER as left-to-right non-overlapping
+    string replaces."""
+    merges = list(bpe.default_merges())
+    hx = lambda bs: "".join(f"{c:02X}" for c in bs)  # noqa: E731
+    s = "_" + "__".join(hx(bytes([c])) for c in tok.encode("utf-8")) + "_"
+    for a, b in merges:
+        s = s.replace("_" + hx(a) + "__" + hx(b) + "_", "_" + hx(a) + hx(b) + "_")
+    return (len(s) - len(s.replace("_", ""))) // 2
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefth eosn0123.!é日"),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_rank_order_replace_chain_equals_greedy_encode(text):
+    """Greedy min-rank merging == rank-order replace application — the
+    identity every generated BPE oracle (q_bpe_real, chunking, packing,
+    mixture) is built on. Merging pair r can only mint tokens whose
+    merges rank later, so no lower-rank pair ever appears; within one
+    rank, left-to-right non-overlapping replacement is exactly repeated
+    leftmost merging. Guarded here with hypothesis so a future
+    tokenizer change can't silently break the oracles."""
+    merges = list(bpe.default_merges())
+    ranks = bpe.build_ranks(merges)
+    for tok in bpe.PRETOK_RE.findall(text):
+        greedy = len(bpe._merge_word([bytes([c]) for c in tok.encode("utf-8")], ranks))
+        assert _hex_replace_chain_count(tok) == greedy, tok
