@@ -2348,3 +2348,69 @@ def _doc_chunking_bpe_oracle() -> str:
 _REG2["q_doc_chunking_bpe"] = _dc_replace2(
     _REG2["q_doc_chunking_bpe"], oracle=_doc_chunking_bpe_oracle()
 )
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok,
+                        unnest(range(len({_SQL_TOKENS}))) AS pos
+                 FROM documents),
+    bi AS (SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
+           FROM tok t1 JOIN tok t2
+             ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+    c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY a, b),
+    c1 AS (SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY a),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM tok)
+    SELECT bi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(sum(ln(c1.c1 + v.vocab) - ln(c2.c2 + 1)) * 10000.0
+                 / count(*) + 0.5) / 10000.0 AS mean_nll
+    FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
+    GROUP BY bi.doc_id
+    """,
+    description="Bigram language-model quality score — the next rung "
+    "above q_unigram_logprob toward CCNet's 5-gram filter: per-document "
+    "mean negative log-probability of each bigram under the corpus's "
+    "own add-1-smoothed bigram LM, P(b|a) = (c2(a,b)+1)/(c1(a)+V). "
+    "High mean_nll flags incoherent token ORDER (which the unigram "
+    "score cannot see), low flags templated boilerplate. Counts are "
+    "exact integers; ln() runs on bit-identical inputs and the 4dp "
+    "mean uses the floor(x+0.5) form (the q_unigram_logprob doctrine). "
+    "Scale shape: bigram-keyed count aggregate + joins back, all "
+    "map-side partial-aggregated; 1-row vocab broadcast; stopword-pair "
+    "keys are the documented skew (AQE skew-join). Documents with "
+    "fewer than 2 tokens have no bigrams and drop in BOTH engines.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    t2 = tok.select(
+        F.col("doc_id"), (F.col("pos") - 1).alias("pos"), F.col("tok").alias("_b")
+    )
+    bi = tok.join(t2, ["doc_id", "pos"]).select(
+        "doc_id", F.col("tok").alias("a"), F.col("_b").alias("b")
+    )
+    c2 = bi.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("a").agg(F.count("*").alias("c1"))
+    v = tok.agg(F.countDistinct("tok").alias("vocab"))
+    return (
+        bi.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(F.ln(F.col("c1") + F.col("vocab")) - F.ln(F.col("c2") + 1))
+                    * 10000.0
+                    / F.count("*")
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("mean_nll"),
+        )
+    )

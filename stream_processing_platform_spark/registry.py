@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     'q_dsir_weights',
     'q_video_frame_sample',
     'q_stream_gopher_gate',
+    'q_bigram_logprob',
     'q_pps_sample',
     'q_doc_chunking_bpe',
     'q04_order_priority',
