@@ -176,14 +176,11 @@ def _ivf_centroids(c: DataFrame, num_cells: int, train_iters: int) -> DataFrame:
     # kmeans_fit_reproducible), not xxhash64: equally deterministic and
     # id-agnostic, but SQL-expressible — which is what lets q_ann_ivf
     # carry a FULL duckdb oracle (r9) instead of a rows-only check.
-    from stream_processing_platform_spark.operators.clustering import (
-        REPRO_INIT_MOD,
-        REPRO_INIT_MULT,
-    )
+    from stream_processing_platform_spark.operators.clustering import repro_hash_col
 
     cell_w = Window.orderBy("_h", "cid")
     return (
-        c.withColumn("_h", (F.col("cid") * F.lit(REPRO_INIT_MULT)) % F.lit(REPRO_INIT_MOD))
+        c.withColumn("_h", repro_hash_col(F.col("cid")))
         .orderBy("_h", "cid")
         .limit(num_cells)
         .withColumn("cell", (F.row_number().over(cell_w) - 1).cast("int"))
@@ -210,18 +207,11 @@ def _pq_codebook(
     # Knuth ordering with the 0x51 offset (distinct from the IVF cell
     # sample), not xxhash64: SQL-expressible, which is what lets
     # q_ann_pq carry a full duckdb oracle (r9).
-    from stream_processing_platform_spark.operators.clustering import (
-        REPRO_INIT_MOD,
-        REPRO_INIT_MULT,
-    )
+    from stream_processing_platform_spark.operators.clustering import repro_hash_col
 
     code_w = Window.orderBy("_h", "neighbor_id")
     return (
-        c.withColumn(
-            "_h",
-            ((F.col("neighbor_id") + F.lit(0x51)) * F.lit(REPRO_INIT_MULT))
-            % F.lit(REPRO_INIT_MOD),
-        )
+        c.withColumn("_h", repro_hash_col(F.col("neighbor_id"), 0x51))
         .orderBy("_h", "neighbor_id")
         .limit(num_codes)
         .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))
@@ -656,18 +646,11 @@ def ivfpq_topk(
                 train_iters=train_iters, salt=0x52, normalize=False,
             )
         else:
-            from stream_processing_platform_spark.operators.clustering import (
-                REPRO_INIT_MOD,
-                REPRO_INIT_MULT,
-            )
+            from stream_processing_platform_spark.operators.clustering import repro_hash_col
 
             code_w = Window.orderBy("_h", "neighbor_id")
             codebook = (
-                rres.withColumn(
-                    "_h",
-                    ((F.col("neighbor_id") + F.lit(0x52)) * F.lit(REPRO_INIT_MULT))
-                    % F.lit(REPRO_INIT_MOD),
-                )
+                rres.withColumn("_h", repro_hash_col(F.col("neighbor_id"), 0x52))
                 .orderBy("_h", "neighbor_id")
                 .limit(num_codes)
                 .withColumn("code", (F.row_number().over(code_w) - 1).cast("int"))

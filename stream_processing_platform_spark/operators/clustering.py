@@ -186,6 +186,33 @@ def _assign_udf_rounded(centroids: np.ndarray):
 REPRO_INIT_MULT = 2654435761
 REPRO_INIT_MOD = 2147483647
 REPRO_SCALE = float(1 << 24)
+# MULT > MOD, so the naive ``(id * MULT) % MOD`` product overflows int64
+# once id >= ~3.46e9 — under ANSI mode that is a JOB FAILURE at exactly
+# the 10^12-row scale this engine targets (r9 advice; same failure class
+# q_dsir_weights' staged division avoids). Reduce the constant factor
+# first: ``((id % MOD) * (MULT % MOD)) % MOD`` is mathematically
+# identical for id >= 0 (mod distributes over the product) and its
+# largest intermediate is (MOD-1) * (MULT % MOD) < 2^60. Every Spark
+# site goes through :func:`repro_hash_col` and every generated oracle
+# through :func:`repro_hash_sql`, so both engines compute the same
+# overflow-free text and every hash value — hence every oracle — is
+# unchanged.
+REPRO_INIT_MULT_RED = REPRO_INIT_MULT % REPRO_INIT_MOD  # 506952114
+
+
+def repro_hash_col(id_col: Column, salt: int = 0) -> Column:
+    """Overflow-safe Knuth multiplicative hash of a BIGINT id column."""
+    base = (id_col + F.lit(salt)) if salt else id_col
+    return (
+        (base % F.lit(REPRO_INIT_MOD)) * F.lit(REPRO_INIT_MULT_RED)
+    ) % F.lit(REPRO_INIT_MOD)
+
+
+def repro_hash_sql(id_expr: str, salt: int = 0) -> str:
+    """The duckdb-oracle twin of :func:`repro_hash_col` — same text,
+    same values, same overflow headroom."""
+    base = f"({id_expr} + {salt})" if salt else id_expr
+    return f"(({base} % {REPRO_INIT_MOD}) * {REPRO_INIT_MULT_RED}) % {REPRO_INIT_MOD}"
 
 
 def kmeans_fit_reproducible(
@@ -220,9 +247,7 @@ def kmeans_fit_reproducible(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
     )
     rows = (
-        vecs.withColumn(
-            "_h", (F.col("_id") * F.lit(REPRO_INIT_MULT)) % F.lit(REPRO_INIT_MOD)
-        )
+        vecs.withColumn("_h", repro_hash_col(F.col("_id")))
         .orderBy("_h", "_id")
         .limit(k)
         .select("_v")
@@ -403,9 +428,7 @@ def pq_train_codebooks(
     # inline samples) — SQL-expressible, so the trained tier's oracle
     # can replay the exact init (r9)
     init_rows = (
-        pts.withColumn(
-            "_h", ((F.col("_id") + F.lit(salt)) * F.lit(REPRO_INIT_MULT)) % F.lit(REPRO_INIT_MOD)
-        )
+        pts.withColumn("_h", repro_hash_col(F.col("_id"), salt))
         .orderBy("_h", "_id")
         .limit(num_codes)
         .select("_v")

@@ -1394,9 +1394,8 @@ def _kmeans_ctes(k: int, iters: int) -> list[str]:
     Shared by the q_kmeans_embeddings oracle and the trained-IVF oracle
     (one generator, every consumer — the generated-oracle doctrine)."""
     from stream_processing_platform_spark.operators.clustering import (
-        REPRO_INIT_MOD,
-        REPRO_INIT_MULT,
         REPRO_SCALE,
+        repro_hash_sql,
     )
 
     def dist(c: str) -> str:
@@ -1417,7 +1416,7 @@ def _kmeans_ctes(k: int, iters: int) -> list[str]:
         f"e AS ({_SQL_VECS})",
         f"c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v FROM"
         f" (SELECT v, row_number() OVER (ORDER BY"
-        f" (vec_id * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn"
+        f" {repro_hash_sql('vec_id')}, vec_id) AS rn"
         f" FROM e) WHERE rn <= {k})",
     ]
     for t in range(iters):
@@ -1603,8 +1602,7 @@ def _ivf_oracle(
     k: int = 5, num_cells: int = 16, nprobe: int = 4, train_iters: int = 0
 ) -> str:
     from stream_processing_platform_spark.operators.clustering import (
-        REPRO_INIT_MOD,
-        REPRO_INIT_MULT,
+        repro_hash_sql,
     )
 
     if train_iters:
@@ -1622,7 +1620,7 @@ def _ivf_oracle(
     cent AS (
       SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM
         (SELECT v, row_number() OVER (ORDER BY
-           (vec_id * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+           {repro_hash_sql('vec_id')}, vec_id) AS rn
          FROM e) WHERE rn <= {num_cells})"""
     cos = (
         "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
@@ -1694,8 +1692,7 @@ def _pq_oracle(
     refine: int = 16,
 ) -> str:
     from stream_processing_platform_spark.operators.clustering import (
-        REPRO_INIT_MOD,
-        REPRO_INIT_MULT,
+        repro_hash_sql,
     )
 
     d = dim // num_subspaces
@@ -1722,7 +1719,7 @@ def _pq_oracle(
     cb0 AS (
       SELECT CAST(rn - 1 AS INTEGER) AS code, {nv} AS nv FROM
         (SELECT v, row_number() OVER (ORDER BY
-           ((vec_id + {0x51}) * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+           {repro_hash_sql('vec_id', 0x51)}, vec_id) AS rn
          FROM e) WHERE rn <= {num_codes}
     ),
     cb AS (SELECT code, m, nv[{d}*m+1 : {d}*m+{d}] AS csub FROM cb0 CROSS JOIN ms),
@@ -1797,8 +1794,7 @@ def _ivfpq_oracle(
     refine: int = 16,
 ) -> str:
     from stream_processing_platform_spark.operators.clustering import (
-        REPRO_INIT_MOD,
-        REPRO_INIT_MULT,
+        repro_hash_sql,
     )
 
     d = dim // num_subspaces
@@ -1819,7 +1815,7 @@ def _ivfpq_oracle(
     cent AS (
       SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM
         (SELECT v, row_number() OVER (ORDER BY
-           (vec_id * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+           {repro_hash_sql('vec_id')}, vec_id) AS rn
          FROM e) WHERE rn <= {num_cells}
     ),
     assigned AS (
@@ -1839,7 +1835,7 @@ def _ivfpq_oracle(
     ),
     cb_order AS (
       SELECT vec_id, row_number() OVER (ORDER BY
-        ((vec_id + {salt}) * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id) AS rn
+        {repro_hash_sql('vec_id', salt)}, vec_id) AS rn
       FROM e
     )"""
     if not residual:
@@ -1958,9 +1954,8 @@ def _pq_trained_oracle(
     salt: int = 0x51,
 ) -> str:
     from stream_processing_platform_spark.operators.clustering import (
-        REPRO_INIT_MOD,
-        REPRO_INIT_MULT,
         REPRO_SCALE,
+        repro_hash_sql,
     )
 
     d = dim // num_subspaces
@@ -1973,7 +1968,7 @@ def _pq_trained_oracle(
         f"e AS ({_SQL_VECS})",
         f"ms AS (SELECT CAST(unnest(range({num_subspaces})) AS INTEGER) AS m)",
         f"cb_order AS (SELECT vec_id, row_number() OVER (ORDER BY"
-        f" ((vec_id + {salt}) * {REPRO_INIT_MULT}) % {REPRO_INIT_MOD}, vec_id)"
+        f" {repro_hash_sql('vec_id', salt)}, vec_id)"
         f" AS rn FROM e)",
         f"subs AS (SELECT vec_id, m, nvec[{d}*m+1 : {d}*m+{d}] AS sub FROM"
         f" (SELECT vec_id, {nv} AS nvec FROM e) CROSS JOIN ms)",

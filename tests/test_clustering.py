@@ -256,3 +256,36 @@ def test_reproducible_fit_is_deterministic(spark, emb):
     m1 = kmeans_fit_reproducible(emb, k=5, iters=2)
     m2 = kmeans_fit_reproducible(emb.repartition(7), k=5, iters=2)
     assert m1.centroids == m2.centroids  # partitioning must cancel out
+
+
+def test_repro_hash_overflow_safe_at_planet_scale_ids(spark):
+    """r9 advice (medium): the naive ``(id * MULT) % MOD`` Knuth mix
+    overflows int64 for ids >= ~3.46e9 — an ANSI-mode job failure at
+    the 10^12-row scale this engine targets. ``repro_hash_col`` must
+    (a) not overflow at ids near int64 max and (b) agree exactly with
+    exact big-int arithmetic (so every existing oracle hash value is
+    unchanged)."""
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT,
+        repro_hash_col,
+        repro_hash_sql,
+    )
+
+    ids = [0, 1, 12345, 2**31 - 1, 3_460_000_000, 10**12, 2**62, 2**63 - 9]
+    df = spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", repro_hash_col(F.col("id"), salt=7).alias("h")).collect()
+    }
+    for i in ids:
+        assert got[i] == ((i + 7) * REPRO_INIT_MULT) % REPRO_INIT_MOD  # Python big-int
+    # the generated-oracle text computes the identical value in duckdb
+    import duckdb
+
+    sql_h = repro_hash_sql("id", 7)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    for i, h in con.execute(f"SELECT id, {sql_h} FROM t").fetchall():
+        assert h == got[i]
