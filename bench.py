@@ -114,9 +114,30 @@ def stream_windowed_agg(spark, sf_dir: str) -> tuple[float, int]:
     return samples[len(samples) // 2], n_rows
 
 
+def _drain_load(max_wait: float = 180.0) -> float:
+    """Best-effort: wait (bounded) for the 1-min load average to drop
+    below half the core count before timing. r9's official row (13.375 s
+    / 81k rows/s) was pure co-tenant load noise — the builder's A/B
+    control and the judge's idle rerun both landed at ~10.3-11.4 s, but
+    a reader of BENCH_r09.json alone couldn't know that. Returns the
+    load at the moment timing starts so the emitted JSON line carries
+    its own health signal either way (set SPARK_GRAFT_BENCH_NO_WAIT=1
+    to skip the wait, e.g. in tests)."""
+    load = os.getloadavg()[0]
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        return load
+    cores = os.cpu_count() or 1
+    deadline = time.time() + max_wait
+    while load >= cores / 2 and time.time() < deadline:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _drain_load()
     spark = get_spark(app_name="spp-spark-bench")
     qs = queries()
 
@@ -237,6 +258,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stream_rows_per_sec": int(stream_rows / stream_sec),
+        # Machine-health provenance: 1-min load average when timing
+        # started/ended vs cores. Compare rounds only at similar load.
+        "load_avg": round(load_start, 1),
+        "load_avg_end": round(os.getloadavg()[0], 1),
+        "cores": os.cpu_count(),
         # Fixed 21-query headline set (comparable to r3+); extended
         # operator timings in BENCH_EXTENDED.json, prose in BENCH_NOTES.md.
         "notes": "extended ops in BENCH_EXTENDED.json",
