@@ -1264,6 +1264,46 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_stats(df: DataFrame) -> DataFrame:
+    """Per-document Gopher-rule stats as a STATELESS projection (works
+    identically on a stream or a batch frame — the pytest long-doc gate
+    drives the batch form).
+
+    max_tf is a sorted run-length fold — ``array_sort`` then one
+    O(n) ``aggregate`` pass tracking (prev, run, best) — NOT the
+    ``transform(array_distinct(t), x -> size(filter(t, = x)))`` HOF the
+    r9 verdict flagged: Catalyst interprets HOF lambda bodies per
+    element, so that shape is O(n²) per document — minutes for one
+    10k-token web doc on the LIVE ingest path. The fold is O(n log n),
+    stays JVM-side, and produces the identical integer, so the duckdb
+    oracle is unchanged."""
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    max_tf = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin(*_GATE_STOPS))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        max_tf.alias("max_tf"),
+    )
+
+
+
 _GATE_STOPS = ("the", "a", "and", "of", "to")
 _SQL_GATE_STOPS = "(" + ", ".join(f"'{w}'" for w in _GATE_STOPS) + ")"
 _SQL_GATE_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -1302,9 +1342,9 @@ _SQL_GATE_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <>
     """,
     description="LIVE streaming Gopher quality gate: the documents table "
     "streamed through the file source, every rule computed as PURE "
-    "per-row HOF expressions (size/aggregate/filter/array_distinct over "
-    "the token array — no explode, no per-doc aggregation, so the whole "
-    "gate is a stateless projection a stream can run), then ONE "
+    "per-row expressions (size/aggregate/filter over the token array; "
+    "max_tf as an O(n log n) sort + run-length fold, r10 — no explode, "
+    "no per-doc aggregation, so the whole "
     "update-mode (source, passed) aggregate — the admission dashboard a "
     "continuously-fed curation pipeline watches. Same integer-exact "
     "rule arithmetic as q_gopher_rules; single stateful operator, "
@@ -1322,22 +1362,7 @@ def q_stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(path, os.path.join(stage, "documents.parquet"))
     stream = file_source(spark, stage, static.schema)
 
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    stats = stream.select(
-        "source",
-        F.size(toks).alias("n_words"),
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-        ).alias("n_chars"),
-        F.size(F.filter(toks, lambda t: t.isin(*_GATE_STOPS))).alias("n_stop"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        ).alias("max_tf"),
-    )
+    stats = _gate_stats(stream)
     passed = (
         F.col("n_words").between(30, 400)
         & (3000 * F.col("n_words") <= 1000 * F.col("n_chars"))

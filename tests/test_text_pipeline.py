@@ -500,3 +500,45 @@ def test_association_rules_hand_computed_and_skew_cap(spark):
                                       max_basket_items=4).collect()}
     # 3 surviving baskets; (a,b) in all 3
     assert got == {("a", "b"): (3, 1_000_000, 1_000_000, 1_000_000)}
+
+
+def test_gate_stats_long_doc_linear_and_exact(spark):
+    """r9 verdict What's-wrong #1: the LIVE Gopher gate's max_tf used a
+    distinct×filter HOF — O(n²) per doc in Catalyst's interpreted-lambda
+    regime, i.e. minutes for ONE 10k-token web document on the ingest
+    path. The r10 sorted run-length fold must (a) give the exact same
+    integers on hand-checkable docs and (b) push a 20k-token document
+    through in seconds (the quadratic form needs ~4e8 interpreted
+    lambda evaluations — minutes)."""
+    import time
+
+    from stream_processing_platform_spark.queries.streaming_live import _gate_stats
+
+    # (a) hand-checkable: 'the' appears 3x (max), 7 words, 5 distinct
+    df = spark.createDataFrame(
+        [
+            ("s1", "the cat and the dog the end"),
+            ("s1", ""),  # degenerate: zero tokens
+            ("s2", "one two three"),
+        ],
+        ["source", "text"],
+    )
+    rows = {
+        (r["source"], r["n_words"]): r
+        for r in _gate_stats(df).collect()
+    }
+    r = rows[("s1", 7)]
+    assert r["max_tf"] == 3 and r["n_unique"] == 5 and r["n_stop"] == 4
+    assert rows[("s1", 0)]["max_tf"] == 0
+    assert rows[("s2", 3)]["max_tf"] == 1
+
+    # (b) 20k tokens, one token repeated 137 times
+    words = [f"w{i % 5000}" for i in range(20_000 - 137)] + ["hot"] * 137
+    long_doc = " ".join(words)
+    big = spark.createDataFrame([("web", long_doc)], ["source", "text"])
+    t0 = time.time()
+    out = _gate_stats(big).collect()[0]
+    elapsed = time.time() - t0
+    assert out["max_tf"] == 137
+    assert out["n_words"] == 20_000
+    assert elapsed < 30, f"long-doc gate took {elapsed:.1f}s — quadratic regression?"
