@@ -65,7 +65,7 @@ _QUANT_CHROMA = np.array([
 # 12-bit extended-sequential Huffman tables: flat canonical tables
 # covering the larger symbol alphabets T.81 F.1.2 allows at 12-bit
 # precision (DC categories 0..15, AC sizes 1..14). Kraft-safe: 16
-# symbols at length 5 and 242 at length 9 leave slack below the
+# symbols at length 5 and 226 at length 9 leave slack below the
 # reserved all-ones codeword (226 = EOB + ZRL + 16 runs x 14 sizes).
 _DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC12_VALS = list(range(16))
@@ -446,9 +446,9 @@ def encode_jpeg(
         huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
         if not gray:
             huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS), (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
-    for tc, bits, vals in huffs:
-        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
-        out += bytes(bits) + bytes(vals)
+    for tc, hbits, hvals in huffs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(hvals)) + bytes([tc])
+        out += bytes(hbits) + bytes(hvals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)

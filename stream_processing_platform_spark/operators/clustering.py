@@ -275,7 +275,14 @@ def kmeans_fit_reproducible(
         new_C = C.copy()  # empty clusters keep their previous centroid
         for r in stats:
             # Python int/int is the correctly-rounded IEEE quotient of the
-            # exact integers — identical to duckdb's DOUBLE division.
+            # exact integers — identical to duckdb's CAST(sum AS DOUBLE) /
+            # CAST(n AS DOUBLE) PROVIDED |sum| < 2^53 (beyond that duckdb
+            # rounds the sum to double before dividing while Python
+            # divides the exact integers, and a half-boundary floor can
+            # flip). |sum| <= n * 2^24 since inputs are in [-1, 1]-ish
+            # float32 range, so the precondition holds to ~5e8 rows per
+            # cluster — far above every oracle SF; a cluster bigger than
+            # that needs the exact div+rem form on both sides.
             new_C[r["cluster"]] = [
                 math.floor(r[f"s{j}"] / r["n"] + 0.5) / REPRO_SCALE for j in range(dim)
             ]

@@ -2364,8 +2364,9 @@ _REG2["q_doc_chunking_bpe"] = _dc_replace2(
     v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM tok)
     SELECT bi.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           floor(sum(ln(c1.c1 + v.vocab) - ln(c2.c2 + 1)) * 10000.0
-                 / count(*) + 0.5) / 10000.0 AS mean_nll
+           floor(CAST(sum(CAST(floor((ln(c1.c1 + v.vocab) - ln(c2.c2 + 1))
+                                     * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) + 0.5) / 10000.0 AS mean_nll
     FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
     GROUP BY bi.doc_id
     """,
@@ -2375,8 +2376,13 @@ _REG2["q_doc_chunking_bpe"] = _dc_replace2(
     "own add-1-smoothed bigram LM, P(b|a) = (c2(a,b)+1)/(c1(a)+V). "
     "High mean_nll flags incoherent token ORDER (which the unigram "
     "score cannot see), low flags templated boilerplate. Counts are "
-    "exact integers; ln() runs on bit-identical inputs and the 4dp "
-    "mean uses the floor(x+0.5) form (the q_unigram_logprob doctrine). "
+    "exact integers; ln() runs on bit-identical inputs, each per-bigram "
+    "nll is floor-rounded to the 1e-6 integer grid BEFORE summing (r10, "
+    "per the r9 advice — raw-double sums are order-dependent and JVM "
+    "Math.log vs libm can differ in the last ulp; integer sums are "
+    "exact and order-free, the additive-scores doctrine from the r9 "
+    "ANN campaign; per-doc sums stay < 2^53 so the final double "
+    "division is exact-input), and the 4dp mean uses floor(x+0.5). "
     "Scale shape: bigram-keyed count aggregate + joins back, all "
     "map-side partial-aggregated; 1-row vocab broadcast; stopword-pair "
     "keys are the documented skew (AQE skew-join). Documents with "
@@ -2405,9 +2411,14 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             (
                 F.floor(
-                    F.sum(F.ln(F.col("c1") + F.col("vocab")) - F.ln(F.col("c2") + 1))
-                    * 10000.0
-                    / F.count("*")
+                    F.sum(
+                        F.floor(
+                            (F.ln(F.col("c1") + F.col("vocab")) - F.ln(F.col("c2") + 1))
+                            * 1000000.0
+                            + 0.5
+                        ).cast("long")
+                    ).cast("double")
+                    / (100.0 * F.count("*"))
                     + 0.5
                 )
                 / 10000.0
