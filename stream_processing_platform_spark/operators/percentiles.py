@@ -154,3 +154,156 @@ def exact_percentiles_distributed(
             F.floor(lo + frac * (hi - lo) + F.lit(0.5)).cast("long").alias(alias)
         )
     return g.select(*keys, *outs, F.col("_gn").cast("long").alias("n"))
+
+
+def sketch_verified_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: dict[str, float],
+    group_cols: list[Column | str],
+    accuracy: int = 10000,
+    scale_decimals: int = 2,
+    margin: int = 8,
+) -> DataFrame:
+    """Sketch-then-verify EXACT quantiles — the heavy-hitters doctrine
+    (operators/sketches.py) applied to order statistics, which is what
+    lets ``q_approx_percentile`` carry a full duckdb oracle despite the
+    sketch (r9 verdict ask #7).
+
+    Pass 0 (count): per-group row counts, key-only scan (column-pruned,
+    shuffles k rows, driver state = k counts — the bounded-model-state
+    pattern). Needed because the bracket margin must be ABSOLUTE in
+    rank, not just relative: for a group with n << accuracy the
+    relative margin shifts the target rank by < 1 row while the
+    sketch's rank-rounding convention can still be off by one — the
+    exactness pytest caught a real bracket miss at n=1004. With
+    ``eps = max(margin/accuracy, 4/min_n)`` every group gets
+    ``n·eps >= eps_rank·n + 2`` of cushion (proof in the pytest
+    docstring's terms: GK rank error is n/accuracy, convention slop
+    <= 1, so >= 2 spare ranks suffice; 4 gives 2x).
+
+    Pass 1 (sketch): per group, one ``approx_percentile`` call brackets
+    each target quantile at ``p ± eps`` (clamped). Fixed-size mergeable
+    state, map-side partials — the 100 TB shape.
+
+    Pass 2 (verify): one more scan computes, per group, the EXACT count
+    strictly below each bracket (conditional sums — map-side combined)
+    and sorts ONLY the in-bracket candidates (~2·margin·n/accuracy rows
+    per prob, e.g. 0.16% of a group at the defaults) in a keyed window;
+    ``min(CASE global_rank = pos)`` picks the two bracketing order
+    statistics and the read-time select interpolates exactly as
+    ``quantile_cont`` defines. The full corpus is never sorted.
+
+    A bracket miss (impossible within the sketch's error contract)
+    surfaces as a -1 sentinel, never a null — loud in the driver
+    compare, and sortable (the no-nullable-columns invariant).
+
+    Output: group cols + one BIGINT scaled-integer column per ``probs``
+    alias + ``n`` — identical to ``exact_percentiles_distributed``
+    (a pytest pins them equal row-for-row).
+    """
+    from pyspark.sql import Window
+
+    base = ensure_min_parallelism(
+        df.select(
+            *as_col_list(group_cols),
+            _scaled(value_col, scale_decimals).cast("long").alias("_c"),
+        )
+    )
+    keys = [c for c in base.columns if c != "_c"]
+    pl = list(probs.items())
+    cnt_rows = base.groupBy(*keys).count().collect()  # k rows — bounded
+    min_n = min((r["count"] for r in cnt_rows), default=1)
+    eps = max(margin / float(accuracy), 4.0 / max(min_n, 1))
+    qprobs: list[float] = []
+    for _, p in pl:
+        qprobs += [max(0.0, p - eps), min(1.0, p + eps)]
+    sk = base.groupBy(*keys).agg(
+        F.count("*").alias("_n"),
+        F.approx_percentile(
+            "_c", F.array(*[F.lit(q) for q in qprobs]), F.lit(accuracy)
+        ).alias("_b"),
+    )
+    bounds = sk.select(
+        *keys,
+        "_n",
+        *[
+            e
+            for i, (a, _) in enumerate(pl)
+            for e in (
+                F.element_at("_b", 2 * i + 1).alias(f"_vlo_{a}"),
+                F.element_at("_b", 2 * i + 2).alias(f"_vhi_{a}"),
+            )
+        ],
+    )
+    # one row per group — always broadcast (AQE sees only small-SF sizes)
+    j = base.join(F.broadcast(bounds), keys)
+    # exact base ranks: rows strictly below each bracket, same scan
+    nb = j.groupBy(*keys).agg(
+        *[
+            F.sum(F.when(F.col("_c") < F.col(f"_vlo_{a}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nb_{a}")
+            for a, _ in pl
+        ]
+    )
+    matched = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    (F.col("_c") >= F.col(f"_vlo_{a}"))
+                    & (F.col("_c") <= F.col(f"_vhi_{a}")),
+                    F.lit(i),
+                )
+                for i, (a, _) in enumerate(pl)
+            ]
+        )
+    )
+    cand = (
+        j.select(*keys, "_c", "_n", matched.alias("_pis"))
+        .where(F.size("_pis") > 0)
+        .select(*keys, "_c", "_n", F.explode("_pis").alias("_pi"))
+        .join(F.broadcast(nb), keys)
+    )
+    w = Window.partitionBy(*keys, "_pi").orderBy(F.col("_c").asc())
+    p_of = F.lit(None).cast("double")
+    nb_of = F.lit(None).cast("long")
+    for i, (a, p) in enumerate(pl):
+        p_of = F.when(F.col("_pi") == i, F.lit(float(p))).otherwise(p_of)
+        nb_of = F.when(F.col("_pi") == i, F.col(f"_nb_{a}")).otherwise(nb_of)
+    lo_rn = F.floor((F.col("_n") - 1) * p_of).cast("long") + 1
+    grank = nb_of + F.row_number().over(w)
+    picked = (
+        cand.select(*keys, "_pi", "_c", lo_rn.alias("_lr"), grank.alias("_gr"))
+        .groupBy(*keys, "_pi")
+        .agg(
+            F.min(F.when(F.col("_gr") == F.col("_lr"), F.col("_c"))).alias("_lo"),
+            F.min(F.when(F.col("_gr") == F.col("_lr") + 1, F.col("_c"))).alias("_hi"),
+        )
+    )
+    outs = []
+    for i, (a, p) in enumerate(pl):
+        h = (F.col("_n") - 1) * F.lit(float(p))
+        frac = h - F.floor(h)
+        lo = F.col(f"_l_{i}").cast("double")
+        hi = F.coalesce(F.col(f"_h_{i}"), F.col(f"_l_{i}")).cast("double")
+        outs.append(
+            F.coalesce(
+                F.floor(lo + frac * (hi - lo) + F.lit(0.5)).cast("long"), F.lit(-1)
+            ).alias(a)
+        )
+    wide = (
+        picked.groupBy(*keys)
+        .agg(
+            *[
+                e
+                for i in range(len(pl))
+                for e in (
+                    F.min(F.when(F.col("_pi") == i, F.col("_lo"))).alias(f"_l_{i}"),
+                    F.min(F.when(F.col("_pi") == i, F.col("_hi"))).alias(f"_h_{i}"),
+                )
+            ]
+        )
+        .join(F.broadcast(sk.select(*keys, "_n")), keys)
+    )
+    return wide.select(*keys, *outs, F.col("_n").cast("long").alias("n"))

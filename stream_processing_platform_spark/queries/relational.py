@@ -1001,25 +1001,38 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APCT_PROBS = {"median_c": 0.5, "p95_c": 0.95, "p99_c": 0.99}
+_APCT_OUT = {"median_c": "median_price", "p95_c": "p95_price", "p99_c": "p99_price"}
+
+
 @query(
     "q_approx_percentile",
-    oracle=None,  # sketch quantiles differ across engines — bounded
-    # against the exact percentiles in tests/test_scale_ops.py
-    # (test_approx_percentile_within_error_bound) instead of a hash match.
-    description="approx_percentile (t-digest-style quantile sketch) per "
-    "return flag — the 100 TB order-statistics path: fixed-size mergeable "
-    "state and map-side partials instead of q_percentiles' exact "
-    "memory-unbounded per-group sort.",
+    oracle=None,  # generated below from _rank_select_ctes (defined later
+    # in this module) and patched in via _dc_replace — the generated-
+    # oracle doctrine, same as q_zorder_events.
+    description="Quantile sketch with exact verification (sketch-then-"
+    "verify, the heavy-hitters doctrine): approx_percentile brackets "
+    "each target order statistic at p ± margin/accuracy, then one "
+    "verify scan exact-counts below each bracket and rank-selects "
+    "inside the ~0.2%-of-group candidate sliver — EXACT interpolated "
+    "quantiles (full oracle from the same _rank_select_ctes generator "
+    "as q_percentiles_distributed) at sketch cost: fixed-size mergeable "
+    "sketch state, map-side partials, and the corpus is never sorted. "
+    "Converted from rows-only in r10 (r9 verdict ask #7); the raw "
+    "sketch path (operators/percentiles.approx_percentiles) remains "
+    "the one-pass variant, error-bound-tested in test_scale_ops.py.",
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_platform_spark.operators.percentiles import approx_percentiles
+    from stream_processing_platform_spark.operators.percentiles import (
+        sketch_verified_percentiles,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    return approx_percentiles(
-        li,
-        "l_extendedprice",
-        {"median_price": 0.5, "p95_price": 0.95, "p99_price": 0.99},
-        ["l_returnflag"],
+    g = sketch_verified_percentiles(li, "l_extendedprice", _APCT_PROBS, ["l_returnflag"])
+    return g.select(
+        "l_returnflag",
+        *[(F.col(a).cast("double") / 100.0).alias(out) for a, out in _APCT_OUT.items()],
+        "n",
     )
 
 
@@ -3502,3 +3515,28 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_id", "user_id", "ts_ms", "n", slope.cast("long").alias("slope_ppm")
     )
+
+
+def _apct_oracle() -> str:
+    """q_approx_percentile's oracle: the sketch only PRUNES — the final
+    answer is the exact interpolated quantile, so the oracle is the
+    same rank-select CTE chain as q_percentiles_distributed (one
+    generator, every consumer)."""
+    base = (
+        "SELECT l_returnflag,"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem"
+    )
+    ctes = _rank_select_ctes("l_returnflag", base, _APCT_PROBS)
+    cols = ", ".join(
+        f"CAST({a} AS DOUBLE) / 100.0 AS {out}" for a, out in _APCT_OUT.items()
+    )
+    return f"""
+    WITH {ctes}
+    SELECT l_returnflag, {cols}, CAST(gn AS BIGINT) AS n
+    FROM g
+    """
+
+
+_REG["q_approx_percentile"] = _dc_replace(
+    _REG["q_approx_percentile"], oracle=_apct_oracle()
+)

@@ -30,9 +30,24 @@ def test_approx_percentile_within_error_bound(spark, sf_dir):
     """The sketch quantiles must track the exact ones: with accuracy
     10000 the rank error is ~n/10000 rows, which on these price
     distributions keeps the value within a small relative band."""
+    from stream_processing_platform_spark.operators.percentiles import (
+        approx_percentiles,
+    )
+
+    # the one-pass raw-sketch operator (the registered query is the
+    # sketch-then-verify EXACT form since r10 — pinned equal to the
+    # distributed exact path in test_sketch_verified_percentiles_exact)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
     approx = {
         r["l_returnflag"]: (r["median_price"], r["p95_price"], r["p99_price"])
-        for r in queries()["q_approx_percentile"](spark, sf_dir).collect()
+        for r in approx_percentiles(
+            li,
+            "l_extendedprice",
+            {"median_price": 0.5, "p95_price": 0.95, "p99_price": 0.99},
+            ["l_returnflag"],
+        ).collect()
     }
     # per-flag exact baseline computed inline (the registered
     # q_percentiles now groups by the finer (flag, year) composite key)
@@ -256,3 +271,35 @@ def test_k_anonymize_suppression_and_pseudonym_consistency(spark):
 
     with pytest.raises(ValueError, match="k >= 2"):
         k_anonymize(df, ["q1"], k=1)
+
+
+def test_sketch_verified_percentiles_exact(spark, sf_dir):
+    """sketch_verified_percentiles must equal the distributed exact
+    rank-select path ROW-FOR-ROW (both are exact — the sketch only
+    prunes; r10, the q_approx_percentile oracle conversion), including
+    on a grouping with tiny groups where the sketch stores every value
+    verbatim."""
+    from stream_processing_platform_spark.operators.percentiles import (
+        exact_percentiles_distributed,
+        sketch_verified_percentiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    probs = {"med": 0.5, "p95": 0.95, "p99": 0.99}
+    for keys in (["l_returnflag"], ["l_returnflag", "l_linestatus"]):
+        got = {
+            tuple(r[k] for k in keys): (r["med"], r["p95"], r["p99"], r["n"])
+            for r in sketch_verified_percentiles(
+                li, "l_extendedprice", probs, keys
+            ).collect()
+        }
+        want = {
+            tuple(r[k] for k in keys): (r["med"], r["p95"], r["p99"], r["n"])
+            for r in exact_percentiles_distributed(
+                li, "l_extendedprice", probs, keys
+            ).collect()
+        }
+        assert got == want
+    assert all(v >= 0 for vals in got.values() for v in vals)  # no -1 sentinel
