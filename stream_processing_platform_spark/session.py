@@ -50,11 +50,16 @@ def get_spark(
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    ``SPARK_GRAFT_MASTER`` overrides the master URL entirely — the
+    local-cluster smoke test (tests/test_local_cluster.py) uses it to
+    run the driver contract on ``local-cluster[2,4,4096]``, the
+    multi-JVM topology that catches anything silently depending on
+    driver and executors sharing one process.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]")
         # Local mode puts driver + all 32 executor threads in ONE JVM;
         # Spark's 1g default heap GC-thrashes under that (GCLocker retry
         # aborts killed a bench run). Only effective at JVM launch —
@@ -92,4 +97,41 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers on any non-local
+    master. ``local[...]`` workers inherit the driver's cwd, so the
+    package resolves by accident of single-JVM sharing; a standalone /
+    local-cluster / YARN executor JVM runs in its own work dir and its
+    Python workers crash with ModuleNotFoundError the moment a
+    cloudpickled closure (an Arrow mapInPandas twin, a
+    transformWithState handler) references a package module by name —
+    found by the local-cluster[2,4,4096] smoke test
+    (tests/test_local_cluster.py), invisible under local[32].
+    ``addPyFile`` distributes the zip once per executor and prepends it
+    to every worker's sys.path — the portable mechanism (no shared-
+    filesystem assumption, unlike spark.executorEnv.PYTHONPATH)."""
+    sc = spark.sparkContext
+    if sc.master.startswith("local[") or sc.master == "local":
+        return
+    if getattr(spark, "_spp_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="spp_pkg_"), "spp_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for r, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in r:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(r, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zip_path)
+    spark._spp_pkg_shipped = True
