@@ -422,10 +422,17 @@ def segment_audio(
     frame_ms: int = 20,
     threshold: float = 0.05,
     min_frames: int = 2,
+    codec: str = "wav",
 ) -> DataFrame:
-    """Silence-split PCM WAV payloads into voiced segments — the audio
+    """Silence-split PCM audio payloads into voiced segments — the audio
     analog of document chunking (operators/mixture.py), 1-in-N-out
     through Arrow-batched ``mapInPandas``.
+
+    ``codec``: 'wav' (RIFF PCM via :mod:`imagecodec`) or 'flac'
+    (compressed — the from-scratch Rice+LPC decoder in
+    :mod:`flaccodec`, r10); FLAC samples are normalized to the same
+    [-1, 1] float range as the WAV path so the segmentation core sees
+    identical semantics.
 
     Per payload: real WAV decode (:mod:`imagecodec`), per-frame RMS over
     ``frame_ms`` windows (vectorized cumsum — no Python loop over
@@ -441,11 +448,17 @@ def segment_audio(
     """
     from stream_processing_platform_spark.multimodal import imagecodec
 
+    if codec not in ("wav", "flac"):
+        raise ValueError(f"segment_audio: unknown codec {codec!r}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in _SEGMENT_SCHEMA.fields}
             for mid, payload in zip(pdf[id_col], pdf[content_col]):
-                rate, samples = imagecodec.decode_wav(bytes(payload))
+                if codec == "flac":
+                    rate, samples = decode_flac_normalized(bytes(payload))
+                else:
+                    rate, samples = imagecodec.decode_wav(bytes(payload))
                 for seg_idx, s_ms, e_ms, n, rms in segment_pcm(
                     rate, samples, frame_ms, threshold, min_frames
                 ):
@@ -458,6 +471,25 @@ def segment_audio(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, _SEGMENT_SCHEMA)
+
+
+def decode_flac_normalized(payload: bytes) -> tuple[int, np.ndarray]:
+    """FLAC → (rate, float32 mono samples in [-1, 1]) — the exact scale
+    contract of :func:`imagecodec.decode_wav`, so :func:`segment_pcm`
+    (and its sequential-replay oracles) see identical semantics for
+    both codecs. Multichannel is mean-downmixed like the WAV path."""
+    from stream_processing_platform_spark.multimodal.flaccodec import decode_flac
+
+    rate, pcm = decode_flac(payload)
+    if pcm.dtype != np.int16:
+        raise NotImplementedError(
+            "decode_flac_normalized: only 16-bit streams have a defined "
+            "[-1, 1] normalization here (WAV-path parity)"
+        )
+    x = pcm.astype(np.float32)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    return rate, x / 32768.0
 
 
 def segment_pcm(
