@@ -384,9 +384,34 @@ def decode_frame_timeline(raw: bytes) -> tuple[list[np.ndarray], list[int]]:
                 frames = [decode_jpeg(p) for _, _, p, _ in samples]
                 starts = [ts for _, ts, _, _ in samples] + [t.duration_ms()]
                 return frames, starts
+            if t.codec == "avc1" and t.n_samples:
+                # r10: real H.264 baseline I-frame entropy decode
+                # (CAVLC) — from-scratch avccodec. All-sync tracks
+                # decode fully; inter-predicted samples stay honestly
+                # gated.
+                from stream_processing_platform_spark.multimodal import avccodec
+
+                if t.avcc is None:
+                    raise ValueError("avc1 track without avcC record")
+                if not all(t.sync):
+                    raise NotImplementedError(
+                        "AVC track has non-IDR samples (P/B inter "
+                        "prediction not implemented; keyframe-only "
+                        "tracks and sync_only sampling decode)"
+                    )
+                sps_l, pps_l, ls = avccodec.parse_avcc(t.avcc)
+                samples = mp4codec.extract_samples(raw, t)
+                frames = []
+                for _, _, payload, _ in samples:
+                    nals = sps_l + pps_l + avccodec.from_avcc_sample(payload, ls)
+                    yp, _cb, _cr = avccodec.decode_iframe(nals)
+                    frames.append(yp)
+                starts = [ts for _, ts, _, _ in samples] + [t.duration_ms()]
+                return frames, starts
         raise NotImplementedError(
-            "MP4 parsed but no MJPEG video track (AVC/HEVC entropy "
-            "decode is out of scope)"
+            "MP4 parsed but no decodable video track (HEVC and AVC "
+            "inter frames are out of scope; MJPEG and all-IDR AVC "
+            "decode to pixels)"
         )
     raise NotImplementedError(
         "real frame sampling supports animated GIF and MJPEG MP4 "

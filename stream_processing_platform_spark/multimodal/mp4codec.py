@@ -1,7 +1,6 @@
 """From-scratch ISO-BMFF (MP4, ISO/IEC 14496-12) container codec.
 
-Real crawl corpora carry video as MP4; a full AVC/H.264 entropy decoder
-is out of scope for this container, but the CONTAINER layer — box
+Real crawl corpora carry video as MP4. The CONTAINER layer — box
 structure, track tables, the sample timeline, keyframe positions, and
 the raw sample payloads — is pure structured parsing, and that is what
 a 100 TB media-pipeline needs for frame SAMPLING: locate the samples to
@@ -17,7 +16,10 @@ This module implements both directions with no dependencies:
   using those tables — for Motion-JPEG tracks (``jpeg``/``mjpa``) the
   payloads are complete JFIF images our :mod:`jpegcodec` decodes to
   pixels; for AVC (``avc1``) the payloads are length-prefixed NAL units
-  we can size/locate but honestly cannot entropy-decode.
+  that :mod:`avccodec` (r10) entropy-decodes for baseline I frames
+  (CAVLC) — inter-predicted P/B samples remain honestly gated, so
+  keyframe-only tracks decode fully and mixed tracks decode their sync
+  samples via ``sync_only`` sampling.
 - :func:`encode_mp4` is a minimal single-track muxer (ftyp + mdat +
   moov with the full stbl table set) so round-trip tests are
   self-contained: our JPEG encoder makes frames, the muxer wraps them,
@@ -93,6 +95,7 @@ class VideoTrack:
     times: list[int]  # decode timestamp per sample, timescale units
     sync: list[bool]  # stss keyframe flags (all True when absent)
     duration: int  # mdhd duration, timescale units
+    avcc: bytes | None = None  # avcC decoder-config payload (avc1 tracks)
 
     @property
     def n_samples(self) -> int:
@@ -144,7 +147,7 @@ def _parse_track(data: bytes, ts_: int, te: int) -> VideoTrack | None:
     handler = data[hdlr[0] + 8 : hdlr[0] + 12].decode("latin1") if hdlr else "????"
 
     stsd = _find(data, *stbl, b"stsd")
-    codec, width, height = "????", 0, 0
+    codec, width, height, avcc = "????", 0, 0, None
     if stsd is not None:
         n_entries = struct.unpack_from(">I", data, stsd[0] + 4)[0]
         if n_entries >= 1:
@@ -154,6 +157,16 @@ def _parse_track(data: bytes, ts_: int, te: int) -> VideoTrack | None:
                 # VisualSampleEntry: 8 header + 6 reserved + 2 dri +
                 # 2+2 predefined/reserved + 12 predefined, then w/h
                 width, height = struct.unpack_from(">HH", data, ep + 32)
+            if codec == "avc1":
+                # avcC follows the 86-byte fixed VisualSampleEntry
+                entry_end = ep + struct.unpack_from(">I", data, ep)[0]
+                q = ep + 86
+                while q + 8 <= min(entry_end, stsd[1]):
+                    bsize = struct.unpack_from(">I", data, q)[0]
+                    if data[q + 4 : q + 8] == b"avcC":
+                        avcc = data[q + 8 : q + bsize]
+                        break
+                    q += max(8, bsize)
     # stts -> per-sample decode times
     times: list[int] = []
     stts = _find(data, *stbl, b"stts")
@@ -215,6 +228,7 @@ def _parse_track(data: bytes, ts_: int, te: int) -> VideoTrack | None:
         codec=codec, handler=handler, width=width, height=height,
         timescale=timescale or 1, duration=duration,
         sizes=sizes[:n], offsets=offsets[:n], times=times[:n], sync=sync[:n],
+        avcc=avcc,
     )
 
 
@@ -275,6 +289,7 @@ def encode_mp4(
     height: int,
     codec: str = "jpeg",
     keyframe_every: int = 1,
+    sample_entry_extra: bytes = b"",
 ) -> bytes:
     """Minimal single-video-track MP4: ftyp + mdat (concatenated sample
     payloads) + moov with full stbl tables. ``codec='jpeg'`` declares
@@ -327,6 +342,7 @@ def encode_mp4(
         b"\x00" * 4, struct.pack(">H", 1),  # reserved + frame_count
         b"\x00" * 32,  # compressor name
         struct.pack(">Hh", 24, -1),  # depth, predefined
+        sample_entry_extra,  # e.g. the avcC box for avc1 tracks
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1), sample_entry)
     stbl_parts = [stsd, stts, stsc, stsz, stco]

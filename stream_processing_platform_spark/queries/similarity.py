@@ -1674,6 +1674,119 @@ _REG_SIM["q_video_frame_sample"] = _dc_replace_sim(
 
 
 # --------------------------------------------------------------------------
+# q_multimodal_avc_decode (r10): real H.264 entropy decode as a driver
+# query. Per document an all-IDR AVC (baseline, CAVLC) MP4 is
+# synthesized — a pure function of doc_id % 12 — then every frame is
+# ENTROPY-DECODED (coeff_token/levels/total_zeros/run_before, intra
+# prediction, dequant + inverse integer transforms) through the same
+# sample_frames_from_payload core as q_video_frame_sample. Closes the
+# r9 verdict's AVC gate (ask #5) for the keyframe path.
+# --------------------------------------------------------------------------
+
+_AVC_MOD = 12
+_AVC_EVERY_MS = 80
+
+
+def _synth_avc_payload(d: int) -> bytes:
+    """Deterministic all-IDR AVC-in-MP4 clip; pure function of d % 12
+    (frame count from %3, per-frame delay from %4, texture phase from
+    the residue). 32x32 4:2:0, QP 16, SAD-chosen intra modes — small
+    enough to be cheap, busy enough to exercise V/H/DC/Plane
+    prediction and luma+chroma CAVLC residuals."""
+    import numpy as np
+
+    from stream_processing_platform_spark.multimodal import avccodec, mp4codec
+
+    r = d % _AVC_MOD
+    n_frames = r % 3 + 1
+    delay = (r % 4 + 1) * 50
+    yy, xx = np.mgrid[0:32, 0:32]
+    payloads = []
+    sps = pps = None
+    for k in range(n_frames):
+        y = ((xx * (3 + r % 5) + yy * 2 + k * 37 + r * 11) % 256).astype(np.uint8)
+        cb = ((xx[::2, ::2] * 5 + r * 7) % 256).astype(np.uint8)
+        cr = ((yy[::2, ::2] * 3 + k * 23) % 256).astype(np.uint8)
+        nals = avccodec.encode_iframe(y, cb, cr, qp=16)
+        sps, pps = nals[0], nals[1]
+        payloads.append(avccodec.to_avcc_sample(nals[2:]))
+    rec = avccodec.build_avcc(sps, pps)
+    avcc_box = (len(rec) + 8).to_bytes(4, "big") + b"avcC" + rec
+    return mp4codec.encode_mp4(
+        payloads, [delay] * n_frames, 32, 32, codec="avc1",
+        sample_entry_extra=avcc_box,
+    )
+
+
+def _avc_decode_oracle() -> str:
+    import hashlib
+
+    from stream_processing_platform_spark.multimodal.codecs import (
+        sample_frames_from_payload,
+    )
+
+    rows = []
+    for rem in range(_AVC_MOD):
+        payload = _synth_avc_payload(rem)
+        chash = hashlib.sha256(payload).hexdigest()
+        for idx, ts, png in sample_frames_from_payload(payload, _AVC_EVERY_MS):
+            fsha = hashlib.sha256(png).hexdigest()
+            rows.append(
+                f"({rem}, '{chash}', CAST({idx} AS INTEGER),"
+                f" CAST({ts} AS BIGINT), '{fsha}')"
+            )
+    return f"""
+    WITH exp(rem, content_hash, frame_idx, frame_ts_ms, frame_sha)
+         AS (VALUES {", ".join(rows)})
+    SELECT e.content_hash, e.frame_idx, e.frame_ts_ms, e.frame_sha
+    FROM documents d JOIN exp e ON d.doc_id % {_AVC_MOD} = e.rem
+    """
+
+
+@query(
+    "q_multimodal_avc_decode",
+    oracle=None,  # patched below: generated sequential-replay oracle
+    description=f"H.264/AVC keyframe decode end-to-end (r10, the r9 "
+    f"verdict's entropy-decode gate): per document an all-IDR AVC "
+    f"baseline MP4 — CAVLC entropy coding, I_16x16 intra prediction, "
+    f"4:2:0 — is synthesized as a pure function of doc_id % {_AVC_MOD} "
+    f"via the from-scratch avccodec encoder, then every frame is "
+    f"entropy-DECODED (coeff_token/levels/total_zeros/run_before, "
+    f"dequant, inverse 4x4 + Hadamard transforms, intra prediction) "
+    f"through the same sample_frames_from_payload core as "
+    f"q_video_frame_sample, sampled every {_AVC_EVERY_MS} ms, each "
+    f"frame reported as its PNG sha256. Full sequential-replay oracle. "
+    f"Scale shape: 1-in-N-out Arrow mapInPandas, no shuffle.",
+)
+def q_multimodal_avc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from stream_processing_platform_spark.multimodal.codecs import sample_video_frames
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([_synth_avc_payload(int(d)) for d in ids])
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+        synth(F.col("doc_id")).alias("content")
+    ).withColumn("content_hash", F.sha2(F.col("content"), 256))
+    frames = sample_video_frames(docs, every_ms=_AVC_EVERY_MS, decoder="image")
+    return frames.select(
+        "content_hash",
+        "frame_idx",
+        "frame_ts_ms",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
+_REG_SIM["q_multimodal_avc_decode"] = _dc_replace_sim(
+    _REG_SIM["q_multimodal_avc_decode"], oracle=_avc_decode_oracle()
+)
+
+
+# --------------------------------------------------------------------------
 # q_ann_ivf full oracle (r9): "approximate" never meant
 # "non-deterministic" — the IVF pipeline is a pure function of the
 # corpus once (a) the hash-sample init orders by the SQL-expressible
