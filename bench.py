@@ -226,6 +226,10 @@ def main() -> None:
         "q_dsir_weights",
         "q_video_frame_sample",
         "q_ann_ivf",
+        # round-10 additions
+        "q_audio_segments_flac",
+        "q_multimodal_avc_decode",
+        "q_approx_percentile",  # now sketch-then-verify EXACT (also in headline)
     ):
         qs[name](spark, sf_dir).count()
         samples = []

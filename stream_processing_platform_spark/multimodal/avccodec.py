@@ -6,8 +6,9 @@ keyframe half of that gate with no codec library:
 
 - **Decode**: Annex-B / length-prefixed NAL parsing, RBSP de-escaping,
   SPS/PPS, IDR slice headers, macroblock layer for I slices — I_PCM,
-  I_16x16 (all four luma prediction modes, DC/H/V/Plane chroma),
-  CAVLC residual decoding (coeff_token / levels with adaptive suffix
+  I_16x16 (all four luma prediction modes, DC/H/V/Plane chroma), and
+  I_4x4 (all nine 4x4 prediction modes, predicted-mode signaling,
+  Table 9-4 coded_block_pattern), CAVLC residual decoding (coeff_token / levels with adaptive suffix
   length / total_zeros / run_before, all five nC table classes
   including the chroma-DC table), dequantization, the 4x4 inverse
   integer transform, the 4x4 luma-DC Hadamard and the 2x2 chroma-DC
@@ -19,7 +20,7 @@ keyframe half of that gate with no codec library:
   round-trip tests in-container.
 
 Honest gates (loud ``NotImplementedError``): CABAC, P/B slices,
-I_4x4 macroblocks, fields/MBAFF, high-profile tools (8x8 transform,
+fields/MBAFF, high-profile tools (8x8 transform,
 scaling lists, monochrome), and in-loop deblocking — the encoder
 always signals ``disable_deblocking_filter_idc = 1`` and the decoder
 refuses streams that enable the filter rather than return wrong
@@ -901,6 +902,69 @@ def _chroma_modes_available(mbx, mby):
     return modes
 
 
+def _quant_mb_chroma(src_cb, src_cr, pred_cb, pred_cr, qpc):
+    """Forward chroma transform/quant for one MB -> (zc_dc, zc_ac,
+    cbp_chroma). Shared by the I_16x16 and I_4x4 encoder branches."""
+    zc_dc, zc_ac, any_dc, any_ac = [], [], False, False
+    for src_c, pred_c in ((src_cb, pred_cb), (src_cr, pred_cr)):
+        res_c = src_c - pred_c
+        wbs = [fwd4x4(res_c[by_ : by_ + 4, bx : bx + 4])
+               for by_ in (0, 4) for bx in (0, 4)]
+        dc2 = np.array(
+            [[wbs[0][0, 0], wbs[1][0, 0]], [wbs[2][0, 0], wbs[3][0, 0]]],
+            dtype=np.int64,
+        )
+        zdc = quant_chroma_dc(fwd_chroma_dc(dc2), qpc)
+        zacs = [quant4x4(wb, qpc) for wb in wbs]
+        for z in zacs:
+            z[0, 0] = 0
+        zc_dc.append(zdc)
+        zc_ac.append(zacs)
+        any_dc = any_dc or bool(np.any(zdc))
+        any_ac = any_ac or any(np.any(z) for z in zacs)
+    return zc_dc, zc_ac, (2 if any_ac else (1 if any_dc else 0))
+
+
+def _emit_and_recon_mb_chroma(
+    bw, nc, rcb, rcr, mbx, mby, pred_cb, pred_cr, zc_dc, zc_ac, cbp_chroma, qpc
+):
+    """CAVLC-emit chroma residuals + in-loop reconstruct (shared by
+    both encoder branches; mirrors _decode_mb_chroma exactly)."""
+    if cbp_chroma:
+        for comp in range(2):
+            vals = [int(v) for v in zc_dc[comp].reshape(-1)]
+            encode_residual_block(bw, vals, -1, 4)
+    for comp in range(2):
+        for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
+            cx = mbx * 2 + bx // 4
+            cy = mby * 2 + by_ // 4
+            if cbp_chroma == 2:
+                coeffs = _zz_scan(zc_ac[comp][k])[1:]
+                total = encode_residual_block(
+                    bw, coeffs, nc.chroma_nc(comp, cx, cy), 15
+                )
+                nc.chroma[comp][cy, cx] = total
+            else:
+                nc.chroma[comp][cy, cx] = 0
+    for comp, (rc, pred_c) in enumerate(((rcb, pred_cb), (rcr, pred_cr))):
+        dcc = (
+            dequant_chroma_dc(zc_dc[comp], qpc)
+            if cbp_chroma
+            else np.zeros((2, 2), dtype=np.int64)
+        )
+        for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
+            coefs = (
+                dequant4x4_ac(zc_ac[comp][k], qpc)
+                if cbp_chroma == 2
+                else np.zeros((4, 4), dtype=np.int64)
+            )
+            coefs[0, 0] = dcc[by_ // 4, bx // 4]
+            rc[
+                mby * 8 + by_ : mby * 8 + by_ + 4,
+                mbx * 8 + bx : mbx * 8 + bx + 4,
+            ] = _recon_block(pred_c[by_ : by_ + 4, bx : bx + 4], coefs)
+
+
 def encode_iframe(
     y: np.ndarray,
     cb: np.ndarray,
@@ -910,9 +974,11 @@ def encode_iframe(
 ) -> list[bytes]:
     """Encode one 4:2:0 frame as [SPS, PPS, IDR-slice] NAL units.
 
-    I_16x16 macroblocks throughout (``mode='auto'`` picks the SAD-best
-    available prediction per MB, exercising V/H/DC/Plane paths;
-    ``mode='pcm'`` emits I_PCM for a lossless fixture). The encoder
+    ``mode='auto'`` emits I_16x16 macroblocks (SAD-best available
+    prediction per MB, exercising V/H/DC/Plane paths); ``mode='i4x4'``
+    emits I_4x4 macroblocks (per-4x4-block SAD-best of the nine modes,
+    predicted-mode signaling, Table 9-4 CBP); ``mode='pcm'`` emits
+    I_PCM for a lossless fixture. The encoder
     runs the decoder's reconstruction in-loop, so its returned recon
     (``encode_iframe.last_recon``) is bit-exact what decode returns."""
     h, w = y.shape
@@ -926,6 +992,7 @@ def encode_iframe(
     rcb = np.zeros((h // 2, w // 2), dtype=np.int64)
     rcr = np.zeros((h // 2, w // 2), dtype=np.int64)
     nc = _NcGrids(w_mbs, h_mbs)
+    i4modes = np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64)
 
     bw = BitWriter()
     # slice header (IDR, I slice)
@@ -962,6 +1029,80 @@ def encode_iframe(
                     nc.chroma[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
                 continue
 
+            if mode == "i4x4":
+                # I_4x4: per-block SAD-best legal mode, reconstructing
+                # as we go (later blocks predict from earlier recon)
+                best = None
+                for m in _chroma_modes_available(mbx, mby):
+                    pb = _mb_pred_chroma(rcb, mbx, mby, m)
+                    pr_ = _mb_pred_chroma(rcr, mbx, mby, m)
+                    sad = int(np.abs(src_cb - pb).sum() + np.abs(src_cr - pr_).sum())
+                    if best is None or sad < best[0]:
+                        best = (sad, m, pb, pr_)
+                _, cmode, pred_cb, pred_cr = best
+                zc_dc, zc_ac, cbp_chroma = _quant_mb_chroma(
+                    src_cb, src_cr, pred_cb, pred_cr, qpc
+                )
+                blk_modes, blk_z, sig_bits = [], [], []
+                for bi in range(16):
+                    bx, by_ = _BLK_XY[bi]
+                    x4 = mbx * 4 + bx // 4
+                    y4 = mby * 4 + by_ // 4
+                    top, left, corner = _i4_refs(ry, x4, y4, w_mbs * 4, w_mbs)
+                    src_b = src_y[by_ : by_ + 4, bx : bx + 4]
+                    best = None
+                    for m in _i4_legal_modes(top, left):
+                        prb = _pred4(m, top, left, corner)
+                        sad = int(np.abs(src_b - prb).sum())
+                        if best is None or sad < best[0]:
+                            best = (sad, m, prb)
+                    _, m, prb = best
+                    ma = int(i4modes[y4, x4 - 1]) if x4 > 0 else -1
+                    mb_ = int(i4modes[y4 - 1, x4]) if y4 > 0 else -1
+                    predicted = min(2 if ma < 0 else ma, 2 if mb_ < 0 else mb_)
+                    if m == predicted:
+                        sig_bits.append((1, 0))
+                    else:
+                        sig_bits.append((0, m if m < predicted else m - 1))
+                    i4modes[y4, x4] = m
+                    z = quant4x4(fwd4x4(src_b - prb), qp)
+                    blk_modes.append(m)
+                    blk_z.append(z)
+                    # in-loop recon; an all-zero 8x8 later gets its
+                    # residual skipped, but zero coeffs recon the same
+                    ry[
+                        y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4
+                    ] = _recon_block(prb, dequant4x4_ac(z, qp))
+                cbp_luma_bits = 0
+                for b8 in range(4):
+                    if any(np.any(blk_z[b8 * 4 + k]) for k in range(4)):
+                        cbp_luma_bits |= 1 << b8
+                cbp = cbp_luma_bits | (cbp_chroma << 4)
+                bw.ue(0)  # mb_type I_4x4
+                for flag, rem in sig_bits:
+                    bw.u(flag, 1)
+                    if not flag:
+                        bw.u(rem, 3)
+                bw.ue(cmode)
+                bw.ue(_CBP_INTRA_INV[cbp])
+                if cbp:
+                    bw.se(0)  # mb_qp_delta
+                for bi in range(16):
+                    bx4 = mbx * 4 + _BLK_XY[bi][0] // 4
+                    by4 = mby * 4 + _BLK_XY[bi][1] // 4
+                    if cbp_luma_bits & (1 << (bi >> 2)):
+                        total = encode_residual_block(
+                            bw, _zz_scan(blk_z[bi]), nc.luma_nc(bx4, by4), 16
+                        )
+                        nc.luma[by4, bx4] = total
+                    else:
+                        nc.luma[by4, bx4] = 0
+                _emit_and_recon_mb_chroma(
+                    bw, nc, rcb, rcr, mbx, mby, pred_cb, pred_cr,
+                    zc_dc, zc_ac, cbp_chroma, qpc,
+                )
+                continue
+
             # --- choose luma pred mode
             best = None
             for m in _luma_modes_available(mbx, mby):
@@ -995,25 +1136,9 @@ def encode_iframe(
                 z[0, 0] = 0
             cbp_luma = 15 if any(np.any(z) for z in z_ac) else 0
 
-            # chroma
-            zc_dc, zc_ac, any_dc, any_ac = [], [], False, False
-            for src_c, pred_c in ((src_cb, pred_cb), (src_cr, pred_cr)):
-                res_c = src_c - pred_c
-                wbs = [fwd4x4(res_c[by_ : by_ + 4, bx : bx + 4])
-                       for by_ in (0, 4) for bx in (0, 4)]
-                dc2 = np.array(
-                    [[wbs[0][0, 0], wbs[1][0, 0]], [wbs[2][0, 0], wbs[3][0, 0]]],
-                    dtype=np.int64,
-                )
-                zdc = quant_chroma_dc(fwd_chroma_dc(dc2), qpc)
-                zacs = [quant4x4(wb, qpc) for wb in wbs]
-                for z in zacs:
-                    z[0, 0] = 0
-                zc_dc.append(zdc)
-                zc_ac.append(zacs)
-                any_dc = any_dc or bool(np.any(zdc))
-                any_ac = any_ac or any(np.any(z) for z in zacs)
-            cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+            zc_dc, zc_ac, cbp_chroma = _quant_mb_chroma(
+                src_cb, src_cr, pred_cb, pred_cr, qpc
+            )
 
             mb_type = 1 + lmode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
             bw.ue(mb_type)
@@ -1035,26 +1160,7 @@ def encode_iframe(
                     nc.luma[by4, bx4] = total
                 else:
                     nc.luma[by4, bx4] = 0
-            # chroma DC residuals
-            if cbp_chroma:
-                for comp in range(2):
-                    vals = [int(v) for v in zc_dc[comp].reshape(-1)]
-                    encode_residual_block(bw, vals, -1, 4)
-            # chroma AC residuals
-            for comp in range(2):
-                for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
-                    cx = mbx * 2 + bx // 4
-                    cy = mby * 2 + by_ // 4
-                    if cbp_chroma == 2:
-                        coeffs = _zz_scan(zc_ac[comp][k])[1:]
-                        total = encode_residual_block(
-                            bw, coeffs, nc.chroma_nc(comp, cx, cy), 15
-                        )
-                        nc.chroma[comp][cy, cx] = total
-                    else:
-                        nc.chroma[comp][cy, cx] = 0
-
-            # --- in-loop reconstruction (must equal the decoder's)
+            # --- in-loop luma reconstruction (must equal the decoder's)
             dcp = dequant_luma_dc(z_dc, qp)
             for bi in range(16):
                 bx, by_ = _BLK_XY[bi]
@@ -1065,23 +1171,10 @@ def encode_iframe(
                 ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
                     pred_y[by_ : by_ + 4, bx : bx + 4], coefs
                 )
-            for comp, (rc, pred_c) in enumerate(((rcb, pred_cb), (rcr, pred_cr))):
-                dcc = (
-                    dequant_chroma_dc(zc_dc[comp], qpc)
-                    if cbp_chroma
-                    else np.zeros((2, 2), dtype=np.int64)
-                )
-                for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
-                    coefs = (
-                        dequant4x4_ac(zc_ac[comp][k], qpc)
-                        if cbp_chroma == 2
-                        else np.zeros((4, 4), dtype=np.int64)
-                    )
-                    coefs[0, 0] = dcc[by_ // 4, bx // 4]
-                    rc[
-                        mby * 8 + by_ : mby * 8 + by_ + 4,
-                        mbx * 8 + bx : mbx * 8 + bx + 4,
-                    ] = _recon_block(pred_c[by_ : by_ + 4, bx : bx + 4], coefs)
+            _emit_and_recon_mb_chroma(
+                bw, nc, rcb, rcr, mbx, mby, pred_cb, pred_cr,
+                zc_dc, zc_ac, cbp_chroma, qpc,
+            )
 
     bw.rbsp_trailing()
     encode_iframe.last_recon = (
@@ -1145,13 +1238,12 @@ def decode_iframe(nals: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray
     rcb = np.zeros((h // 2, w // 2), dtype=np.int64)
     rcr = np.zeros((h // 2, w // 2), dtype=np.int64)
     nc = _NcGrids(w_mbs, h_mbs)
+    i4modes = np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64)
 
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
             x0, y0 = mbx * 16, mby * 16
             mb_type = br.ue()
-            if mb_type == 0:
-                raise NotImplementedError("AVC: I_4x4 macroblocks")
             if mb_type > 25:
                 raise ValueError(f"AVC: invalid I mb_type {mb_type}")
             if mb_type == 25:  # I_PCM
@@ -1164,6 +1256,49 @@ def decode_iframe(nals: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray
                 nc.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
                 for comp in range(2):
                     nc.chroma[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+                continue
+            if mb_type == 0:  # I_4x4 (I_NxN with CAVLC => no 8x8 flag)
+                # mb_pred(): 16 x (prev_flag [+ rem_mode])
+                sig: list[tuple[int, int]] = []
+                for _ in range(16):
+                    if br.u(1):
+                        sig.append((1, 0))
+                    else:
+                        sig.append((0, br.u(3)))
+                cmode = br.ue()
+                cbp = _CBP_INTRA[br.ue()]
+                cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    qp = (qp + br.se() + 52) % 52
+                qpc = chroma_qp(qp, pps["chroma_qp_offset"])
+                for bi in range(16):
+                    bx, by_ = _BLK_XY[bi]
+                    x4 = mbx * 4 + bx // 4
+                    y4 = mby * 4 + by_ // 4
+                    ma = int(i4modes[y4, x4 - 1]) if x4 > 0 else -1
+                    mb_ = int(i4modes[y4 - 1, x4]) if y4 > 0 else -1
+                    predicted = min(2 if ma < 0 else ma, 2 if mb_ < 0 else mb_)
+                    flag, rem = sig[bi]
+                    if flag:
+                        m = predicted
+                    else:
+                        m = rem if rem < predicted else rem + 1
+                    i4modes[y4, x4] = m
+                    top, left, corner = _i4_refs(ry, x4, y4, w_mbs * 4, w_mbs)
+                    pr = _pred4(m, top, left, corner)
+                    if cbp_luma_bits & (1 << (bi >> 2)):
+                        vals = decode_residual_block(br, nc.luma_nc(x4, y4), 16)
+                        nc.luma[y4, x4] = sum(1 for v in vals if v)
+                        coefs = dequant4x4_ac(_zz_unscan(vals), qp)
+                    else:
+                        nc.luma[y4, x4] = 0
+                        coefs = np.zeros((4, 4), dtype=np.int64)
+                    ry[
+                        y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4
+                    ] = _recon_block(pr, coefs)
+                _decode_mb_chroma(
+                    br, nc, rcb, rcr, mbx, mby, cmode, cbp_chroma, qpc
+                )
                 continue
             lmode = (mb_type - 1) % 4
             cbp_chroma = ((mb_type - 1) // 4) % 3
@@ -1199,51 +1334,54 @@ def decode_iframe(nals: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray
                 ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
                     pred_y[by_ : by_ + 4, bx : bx + 4], coefs
                 )
-            # chroma
-            zc_dc = []
-            if cbp_chroma:
-                for comp in range(2):
-                    vals = decode_residual_block(br, -1, 4)
-                    zc_dc.append(np.array(vals, dtype=np.int64).reshape(2, 2))
-            else:
-                zc_dc = [np.zeros((2, 2), dtype=np.int64)] * 2
-            preds = [
-                _mb_pred_chroma(rcb, mbx, mby, cmode),
-                _mb_pred_chroma(rcr, mbx, mby, cmode),
-            ]
-            zc_ac = [[], []]
-            for comp in range(2):
-                for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
-                    cx = mbx * 2 + bx // 4
-                    cy = mby * 2 + by_ // 4
-                    if cbp_chroma == 2:
-                        vals = decode_residual_block(
-                            br, nc.chroma_nc(comp, cx, cy), 15
-                        )
-                        nc.chroma[comp][cy, cx] = sum(1 for v in vals if v)
-                        zc_ac[comp].append(_zz_unscan([0] + vals))
-                    else:
-                        nc.chroma[comp][cy, cx] = 0
-                        zc_ac[comp].append(np.zeros((4, 4), dtype=np.int64))
-            for comp, rc in enumerate((rcb, rcr)):
-                dcc = (
-                    dequant_chroma_dc(zc_dc[comp], qpc)
-                    if cbp_chroma
-                    else np.zeros((2, 2), dtype=np.int64)
-                )
-                for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
-                    coefs = (
-                        dequant4x4_ac(zc_ac[comp][k], qpc)
-                        if cbp_chroma == 2
-                        else np.zeros((4, 4), dtype=np.int64)
-                    )
-                    coefs[0, 0] = dcc[by_ // 4, bx // 4]
-                    rc[
-                        mby * 8 + by_ : mby * 8 + by_ + 4,
-                        mbx * 8 + bx : mbx * 8 + bx + 4,
-                    ] = _recon_block(preds[comp][by_ : by_ + 4, bx : bx + 4], coefs)
+            _decode_mb_chroma(br, nc, rcb, rcr, mbx, mby, cmode, cbp_chroma, qpc)
 
     return ry.astype(np.uint8), rcb.astype(np.uint8), rcr.astype(np.uint8)
+
+
+def _decode_mb_chroma(br, nc, rcb, rcr, mbx, mby, cmode, cbp_chroma, qpc):
+    """Shared chroma residual decode + reconstruction for one MB
+    (identical for I_4x4 and I_16x16 macroblocks)."""
+    zc_dc = []
+    if cbp_chroma:
+        for comp in range(2):
+            vals = decode_residual_block(br, -1, 4)
+            zc_dc.append(np.array(vals, dtype=np.int64).reshape(2, 2))
+    else:
+        zc_dc = [np.zeros((2, 2), dtype=np.int64)] * 2
+    preds = [
+        _mb_pred_chroma(rcb, mbx, mby, cmode),
+        _mb_pred_chroma(rcr, mbx, mby, cmode),
+    ]
+    zc_ac = [[], []]
+    for comp in range(2):
+        for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
+            cx = mbx * 2 + bx // 4
+            cy = mby * 2 + by_ // 4
+            if cbp_chroma == 2:
+                vals = decode_residual_block(br, nc.chroma_nc(comp, cx, cy), 15)
+                nc.chroma[comp][cy, cx] = sum(1 for v in vals if v)
+                zc_ac[comp].append(_zz_unscan([0] + vals))
+            else:
+                nc.chroma[comp][cy, cx] = 0
+                zc_ac[comp].append(np.zeros((4, 4), dtype=np.int64))
+    for comp, rc in enumerate((rcb, rcr)):
+        dcc = (
+            dequant_chroma_dc(zc_dc[comp], qpc)
+            if cbp_chroma
+            else np.zeros((2, 2), dtype=np.int64)
+        )
+        for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
+            coefs = (
+                dequant4x4_ac(zc_ac[comp][k], qpc)
+                if cbp_chroma == 2
+                else np.zeros((4, 4), dtype=np.int64)
+            )
+            coefs[0, 0] = dcc[by_ // 4, bx // 4]
+            rc[
+                mby * 8 + by_ : mby * 8 + by_ + 4,
+                mbx * 8 + bx : mbx * 8 + bx + 4,
+            ] = _recon_block(preds[comp][by_ : by_ + 4, bx : bx + 4], coefs)
 
 
 # ------------------------------------------------- stream-level helpers
@@ -1318,3 +1456,175 @@ def parse_avcc(avcc: bytes) -> tuple[list[bytes], list[bytes], int]:
         pps_list.append(avcc[pos + 2 : pos + 2 + ln])
         pos += 2 + ln
     return sps_list, pps_list, length_size
+
+
+# ---------------------------------------------------------- I_4x4 layer
+
+# Table 9-4: exp-golomb codeNum -> coded_block_pattern for Intra_4x4
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+
+# Intra_4x4 prediction modes (spec 8.3.1.2.x)
+I4_V, I4_H, I4_DC, I4_DDL, I4_DDR, I4_VR, I4_HD, I4_VL, I4_HU = range(9)
+
+
+def _blk_order(x4: int, y4: int, w_mbs: int) -> int:
+    """Decode-order index of the 4x4 luma block at absolute block
+    coordinates — MB raster order x the in-MB Z order."""
+    mb = (y4 // 4) * w_mbs + (x4 // 4)
+    bx, by = (x4 % 4) * 4, (y4 % 4) * 4
+    for i, (x, y_) in enumerate(_BLK_XY):
+        if x == bx and y_ == by:
+            return mb * 16 + i
+    raise AssertionError
+
+
+def _i4_refs(recon, x4, y4, w4, w_mbs):
+    """Reference samples for one 4x4 block: (top[8] | None, left[4] |
+    None, corner | None) with the spec's top-right substitution."""
+    px, py = x4 * 4, y4 * 4
+    top = left = corner = None
+    if y4 > 0:
+        t = recon[py - 1, px : px + 4].astype(np.int64)
+        tr_ok = (
+            x4 + 1 < w4
+            and _blk_order(x4 + 1, y4 - 1, w_mbs) < _blk_order(x4, y4, w_mbs)
+        )
+        if tr_ok:
+            tr = recon[py - 1, px + 4 : px + 8].astype(np.int64)
+        else:
+            tr = np.full(4, t[3], dtype=np.int64)
+        top = np.concatenate([t, tr])
+    if x4 > 0:
+        left = recon[py : py + 4, px - 1].astype(np.int64)
+    if x4 > 0 and y4 > 0:
+        corner = int(recon[py - 1, px - 1])
+    return top, left, corner
+
+
+def _i4_legal_modes(top, left) -> list[int]:
+    modes = [I4_DC]
+    if top is not None:
+        modes += [I4_V, I4_DDL, I4_VL]
+    if left is not None:
+        modes += [I4_H, I4_HU]
+    if top is not None and left is not None:
+        modes += [I4_DDR, I4_VR, I4_HD]
+    return modes
+
+
+def _pred4(mode: int, top, left, corner) -> np.ndarray:
+    p = np.empty((4, 4), dtype=np.int64)
+    if mode == I4_V:
+        return np.tile(top[:4], (4, 1))
+    if mode == I4_H:
+        return np.tile(left[:, None], (1, 4))
+    if mode == I4_DC:
+        if top is not None and left is not None:
+            dc = (int(top[:4].sum()) + int(left.sum()) + 4) >> 3
+        elif top is not None:
+            dc = (int(top[:4].sum()) + 2) >> 2
+        elif left is not None:
+            dc = (int(left.sum()) + 2) >> 2
+        else:
+            dc = 128
+        return np.full((4, 4), dc, dtype=np.int64)
+    t, l_, c = top, left, corner
+    if mode == I4_DDL:
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    p[y, x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2
+        return p
+    if mode == I4_DDR:
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    a = c if x - y - 2 < 0 else t[x - y - 2]
+                    b = c if x - y - 1 < 0 else t[x - y - 1]
+                    p[y, x] = (a + 2 * b + t[x - y] + 2) >> 2
+                elif x < y:
+                    a = c if y - x - 2 < 0 else l_[y - x - 2]
+                    b = c if y - x - 1 < 0 else l_[y - x - 1]
+                    p[y, x] = (a + 2 * b + l_[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * c + l_[0] + 2) >> 2
+        return p
+    if mode == I4_VR:
+        def ref_t(i):  # p[i, -1] with i == -1 -> corner
+            return c if i < 0 else t[i]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (ref_t(x - (y >> 1) - 1) + ref_t(x - (y >> 1)) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (
+                        ref_t(x - (y >> 1) - 2)
+                        + 2 * ref_t(x - (y >> 1) - 1)
+                        + ref_t(x - (y >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    p[y, x] = (l_[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (
+                        l_[y - 2 * x - 1] + 2 * l_[y - 2 * x - 2]
+                        + (c if y - 2 * x - 3 < 0 else l_[y - 2 * x - 3]) + 2
+                    ) >> 2
+        return p
+    if mode == I4_HD:
+        def ref_l(i):
+            return c if i < 0 else l_[i]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (ref_l(y - (x >> 1) - 1) + ref_l(y - (x >> 1)) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (
+                        ref_l(y - (x >> 1) - 2)
+                        + 2 * ref_l(y - (x >> 1) - 1)
+                        + ref_l(y - (x >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    p[y, x] = (l_[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (
+                        t[x - 2 * y - 1] + 2 * t[x - 2 * y - 2]
+                        + (c if x - 2 * y - 3 < 0 else t[x - 2 * y - 3]) + 2
+                    ) >> 2
+        return p
+    if mode == I4_VL:
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return p
+    if mode == I4_HU:
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z == 5:
+                    p[y, x] = (l_[2] + 3 * l_[3] + 2) >> 2
+                elif z > 5:
+                    p[y, x] = l_[3]
+                elif z % 2 == 0:
+                    p[y, x] = (l_[y + (x >> 1)] + l_[y + (x >> 1) + 1] + 1) >> 1
+                else:
+                    p[y, x] = (
+                        l_[y + (x >> 1)] + 2 * l_[y + (x >> 1) + 1]
+                        + l_[y + (x >> 1) + 2] + 2
+                    ) >> 2
+        return p
+    raise ValueError(f"AVC: invalid Intra_4x4 pred mode {mode}")

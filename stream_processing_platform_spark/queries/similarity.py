@@ -1707,7 +1707,11 @@ def _synth_avc_payload(d: int) -> bytes:
         y = ((xx * (3 + r % 5) + yy * 2 + k * 37 + r * 11) % 256).astype(np.uint8)
         cb = ((xx[::2, ::2] * 5 + r * 7) % 256).astype(np.uint8)
         cr = ((yy[::2, ::2] * 3 + k * 23) % 256).astype(np.uint8)
-        nals = avccodec.encode_iframe(y, cb, cr, qp=16)
+        # alternate macroblock families so the driver row covers BOTH
+        # the I_16x16 and the I_4x4 (nine-mode, Table 9-4 CBP) decode
+        # paths every round
+        mb_mode = "i4x4" if (r + k) % 2 else "auto"
+        nals = avccodec.encode_iframe(y, cb, cr, qp=16, mode=mb_mode)
         sps, pps = nals[0], nals[1]
         payloads.append(avccodec.to_avcc_sample(nals[2:]))
     rec = avccodec.build_avcc(sps, pps)

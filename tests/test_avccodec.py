@@ -204,3 +204,60 @@ def test_avc_in_mp4_timeline_decode():
     assert starts == [0, 100, 200, 300]
     for i in range(3):
         assert np.array_equal(frames[i], recons[i])
+
+
+@pytest.mark.parametrize("kind", ["gradient", "edges", "waves", "noise"])
+@pytest.mark.parametrize("qp", [10, 22, 32])
+def test_i4x4_decode_bitexact_vs_encoder_recon(kind, qp):
+    rng = np.random.default_rng(5)
+    ys, xs = np.mgrid[0:48, 0:64]
+    y = {
+        "gradient": (xs * 5 + ys * 3) % 256,
+        "edges": ((xs // 8 + ys // 8) % 2) * 200 + 28,
+        "waves": ((np.sin(xs / 3.0) * np.cos(ys / 4.0)) * 100 + 128).astype(int),
+        "noise": rng.integers(0, 256, (48, 64)),
+    }[kind].astype(np.uint8)
+    cb = ((xs[::2, ::2] * 7) % 256).astype(np.uint8)
+    cr = ((ys[::2, ::2] * 11) % 256).astype(np.uint8)
+    nals = A.encode_iframe(y, cb, cr, qp=qp, mode="i4x4")
+    ery, ecb, ecr = A.encode_iframe.last_recon
+    dy, dcb, dcr = A.decode_iframe(nals)
+    assert np.array_equal(ery, dy)
+    assert np.array_equal(ecb, dcb)
+    assert np.array_equal(ecr, dcr)
+
+
+def test_i4x4_exercises_all_nine_pred_modes():
+    """The SAD-chooser must reach every Intra_4x4 mode across the four
+    content classes — otherwise the per-mode decode formulas are dead
+    code the round-trip can't vouch for."""
+    import collections
+
+    seen = collections.Counter()
+    orig = A._pred4
+
+    def spy(mode, top, left, corner):
+        seen[mode] += 1
+        return orig(mode, top, left, corner)
+
+    A._pred4 = spy
+    try:
+        rng = np.random.default_rng(5)
+        ys, xs = np.mgrid[0:48, 0:64]
+        for y in (
+            (xs * 5 + ys * 3) % 256,
+            ((xs // 8 + ys // 8) % 2) * 200 + 28,
+            ((np.sin(xs / 3.0) * np.cos(ys / 4.0)) * 100 + 128).astype(int),
+            rng.integers(0, 256, (48, 64)),
+        ):
+            cb = ((xs[::2, ::2] * 7) % 256).astype(np.uint8)
+            cr = ((ys[::2, ::2] * 11) % 256).astype(np.uint8)
+            A.encode_iframe(y.astype(np.uint8), cb, cr, qp=22, mode="i4x4")
+    finally:
+        A._pred4 = orig
+    assert set(seen) == set(range(9)), sorted(seen)
+
+
+def test_cbp_intra_table_is_permutation():
+    assert sorted(A._CBP_INTRA) == list(range(48))
+    assert all(A._CBP_INTRA[A._CBP_INTRA_INV[c]] == c for c in range(48))
