@@ -80,6 +80,8 @@ def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFram
         .when(F.col("path").endswith(".ppm") | F.col("path").endswith(".pgm"), "image/x-portable-pixmap")
         .when(F.col("path").endswith(".bmp"), "image/bmp")
         .when(F.col("path").endswith(".wav"), "audio/wav")
+        .when(F.col("path").endswith(".flac"), "audio/flac")
+        .when(F.col("path").endswith(".gif"), "image/gif")
         .when(F.col("path").endswith(".mp4"), "video/mp4")
         .otherwise("application/octet-stream")
     )
