@@ -18,6 +18,8 @@ hash compare) — not just "runs without crashing":
 - q03_shipping_priority: multi-join + top-k (broadcast + shuffle)
 - q_winnow_fingerprints: Arrow mapInPandas (numpy in executor workers)
 - q_kmeans_embeddings: iterative training, per-round closure shipping
+- q_audio_segments_flac: pure-Python codec modules (flaccodec) imported
+  inside executor workers via the shipped package zip
 - q_stream_window_tumbling: streaming state store across executors
 - q_stream_state_v2: transformWithState + vendored-protobuf seeding
   (the riskiest single-JVM assumption per the r9 verdict)
@@ -40,6 +42,7 @@ _QUERIES = [
     "q03_shipping_priority",
     "q_winnow_fingerprints",
     "q_kmeans_embeddings",
+    "q_audio_segments_flac",  # r10: pure-Python codec closures must ship
     "q_stream_window_tumbling",
     "q_stream_state_v2",
 ]

@@ -60,6 +60,11 @@ PINNED = [
     # oracle-critical (r9): probes/codebooks broadcast, corpus streams
     "q_ann_ivf",
     "q_ann_pq",
+    # sketch-then-verify exact quantiles (r10): the bounds/nb broadcasts
+    # and the candidate-sliver-only window sort are the whole point —
+    # pinned so AQE can't silently invert a broadcast or a full-corpus
+    # sort can't creep back in
+    "q_approx_percentile",
 ]
 
 
