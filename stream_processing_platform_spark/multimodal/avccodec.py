@@ -8,7 +8,10 @@ keyframe half of that gate with no codec library:
   SPS/PPS, IDR slice headers, macroblock layer for I slices — I_PCM,
   I_16x16 (all four luma prediction modes, DC/H/V/Plane chroma), and
   I_4x4 (all nine 4x4 prediction modes, predicted-mode signaling,
-  Table 9-4 coded_block_pattern), CAVLC residual decoding (coeff_token / levels with adaptive suffix
+  Table 9-4 coded_block_pattern) — and P slices (r10 part 2): P_Skip
+  runs, P_L0_16x16 with quarter-pel 6-tap motion compensation and
+  median MV prediction, intra-in-P, inter coded_block_pattern; CAVLC
+  residual decoding (coeff_token / levels with adaptive suffix
   length / total_zeros / run_before, all five nC table classes
   including the chroma-DC table), dequantization, the 4x4 inverse
   integer transform, the 4x4 luma-DC Hadamard and the 2x2 chroma-DC
@@ -19,7 +22,8 @@ keyframe half of that gate with no codec library:
   to the decoder) so every decode path is exercised by bit-exact
   round-trip tests in-container.
 
-Honest gates (loud ``NotImplementedError``): CABAC, P/B slices,
+Honest gates (loud ``NotImplementedError``): CABAC, B slices, P
+sub-16x16 partitions, multiple reference frames,
 fields/MBAFF, high-profile tools (8x8 transform,
 scaling lists, monochrome), and in-loop deblocking — the encoder
 always signals ``disable_deblocking_filter_idc = 1`` and the decoder
@@ -965,6 +969,83 @@ def _emit_and_recon_mb_chroma(
             ] = _recon_block(pred_c[by_ : by_ + 4, bx : bx + 4], coefs)
 
 
+def _encode_i16_mb(
+    bw, nc, ry, rcb, rcr, src_y, src_cb, src_cr, mbx, mby, qp, qpc,
+    mb_type_offset: int = 0,
+):
+    """Encode one I_16x16 macroblock (SAD-best luma/chroma modes,
+    residual emission, in-loop reconstruction). ``mb_type_offset=5``
+    produces the intra-in-P numbering (spec 7.4.5: P-slice intra
+    mb_types are the I-slice values plus 5)."""
+    x0, y0 = mbx * 16, mby * 16
+    best = None
+    for m in _luma_modes_available(mbx, mby):
+        p = _mb_pred_luma(ry, mbx, mby, m)
+        sad = int(np.abs(src_y - p).sum())
+        if best is None or sad < best[0]:
+            best = (sad, m, p)
+    _, lmode, pred_y = best
+    best = None
+    for m in _chroma_modes_available(mbx, mby):
+        pb = _mb_pred_chroma(rcb, mbx, mby, m)
+        pr = _mb_pred_chroma(rcr, mbx, mby, m)
+        sad = int(np.abs(src_cb - pb).sum() + np.abs(src_cr - pr).sum())
+        if best is None or sad < best[0]:
+            best = (sad, m, pb, pr)
+    _, cmode, pred_cb, pred_cr = best
+
+    res = src_y - pred_y
+    wblocks = []
+    for bi in range(16):
+        bx, by = _BLK_XY[bi]
+        wblocks.append(fwd4x4(res[by : by + 4, bx : bx + 4]))
+    dc_mat = np.array(
+        [[wblocks[_blk_at(bx, by_)][0, 0] for bx in range(4)]
+         for by_ in range(4)], dtype=np.int64,
+    )
+    z_dc = quant_luma_dc(fwd_hadamard4(dc_mat), qp)
+    z_ac = [quant4x4(wb, qp) for wb in wblocks]
+    for z in z_ac:
+        z[0, 0] = 0
+    cbp_luma = 15 if any(np.any(z) for z in z_ac) else 0
+
+    zc_dc, zc_ac, cbp_chroma = _quant_mb_chroma(
+        src_cb, src_cr, pred_cb, pred_cr, qpc
+    )
+
+    mb_type = 1 + lmode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    bw.ue(mb_type + mb_type_offset)
+    bw.ue(cmode)
+    bw.se(0)  # mb_qp_delta
+
+    dc_nc = nc.luma_nc(mbx * 4, mby * 4)
+    encode_residual_block(bw, _zz_scan(z_dc), dc_nc, 16)
+    for bi in range(16):
+        bx4 = mbx * 4 + _BLK_XY[bi][0] // 4
+        by4 = mby * 4 + _BLK_XY[bi][1] // 4
+        if cbp_luma:
+            coeffs = _zz_scan(z_ac[bi])[1:]
+            total = encode_residual_block(bw, coeffs, nc.luma_nc(bx4, by4), 15)
+            nc.luma[by4, bx4] = total
+        else:
+            nc.luma[by4, bx4] = 0
+    # in-loop luma reconstruction (must equal the decoder's)
+    dcp = dequant_luma_dc(z_dc, qp)
+    for bi in range(16):
+        bx, by_ = _BLK_XY[bi]
+        coefs = dequant4x4_ac(z_ac[bi], qp) if cbp_luma else np.zeros(
+            (4, 4), dtype=np.int64
+        )
+        coefs[0, 0] = dcp[by_ // 4, bx // 4]
+        ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
+            pred_y[by_ : by_ + 4, bx : bx + 4], coefs
+        )
+    _emit_and_recon_mb_chroma(
+        bw, nc, rcb, rcr, mbx, mby, pred_cb, pred_cr,
+        zc_dc, zc_ac, cbp_chroma, qpc,
+    )
+
+
 def encode_iframe(
     y: np.ndarray,
     cb: np.ndarray,
@@ -1103,77 +1184,9 @@ def encode_iframe(
                 )
                 continue
 
-            # --- choose luma pred mode
-            best = None
-            for m in _luma_modes_available(mbx, mby):
-                p = _mb_pred_luma(ry, mbx, mby, m)
-                sad = int(np.abs(src_y - p).sum())
-                if best is None or sad < best[0]:
-                    best = (sad, m, p)
-            _, lmode, pred_y = best
-            best = None
-            for m in _chroma_modes_available(mbx, mby):
-                pb = _mb_pred_chroma(rcb, mbx, mby, m)
-                pr = _mb_pred_chroma(rcr, mbx, mby, m)
-                sad = int(np.abs(src_cb - pb).sum() + np.abs(src_cr - pr).sum())
-                if best is None or sad < best[0]:
-                    best = (sad, m, pb, pr)
-            _, cmode, pred_cb, pred_cr = best
-
-            res = src_y - pred_y
-            # forward transform all 16 blocks
-            wblocks = []
-            for bi in range(16):
-                bx, by = _BLK_XY[bi]
-                wblocks.append(fwd4x4(res[by : by + 4, bx : bx + 4]))
-            dc_mat = np.array(
-                [[wblocks[_blk_at(bx, by_)][0, 0] for bx in range(4)]
-                 for by_ in range(4)], dtype=np.int64,
-            )
-            z_dc = quant_luma_dc(fwd_hadamard4(dc_mat), qp)
-            z_ac = [quant4x4(wb, qp) for wb in wblocks]
-            for z in z_ac:
-                z[0, 0] = 0
-            cbp_luma = 15 if any(np.any(z) for z in z_ac) else 0
-
-            zc_dc, zc_ac, cbp_chroma = _quant_mb_chroma(
-                src_cb, src_cr, pred_cb, pred_cr, qpc
-            )
-
-            mb_type = 1 + lmode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
-            bw.ue(mb_type)
-            bw.ue(cmode)
-            bw.se(0)  # mb_qp_delta
-
-            # luma DC residual
-            dc_nc = nc.luma_nc(mbx * 4, mby * 4)
-            encode_residual_block(bw, _zz_scan(z_dc), dc_nc, 16)
-            # luma AC residuals
-            for bi in range(16):
-                bx4 = mbx * 4 + _BLK_XY[bi][0] // 4
-                by4 = mby * 4 + _BLK_XY[bi][1] // 4
-                if cbp_luma:
-                    coeffs = _zz_scan(z_ac[bi])[1:]
-                    total = encode_residual_block(
-                        bw, coeffs, nc.luma_nc(bx4, by4), 15
-                    )
-                    nc.luma[by4, bx4] = total
-                else:
-                    nc.luma[by4, bx4] = 0
-            # --- in-loop luma reconstruction (must equal the decoder's)
-            dcp = dequant_luma_dc(z_dc, qp)
-            for bi in range(16):
-                bx, by_ = _BLK_XY[bi]
-                coefs = dequant4x4_ac(z_ac[bi], qp) if cbp_luma else np.zeros(
-                    (4, 4), dtype=np.int64
-                )
-                coefs[0, 0] = dcp[by_ // 4, bx // 4]
-                ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
-                    pred_y[by_ : by_ + 4, bx : bx + 4], coefs
-                )
-            _emit_and_recon_mb_chroma(
-                bw, nc, rcb, rcr, mbx, mby, pred_cb, pred_cr,
-                zc_dc, zc_ac, cbp_chroma, qpc,
+            _encode_i16_mb(
+                bw, nc, ry, rcb, rcr, src_y, src_cb, src_cr,
+                mbx, mby, qp, qpc,
             )
 
     bw.rbsp_trailing()
@@ -1191,157 +1204,370 @@ def _blk_at(bx: int, by: int) -> int:
     raise AssertionError
 
 
-def decode_iframe(nals: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode [.., SPS, PPS, IDR slice ..] NAL units → (Y, Cb, Cr)
-    uint8 planes (4:2:0). Honest gates raise on every tool outside the
-    implemented baseline-I subset."""
-    sps = pps = None
-    slice_rbsp = None
-    for nal in nals:
-        ntype = nal[0] & 0x1F
-        rbsp = rbsp_unescape(nal[1:])
-        if ntype == 7:
-            sps = parse_sps(rbsp)
-        elif ntype == 8:
-            pps = parse_pps(rbsp)
-        elif ntype in (5, 1):
-            if ntype == 1:
-                raise NotImplementedError("AVC: non-IDR slice (P/B)")
-            slice_rbsp = rbsp
-    if sps is None or pps is None or slice_rbsp is None:
-        raise ValueError("AVC: need SPS, PPS and an IDR slice")
+def _new_frame_state(sps: dict, pps: dict, qp: int) -> dict:
+    w_mbs, h_mbs = sps["w_mbs"], sps["h_mbs"]
+    w, h = w_mbs * 16, h_mbs * 16
+    return {
+        "sps": sps, "pps": pps, "qp": qp,
+        "w_mbs": w_mbs, "h_mbs": h_mbs,
+        "ry": np.zeros((h, w), dtype=np.int64),
+        "rcb": np.zeros((h // 2, w // 2), dtype=np.int64),
+        "rcr": np.zeros((h // 2, w // 2), dtype=np.int64),
+        "nc": _NcGrids(w_mbs, h_mbs),
+        "i4modes": np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64),
+        # per-MB motion state for P slices: ref -2 = not yet decoded,
+        # -1 = intra, 0 = inter ref0
+        "mv": np.zeros((h_mbs, w_mbs, 2), dtype=np.int64),
+        "ref": np.full((h_mbs, w_mbs), -2, dtype=np.int64),
+    }
 
-    br = BitReader(slice_rbsp)
+
+def _decode_intra_mb(br: BitReader, mb_type: int, st: dict, mbx: int, mby: int) -> None:
+    """One intra macroblock (I_PCM / I_4x4 / I_16x16) — shared by I
+    slices and intra-coded MBs inside P slices (mb_type already
+    normalized to the I-slice numbering)."""
+    ry, rcb, rcr, nc = st["ry"], st["rcb"], st["rcr"], st["nc"]
+    i4modes, pps, w_mbs = st["i4modes"], st["pps"], st["w_mbs"]
+    x0, y0 = mbx * 16, mby * 16
+    st["ref"][mby, mbx] = -1
+    if mb_type > 25:
+        raise ValueError(f"AVC: invalid I mb_type {mb_type}")
+    if mb_type == 25:  # I_PCM
+        br.byte_align()
+        blk = np.array([br.u(8) for _ in range(256)], dtype=np.int64)
+        ry[y0 : y0 + 16, x0 : x0 + 16] = blk.reshape(16, 16)
+        for rc in (rcb, rcr):
+            blk = np.array([br.u(8) for _ in range(64)], dtype=np.int64)
+            rc[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = blk.reshape(8, 8)
+        nc.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        for comp in range(2):
+            nc.chroma[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        return
+    if mb_type == 0:  # I_4x4 (I_NxN with CAVLC => no 8x8 flag)
+        sig: list[tuple[int, int]] = []
+        for _ in range(16):
+            if br.u(1):
+                sig.append((1, 0))
+            else:
+                sig.append((0, br.u(3)))
+        cmode = br.ue()
+        cbp = _CBP_INTRA[br.ue()]
+        cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            st["qp"] = (st["qp"] + br.se() + 52) % 52
+        qp = st["qp"]
+        qpc = chroma_qp(qp, pps["chroma_qp_offset"])
+        for bi in range(16):
+            bx, by_ = _BLK_XY[bi]
+            x4 = mbx * 4 + bx // 4
+            y4 = mby * 4 + by_ // 4
+            ma = int(i4modes[y4, x4 - 1]) if x4 > 0 else -1
+            mb_ = int(i4modes[y4 - 1, x4]) if y4 > 0 else -1
+            predicted = min(2 if ma < 0 else ma, 2 if mb_ < 0 else mb_)
+            flag, rem = sig[bi]
+            m = predicted if flag else (rem if rem < predicted else rem + 1)
+            i4modes[y4, x4] = m
+            top, left, corner = _i4_refs(ry, x4, y4, w_mbs * 4, w_mbs)
+            pr = _pred4(m, top, left, corner)
+            if cbp_luma_bits & (1 << (bi >> 2)):
+                vals = decode_residual_block(br, nc.luma_nc(x4, y4), 16)
+                nc.luma[y4, x4] = sum(1 for v in vals if v)
+                coefs = dequant4x4_ac(_zz_unscan(vals), qp)
+            else:
+                nc.luma[y4, x4] = 0
+                coefs = np.zeros((4, 4), dtype=np.int64)
+            ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
+                pr, coefs
+            )
+        _decode_mb_chroma(
+            br, nc, rcb, rcr, mbx, mby,
+            [_mb_pred_chroma(rcb, mbx, mby, cmode),
+             _mb_pred_chroma(rcr, mbx, mby, cmode)],
+            cbp_chroma, qpc,
+        )
+        return
+    lmode = (mb_type - 1) % 4
+    cbp_chroma = ((mb_type - 1) // 4) % 3
+    cbp_luma = 15 if mb_type - 1 >= 12 else 0
+    cmode = br.ue()
+    st["qp"] = (st["qp"] + br.se() + 52) % 52
+    qp = st["qp"]
+    qpc = chroma_qp(qp, pps["chroma_qp_offset"])
+
+    pred_y = _mb_pred_luma(ry, mbx, mby, lmode)
+    dc_vals = decode_residual_block(br, nc.luma_nc(mbx * 4, mby * 4), 16)
+    dcp = dequant_luma_dc(_zz_unscan(dc_vals), qp)
+    z_ac = []
+    for bi in range(16):
+        bx4 = mbx * 4 + _BLK_XY[bi][0] // 4
+        by4 = mby * 4 + _BLK_XY[bi][1] // 4
+        if cbp_luma:
+            vals = decode_residual_block(br, nc.luma_nc(bx4, by4), 15)
+            nc.luma[by4, bx4] = sum(1 for v in vals if v)
+            z_ac.append(_zz_unscan([0] + vals))
+        else:
+            nc.luma[by4, bx4] = 0
+            z_ac.append(np.zeros((4, 4), dtype=np.int64))
+    for bi in range(16):
+        bx, by_ = _BLK_XY[bi]
+        coefs = dequant4x4_ac(z_ac[bi], qp) if cbp_luma else np.zeros(
+            (4, 4), dtype=np.int64
+        )
+        coefs[0, 0] = dcp[by_ // 4, bx // 4]
+        ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
+            pred_y[by_ : by_ + 4, bx : bx + 4], coefs
+        )
+    _decode_mb_chroma(
+        br, nc, rcb, rcr, mbx, mby,
+        [_mb_pred_chroma(rcb, mbx, mby, cmode),
+         _mb_pred_chroma(rcr, mbx, mby, cmode)],
+        cbp_chroma, qpc,
+    )
+
+
+def _parse_slice_header(br: BitReader, sps: dict, pps: dict, idr: bool,
+                        ref_idc: int) -> tuple[int, int]:
+    """Common slice-header fields → (slice_type % 5, qp)."""
     if br.ue() != 0:
         raise NotImplementedError("AVC: multi-slice pictures")
-    slice_type = br.ue()
-    if slice_type % 5 != 2:
-        raise NotImplementedError(f"AVC: slice_type {slice_type} (only I)")
+    slice_type = br.ue() % 5
+    if slice_type not in (0, 2):
+        raise NotImplementedError(
+            f"AVC: slice_type {slice_type} (B/SP/SI not implemented)"
+        )
     if br.ue() != pps["id"]:
         raise ValueError("AVC: slice references unknown PPS")
     br.u(sps["log2_max_frame_num"])  # frame_num
-    br.ue()  # idr_pic_id
+    if idr:
+        br.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         br.u(sps.get("log2_max_poc_lsb", 4))
-    br.u(1)  # no_output_of_prior_pics
-    br.u(1)  # long_term_reference
+    if slice_type == 0:  # P
+        if br.u(1):  # num_ref_idx_active_override
+            if br.ue() != 0:
+                raise NotImplementedError("AVC: multiple reference frames")
+        if br.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError("AVC: ref-pic-list modification")
+    if idr:
+        br.u(1)  # no_output_of_prior_pics
+        br.u(1)  # long_term_reference
+    elif ref_idc:
+        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError("AVC: adaptive ref-pic marking (MMCO)")
     qp = pps["init_qp"] + br.se()
     if pps["deblock_control"]:
         if br.ue() != 1:
             raise NotImplementedError("AVC: in-loop deblocking not implemented")
     else:
         raise NotImplementedError("AVC: in-loop deblocking not implemented")
-
-    w_mbs, h_mbs = sps["w_mbs"], sps["h_mbs"]
-    w, h = w_mbs * 16, h_mbs * 16
-    ry = np.zeros((h, w), dtype=np.int64)
-    rcb = np.zeros((h // 2, w // 2), dtype=np.int64)
-    rcr = np.zeros((h // 2, w // 2), dtype=np.int64)
-    nc = _NcGrids(w_mbs, h_mbs)
-    i4modes = np.full((h_mbs * 4, w_mbs * 4), -1, dtype=np.int64)
-
-    for mby in range(h_mbs):
-        for mbx in range(w_mbs):
-            x0, y0 = mbx * 16, mby * 16
-            mb_type = br.ue()
-            if mb_type > 25:
-                raise ValueError(f"AVC: invalid I mb_type {mb_type}")
-            if mb_type == 25:  # I_PCM
-                br.byte_align()
-                blk = np.array([br.u(8) for _ in range(256)], dtype=np.int64)
-                ry[y0 : y0 + 16, x0 : x0 + 16] = blk.reshape(16, 16)
-                for rc in (rcb, rcr):
-                    blk = np.array([br.u(8) for _ in range(64)], dtype=np.int64)
-                    rc[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = blk.reshape(8, 8)
-                nc.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
-                for comp in range(2):
-                    nc.chroma[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
-                continue
-            if mb_type == 0:  # I_4x4 (I_NxN with CAVLC => no 8x8 flag)
-                # mb_pred(): 16 x (prev_flag [+ rem_mode])
-                sig: list[tuple[int, int]] = []
-                for _ in range(16):
-                    if br.u(1):
-                        sig.append((1, 0))
-                    else:
-                        sig.append((0, br.u(3)))
-                cmode = br.ue()
-                cbp = _CBP_INTRA[br.ue()]
-                cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
-                if cbp:
-                    qp = (qp + br.se() + 52) % 52
-                qpc = chroma_qp(qp, pps["chroma_qp_offset"])
-                for bi in range(16):
-                    bx, by_ = _BLK_XY[bi]
-                    x4 = mbx * 4 + bx // 4
-                    y4 = mby * 4 + by_ // 4
-                    ma = int(i4modes[y4, x4 - 1]) if x4 > 0 else -1
-                    mb_ = int(i4modes[y4 - 1, x4]) if y4 > 0 else -1
-                    predicted = min(2 if ma < 0 else ma, 2 if mb_ < 0 else mb_)
-                    flag, rem = sig[bi]
-                    if flag:
-                        m = predicted
-                    else:
-                        m = rem if rem < predicted else rem + 1
-                    i4modes[y4, x4] = m
-                    top, left, corner = _i4_refs(ry, x4, y4, w_mbs * 4, w_mbs)
-                    pr = _pred4(m, top, left, corner)
-                    if cbp_luma_bits & (1 << (bi >> 2)):
-                        vals = decode_residual_block(br, nc.luma_nc(x4, y4), 16)
-                        nc.luma[y4, x4] = sum(1 for v in vals if v)
-                        coefs = dequant4x4_ac(_zz_unscan(vals), qp)
-                    else:
-                        nc.luma[y4, x4] = 0
-                        coefs = np.zeros((4, 4), dtype=np.int64)
-                    ry[
-                        y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4
-                    ] = _recon_block(pr, coefs)
-                _decode_mb_chroma(
-                    br, nc, rcb, rcr, mbx, mby, cmode, cbp_chroma, qpc
-                )
-                continue
-            lmode = (mb_type - 1) % 4
-            cbp_chroma = ((mb_type - 1) // 4) % 3
-            cbp_luma = 15 if mb_type - 1 >= 12 else 0
-            cmode = br.ue()
-            qp = (qp + br.se() + 52) % 52
-            qpc = chroma_qp(qp, pps["chroma_qp_offset"])
-
-            pred_y = _mb_pred_luma(ry, mbx, mby, lmode)
-            # luma DC
-            dc_vals = decode_residual_block(br, nc.luma_nc(mbx * 4, mby * 4), 16)
-            z_dc = _zz_unscan(dc_vals)
-            dcp = dequant_luma_dc(z_dc, qp)
-            # luma AC
-            z_ac = []
-            for bi in range(16):
-                bx4 = mbx * 4 + _BLK_XY[bi][0] // 4
-                by4 = mby * 4 + _BLK_XY[bi][1] // 4
-                if cbp_luma:
-                    vals = decode_residual_block(br, nc.luma_nc(bx4, by4), 15)
-                    nz = sum(1 for v in vals if v)
-                    nc.luma[by4, bx4] = nz
-                    z_ac.append(_zz_unscan([0] + vals))
-                else:
-                    nc.luma[by4, bx4] = 0
-                    z_ac.append(np.zeros((4, 4), dtype=np.int64))
-            for bi in range(16):
-                bx, by_ = _BLK_XY[bi]
-                coefs = dequant4x4_ac(z_ac[bi], qp) if cbp_luma else np.zeros(
-                    (4, 4), dtype=np.int64
-                )
-                coefs[0, 0] = dcp[by_ // 4, bx // 4]
-                ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
-                    pred_y[by_ : by_ + 4, bx : bx + 4], coefs
-                )
-            _decode_mb_chroma(br, nc, rcb, rcr, mbx, mby, cmode, cbp_chroma, qpc)
-
-    return ry.astype(np.uint8), rcb.astype(np.uint8), rcr.astype(np.uint8)
+    return slice_type, qp
 
 
-def _decode_mb_chroma(br, nc, rcb, rcr, mbx, mby, cmode, cbp_chroma, qpc):
-    """Shared chroma residual decode + reconstruction for one MB
-    (identical for I_4x4 and I_16x16 macroblocks)."""
+def _decode_islice(br: BitReader, sps: dict, pps: dict, qp: int):
+    st = _new_frame_state(sps, pps, qp)
+    for mby in range(st["h_mbs"]):
+        for mbx in range(st["w_mbs"]):
+            _decode_intra_mb(br, br.ue(), st, mbx, mby)
+    return (
+        st["ry"].astype(np.uint8),
+        st["rcb"].astype(np.uint8),
+        st["rcr"].astype(np.uint8),
+    )
+
+
+def _mv_neighbor(st: dict, mbx: int, mby: int, x: int, y: int):
+    """(mv, refIdx) of the MB at (x, y) as a prediction neighbor of the
+    MB at (mbx, mby); None when unavailable (outside / not yet
+    decoded)."""
+    if x < 0 or y < 0 or x >= st["w_mbs"] or y >= st["h_mbs"]:
+        return None
+    if y > mby or (y == mby and x >= mbx):
+        return None  # raster decode order: not yet decoded
+    r = int(st["ref"][y, x])
+    if r == -2:
+        return None
+    return (int(st["mv"][y, x, 0]), int(st["mv"][y, x, 1])), r
+
+
+def _mvp_p16(st: dict, mbx: int, mby: int) -> tuple[int, int]:
+    """Luma MV prediction for a 16x16 partition (spec 8.4.1.3): median
+    of A/B/C (C→D substitution), the single-matching-refIdx shortcut,
+    and the A-only fallback. Single reference ⇒ refIdxL0 == 0."""
+    a = _mv_neighbor(st, mbx, mby, mbx - 1, mby)
+    b = _mv_neighbor(st, mbx, mby, mbx, mby - 1)
+    c = _mv_neighbor(st, mbx, mby, mbx + 1, mby - 1)
+    if c is None:
+        c = _mv_neighbor(st, mbx, mby, mbx - 1, mby - 1)
+    if b is None and c is None and a is not None:
+        return a[0]
+    matches = [n for n in (a, b, c) if n is not None and n[1] == 0]
+    if len(matches) == 1:
+        return matches[0][0]
+    mvs = [(n[0] if n is not None else (0, 0)) for n in (a, b, c)]
+    return (
+        int(np.median([m[0] for m in mvs])),
+        int(np.median([m[1] for m in mvs])),
+    )
+
+
+def _skip_mv(st: dict, mbx: int, mby: int) -> tuple[int, int]:
+    """P_Skip motion vector (spec 8.4.1.1)."""
+    a = _mv_neighbor(st, mbx, mby, mbx - 1, mby)
+    b = _mv_neighbor(st, mbx, mby, mbx, mby - 1)
+    if a is None or b is None:
+        return (0, 0)
+    if (a[1] == 0 and a[0] == (0, 0)) or (b[1] == 0 and b[0] == (0, 0)):
+        return (0, 0)
+    return _mvp_p16(st, mbx, mby)
+
+
+def _mc_mb(ref_planes, mbx, mby, mv):
+    ref_y, ref_cb, ref_cr = ref_planes
+    py = mc_luma_block(ref_y, mbx * 16, mby * 16, mv[0], mv[1])
+    pcb = mc_chroma_block(ref_cb, mbx * 8, mby * 8, mv[0], mv[1])
+    pcr = mc_chroma_block(ref_cr, mbx * 8, mby * 8, mv[0], mv[1])
+    return py, pcb, pcr
+
+
+def _recon_skip_mb(st: dict, ref_planes, mbx: int, mby: int) -> None:
+    mv = _skip_mv(st, mbx, mby)
+    py, pcb, pcr = _mc_mb(ref_planes, mbx, mby, mv)
+    x0, y0 = mbx * 16, mby * 16
+    st["ry"][y0 : y0 + 16, x0 : x0 + 16] = py
+    st["rcb"][mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcb
+    st["rcr"][mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pcr
+    st["mv"][mby, mbx] = mv
+    st["ref"][mby, mbx] = 0
+    st["nc"].luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    for comp in range(2):
+        st["nc"].chroma[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+
+
+def _decode_inter16_mb(br: BitReader, st: dict, ref_planes, mbx: int, mby: int):
+    """P_L0_16x16: mvd, motion compensation, inter-CBP residual."""
+    nc, pps = st["nc"], st["pps"]
+    x0, y0 = mbx * 16, mby * 16
+    mvd = (br.se(), br.se())
+    mvp = _mvp_p16(st, mbx, mby)
+    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+    st["mv"][mby, mbx] = mv
+    st["ref"][mby, mbx] = 0
+    pred_y, pred_cb, pred_cr = _mc_mb(ref_planes, mbx, mby, mv)
+    cbp = _CBP_INTER[br.ue()]
+    cbp_luma_bits, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        st["qp"] = (st["qp"] + br.se() + 52) % 52
+    qp = st["qp"]
+    qpc = chroma_qp(qp, pps["chroma_qp_offset"])
+    for bi in range(16):
+        bx, by_ = _BLK_XY[bi]
+        x4 = mbx * 4 + bx // 4
+        y4 = mby * 4 + by_ // 4
+        if cbp_luma_bits & (1 << (bi >> 2)):
+            vals = decode_residual_block(br, nc.luma_nc(x4, y4), 16)
+            nc.luma[y4, x4] = sum(1 for v in vals if v)
+            coefs = dequant4x4_ac(_zz_unscan(vals), qp)
+        else:
+            nc.luma[y4, x4] = 0
+            coefs = np.zeros((4, 4), dtype=np.int64)
+        st["ry"][y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
+            pred_y[by_ : by_ + 4, bx : bx + 4], coefs
+        )
+    _decode_mb_chroma(
+        br, nc, st["rcb"], st["rcr"], mbx, mby, [pred_cb, pred_cr],
+        cbp_chroma, qpc,
+    )
+
+
+def _decode_pslice(br: BitReader, sps: dict, pps: dict, qp: int, ref_planes):
+    st = _new_frame_state(sps, pps, qp)
+    refs = tuple(p.astype(np.int64) for p in ref_planes)
+    total = st["w_mbs"] * st["h_mbs"]
+    i = 0
+    while i < total:
+        run = br.ue()
+        if run > total - i:
+            raise ValueError("AVC: mb_skip_run past end of picture")
+        for _ in range(run):
+            mbx, mby = i % st["w_mbs"], i // st["w_mbs"]
+            _recon_skip_mb(st, refs, mbx, mby)
+            i += 1
+        if i >= total:
+            break
+        mbx, mby = i % st["w_mbs"], i // st["w_mbs"]
+        mb_type = br.ue()
+        if mb_type >= 5:
+            _decode_intra_mb(br, mb_type - 5, st, mbx, mby)
+        elif mb_type == 0:
+            _decode_inter16_mb(br, st, refs, mbx, mby)
+        else:
+            raise NotImplementedError(
+                f"AVC: P macroblock partitions (mb_type {mb_type} — only "
+                "P_Skip / P_L0_16x16 / intra-in-P implemented)"
+            )
+        i += 1
+    return (
+        st["ry"].astype(np.uint8),
+        st["rcb"].astype(np.uint8),
+        st["rcr"].astype(np.uint8),
+    )
+
+
+def decode_stream(nals: list[bytes]) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode a NAL sequence (SPS/PPS interleaved with slices) → list
+    of (Y, Cb, Cr) frames in decode order. IDR slices start fresh;
+    P slices predict from the previously decoded frame."""
+    sps = pps = None
+    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    prev = None
+    for nal in nals:
+        ntype = nal[0] & 0x1F
+        ref_idc = (nal[0] >> 5) & 3
+        rbsp = rbsp_unescape(nal[1:])
+        if ntype == 7:
+            sps = parse_sps(rbsp)
+        elif ntype == 8:
+            pps = parse_pps(rbsp)
+        elif ntype in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("AVC: slice before SPS/PPS")
+            br = BitReader(rbsp)
+            stype, qp = _parse_slice_header(br, sps, pps, ntype == 5, ref_idc)
+            if ntype == 5:
+                if stype != 2:
+                    raise NotImplementedError("AVC: non-I IDR slice")
+                prev = _decode_islice(br, sps, pps, qp)
+            else:
+                if stype != 0:
+                    raise NotImplementedError(f"AVC: slice_type {stype} (B?)")
+                if prev is None:
+                    raise ValueError("AVC: P slice with no reference frame")
+                prev = _decode_pslice(br, sps, pps, qp, prev)
+            frames.append(prev)
+    return frames
+
+
+def decode_iframe(nals: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode [.., SPS, PPS, IDR slice ..] NAL units → (Y, Cb, Cr)
+    uint8 planes (4:2:0). Single-frame form of :func:`decode_stream`;
+    refuses non-IDR input (use decode_stream for IDR+P sequences)."""
+    for nal in nals:
+        if (nal[0] & 0x1F) == 1:
+            raise NotImplementedError(
+                "AVC: non-IDR slice — decode_iframe is keyframe-only, "
+                "use decode_stream for IDR+P sequences"
+            )
+    frames = decode_stream(nals)
+    if len(frames) != 1:
+        raise ValueError("AVC: need SPS, PPS and exactly one IDR slice")
+    return frames[0]
+
+
+def _decode_mb_chroma(br, nc, rcb, rcr, mbx, mby, preds, cbp_chroma, qpc):
+    """Shared chroma residual decode + reconstruction for one MB.
+    ``preds`` are the two 8x8 prediction planes — intra (from
+    _mb_pred_chroma) or motion-compensated (P MBs); the residual layer
+    is identical for every MB family."""
     zc_dc = []
     if cbp_chroma:
         for comp in range(2):
@@ -1349,10 +1575,6 @@ def _decode_mb_chroma(br, nc, rcb, rcr, mbx, mby, cmode, cbp_chroma, qpc):
             zc_dc.append(np.array(vals, dtype=np.int64).reshape(2, 2))
     else:
         zc_dc = [np.zeros((2, 2), dtype=np.int64)] * 2
-    preds = [
-        _mb_pred_chroma(rcb, mbx, mby, cmode),
-        _mb_pred_chroma(rcr, mbx, mby, cmode),
-    ]
     zc_ac = [[], []]
     for comp in range(2):
         for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
@@ -1628,3 +1850,283 @@ def _pred4(mode: int, top, left, corner) -> np.ndarray:
                     ) >> 2
         return p
     raise ValueError(f"AVC: invalid Intra_4x4 pred mode {mode}")
+
+
+# --------------------------------------------- P slices (r10, part 2)
+
+# Table 9-4, Inter column: exp-golomb codeNum -> coded_block_pattern
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
+
+def _six_tap(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def mc_luma_block(ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
+                  w: int = 16, h: int = 16) -> np.ndarray:
+    """Quarter-pel motion-compensated luma block (spec 8.4.2.2.1):
+    6-tap [1,-5,20,20,-5,1] half-pel filters, unrounded intermediates
+    for the center position j, bilinear quarter-pel averaging, edge
+    padding by coordinate clamping. mv in quarter-pel units."""
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    H, W = ref.shape
+    # padded integer-sample window (5 extra samples each side feeds the
+    # 6-tap at any fractional position)
+    ys = np.clip(np.arange(yi - 2, yi + h + 3), 0, H - 1)
+    xs = np.clip(np.arange(xi - 2, xi + w + 3), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (h+5, w+5); sample (2,2) = origin
+
+    G = win[2 : 2 + h, 2 : 2 + w]
+    if fx == 0 and fy == 0:
+        return G
+
+    def hpel_h(rows: np.ndarray) -> np.ndarray:
+        # 6-tap horizontally at x+1/2 for each sample column 0..w-1
+        return _six_tap(rows[:, 0:w], rows[:, 1:w+1], rows[:, 2:w+2],
+                        rows[:, 3:w+3], rows[:, 4:w+4], rows[:, 5:w+5])
+
+    def hpel_v(cols: np.ndarray) -> np.ndarray:
+        return _six_tap(cols[0:h, :], cols[1:h+1, :], cols[2:h+2, :],
+                        cols[3:h+3, :], cols[4:h+4, :], cols[5:h+5, :])
+
+    clip = lambda x: np.clip(x, 0, 255)  # noqa: E731
+    # b: half-pel horizontal at rows of G; h_: half-pel vertical
+    b1 = clip((hpel_h(win[2 : 2 + h, :]) + 16) >> 5)
+    h1 = clip((hpel_v(win[:, 2 : 2 + w]) + 16) >> 5)
+    if (fx, fy) in ((2, 2), (1, 2), (3, 2), (2, 1), (2, 3)):
+        # j from UNROUNDED horizontal half-pels filtered vertically
+        bb = hpel_h(win)  # (h+5, w) unrounded
+        j1 = clip((_six_tap(bb[0:h, :], bb[1:h+1, :], bb[2:h+2, :],
+                            bb[3:h+3, :], bb[4:h+4, :], bb[5:h+5, :]) + 512) >> 10)
+    else:
+        j1 = None
+    G_r = win[2 : 2 + h, 3 : 3 + w]   # integer sample one to the right
+    G_d = win[3 : 3 + h, 2 : 2 + w]   # one below
+    b_d = clip((hpel_h(win[3 : 3 + h, :]) + 16) >> 5)   # b one row below
+    h_r = clip((hpel_v(win[:, 3 : 3 + w]) + 16) >> 5)   # h one col right
+
+    table = {
+        (1, 0): (G, b1), (3, 0): (b1, G_r),
+        (0, 1): (G, h1), (0, 3): (h1, G_d),
+        (2, 0): b1, (0, 2): h1, (2, 2): j1,
+        (1, 1): (b1, h1), (3, 1): (b1, h_r),
+        (1, 3): (b_d, h1), (3, 3): (b_d, h_r),
+        (1, 2): (h1, j1), (3, 2): (j1, h_r),
+        (2, 1): (b1, j1), (2, 3): (j1, b_d),
+    }
+    v = table[(fx, fy)]
+    if isinstance(v, tuple):
+        return (v[0] + v[1] + 1) >> 1
+    return v
+
+
+def mc_chroma_block(ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
+                    w: int = 8, h: int = 8) -> np.ndarray:
+    """Eighth-pel bilinear chroma MC (spec 8.4.2.2.2); mv in luma
+    quarter-pel units (chroma fraction = mv & 7 at half resolution)."""
+    xi, yi = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    dx, dy = mvx & 7, mvy & 7
+    H, W = ref.shape
+    ys = np.clip(np.arange(yi, yi + h + 1), 0, H - 1)
+    xs = np.clip(np.arange(xi, xi + w + 1), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    A = win[0:h, 0:w]
+    B = win[0:h, 1:w+1]
+    C = win[1:h+1, 0:w]
+    D = win[1:h+1, 1:w+1]
+    return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+            + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
+
+
+def encode_pframe(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    ref_planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+    qp: int = 26,
+    frame_num: int = 1,
+    search: int = 4,
+) -> bytes:
+    """Encode one P frame (single NAL, type 1) predicting from
+    ``ref_planes`` (the previous decoded frame): P_Skip where the
+    motion-compensated residual quantizes away, P_L0_16x16 with a
+    small-window integer + quarter-pel motion search elsewhere, and
+    intra-in-P (I_16x16, mb_type+5) where intra prediction beats
+    inter by a clear margin (scene changes). In-loop reconstruction is
+    decoder-identical; ``encode_pframe.last_recon`` holds it."""
+    h, w = y.shape
+    w_mbs, h_mbs = w // 16, h // 16
+    qpc = chroma_qp(qp)
+    refs = tuple(p.astype(np.int64) for p in ref_planes)
+    st = {
+        "w_mbs": w_mbs, "h_mbs": h_mbs,
+        "mv": np.zeros((h_mbs, w_mbs, 2), dtype=np.int64),
+        "ref": np.full((h_mbs, w_mbs), -2, dtype=np.int64),
+    }
+    ry = np.zeros((h, w), dtype=np.int64)
+    rcb = np.zeros((h // 2, w // 2), dtype=np.int64)
+    rcr = np.zeros((h // 2, w // 2), dtype=np.int64)
+    nc = _NcGrids(w_mbs, h_mbs)
+
+    bw = BitWriter()
+    bw.ue(0)       # first_mb_in_slice
+    bw.ue(5)       # slice_type: P (all slices in pic)
+    bw.ue(0)       # pps_id
+    bw.u(frame_num & 15, 4)
+    bw.u(0, 1)     # num_ref_idx_active_override
+    bw.u(0, 1)     # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
+    bw.se(0)       # slice_qp_delta
+    bw.ue(1)       # disable_deblocking_filter_idc
+
+    def quant_inter_luma(src_b, pred_b):
+        zs = []
+        for bi in range(16):
+            bx, by_ = _BLK_XY[bi]
+            zs.append(
+                quant4x4(
+                    fwd4x4(src_b[by_ : by_ + 4, bx : bx + 4]
+                           - pred_b[by_ : by_ + 4, bx : bx + 4]),
+                    qp, intra=False,
+                )
+            )
+        bits = 0
+        for b8 in range(4):
+            if any(np.any(zs[b8 * 4 + k]) for k in range(4)):
+                bits |= 1 << b8
+        return zs, bits
+
+    skip_run = 0
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            x0, y0 = mbx * 16, mby * 16
+            src_y = y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+            src_cb = cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].astype(np.int64)
+            src_cr = cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8].astype(np.int64)
+
+            # --- skip test
+            mv_skip = _skip_mv(st, mbx, mby)
+            p_y, p_cb, p_cr = _mc_mb(refs, mbx, mby, mv_skip)
+            zs, lbits = quant_inter_luma(src_y, p_y)
+            _, _, cchroma = _quant_mb_chroma(src_cb, src_cr, p_cb, p_cr, qpc)
+            if lbits == 0 and cchroma == 0:
+                skip_run += 1
+                ry[y0 : y0 + 16, x0 : x0 + 16] = p_y
+                rcb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = p_cb
+                rcr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = p_cr
+                st["mv"][mby, mbx] = mv_skip
+                st["ref"][mby, mbx] = 0
+                nc.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+                for comp in range(2):
+                    nc.chroma[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+                continue
+
+            # --- motion search (integer window + quarter refine)
+            mvp = _mvp_p16(st, mbx, mby)
+            cands = {(0, 0), tuple(mvp), tuple(mv_skip)}
+            for dy_ in range(-search, search + 1):
+                for dx_ in range(-search, search + 1):
+                    cands.add((dx_ * 4, dy_ * 4))
+            def sad_of(mv):
+                return int(np.abs(
+                    src_y - mc_luma_block(refs[0], x0, y0, mv[0], mv[1])
+                ).sum())
+            best_mv = min(cands, key=sad_of)
+            for dq in ((-2, 0), (2, 0), (0, -2), (0, 2), (-1, 0), (1, 0),
+                       (0, -1), (0, 1), (1, 1), (-1, -1)):
+                c = (best_mv[0] + dq[0], best_mv[1] + dq[1])
+                if sad_of(c) < sad_of(best_mv):
+                    best_mv = c
+            inter_sad = sad_of(best_mv)
+            intra_sad = min(
+                int(np.abs(src_y - _mb_pred_luma(ry, mbx, mby, m)).sum())
+                for m in _luma_modes_available(mbx, mby)
+            )
+
+            bw.ue(skip_run)
+            skip_run = 0
+            if intra_sad * 4 < inter_sad * 3:  # clear intra win
+                _encode_i16_mb(
+                    bw, nc, ry, rcb, rcr, src_y, src_cb, src_cr,
+                    mbx, mby, qp, qpc, mb_type_offset=5,
+                )
+                st["ref"][mby, mbx] = -1
+                continue
+
+            # --- P_L0_16x16
+            mv = best_mv
+            st["mv"][mby, mbx] = mv
+            st["ref"][mby, mbx] = 0
+            p_y, p_cb, p_cr = _mc_mb(refs, mbx, mby, mv)
+            zs, lbits = quant_inter_luma(src_y, p_y)
+            zc_dc, zc_ac, cchroma = _quant_mb_chroma(
+                src_cb, src_cr, p_cb, p_cr, qpc
+            )
+            cbp = lbits | (cchroma << 4)
+            bw.ue(0)  # mb_type P_L0_16x16
+            bw.se(mv[0] - mvp[0])
+            bw.se(mv[1] - mvp[1])
+            bw.ue(_CBP_INTER_INV[cbp])
+            if cbp:
+                bw.se(0)  # mb_qp_delta
+            for bi in range(16):
+                bx4 = mbx * 4 + _BLK_XY[bi][0] // 4
+                by4 = mby * 4 + _BLK_XY[bi][1] // 4
+                if lbits & (1 << (bi >> 2)):
+                    total = encode_residual_block(
+                        bw, _zz_scan(zs[bi]), nc.luma_nc(bx4, by4), 16
+                    )
+                    nc.luma[by4, bx4] = total
+                else:
+                    nc.luma[by4, bx4] = 0
+                bx, by_ = _BLK_XY[bi]
+                coefs = (
+                    dequant4x4_ac(zs[bi], qp)
+                    if lbits & (1 << (bi >> 2))
+                    else np.zeros((4, 4), dtype=np.int64)
+                )
+                ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
+                    p_y[by_ : by_ + 4, bx : bx + 4], coefs
+                )
+            _emit_and_recon_mb_chroma(
+                bw, nc, rcb, rcr, mbx, mby, p_cb, p_cr,
+                zc_dc, zc_ac, cchroma, qpc,
+            )
+    if skip_run:
+        bw.ue(skip_run)
+    bw.rbsp_trailing()
+    encode_pframe.last_recon = (
+        ry.astype(np.uint8), rcb.astype(np.uint8), rcr.astype(np.uint8)
+    )
+    return _nal(1, bw.getvalue(), ref_idc=2)
+
+
+def encode_gop(
+    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    qp: int = 26,
+    gop_size: int = 8,
+) -> tuple[list[list[bytes]], list[bool]]:
+    """Encode an IDR+P group-of-pictures sequence. Returns (per-frame
+    NAL lists, per-frame sync flags); frame 0 and every ``gop_size``-th
+    frame are IDR, the rest P-predict from the previous recon."""
+    aus: list[list[bytes]] = []
+    syncs: list[bool] = []
+    prev = None
+    for i, (fy, fcb, fcr) in enumerate(frames):
+        if i % gop_size == 0 or prev is None:
+            nals = encode_iframe(fy, fcb, fcr, qp=qp)
+            prev = encode_iframe.last_recon
+            aus.append(nals)
+            syncs.append(True)
+        else:
+            nal = encode_pframe(fy, fcb, fcr, prev, qp=qp, frame_num=i % 16)
+            prev = encode_pframe.last_recon
+            aus.append([nal])
+            syncs.append(False)
+    return aus, syncs

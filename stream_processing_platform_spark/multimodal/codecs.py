@@ -387,27 +387,23 @@ def decode_frame_timeline(raw: bytes) -> tuple[list[np.ndarray], list[int]]:
                 starts = [ts for _, ts, _, _ in samples] + [t.duration_ms()]
                 return frames, starts
             if t.codec == "avc1" and t.n_samples:
-                # r10: real H.264 baseline I-frame entropy decode
-                # (CAVLC) — from-scratch avccodec. All-sync tracks
-                # decode fully; inter-predicted samples stay honestly
-                # gated.
+                # r10: real H.264 baseline entropy decode (CAVLC) —
+                # from-scratch avccodec. IDR keyframes AND P frames
+                # (quarter-pel MC, P_Skip/P_L0_16x16, intra-in-P)
+                # decode; B slices stay honestly gated inside
+                # decode_stream.
                 from stream_processing_platform_spark.multimodal import avccodec
 
                 if t.avcc is None:
                     raise ValueError("avc1 track without avcC record")
-                if not all(t.sync):
-                    raise NotImplementedError(
-                        "AVC track has non-IDR samples (P/B inter "
-                        "prediction not implemented; keyframe-only "
-                        "tracks and sync_only sampling decode)"
-                    )
                 sps_l, pps_l, ls = avccodec.parse_avcc(t.avcc)
                 samples = mp4codec.extract_samples(raw, t)
-                frames = []
+                if not samples[0][3]:
+                    raise ValueError("AVC track does not start at a sync sample")
+                nals = list(sps_l) + list(pps_l)
                 for _, _, payload, _ in samples:
-                    nals = sps_l + pps_l + avccodec.from_avcc_sample(payload, ls)
-                    yp, _cb, _cr = avccodec.decode_iframe(nals)
-                    frames.append(yp)
+                    nals += avccodec.from_avcc_sample(payload, ls)
+                frames = [f[0] for f in avccodec.decode_stream(nals)]
                 starts = [ts for _, ts, _, _ in samples] + [t.duration_ms()]
                 return frames, starts
         raise NotImplementedError(

@@ -16,10 +16,10 @@ This module implements both directions with no dependencies:
   using those tables — for Motion-JPEG tracks (``jpeg``/``mjpa``) the
   payloads are complete JFIF images our :mod:`jpegcodec` decodes to
   pixels; for AVC (``avc1``) the payloads are length-prefixed NAL units
-  that :mod:`avccodec` (r10) entropy-decodes for baseline I frames
-  (CAVLC) — inter-predicted P/B samples remain honestly gated, so
-  keyframe-only tracks decode fully and mixed tracks decode their sync
-  samples via ``sync_only`` sampling.
+  that :mod:`avccodec` (r10) entropy-decodes for baseline IDR+P GOPs
+  (CAVLC, quarter-pel motion compensation) — B slices and sub-16x16
+  partitions remain honestly gated; ``sync_only`` sampling stays the
+  keyframe tier.
 - :func:`encode_mp4` is a minimal single-track muxer (ftyp + mdat +
   moov with the full stbl table set) so round-trip tests are
   self-contained: our JPEG encoder makes frames, the muxer wraps them,

@@ -1688,11 +1688,12 @@ _AVC_EVERY_MS = 80
 
 
 def _synth_avc_payload(d: int) -> bytes:
-    """Deterministic all-IDR AVC-in-MP4 clip; pure function of d % 12
-    (frame count from %3, per-frame delay from %4, texture phase from
-    the residue). 32x32 4:2:0, QP 16, SAD-chosen intra modes — small
-    enough to be cheap, busy enough to exercise V/H/DC/Plane
-    prediction and luma+chroma CAVLC residuals."""
+    """Deterministic IDR+P AVC-in-MP4 clip; pure function of d % 12
+    (frame count from %3, per-frame delay from %4, texture phase and
+    pan speed from the residue). 32x32 4:2:0, QP 16 — small enough to
+    be cheap, busy enough to exercise intra prediction (both MB
+    families), quarter-pel motion compensation, P_Skip and
+    intra-in-P."""
     import numpy as np
 
     from stream_processing_platform_spark.multimodal import avccodec, mp4codec
@@ -1703,22 +1704,37 @@ def _synth_avc_payload(d: int) -> bytes:
     yy, xx = np.mgrid[0:32, 0:32]
     payloads = []
     sps = pps = None
+    prev = None
     for k in range(n_frames):
-        y = ((xx * (3 + r % 5) + yy * 2 + k * 37 + r * 11) % 256).astype(np.uint8)
+        # frame k pans the texture by 2r%8 quarter-pels-ish so P frames
+        # exercise real motion search; frame 2 switches texture so
+        # intra-in-P triggers on some residues
+        shift = k * (1 + r % 3)
+        y = ((xx * (3 + r % 5) + yy * 2 + shift * 4 + r * 11) % 256).astype(np.uint8)
+        if k == 2 and r % 3 == 0:
+            y = ((xx // 4 * 29 + yy // 4 * 13 + r) % 256).astype(np.uint8)
         cb = ((xx[::2, ::2] * 5 + r * 7) % 256).astype(np.uint8)
         cr = ((yy[::2, ::2] * 3 + k * 23) % 256).astype(np.uint8)
-        # alternate macroblock families so the driver row covers BOTH
-        # the I_16x16 and the I_4x4 (nine-mode, Table 9-4 CBP) decode
-        # paths every round
-        mb_mode = "i4x4" if (r + k) % 2 else "auto"
-        nals = avccodec.encode_iframe(y, cb, cr, qp=16, mode=mb_mode)
-        sps, pps = nals[0], nals[1]
-        payloads.append(avccodec.to_avcc_sample(nals[2:]))
+        if k == 0:
+            # alternate macroblock families so the driver row covers
+            # BOTH the I_16x16 and the I_4x4 decode paths every round
+            mb_mode = "i4x4" if r % 2 else "auto"
+            nals = avccodec.encode_iframe(y, cb, cr, qp=16, mode=mb_mode)
+            sps, pps = nals[0], nals[1]
+            prev = avccodec.encode_iframe.last_recon
+            payloads.append(avccodec.to_avcc_sample(nals[2:]))
+        else:
+            # r10 part 2: P frames — quarter-pel MC, P_Skip,
+            # P_L0_16x16, intra-in-P — in the driver row
+            nal = avccodec.encode_pframe(y, cb, cr, prev, qp=16, frame_num=k)
+            prev = avccodec.encode_pframe.last_recon
+            payloads.append(avccodec.to_avcc_sample([nal]))
     rec = avccodec.build_avcc(sps, pps)
     avcc_box = (len(rec) + 8).to_bytes(4, "big") + b"avcC" + rec
     return mp4codec.encode_mp4(
         payloads, [delay] * n_frames, 32, 32, codec="avc1",
         sample_entry_extra=avcc_box,
+        keyframe_every=max(2, n_frames + 1) if n_frames > 1 else 1,
     )
 
 
@@ -1750,17 +1766,17 @@ def _avc_decode_oracle() -> str:
 @query(
     "q_multimodal_avc_decode",
     oracle=None,  # patched below: generated sequential-replay oracle
-    description=f"H.264/AVC keyframe decode end-to-end (r10, the r9 "
-    f"verdict's entropy-decode gate): per document an all-IDR AVC "
-    f"baseline MP4 — CAVLC entropy coding, I_16x16 intra prediction, "
-    f"4:2:0 — is synthesized as a pure function of doc_id % {_AVC_MOD} "
-    f"via the from-scratch avccodec encoder, then every frame is "
-    f"entropy-DECODED (coeff_token/levels/total_zeros/run_before, "
-    f"dequant, inverse 4x4 + Hadamard transforms, intra prediction) "
-    f"through the same sample_frames_from_payload core as "
-    f"q_video_frame_sample, sampled every {_AVC_EVERY_MS} ms, each "
-    f"frame reported as its PNG sha256. Full sequential-replay oracle. "
-    f"Scale shape: 1-in-N-out Arrow mapInPandas, no shuffle.",
+    description=f"H.264/AVC GOP decode end-to-end (r10, the r9 "
+    f"verdict's entropy-decode gate): per document an IDR+P AVC "
+    f"baseline MP4 — CAVLC entropy coding, I_16x16 AND I_4x4 intra "
+    f"prediction, P frames with quarter-pel motion compensation, "
+    f"P_Skip runs, MV prediction and intra-in-P, 4:2:0 — is "
+    f"synthesized as a pure function of doc_id % {_AVC_MOD} via the "
+    f"from-scratch avccodec encoder, then every frame is "
+    f"entropy-DECODED through the same sample_frames_from_payload "
+    f"core as q_video_frame_sample, sampled every {_AVC_EVERY_MS} ms, "
+    f"each frame reported as its PNG sha256. Full sequential-replay "
+    f"oracle. Scale shape: 1-in-N-out Arrow mapInPandas, no shuffle.",
 )
 def q_multimodal_avc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd

@@ -261,3 +261,116 @@ def test_i4x4_exercises_all_nine_pred_modes():
 def test_cbp_intra_table_is_permutation():
     assert sorted(A._CBP_INTRA) == list(range(48))
     assert all(A._CBP_INTRA[A._CBP_INTRA_INV[c]] == c for c in range(48))
+
+
+def _moving_seq(n=5, w=64, h=48, scene_change_at=3):
+    ys, xs = np.mgrid[0:h, 0:w]
+    frames = []
+    for k in range(n):
+        y = ((xs * 4 + ys * 2 + k * 8) % 256).astype(np.uint8)  # 2 px/frame pan
+        if k == scene_change_at:
+            y = ((xs // 4 * 31 + ys // 4 * 17) % 256).astype(np.uint8)
+        cb = np.full((h // 2, w // 2), 90 + k, np.uint8)
+        cr = ((xs[::2, ::2] + k * 3) % 256).astype(np.uint8)
+        frames.append((y, cb, cr))
+    return frames
+
+
+def test_gop_pframes_bitexact_and_rate_signature():
+    """IDR+P decode must be bit-exact vs the encoders' in-loop recons,
+    and the rate must carry the P-frame signature: tiny P frames on a
+    pure pan (P_Skip + small mvd), a burst at the scene change
+    (intra-in-P), always far below the IDR cost."""
+    frames = _moving_seq()
+    aus, syncs = A.encode_gop(frames, qp=20, gop_size=8)
+    assert syncs == [True, False, False, False, False]
+    sizes = [sum(len(n) for n in au) for au in aus]
+    assert sizes[1] < sizes[0] / 4 and sizes[2] < sizes[0] / 4  # pan ~ skips
+    assert sizes[3] > sizes[1] * 3  # scene change costs more
+    dec = A.decode_stream([n for au in aus for n in au])
+    assert len(dec) == len(frames)
+    prev = None
+    for i, (fy, fcb, fcr) in enumerate(frames):
+        if i == 0:
+            A.encode_iframe(fy, fcb, fcr, qp=20)
+            rec = A.encode_iframe.last_recon
+        else:
+            A.encode_pframe(fy, fcb, fcr, prev, qp=20, frame_num=i % 16)
+            rec = A.encode_pframe.last_recon
+        prev = rec
+        for c in range(3):
+            assert np.array_equal(rec[c], dec[i][c]), (i, c)
+
+
+def test_pframe_static_content_is_all_skip():
+    y, cb, cr = _mkframe(64, 48, "gradient")
+    A.encode_iframe(y, cb, cr, qp=20)
+    ref = A.encode_iframe.last_recon
+    nal = A.encode_pframe(ref[0], ref[1], ref[2], ref, qp=20, frame_num=1)
+    # a P frame of the reference itself is one slice header + one
+    # skip run covering every MB — a few bytes
+    assert len(nal) < 16, len(nal)
+    dec = A.decode_stream(
+        A.encode_iframe(y, cb, cr, qp=20) + [nal]
+    )
+    assert np.array_equal(dec[1][0], ref[0])
+
+
+def test_mc_interpolator_properties():
+    rng = np.random.default_rng(2)
+    ref = rng.integers(0, 256, (64, 80)).astype(np.int64)
+    # integer mv == direct slice
+    assert np.array_equal(
+        A.mc_luma_block(ref, 16, 8, 12, -8), ref[6:22, 19:35]
+    )
+    # constant image invariant at every fractional position
+    const = np.full((40, 40), 77, dtype=np.int64)
+    for fx in range(4):
+        for fy in range(4):
+            assert np.all(A.mc_luma_block(const, 10, 10, fx, fy, 8, 8) == 77)
+            assert np.all(A.mc_chroma_block(const, 5, 5, fx * 2 + fy, fy, 4, 4) == 77)
+    # edge clamping far outside the frame
+    assert np.all(A.mc_luma_block(ref, 0, 0, -400, -400) == ref[0, 0])
+
+
+def test_mixed_gop_mp4_timeline_decode():
+    from stream_processing_platform_spark.multimodal import mp4codec as M
+    from stream_processing_platform_spark.multimodal.codecs import (
+        decode_frame_timeline,
+    )
+
+    frames = _moving_seq(4, 48, 32, scene_change_at=2)
+    aus, syncs = A.encode_gop(frames, qp=18, gop_size=8)
+    sps, pps = aus[0][0], aus[0][1]
+    payloads = [A.to_avcc_sample(au if not syncs[i] else au[2:])
+                for i, au in enumerate(aus)]
+    rec = A.build_avcc(sps, pps)
+    avcc_box = (len(rec) + 8).to_bytes(4, "big") + b"avcC" + rec
+    mp4 = M.encode_mp4(
+        payloads, [100] * 4, 48, 32, codec="avc1",
+        sample_entry_extra=avcc_box, keyframe_every=5,  # only sample 1 sync
+    )
+    track = M.parse_mp4(mp4).video_tracks()[0]
+    assert track.sync == [True, False, False, False]
+    decoded, starts = decode_frame_timeline(mp4)
+    assert len(decoded) == 4 and starts[-1] == 400
+    ref_frames = A.decode_stream([n for au in aus for n in au])
+    for i in range(4):
+        assert np.array_equal(decoded[i], ref_frames[i][0]), i
+
+
+def test_pframe_honest_gates():
+    # B-slice gate: craft a slice header with slice_type 1 (B)
+    y, cb, cr = _mkframe(32, 32, "gradient")
+    nals = A.encode_iframe(y, cb, cr, qp=20)
+    bw = A.BitWriter()
+    bw.ue(0)  # first_mb
+    bw.ue(1)  # slice_type B
+    bw.ue(0)  # pps
+    bw.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="AVC"):
+        A.decode_stream([nals[0], nals[1], bytes([0x41]) + A.rbsp_escape(bw.getvalue())])
+    # P slice with no reference
+    pn = A.encode_pframe(y, cb, cr, (y, cb, cr), qp=20)
+    with pytest.raises(ValueError, match="no reference"):
+        A.decode_stream([nals[0], nals[1], pn])
