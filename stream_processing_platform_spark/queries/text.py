@@ -2425,3 +2425,176 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (r10): fastText-style logistic regression
+# over hashed bag-of-token features, trained by REPRODUCIBLE full-batch
+# gradient descent (operators/classifier.py) on weak labels from a
+# stopword-ratio heuristic — the CCNet/GPT-3 pipeline pattern (rule
+# labels -> trained linear filter).  Both oracles replay the ENTIRE
+# 15-iteration training trajectory as a generated CTE chain (the
+# q_kmeans_embeddings doctrine applied to gradient descent).
+# --------------------------------------------------------------------------
+
+_CLF_DIM = 256
+_CLF_ITERS = 15
+_CLF_LR_NUM, _CLF_LR_DEN = 1, 20
+_CLF_STOP_MULT = 16  # y = 1 iff 16*stopwords <= tokens (ratio <= 6.25%)
+_CLF_STOPWORDS = ("the", "a")
+
+
+def _clf_label_col() -> F.Column:
+    toks = T.tokens(F.col("text"))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_CLF_STOPWORDS)))
+    return (F.lit(_CLF_STOP_MULT) * stop <= F.size(toks)).cast("int")
+
+
+def _clf_train_and_feats(spark: SparkSession, sf_dir: str):
+    """Shared train step: returns (feats, labels, model).  The feature
+    frame is persisted across the 15 gradient aggregates and released
+    before scoring (bounded: ~vocab-per-doc ints per doc)."""
+    from stream_processing_platform_spark.operators import classifier as C
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = C.doc_features(d, T.tokens(F.col("text")), _CLF_DIM)
+    lbl = d.select("doc_id", _clf_label_col().alias("label"))
+    train = (
+        feats.where(F.col("doc_id") % 5 != 0).join(lbl, "doc_id").persist()
+    )
+    try:
+        model = C.logreg_fit_reproducible(
+            train, "label", _CLF_DIM, _CLF_ITERS, _CLF_LR_NUM, _CLF_LR_DEN
+        )
+    finally:
+        train.unpersist()
+    return feats, lbl, model
+
+
+@query(
+    "q_quality_classifier",
+    oracle=None,  # generated below: full training-trajectory CTE replay
+    description="Trained quality filter (fastText-style linear "
+    "classifier, operators/classifier.py): hashed bag-of-token "
+    "features (md5 bucket % 256), weak labels from the stopword-ratio "
+    "rule (16*stop <= tokens), 15 reproducible full-batch GD "
+    "iterations on the doc_id%5!=0 split, then every document scored. "
+    "Exact-integer logits and gradients on the 1e-6 weight grid make "
+    "the duckdb oracle replay the whole trajectory as a generated CTE "
+    "chain — the q_kmeans_embeddings doctrine applied to gradient "
+    "descent. Scale shape: feature build = one explode + one "
+    "(doc,bucket)-keyed partial-agg shuffle + one doc-keyed combine; "
+    "each iteration = one persisted-frame scan + a 257-key map-side "
+    "combined aggregate; driver state is the 257-int weight vector "
+    "(MLlib pattern). Train/holdout accuracy gated in "
+    "tests/test_classifier.py.",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import classifier as C
+
+    feats, lbl, model = _clf_train_and_feats(spark, sf_dir)
+    return (
+        C.logreg_score(feats, model)
+        .join(lbl, "doc_id")
+        .select(
+            "doc_id",
+            "p_micro",
+            "pred",
+            F.col("label").cast("int").alias("label"),
+        )
+    )
+
+
+@query(
+    "q_quality_classifier_weights",
+    oracle=None,  # generated below from the same CTE generator
+    description="The trained weight vector itself (bucket -> 1e-6-grid "
+    "micro-weight, bias at bucket 256) after the same 15-iteration "
+    "reproducible GD run as q_quality_classifier — the model artifact "
+    "a pipeline would persist and ship to the inference gate. "
+    "Hash-MATCHing this row set means the two engines agree on every "
+    "intermediate gradient of the whole training trajectory.",
+)
+def q_quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, model = _clf_train_and_feats(spark, sf_dir)
+    rows = [(int(b), int(w)) for b, w in enumerate(model.weights)]
+    return spark.createDataFrame(rows, "bucket BIGINT, w BIGINT")
+
+
+def _clf_feat_label_ctes() -> tuple[str, str]:
+    """The feat/lbl CTE pair shared by both classifier oracles —
+    emitted from the same constants the Spark side trains with (one
+    generator, every consumer)."""
+    from stream_processing_platform_spark.operators.classifier import bucket_sql
+
+    stop_list = ", ".join(f"'{s}'" for s in _CLF_STOPWORDS)
+    feat = (
+        f"tok AS MATERIALIZED (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),\n"
+        f"    bf AS MATERIALIZED (SELECT doc_id, {bucket_sql('tok', _CLF_DIM)} AS bucket,"
+        f" CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, bucket),\n"
+        f"    feat AS MATERIALIZED (SELECT doc_id, bucket, cnt FROM bf UNION ALL"
+        f" SELECT DISTINCT doc_id, CAST({_CLF_DIM} AS BIGINT) AS bucket,"
+        f" CAST(1 AS BIGINT) AS cnt FROM bf)"
+    )
+    lbl = (
+        f"lbl_all AS MATERIALIZED (SELECT doc_id, CASE WHEN {_CLF_STOP_MULT} *"
+        f" len(list_filter(toks, t -> t IN ({stop_list}))) <= len(toks)"
+        f" THEN 1 ELSE 0 END AS y FROM"
+        f" (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)"
+        f" WHERE len(toks) > 0),\n"
+        f"    lbl AS MATERIALIZED (SELECT doc_id, y FROM lbl_all WHERE doc_id % 5 <> 0)"
+    )
+    return feat, lbl
+
+
+def _clf_oracle() -> str:
+    from stream_processing_platform_spark.operators.classifier import (
+        CLF_SCALE,
+        training_ctes_sql,
+    )
+
+    feat, lbl = _clf_feat_label_ctes()
+    ctes = training_ctes_sql(
+        feat, lbl, _CLF_DIM, _CLF_ITERS, _CLF_LR_NUM, _CLF_LR_DEN
+    )
+    s = float(CLF_SCALE)
+    ctes.append(
+        f"zf AS MATERIALIZED (SELECT f.doc_id, sum(f.cnt * w.w) AS z_num"
+        f" FROM feat f JOIN w{_CLF_ITERS} w USING (bucket)"
+        f" GROUP BY f.doc_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT z.doc_id,
+           CAST(floor({s} / (1.0 + exp(-(CAST(z.z_num AS DOUBLE) / {s})))
+                + 0.5) AS BIGINT) AS p_micro,
+           CAST(CASE WHEN z.z_num >= 0 THEN 1 ELSE 0 END AS INTEGER) AS pred,
+           CAST(l.y AS INTEGER) AS label
+    FROM zf z JOIN lbl_all l USING (doc_id)
+    """
+    )
+
+
+def _clf_weights_oracle() -> str:
+    from stream_processing_platform_spark.operators.classifier import (
+        training_ctes_sql,
+    )
+
+    feat, lbl = _clf_feat_label_ctes()
+    ctes = training_ctes_sql(
+        feat, lbl, _CLF_DIM, _CLF_ITERS, _CLF_LR_NUM, _CLF_LR_DEN
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS w
+    FROM w{_CLF_ITERS}
+    """
+    )
+
+
+_REG2["q_quality_classifier"] = _dc_replace2(
+    _REG2["q_quality_classifier"], oracle=_clf_oracle()
+)
+_REG2["q_quality_classifier_weights"] = _dc_replace2(
+    _REG2["q_quality_classifier_weights"], oracle=_clf_weights_oracle()
+)

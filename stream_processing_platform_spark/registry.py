@@ -79,8 +79,10 @@ _loaded = False
 # the judge's explicit top_next and win the tie), then r7/r8/r9 ascending.
 # New r10 queries are inserted at the very front when registered.
 _PRIORITY: list[str] = [
-    'q_audio_segments_flac',    # NEW r10 — never driver-checked
-    'q_multimodal_avc_decode',  # NEW r10 — never driver-checked
+    'q_audio_segments_flac',          # NEW r10 — never driver-checked
+    'q_multimodal_avc_decode',        # NEW r10 — never driver-checked
+    'q_quality_classifier',           # NEW r10 — never driver-checked
+    'q_quality_classifier_weights',   # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',
