@@ -139,3 +139,70 @@ def pps_systematic_sample(
         .where(F.col("picks") > 0)
         .select(id_col, F.col("_w").alias("weight"), "picks")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): keep the k items with the largest
+    u_i^(1/w_i), u_i deterministic in (0,1) — equivalently the k
+    SMALLEST exponential-race keys -ln(u_i)/w_i.
+
+    Reproducible-sampling doctrine (the r9 ANN recipe): u_i derives
+    from the overflow-safe Knuth mix of the id (clustering.py:
+    repro_hash_col — xxhash64 has no SQL twin), the only transcendental
+    (ln) is floor-rounded to the 1e-9 grid BEFORE the rank, ties break
+    on id — both engines pick the identical sample.  Zero-weight rows
+    are excluded (their key diverges).
+
+    Scale shape: a pure row-map then a global top-k — Spark plans
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver), never a full sort; the 100 TB cost is one scan.
+    """
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        repro_hash_col,
+    )
+
+    h = repro_hash_col(F.col(id_col), salt=salt)
+    u = (h + 1).cast("double") / F.lit(float(REPRO_INIT_MOD + 1))
+    key = F.floor(
+        -F.ln(u) / F.col(weight_col).cast("double") * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(id_col, F.col(weight_col).alias("weight"), key.alias("key_nano"))
+        .orderBy(F.col("key_nano").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str, id_col: str, weight_col: str, k: int, salt: int = 0
+) -> str:
+    """duckdb twin of :func:`weighted_sample`, generated from the same
+    constants (one generator, every consumer)."""
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        repro_hash_sql,
+    )
+
+    h = repro_hash_sql(id_col, salt=salt)
+    u = f"(({h}) + 1) / CAST({REPRO_INIT_MOD + 1} AS DOUBLE)"
+    key = (
+        f"CAST(floor(-ln({u}) / CAST({weight_col} AS DOUBLE)"
+        f" * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    SELECT {id_col}, CAST({weight_col} AS BIGINT) AS weight,
+           {key} AS key_nano
+    FROM {table}
+    WHERE {weight_col} > 0
+    ORDER BY key_nano ASC, {id_col} ASC
+    LIMIT {k}
+    """

@@ -406,3 +406,118 @@ def holt_winters(
             F.col("_hw")["l"] + F.col("_hw")["b"] + F.element_at(F.col("_hw")["s"], 1)
         ).alias("forecast_1_c"),
     )
+
+
+def _centered_milli(df: DataFrame, value_col: str, key_cols, order_col: str) -> DataFrame:
+    """(keys, _seq, _d): per-key mean-centered values in EXACT integer
+    milli-cents — d = 1000*cents - floor(1000*sum/n + 0.5).  The
+    quantized mean makes centering cross-engine exact (one IEEE double
+    division of exact integers, the kmeans_fit_reproducible form);
+    everything downstream is integer arithmetic.  One key-partitioned
+    aggregate + one key-equi-join (both map-side combinable / AQE
+    broadcastable: the stats side is one row per key)."""
+    keys = as_col_list(key_cols)
+    key_names = [df.select(k).columns[0] for k in keys]
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(*keys, F.col(order_col).alias("_seq"), cents.alias("_c"))
+    stats = base.groupBy(*key_names).agg(
+        F.sum("_c").alias("_s"), F.count("*").alias("_n")
+    )
+    m = F.floor(
+        (F.col("_s") * 1000).cast("double") / F.col("_n").cast("double") + F.lit(0.5)
+    ).cast("long")
+    return base.join(F.broadcast(stats), key_names).select(
+        *key_names, "_seq", (F.lit(1000) * F.col("_c") - m).alias("_d")
+    )
+
+
+def acf(
+    df: DataFrame,
+    value_col: str,
+    key_cols,
+    order_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Per-series autocorrelation function at lags 1..max_lag, on the
+    1e-6 grid (acf{k}_micro BIGINT).
+
+    Estimator: r_k = sum(d_t * d_{t+k}) / sum(d_t^2) with d the
+    exact-integer centered milli-cents from :func:`_centered_milli` —
+    every sum is an exact BIGINT (order-free), the single ratio is
+    floor-rounded to micro units.  int64 bound: |d| <= ~1e6 at
+    cent-scale values, so sum(d*d) holds to ~9e6 points per series;
+    longer series get bucketed (per-day ACF) before this operator.
+
+    Scale shape: ONE key-partitioned shuffle feeds one window sort
+    (all max_lag leads computed in the same pass) and the final
+    per-key aggregate — no self-join, no per-lag rescan.
+    """
+    keys = as_col_list(key_cols)
+    key_names = [df.select(k).columns[0] for k in keys]
+    d = _centered_milli(df, value_col, key_cols, order_col)
+    w = Window.partitionBy(*key_names).orderBy("_seq")
+    leads = d.select(
+        *key_names,
+        F.col("_d"),
+        *[F.lead("_d", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    den = F.sum(F.col("_d") * F.col("_d"))
+    aggs = [
+        F.floor(
+            F.sum(F.col("_d") * F.col(f"_l{k}")).cast("double")
+            * F.lit(1000000.0)
+            / den.cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"acf{k}_micro")
+        for k in range(1, max_lag + 1)
+    ]
+    return leads.groupBy(*key_names).agg(
+        F.count("*").cast("long").alias("n"), *aggs
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    key_cols,
+    order_col: str,
+    kappa_milli: int = 0,
+) -> DataFrame:
+    """Per-series one-sided CUSUM statistic (Page 1954) and its argmax —
+    the most-likely upward-changepoint location plus evidence magnitude.
+
+    Uses the prefix-sum identity instead of the sequential fold:
+    S_t = max(0, S_{t-1} + a_t)  ==  P_t - min(0, min_{j<=t} P_j)
+    with a_t = d_t - kappa and P the running sum of a.  That turns the
+    inherently-sequential recursion into two stacked window functions
+    over ONE key-partitioned sort (running sum, then running min) —
+    exact BIGINT arithmetic end to end, no fold, no Python.  Reports
+    max(S) per series with its position (min(struct(-s, seq)) argmax —
+    map-side combinable, low-seq tie-break).
+    """
+    keys = as_col_list(key_cols)
+    key_names = [df.select(k).columns[0] for k in keys]
+    d = _centered_milli(df, value_col, key_cols, order_col)
+    w = (
+        Window.partitionBy(*key_names)
+        .orderBy("_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.select(
+        *key_names,
+        "_seq",
+        F.sum(F.col("_d") - F.lit(kappa_milli)).over(w).alias("_p"),
+    )
+    s = p.select(
+        *key_names,
+        "_seq",
+        (F.col("_p") - F.least(F.lit(0).cast("long"), F.min("_p").over(w))).alias("_s"),
+    )
+    best = F.min(F.struct((-F.col("_s")).alias("ns"), F.col("_seq").alias("seq")))
+    return s.groupBy(*key_names).agg(
+        (-best["ns"]).alias("s_max"),
+        best["seq"].alias("at_seq"),
+        F.count("*").cast("long").alias("n"),
+    )

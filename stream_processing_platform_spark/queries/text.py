@@ -2598,3 +2598,45 @@ _REG2["q_quality_classifier"] = _dc_replace2(
 _REG2["q_quality_classifier_weights"] = _dc_replace2(
     _REG2["q_quality_classifier_weights"], oracle=_clf_weights_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# Weighted reservoir sampling (r10): Efraimidis-Spirakis A-ES with the
+# deterministic exponential-race key — reproducible-sampling doctrine.
+# --------------------------------------------------------------------------
+
+_WSAMPLE_K = 100
+
+
+@query(
+    "q_weighted_sample",
+    oracle=None,  # generated below from the same constants
+    description="Weighted random sample without replacement "
+    "(Efraimidis & Spirakis 2006 A-ES, operators/mixture.py:"
+    "weighted_sample): k=100 documents drawn proportionally to "
+    "n_chars — the length-weighted draw a training-mixture builder "
+    "uses. Deterministic u from the overflow-safe Knuth id mix, the "
+    "one transcendental (ln) floor-rounded to the 1e-9 grid BEFORE "
+    "the rank, id tie-break — both engines pick the identical sample "
+    "(the r9 ANN sampling recipe). Plan: pure row-map + global top-k "
+    "= TakeOrderedAndProject (per-partition partials merged on the "
+    "driver, never a full sort).",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.mixture import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, id_col="doc_id", weight_col="n_chars", k=_WSAMPLE_K)
+
+
+def _weighted_sample_oracle() -> str:
+    from stream_processing_platform_spark.operators.mixture import weighted_sample_sql
+
+    return weighted_sample_sql(
+        "documents", id_col="doc_id", weight_col="n_chars", k=_WSAMPLE_K
+    )
+
+
+_REG2["q_weighted_sample"] = _dc_replace2(
+    _REG2["q_weighted_sample"], oracle=_weighted_sample_oracle()
+)

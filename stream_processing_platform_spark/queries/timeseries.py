@@ -351,3 +351,122 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ts_col="ts", value_col="value", key_col="user_id",
         alpha=_HW_A, beta=_HW_B, gamma=_HW_G, period=_HW_M, seq_col="event_id",
     )
+
+
+# --------------------------------------------------------------------------
+# ACF + CUSUM (r10): series diagnostics on exact-integer centered
+# milli-cents.  Both oracles share one generated CTE prefix (the
+# centered series) — one generator, every consumer.
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 5
+_CUSUM_KAPPA = 0
+
+
+def _centered_ctes() -> str:
+    """b/st/d: the duckdb twin of operators/timeseries._centered_milli
+    over (events, value, event_type, event_id)."""
+    return """b AS (SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n FROM b GROUP BY event_type),
+    d AS (SELECT b.event_type, b.event_id,
+                 1000 * b.c - CAST(floor(CAST(st.s * 1000 AS DOUBLE)
+                     / CAST(st.n AS DOUBLE) + 0.5) AS BIGINT) AS d
+          FROM b JOIN st USING (event_type))"""
+
+
+def _acf_oracle() -> str:
+    lead_cols = ",\n               ".join(
+        f"lead(d, {k}) OVER w AS l{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    ratios = ",\n           ".join(
+        f"CAST(floor(CAST(sum(d * l{k}) AS DOUBLE) * 1000000.0"
+        f" / CAST(sum(d * d) AS DOUBLE) + 0.5) AS BIGINT) AS acf{k}_micro"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH {_centered_ctes()},
+    l AS (SELECT event_type, d,
+               {lead_cols}
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           {ratios}
+    FROM l GROUP BY event_type
+    """
+
+
+@query(
+    "q_acf",
+    oracle=None,  # generated below (_dc_replace) from _ACF_MAX_LAG
+    description="Per-series autocorrelation function, lags 1..5 "
+    "(operators/timeseries.acf): seasonality/memory diagnostic before "
+    "picking window sizes or forecasting models. Exact-integer "
+    "centered milli-cents (quantized mean, the kmeans division form), "
+    "every sum an order-free BIGINT, one floor-rounded ratio per lag. "
+    "Scale shape: one key shuffle feeds one window sort computing ALL "
+    "lags via lead() in a single pass, then the per-key aggregate — "
+    "no self-join, no per-lag rescan. int64 bound ~9e6 points/series "
+    "at cent-scale values (bucket longer series per-day first).",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.acf(
+        e, value_col="value", key_cols=["event_type"], order_col="event_id",
+        max_lag=_ACF_MAX_LAG,
+    )
+
+
+def _cusum_oracle() -> str:
+    return f"""
+    WITH {_centered_ctes()},
+    p AS (SELECT event_type, event_id,
+                 sum(d - {_CUSUM_KAPPA}) OVER (PARTITION BY event_type
+                     ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS p
+          FROM d),
+    s AS (SELECT event_type, event_id,
+                 p - least(CAST(0 AS BIGINT),
+                           min(p) OVER (PARTITION BY event_type
+                               ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING)) AS s
+          FROM p)
+    SELECT event_type,
+           CAST(-((min({{'ns': -s, 'seq': event_id}})).ns) AS BIGINT) AS s_max,
+           CAST((min({{'ns': -s, 'seq': event_id}})).seq AS BIGINT) AS at_seq,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY event_type
+    """
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=None,  # generated below (_dc_replace) from _CUSUM_KAPPA
+    description="Per-series one-sided CUSUM changepoint estimate "
+    "(Page 1954; operators/timeseries.cusum_changepoint): max CUSUM "
+    "statistic + its argmax position — the most-likely upward-shift "
+    "location and evidence magnitude, threshold-free (scale-stable: "
+    "no alarm-rate predicate to go degenerate at larger SF, the q20 "
+    "lesson). The sequential max(0, S+a) recursion is replaced by the "
+    "prefix-sum identity S_t = P_t - min(0, running_min(P)) — two "
+    "stacked window functions over ONE key-partitioned sort, exact "
+    "BIGINT end to end, no fold, no Python. Argmax via "
+    "min(struct(-s, seq)) (map-side combinable, low-seq tie-break).",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.cusum_changepoint(
+        e, value_col="value", key_cols=["event_type"], order_col="event_id",
+        kappa_milli=_CUSUM_KAPPA,
+    )
+
+
+_REG_TS = __import__(
+    "stream_processing_platform_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+from dataclasses import replace as _dc_replace_ts  # noqa: E402
+
+_REG_TS["q_acf"] = _dc_replace_ts(_REG_TS["q_acf"], oracle=_acf_oracle())
+_REG_TS["q_cusum_changepoint"] = _dc_replace_ts(
+    _REG_TS["q_cusum_changepoint"], oracle=_cusum_oracle()
+)

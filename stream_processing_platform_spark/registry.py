@@ -83,6 +83,9 @@ _PRIORITY: list[str] = [
     'q_multimodal_avc_decode',        # NEW r10 — never driver-checked
     'q_quality_classifier',           # NEW r10 — never driver-checked
     'q_quality_classifier_weights',   # NEW r10 — never driver-checked
+    'q_acf',                          # NEW r10 — never driver-checked
+    'q_cusum_changepoint',            # NEW r10 — never driver-checked
+    'q_weighted_sample',              # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',

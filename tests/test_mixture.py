@@ -132,3 +132,48 @@ def test_pps_systematic_sample_exact_invariants(spark):
         for r in pps_systematic_sample(df, "w", n, bucket_size=7).collect()
     }
     assert out2 == out
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """A-ES keys computed by the same formula in pure Python pick the
+    same k docs in the same order."""
+    import math
+
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        REPRO_INIT_MULT_RED,
+    )
+    from stream_processing_platform_spark.operators.mixture import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["doc_id"], r["key_nano"])
+        for r in weighted_sample(d, "doc_id", "n_chars", k=25).collect()
+    ]
+    rows = d.select("doc_id", "n_chars").collect()
+    ref = []
+    for r in rows:
+        if r["n_chars"] <= 0:
+            continue
+        h = ((r["doc_id"] % REPRO_INIT_MOD) * REPRO_INIT_MULT_RED) % REPRO_INIT_MOD
+        u = (h + 1) / float(REPRO_INIT_MOD + 1)
+        key = math.floor(-math.log(u) / float(r["n_chars"]) * 1e9 + 0.5)
+        ref.append((key, r["doc_id"]))
+    ref.sort()
+    assert got == [(i, k) for k, i in ref[:25]]
+
+
+def test_weighted_sample_is_length_biased(spark, sf_dir):
+    """Across many salts, the mean weight of sampled docs must exceed
+    the corpus mean weight — the whole point of A-ES."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.operators.mixture import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = d.select(F.avg("n_chars")).collect()[0][0]
+    means = []
+    for salt in range(5):
+        s = weighted_sample(d, "doc_id", "n_chars", k=20, salt=salt)
+        means.append(s.select(F.avg("weight")).collect()[0][0])
+    assert sum(means) / len(means) > corpus_mean * 1.1

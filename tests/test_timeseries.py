@@ -203,3 +203,84 @@ def test_holt_winters_matches_python_reference(spark):
     [r] = out
     assert (r.n, r.level_c, r.trend_c) == (len(vals), l, bt)
     assert r.season_1_c == s[0] and r.forecast_1_c == l + bt + s[0]
+
+
+# --------------------------------------------------------------------------
+# ACF + CUSUM (r10)
+# --------------------------------------------------------------------------
+
+
+def _series_df(spark, vals, key="k"):
+    rows = [(key, i, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "event_type STRING, event_id BIGINT, value DOUBLE")
+
+
+def test_acf_matches_numpy_reference(spark):
+    import numpy as np
+
+    from stream_processing_platform_spark.operators.timeseries import acf
+
+    vals = [1.00, 2.00, 1.50, 3.25, 2.75, 4.00, 3.50, 5.25, 4.75, 6.00]
+    df = _series_df(spark, vals)
+    got = acf(df, "value", ["event_type"], "event_id", max_lag=3).collect()[0]
+    # reference: same quantized-mean centering, exact ints, then ratio
+    import math
+
+    c = [round(v * 100) for v in vals]
+    m = math.floor(sum(c) * 1000 / len(c) + 0.5)
+    d = [1000 * x - m for x in c]
+    den = sum(x * x for x in d)
+    for k in (1, 2, 3):
+        num = sum(d[i] * d[i + k] for i in range(len(d) - k))
+        want = math.floor(float(num) * 1e6 / float(den) + 0.5)
+        assert got[f"acf{k}_micro"] == want, k
+    # sanity vs numpy's plain estimator (same centering up to quantization)
+    a = np.array(vals) - np.mean(vals)
+    np_r1 = float(np.sum(a[:-1] * a[1:]) / np.sum(a * a))
+    assert abs(got["acf1_micro"] / 1e6 - np_r1) < 2e-3
+
+
+def test_acf_detects_alternating_series(spark):
+    from stream_processing_platform_spark.operators.timeseries import acf
+
+    df = _series_df(spark, [1.0, 5.0] * 20)
+    got = acf(df, "value", ["event_type"], "event_id", max_lag=2).collect()[0]
+    assert got["acf1_micro"] < -900_000  # strong negative at lag 1
+    assert got["acf2_micro"] > 900_000  # strong positive at lag 2
+
+
+def test_cusum_identity_equals_sequential_fold(spark):
+    """The prefix-sum window form must equal the literal
+    max(0, S + a) recursion run in Python."""
+    import math
+
+    from stream_processing_platform_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    vals = [1.00, 1.10, 0.90, 1.05, 4.00, 4.10, 3.90, 4.20, 4.05, 3.95]
+    df = _series_df(spark, vals)
+    got = cusum_changepoint(df, "value", ["event_type"], "event_id").collect()[0]
+
+    c = [round(v * 100) for v in vals]
+    m = math.floor(sum(c) * 1000 / len(c) + 0.5)
+    d = [1000 * x - m for x in c]
+    s, best, at = 0, None, None
+    for i, x in enumerate(d):
+        s = max(0, s + x)
+        if best is None or s > best:
+            best, at = s, i
+    assert got["s_max"] == best
+    assert got["at_seq"] == at
+    # the shift upward at index 4 should dominate: argmax in the high segment
+    assert got["at_seq"] >= 4
+
+
+def test_cusum_flat_series_is_zero(spark):
+    from stream_processing_platform_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    df = _series_df(spark, [2.0] * 12)
+    got = cusum_changepoint(df, "value", ["event_type"], "event_id").collect()[0]
+    assert got["s_max"] == 0
