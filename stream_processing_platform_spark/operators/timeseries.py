@@ -413,20 +413,32 @@ def _centered_milli(df: DataFrame, value_col: str, key_cols, order_col: str) -> 
     milli-cents — d = 1000*cents - floor(1000*sum/n + 0.5).  The
     quantized mean makes centering cross-engine exact (one IEEE double
     division of exact integers, the kmeans_fit_reproducible form);
-    everything downstream is integer arithmetic.  One key-partitioned
-    aggregate + one key-equi-join (both map-side combinable / AQE
-    broadcastable: the stats side is one row per key)."""
+    everything downstream is integer arithmetic.
+
+    The mean comes from a whole-partition window aggregate, NOT a
+    groupBy+join: every consumer (ACF's lead window, CUSUM's running
+    windows) already shuffles+sorts on the same key, so the stats ride
+    the SAME exchange — one scan, one shuffle total, vs two scans plus
+    a broadcast join for the aggregate-then-join form (measured: the
+    join plan re-read the parquet)."""
     keys = as_col_list(key_cols)
     key_names = [df.select(k).columns[0] for k in keys]
     cents = F.round(F.col(value_col) * 100).cast("long")
     base = df.select(*keys, F.col(order_col).alias("_seq"), cents.alias("_c"))
-    stats = base.groupBy(*key_names).agg(
-        F.sum("_c").alias("_s"), F.count("*").alias("_n")
+    # ordered spec with an explicit whole-partition frame: same sort
+    # keys as the consumers' running/lead windows, so Catalyst plans
+    # ONE Sort for the whole chain (a key-only spec added a second).
+    wk = (
+        Window.partitionBy(*key_names)
+        .orderBy("_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     m = F.floor(
-        (F.col("_s") * 1000).cast("double") / F.col("_n").cast("double") + F.lit(0.5)
+        (F.sum("_c").over(wk) * 1000).cast("double")
+        / F.count("*").over(wk).cast("double")
+        + F.lit(0.5)
     ).cast("long")
-    return base.join(F.broadcast(stats), key_names).select(
+    return base.select(
         *key_names, "_seq", (F.lit(1000) * F.col("_c") - m).alias("_d")
     )
 

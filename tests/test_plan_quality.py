@@ -457,3 +457,31 @@ def test_posting_list_expanders_count_before_collect(spark, sf_dir):
         assert 0 <= i_cl < i_join < i_cnt, (name, i_cl, i_join, i_cnt)
         # the keep-keys join is the SMJ; no broadcast of _cnt-derived keys
         assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[1].split("HashAggregate")[0], name
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES sampling must plan per-partition top-k (TakeOrderedAndProject)
+    with the weight filter pushed to the scan — never a global sort."""
+    plan = _plan(queries()["q_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "GreaterThan(n_chars,0)" in plan.replace(" ", "")
+
+
+def test_acf_and_cusum_single_scan_single_shuffle(spark, sf_dir):
+    """The quantized-mean centering rides the consumer's key sort as a
+    whole-partition window — one parquet scan and one Exchange total
+    (the aggregate-then-join form re-read the parquet)."""
+    qs = queries()
+    for name in ("q_acf", "q_cusum_changepoint"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_acf_all_lags_in_one_window_pass(spark, sf_dir):
+    """All 5 leads must come from ONE sort — k lags must not k-plicate
+    the shuffle or the sort."""
+    plan = _plan(queries()["q_acf"](spark, sf_dir))
+    assert plan.count("+- Sort ") == 1
