@@ -1382,3 +1382,106 @@ def q_stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(agg).select(
         "source", "passed", "n_docs", "total_words"
     )
+
+
+# --------------------------------------------------------------------------
+# LIVE trained-classifier quality gate (r10): train OFFLINE on the
+# static table (the reproducible GD of operators/classifier.py), then
+# deploy the frozen weight vector as a per-row streaming expression —
+# the train-offline / gate-online pattern every production curation
+# pipeline runs.  The oracle replays the ENTIRE training trajectory
+# (shared CTE generator) and then the gate aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_quality_gate",
+    oracle=None,  # patched below: training CTE chain + gate aggregate
+    description="LIVE streaming quality gate driven by the TRAINED "
+    "classifier: q_quality_classifier's reproducible GD runs offline "
+    "on the static documents table, the frozen 257-int weight vector "
+    "then rides the stream as a literal array — per doc the logit is "
+    "a pure HOF fold (sum of w[md5-bucket(token)] + bias, the raw-"
+    "count dot product without materializing counts), so the gate is "
+    "a stateless map + a (source, pred) update-mode aggregate. State "
+    "= |sources| x 2 rows; model never joins, never shuffles. The "
+    "oracle replays the whole 15-iteration training trajectory and "
+    "the gate aggregation — a LIVE streaming query hash-checked "
+    "against a replayed-training oracle.",
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.classifier import bucket_col
+    from stream_processing_platform_spark.queries.text import (
+        _CLF_DIM,
+        _clf_train_and_feats,
+    )
+    from stream_processing_platform_spark.functions import text as T
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    _, _, model = _clf_train_and_feats(spark, sf_dir)
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    static = spark.read.parquet(path)
+    stage = tempfile.mkdtemp(prefix="spp_stream_docs_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    stream = file_source(spark, stage, static.schema)
+
+    w_arr = F.lit(list(model.weights))
+    toks = T.tokens(F.col("text"))
+    z = F.aggregate(
+        toks,
+        F.lit(int(model.weights[model.dim])).cast("long"),  # bias (cnt=1)
+        lambda acc, t: acc
+        + F.element_at(w_arr, (bucket_col(t, _CLF_DIM) + 1).cast("int")),
+    )
+    agg = (
+        stream.where(F.size(toks) > 0)
+        .select(
+            "source",
+            F.when(z >= 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("pred"),
+        )
+        .groupBy("source", "pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return _run_to_table(agg).select("source", "pred", "n_docs")
+
+
+def _stream_quality_gate_oracle() -> str:
+    from stream_processing_platform_spark.operators.classifier import (
+        training_ctes_sql,
+    )
+    from stream_processing_platform_spark.queries.text import (
+        _CLF_DIM,
+        _CLF_ITERS,
+        _CLF_LR_DEN,
+        _CLF_LR_NUM,
+        _clf_feat_label_ctes,
+    )
+
+    feat, lbl = _clf_feat_label_ctes()
+    ctes = training_ctes_sql(feat, lbl, _CLF_DIM, _CLF_ITERS, _CLF_LR_NUM, _CLF_LR_DEN)
+    ctes.append(
+        f"zf AS MATERIALIZED (SELECT f.doc_id, sum(f.cnt * w.w) AS z_num"
+        f" FROM feat f JOIN w{_CLF_ITERS} w USING (bucket)"
+        f" GROUP BY f.doc_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT d.source,
+           CAST(CASE WHEN z.z_num >= 0 THEN 1 ELSE 0 END AS INTEGER) AS pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM zf z JOIN documents d USING (doc_id)
+    GROUP BY d.source, pred
+    """
+    )
+
+
+_REG_SL = __import__(
+    "stream_processing_platform_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+from dataclasses import replace as _dc_replace_sl  # noqa: E402
+
+_REG_SL["q_stream_quality_gate"] = _dc_replace_sl(
+    _REG_SL["q_stream_quality_gate"], oracle=_stream_quality_gate_oracle()
+)

@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     'q_acf',                          # NEW r10 — never driver-checked
     'q_cusum_changepoint',            # NEW r10 — never driver-checked
     'q_weighted_sample',              # NEW r10 — never driver-checked
+    'q_stream_quality_gate',          # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',
