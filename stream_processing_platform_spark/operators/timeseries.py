@@ -533,3 +533,59 @@ def cusum_changepoint(
         best["seq"].alias("at_seq"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    key_cols,
+    order_col: str,
+    period: int = 24,
+    trend_window: int = 25,
+) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average half of
+    STL): per-series centered-MA trend, then per-phase seasonal
+    indices over the detrended residuals — the seasonality profile a
+    metrics pipeline stores next to its rollups.
+
+    Integer doctrine end to end: cents -> trend = quantized mean of
+    the centered window (floor(sum*1000/w + 0.5), exact BIGINT sum,
+    one IEEE division), detrended d = 1000*c - trend (exact ints),
+    seasonal index = quantized per-(key, phase) mean of d.  Rows
+    without a full trend window are excluded (count-over-window gate),
+    matching the textbook estimator.  Phase = per-series row_number %
+    period (order-based, deterministic).
+
+    Scale shape: ONE key-partitioned sort carries row_number, the MA
+    sum and the window count in a single Window pass, then one
+    (key, phase)-keyed map-side-combined aggregate — two shuffles
+    total, no self-join, no per-phase rescan.
+    """
+    if trend_window % 2 == 0:
+        raise ValueError("trend_window must be odd (centered MA)")
+    h = trend_window // 2
+    keys = as_col_list(key_cols)
+    key_names = [df.select(k).columns[0] for k in keys]
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(*keys, F.col(order_col).alias("_seq"), cents.alias("_c"))
+    wo = Window.partitionBy(*key_names).orderBy("_seq")
+    wma = wo.rowsBetween(-h, h)
+    trend = F.floor(
+        (F.sum("_c").over(wma) * 1000).cast("double")
+        / F.count("*").over(wma).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    rows = base.select(
+        *key_names,
+        ((F.row_number().over(wo) - 1) % period).alias("phase"),
+        F.count("*").over(wma).alias("_wn"),
+        (F.lit(1000) * F.col("_c") - trend).alias("_d"),
+    ).where(F.col("_wn") == trend_window)
+    return rows.groupBy(*key_names, "phase").agg(
+        F.floor(
+            F.sum("_d").cast("double") / F.count("*").cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("seasonal_milli"),
+        F.count("*").cast("long").alias("n"),
+    )

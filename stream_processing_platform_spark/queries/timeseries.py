@@ -470,3 +470,60 @@ _REG_TS["q_acf"] = _dc_replace_ts(_REG_TS["q_acf"], oracle=_acf_oracle())
 _REG_TS["q_cusum_changepoint"] = _dc_replace_ts(
     _REG_TS["q_cusum_changepoint"], oracle=_cusum_oracle()
 )
+
+
+_STL_PERIOD = 24
+_STL_WINDOW = 25
+
+
+def _seasonal_oracle() -> str:
+    h = _STL_WINDOW // 2
+    return f"""
+    WITH b AS (SELECT event_type, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    t AS (SELECT event_type,
+               (row_number() OVER w - 1) % {_STL_PERIOD} AS phase,
+               count(*) OVER (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING) AS wn,
+               1000 * c - CAST(floor(CAST(sum(c) OVER (PARTITION BY event_type
+                   ORDER BY event_id
+                   ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING) * 1000
+                   AS DOUBLE) / CAST(count(*) OVER (PARTITION BY event_type
+                   ORDER BY event_id
+                   ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+                   AS DOUBLE) + 0.5) AS BIGINT) AS d
+          FROM b
+          WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+    SELECT event_type, CAST(phase AS BIGINT) AS phase,
+           CAST(floor(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+                AS BIGINT) AS seasonal_milli,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t WHERE wn = {_STL_WINDOW}
+    GROUP BY event_type, phase
+    """
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=None,  # generated below from the same (period, window)
+    description="Classical seasonal decomposition (the moving-average "
+    "half of STL; operators/timeseries.seasonal_decompose): per-series "
+    "centered-MA trend (quantized mean over a 25-row window), "
+    "detrended residuals, per-phase seasonal indices (period 24) — "
+    "integer-exact end to end (cents, quantized divisions, order-free "
+    "BIGINT sums). Scale shape: one key sort computes row_number + MA "
+    "sum + window count in a single Window pass, then one "
+    "(key, phase) map-side-combined aggregate — two shuffles, no "
+    "self-join, no per-phase rescan.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return timeseries.seasonal_decompose(
+        e, value_col="value", key_cols=["event_type"], order_col="event_id",
+        period=_STL_PERIOD, trend_window=_STL_WINDOW,
+    )
+
+
+_REG_TS["q_seasonal_decompose"] = _dc_replace_ts(
+    _REG_TS["q_seasonal_decompose"], oracle=_seasonal_oracle()
+)

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     'q_cusum_changepoint',            # NEW r10 — never driver-checked
     'q_weighted_sample',              # NEW r10 — never driver-checked
     'q_stream_quality_gate',          # NEW r10 — never driver-checked
+    'q_seasonal_decompose',           # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',

@@ -485,3 +485,14 @@ def test_acf_all_lags_in_one_window_pass(spark, sf_dir):
     the shuffle or the sort."""
     plan = _plan(queries()["q_acf"](spark, sf_dir))
     assert plan.count("+- Sort ") == 1
+
+
+def test_seasonal_decompose_single_shuffle_one_window_pass(spark, sf_dir):
+    """row_number + MA sum + window count share one sort, and the
+    (key, phase) aggregate REUSES the key partitioning (clustering by a
+    subset of the group keys satisfies the distribution) — one Exchange
+    for the whole decomposition."""
+    plan = _plan(queries()["q_seasonal_decompose"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Sort ") == 1

@@ -284,3 +284,43 @@ def test_cusum_flat_series_is_zero(spark):
     df = _series_df(spark, [2.0] * 12)
     got = cusum_changepoint(df, "value", ["event_type"], "event_id").collect()[0]
     assert got["s_max"] == 0
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A planted period-4 cycle on a linear trend must come back as the
+    seasonal profile (trend removed by the centered MA)."""
+    import math
+
+    from stream_processing_platform_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    season = [2.00, -1.00, 0.50, -1.50]  # sums to 0
+    vals = [10.0 + 0.01 * i + season[i % 4] for i in range(80)]
+    df = _series_df(spark, vals)
+    got = {
+        r["phase"]: r["seasonal_milli"]
+        for r in seasonal_decompose(
+            df, "value", ["event_type"], "event_id", period=4, trend_window=5
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for ph in range(4):
+        # planted amplitude in milli-cents, loose tolerance for the MA
+        # leaking a little seasonality into the trend at window 5
+        assert abs(got[ph] - season[ph] * 100_000) < 60_000, (ph, got[ph])
+    # ordering of the profile is exactly the planted ordering
+    assert sorted(got, key=got.get) == sorted(range(4), key=lambda p: season[p])
+    assert math.isclose(sum(got.values()) / 1e5, 0.0, abs_tol=0.6)
+
+
+def test_seasonal_decompose_rejects_even_window(spark):
+    import pytest
+
+    from stream_processing_platform_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    df = _series_df(spark, [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "value", ["event_type"], "event_id", trend_window=4)
