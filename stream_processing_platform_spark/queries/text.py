@@ -2640,3 +2640,58 @@ def _weighted_sample_oracle() -> str:
 _REG2["q_weighted_sample"] = _dc_replace2(
     _REG2["q_weighted_sample"], oracle=_weighted_sample_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer (r10): SentencePiece-style Viterbi segmentation
+# with a corpus-induced vocab — operators/unigram_tokenizer.py.  The
+# oracle replays BOTH phases: vocab induction (gram counts -> top-K ->
+# integer-grid log-probs) and the per-document Viterbi DP as a WITH
+# RECURSIVE chain (the q_holt recursion doctrine applied to dynamic
+# programming).
+# --------------------------------------------------------------------------
+
+_UNIGRAM_TOPK = 500
+
+
+@query(
+    "q_unigram_tokenize",
+    oracle=None,  # generated below from the same constants
+    description="Unigram-LM subword tokenizer (Kudo 2018 inference; "
+    "operators/unigram_tokenizer.py): vocab = all corpus 1-grams + "
+    "top-500 of each 2/3/4-gram (count desc, gram asc) with 1e-6-grid "
+    "log-prob scores; per document the max-likelihood segmentation via "
+    "Viterbi DP — (score desc, tokens asc) tie order — emitting "
+    "(score_micro, n_tokens). Scale shape: induction is gram-keyed "
+    "map-side-combined counts + per-length top-K; the piece table is "
+    "driver state (k-means-model pattern) and segmentation is ONE "
+    "Arrow mapInPandas pass, zero shuffle/join. The oracle replays "
+    "induction AND the DP (WITH RECURSIVE, 4-slot sliding window of "
+    "best states).",
+)
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import unigram_tokenizer as U
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = U.induce_vocab(d, "text", top_k=_UNIGRAM_TOPK)
+    return U.segment(d, vocab)
+
+
+def _unigram_tokenize_oracle() -> str:
+    from stream_processing_platform_spark.operators import unigram_tokenizer as U
+
+    return f"""
+    WITH RECURSIVE {U.vocab_ctes_sql(_UNIGRAM_TOPK)},
+    dtxt AS MATERIALIZED (SELECT doc_id, lower(text) AS txt,
+        CAST(length(text) AS INTEGER) AS len
+        FROM documents WHERE length(text) > 0),
+    {U.viterbi_cte_sql()}
+    SELECT doc_id, CAST(s0 AS BIGINT) AS score_micro,
+           CAST(-t0 AS BIGINT) AS n_tokens
+    FROM dp WHERE pos = len
+    """
+
+
+_REG2["q_unigram_tokenize"] = _dc_replace2(
+    _REG2["q_unigram_tokenize"], oracle=_unigram_tokenize_oracle()
+)
