@@ -1485,3 +1485,60 @@ from dataclasses import replace as _dc_replace_sl  # noqa: E402
 _REG_SL["q_stream_quality_gate"] = _dc_replace_sl(
     _REG_SL["q_stream_quality_gate"], oracle=_stream_quality_gate_oracle()
 )
+
+
+_CUSUM_TARGET_C = 1000  # fixed reference value (cents): $10.00
+
+
+@query(
+    "q_stream_cusum",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             1000 * (CAST(round(value * 100) AS BIGINT) - {_CUSUM_TARGET_C}) AS d
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id, ts_ms,
+                 sum(d) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS UNBOUNDED PRECEDING) AS p
+          FROM d),
+    s AS (SELECT user_id, event_id,
+                 p - least(CAST(0 AS BIGINT),
+                           min(p) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id
+                               ROWS UNBOUNDED PRECEDING)) AS s
+          FROM p)
+    SELECT user_id AS key,
+           CAST(-((min({{'ns': -s, 'seq': event_id}})).ns) AS BIGINT) AS s_max,
+           CAST((min({{'ns': -s, 'seq': event_id}})).seq AS BIGINT) AS at_seq,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id
+    """,
+    description="LIVE streaming one-sided CUSUM per user against a "
+    "fixed $10.00 reference (streaming/stateful_v2.CusumProcessor): "
+    "the online Page test — state is FIVE BIGINTs per key (running "
+    "sum, running min, max statistic, argmax seq, count), O(1) memory, "
+    "and because every quantity is an exact integer the streaming fold "
+    "is bit-identical to the batch prefix-sum identity regardless of "
+    "batch boundaries. The oracle is the batch window form "
+    "(q_cusum_changepoint's identity with the fixed target) — a LIVE "
+    "stateful query hash-checked against the closed-form windows.",
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.streaming.stateful_v2 import cusum_state
+
+    s = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(cusum_state(s, "user_id", target_cents=_CUSUM_TARGET_C))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select("key", "s_max", "at_seq", "n")

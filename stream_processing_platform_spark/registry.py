@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     'q_stream_quality_gate',          # NEW r10 — never driver-checked
     'q_seasonal_decompose',           # NEW r10 — never driver-checked
     'q_unigram_tokenize',             # NEW r10 — never driver-checked
+    'q_stream_cusum',                 # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',

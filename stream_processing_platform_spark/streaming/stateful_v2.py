@@ -393,6 +393,91 @@ def ewma_state(
     )
 
 
+class CusumProcessor(StatefulProcessor):
+    """Per-key streaming one-sided CUSUM against a FIXED reference value
+    (the online form of operators/timeseries.cusum_changepoint — a
+    known target replaces the batch twin's corpus mean, the standard
+    Page-test deployment). State is FIVE BIGINTs per key (running sum
+    p, running min of p, max statistic, its seq, count) — O(1) memory,
+    and since every quantity is an exact integer the fold is
+    bit-identical to the batch prefix-sum identity whatever the batch
+    boundaries.  Rows sort by (ts, seq) within a batch (the
+    EwmaProcessor contract)."""
+
+    def __init__(
+        self,
+        target_cents: int,
+        kappa_milli: int = 0,
+        ts_ms_col: str = "ts_ms",
+        seq_col: str = "event_id",
+        value_col: str = "value_cents",
+    ):
+        self._target = int(target_cents)
+        self._kappa = int(kappa_milli)
+        self._ts = ts_ms_col
+        self._seq = seq_col
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._s = handle.getValueState(
+            "cusum", "p long, minp long, smax long, at_seq long, n long"
+        )
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([self._ts, self._seq], kind="mergesort")
+        prev = self._s.get() if self._s.exists() else None
+        if prev is not None:
+            p, minp, smax, at, n = (int(v) for v in prev)
+        else:
+            p, minp, smax, at, n = 0, 0, None, None, 0
+        for x, seq in zip(pdf[self._value_col].tolist(), pdf[self._seq].tolist()):
+            d = 1000 * (int(round(x)) - self._target)
+            p += d - self._kappa
+            if p < minp:
+                minp = p
+            s = p - min(0, minp)
+            if smax is None or s > smax:
+                smax, at = s, int(seq)
+        n += int(len(pdf))
+        self._s.update((p, minp, smax, at, n))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "s_max": [smax],
+                "at_seq": [at],
+                "n": [n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def cusum_state(
+    df: DataFrame,
+    key_col: str,
+    target_cents: int,
+    kappa_milli: int = 0,
+    ts_ms_col: str = "ts_ms",
+    seq_col: str = "event_id",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Per-key streaming CUSUM via transformWithState. Output
+    (key, s_max, at_seq, n); update mode — the last emission per key is
+    the current changepoint estimate."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        CusumProcessor(target_cents, kappa_milli, ts_ms_col, seq_col, value_col),
+        outputStructType="key long, s_max long, at_seq long, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class HoltProcessor(StatefulProcessor):
     """Streaming Holt linear smoothing — the coupled (level, trend)
     twin of :class:`EwmaProcessor`: TWO scalars of ValueState per key

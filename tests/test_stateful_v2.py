@@ -476,3 +476,34 @@ def test_holt_winters_state_init_spans_batches(spark, tmp_path):
     r = latest[1]
     assert (r.n, r.level_c, r.trend_c, r.season_1_c) == (len(vals), l, b, s[0])
     assert r.forecast_1_c == l + b + s[0]
+
+
+def test_cusum_processor_batch_boundary_invariance(spark, sf_dir):
+    """The streaming CUSUM fold must be bit-identical whatever the
+    batch boundaries — run the same 10 rows as one batch and as the
+    pure-Python two-half fold; exact integers make them equal."""
+    vals = [10.00, 10.50, 9.50, 10.20, 14.00, 14.30, 13.80, 14.10, 9.90, 10.05]
+    target = 1000
+
+    def fold(rows, state=None):
+        p, minp, smax, at = state or (0, 0, None, None)
+        for seq, v in rows:
+            d = 1000 * (round(v * 100) - target)
+            p += d
+            minp = min(minp, p)
+            s = p - min(0, minp)
+            if smax is None or s > smax:
+                smax, at = s, seq
+        return p, minp, smax, at
+
+    rows = list(enumerate(vals))
+    one = fold(rows)
+    split = fold(rows[5:], fold(rows[:5]))
+    assert one == split
+    # and the prefix-sum identity gives the same s_max
+    import itertools
+
+    d = [1000 * (round(v * 100) - target) for v in vals]
+    P = list(itertools.accumulate(d))
+    smax_closed = max(p - min(0, min(P[: i + 1])) for i, p in enumerate(P))
+    assert one[2] == smax_closed
