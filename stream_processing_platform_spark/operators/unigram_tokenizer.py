@@ -70,19 +70,47 @@ def gram_count_frame(docs: DataFrame, text_col: str, length: int) -> DataFrame:
 
 def induce_vocab(docs: DataFrame, text_col: str = "text", top_k: int = 500) -> UnigramVocab:
     """Frequency-seeded vocab: ALL 1-grams + top_k of each length 2..4
-    (count desc, gram asc), scores on the 1e-6 log-prob grid."""
-    rows: list[tuple[str, int]] = []
-    for length in range(1, MAX_PIECE_LEN + 1):
-        cf = gram_count_frame(docs, text_col, length)
-        if length == 1:
-            part = cf.collect()
-        else:
-            part = (
-                cf.orderBy(F.col("cnt").desc(), F.col("gram").asc())
-                .limit(top_k)
-                .collect()
-            )
-        rows.extend((r["gram"], int(r["cnt"])) for r in part)
+    (count desc, gram asc), scores on the 1e-6 log-prob grid.
+
+    ONE corpus scan: every length's grams explode from the same row
+    (tagged by length) into one (length, gram)-keyed map-side-combined
+    count, then a per-length rank keeps all 1-grams + the top-K of each
+    longer length (WindowGroupLimit pushes the rank's partial top-K
+    map-side — the gated top-k-per-group pattern).  Four separate
+    per-length jobs would scan the corpus four times — at 100 TB the
+    scan IS the cost."""
+    txt = F.lower(F.col(text_col))
+
+    def _grams_of(ln: int):
+        # factory closure: a `lambda i, ln=ln:` default arg would make
+        # PySpark pick the 2-arg (element, index) HOF form and bind ln
+        # to the array INDEX (the verify-skill gotcha)
+        return F.when(
+            F.length(txt) >= ln,
+            F.transform(
+                F.sequence(F.lit(1), F.length(txt) - ln + 1),
+                lambda i: txt.substr(i, F.lit(ln)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = docs.where(F.length(txt) >= 1).select(
+        F.explode(
+            F.flatten(F.array(*[_grams_of(ln) for ln in range(1, MAX_PIECE_LEN + 1)]))
+        ).alias("gram")
+    )
+    counts = grams.groupBy(F.length("gram").alias("glen"), F.col("gram")).agg(
+        F.count("*").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("glen").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    )
+    kept = counts.withColumn("_rn", rn).where(
+        (F.col("glen") == 1) | (F.col("_rn") <= top_k)
+    )
+    part = kept.select("gram", "cnt").collect()
+    rows = [(r["gram"], int(r["cnt"])) for r in part]
     total = sum(c for _, c in rows)
     scores = {
         g: math.floor((math.log(c) - math.log(total)) * SCORE_SCALE + 0.5)
