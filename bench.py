@@ -230,6 +230,12 @@ def main() -> None:
         "q_audio_segments_flac",
         "q_multimodal_avc_decode",
         "q_approx_percentile",  # now sketch-then-verify EXACT (also in headline)
+        "q_quality_classifier",
+        "q_unigram_tokenize",
+        "q_acf",
+        "q_cusum_changepoint",
+        "q_weighted_sample",
+        "q_seasonal_decompose",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
