@@ -8,6 +8,7 @@ operations a metrics/tick pipeline runs, each with a full DuckDB oracle
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from stream_processing_platform_spark.operators import timeseries
 from stream_processing_platform_spark.registry import query
@@ -527,3 +528,52 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG_TS["q_seasonal_decompose"] = _dc_replace_ts(
     _REG_TS["q_seasonal_decompose"], oracle=_seasonal_oracle()
 )
+
+
+@query(
+    "q_sequence_patterns",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    )
+    SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+    LIMIT 20
+    """,
+    description="Sequential pattern mining (SPADE-lite): support counts "
+    "of consecutive event-type trigrams per user journey, corpus-wide "
+    "top-20 — the behavioral-motif sibling of q_association_rules "
+    "(co-occurrence) and q_event_sequence (single-pattern CEP). One "
+    "user-keyed sort computes both leads in one window pass, the "
+    "trigram aggregate is map-side combined over a tiny key space "
+    "(|types|^3), and the top-20 is TakeOrderedAndProject with full "
+    "lexicographic tie-break — deterministic at every SF.",
+)
+def q_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stream_processing_platform_spark.operators.windows_batch import epoch_ms
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_ms(F.col("ts")), F.col("event_id")
+    )
+    o = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        o.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n").desc(), F.col("t1").asc(), F.col("t2").asc(), F.col("t3").asc()
+        )
+        .limit(20)
+    )

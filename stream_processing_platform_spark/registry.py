@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     'q_seasonal_decompose',           # NEW r10 — never driver-checked
     'q_unigram_tokenize',             # NEW r10 — never driver-checked
     'q_stream_cusum',                 # NEW r10 — never driver-checked
+    'q_sequence_patterns',            # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',
