@@ -1542,3 +1542,88 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     return out.select("key", "s_max", "at_seq", "n")
+
+
+_WRES_K = 10
+
+
+def _wres_key_sql() -> str:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        repro_hash_sql,
+    )
+
+    h = repro_hash_sql("doc_id")
+    u = f"(({h}) + 1) / CAST({REPRO_INIT_MOD + 1} AS DOUBLE)"
+    return (
+        f"CAST(floor(-ln({u}) / CAST(n_chars AS DOUBLE)"
+        f" * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "q_stream_weighted_sample",
+    oracle=None,  # patched below (generated from the same constants)
+    description="LIVE per-source streaming weighted reservoir (the "
+    "online half of Efraimidis-Spirakis A-ES; streaming/stateful_v2."
+    "WeightedReservoirProcessor): the deterministic exponential-race "
+    "key is computed as a stateless Spark map, state is ONE k-capped "
+    "sorted list per stratum — O(k) memory, and the maintained set is "
+    "provably invariant to batch boundaries and arrival order (same "
+    "integer merge, any order). The oracle is the batch per-stratum "
+    "top-k rank — a LIVE stateful sampler hash-checked against the "
+    "closed-form window.",
+)
+def q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        repro_hash_col,
+    )
+    from stream_processing_platform_spark.streaming.stateful_v2 import (
+        weighted_reservoir_state,
+    )
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    static = spark.read.parquet(path)
+    stage = tempfile.mkdtemp(prefix="spp_stream_docs_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    stream = file_source(spark, stage, static.schema)
+
+    h = repro_hash_col(F.col("doc_id"))
+    u = (h + 1).cast("double") / F.lit(float(REPRO_INIT_MOD + 1))
+    key = F.floor(
+        -F.ln(u) / F.col("n_chars").cast("double") * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
+    mapped = stream.where(F.col("n_chars") > 0).select(
+        "source", "doc_id", key.alias("key_nano")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(weighted_reservoir_state(mapped, "source", k=_WRES_K))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select(F.col("key").alias("source"), "doc_id", "key_nano")
+
+
+def _stream_weighted_sample_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT source, doc_id, {_wres_key_sql()} AS key_nano
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (SELECT source, doc_id, key_nano,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY key_nano ASC, doc_id ASC) AS rn
+          FROM s)
+    SELECT source, doc_id, key_nano FROM r WHERE rn <= {_WRES_K}
+    """
+
+
+_REG_SL["q_stream_weighted_sample"] = _dc_replace_sl(
+    _REG_SL["q_stream_weighted_sample"], oracle=_stream_weighted_sample_oracle()
+)

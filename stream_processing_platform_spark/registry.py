@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     'q_unigram_tokenize',             # NEW r10 — never driver-checked
     'q_stream_cusum',                 # NEW r10 — never driver-checked
     'q_sequence_patterns',            # NEW r10 — never driver-checked
+    'q_stream_weighted_sample',       # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',

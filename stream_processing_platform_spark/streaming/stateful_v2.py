@@ -478,6 +478,69 @@ def cusum_state(
     )
 
 
+class WeightedReservoirProcessor(StatefulProcessor):
+    """Per-key streaming weighted reservoir (the online half of
+    Efraimidis-Spirakis A-ES, operators/mixture.weighted_sample): keep
+    the k smallest deterministic exponential-race keys seen so far.
+    State is ONE list of (key_nano, id) pairs, capped at k — O(k)
+    memory per stratum, and because the race keys are deterministic
+    integers the maintained set is invariant to batch boundaries and
+    arrival order (same merge, any order).  The race key is computed
+    Spark-side (stateless map) so the processor only merges."""
+
+    def __init__(self, k: int, key_nano_col: str = "key_nano", id_col: str = "doc_id"):
+        self._k = int(k)
+        self._key_col = key_nano_col
+        self._id_col = id_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._s = handle.getValueState("topk", "ks array<long>, ids array<long>")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        prev = self._s.get() if self._s.exists() else None
+        cur = list(zip(prev[0], prev[1])) if prev is not None else []
+        cur.extend(
+            (int(a), int(b))
+            for a, b in zip(pdf[self._key_col].tolist(), pdf[self._id_col].tolist())
+        )
+        cur.sort()
+        cur = cur[: self._k]
+        self._s.update(([a for a, _ in cur], [b for _, b in cur]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(cur),
+                "doc_id": [b for _, b in cur],
+                "key_nano": [a for a, _ in cur],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def weighted_reservoir_state(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    key_nano_col: str = "key_nano",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum streaming weighted sample via transformWithState.
+    Output (key, doc_id, key_nano); update mode — the last emission per
+    stratum is the current reservoir."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(stratum_col).transformWithStateInPandas(
+        WeightedReservoirProcessor(k, key_nano_col, id_col),
+        outputStructType="key string, doc_id long, key_nano long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class HoltProcessor(StatefulProcessor):
     """Streaming Holt linear smoothing — the coupled (level, trend)
     twin of :class:`EwmaProcessor`: TWO scalars of ValueState per key

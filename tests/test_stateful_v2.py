@@ -507,3 +507,28 @@ def test_cusum_processor_batch_boundary_invariance(spark, sf_dir):
     P = list(itertools.accumulate(d))
     smax_closed = max(p - min(0, min(P[: i + 1])) for i, p in enumerate(P))
     assert one[2] == smax_closed
+
+
+def test_weighted_reservoir_merge_is_order_invariant():
+    """The k-capped sorted merge must yield the same reservoir whatever
+    the batch split or arrival order — pure integer keys."""
+    items = [(37, 5), (11, 2), (90, 9), (11, 7), (4, 1), (55, 3), (20, 8)]
+    k = 3
+
+    def run(batches):
+        cur = []
+        for b in batches:
+            cur.extend(b)
+            cur.sort()
+            cur = cur[:k]
+        return cur
+
+    import itertools
+
+    want = sorted(items)[:k]
+    assert run([items]) == want
+    assert run([items[:3], items[3:]]) == want
+    for perm in itertools.permutations(items, len(items)):
+        assert run([list(perm[:2]), list(perm[2:5]), list(perm[5:])]) == want
+        break  # one shuffled split is enough alongside the two above
+    assert run([list(reversed(items))]) == want
