@@ -2695,3 +2695,68 @@ def _unigram_tokenize_oracle() -> str:
 _REG2["q_unigram_tokenize"] = _dc_replace2(
     _REG2["q_unigram_tokenize"], oracle=_unigram_tokenize_oracle()
 )
+
+
+@query(
+    "q_quality_classifier_eval",
+    oracle=None,  # generated below from the shared training CTE chain
+    description="Model evaluation for the trained quality gate: exact "
+    "confusion-matrix counts (tp/fp/fn/tn) per split (train vs the "
+    "doc_id%5==0 holdout) — the eval-before-deploy step of the "
+    "classifier pipeline, all-BIGINT so the oracle needs no rounding "
+    "at all. Third consumer of the one shared training-trajectory CTE "
+    "generator (q_quality_classifier, q_stream_quality_gate, this).",
+)
+def q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import classifier as C
+
+    feats, lbl, model = _clf_train_and_feats(spark, sf_dir)
+    scored = C.logreg_score(feats, model).join(lbl, "doc_id")
+    return (
+        scored.groupBy(
+            (F.col("doc_id") % 5 == 0).cast("int").alias("holdout")
+        )
+        .agg(
+            F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("pred") == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+            F.sum(((F.col("pred") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+            F.sum(((F.col("pred") == 0) & (F.col("label") == 0)).cast("long")).alias("tn"),
+        )
+    )
+
+
+def _clf_eval_oracle() -> str:
+    from stream_processing_platform_spark.operators.classifier import (
+        training_ctes_sql,
+    )
+
+    feat, lbl = _clf_feat_label_ctes()
+    ctes = training_ctes_sql(
+        feat, lbl, _CLF_DIM, _CLF_ITERS, _CLF_LR_NUM, _CLF_LR_DEN
+    )
+    ctes.append(
+        f"zf AS MATERIALIZED (SELECT f.doc_id, sum(f.cnt * w.w) AS z_num"
+        f" FROM feat f JOIN w{_CLF_ITERS} w USING (bucket)"
+        f" GROUP BY f.doc_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT CAST(CASE WHEN z.doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS holdout,
+           CAST(sum(CASE WHEN z.z_num >= 0 AND l.y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN z.z_num >= 0 AND l.y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN z.z_num < 0 AND l.y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN z.z_num < 0 AND l.y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+    FROM zf z JOIN lbl_all l USING (doc_id)
+    GROUP BY holdout
+    """
+    )
+
+
+_REG2["q_quality_classifier_eval"] = _dc_replace2(
+    _REG2["q_quality_classifier_eval"], oracle=_clf_eval_oracle()
+)
