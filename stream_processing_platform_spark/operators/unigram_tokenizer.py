@@ -106,10 +106,19 @@ def induce_vocab(docs: DataFrame, text_col: str = "text", top_k: int = 500) -> U
     rn = F.row_number().over(
         Window.partitionBy("glen").orderBy(F.col("cnt").desc(), F.col("gram").asc())
     )
-    kept = counts.withColumn("_rn", rn).where(
-        (F.col("glen") == 1) | (F.col("_rn") <= top_k)
+    # 1-grams pass through unranked; ONLY the longer lengths go through
+    # the rank, and their filter is a pure rn <= k so Catalyst plans
+    # WindowGroupLimit (per-partition partial top-k before the sort) —
+    # a combined (glen==1 OR rn<=k) disjunction defeats that pushdown
+    # and full-sorts the whole corpus vocabulary.
+    singles = counts.where(F.col("glen") == 1)
+    ranked = (
+        counts.where(F.col("glen") > 1)
+        .withColumn("_rn", rn)
+        .where(F.col("_rn") <= top_k)
+        .drop("_rn")
     )
-    part = kept.select("gram", "cnt").collect()
+    part = singles.unionByName(ranked).select("gram", "cnt").collect()
     rows = [(r["gram"], int(r["cnt"])) for r in part]
     total = sum(c for _, c in rows)
     scores = {
