@@ -19,6 +19,7 @@ hash compare) — not just "runs without crashing":
 - q_winnow_fingerprints: Arrow mapInPandas (numpy in executor workers)
 - q_kmeans_embeddings: iterative training, per-round closure shipping
 - q_audio_segments_flac: pure-Python codec modules (flaccodec) imported
+- q_quality_classifier_weights: iterative GD, literal weight arrays per round
   inside executor workers via the shipped package zip
 - q_stream_window_tumbling: streaming state store across executors
 - q_stream_state_v2: transformWithState + vendored-protobuf seeding
@@ -43,6 +44,7 @@ _QUERIES = [
     "q_winnow_fingerprints",
     "q_kmeans_embeddings",
     "q_audio_segments_flac",  # r10: pure-Python codec closures must ship
+    "q_quality_classifier_weights",  # r10: GD training loop, literal-array closures
     "q_stream_window_tumbling",
     "q_stream_state_v2",
 ]
