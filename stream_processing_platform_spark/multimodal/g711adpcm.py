@@ -1,0 +1,244 @@
+"""G.711 (mu-law / A-law) companding and IMA ADPCM — from scratch.
+
+The telephony / game-audio compressed formats a crawl corpus actually
+contains inside RIFF/WAVE containers (wFormatTag 7 / 6 / 0x11), closing
+more of the compressed-audio surface beside the FLAC codec: 2:1
+companding (G.711) and 4:1 ADPCM, both with EXACTLY-specified
+algorithms (ITU-T G.711 segment companding; the IMA/DVI ADPCM step and
+index tables), so the decoders are real-format decoders, not
+approximations.
+
+Self-consistency properties used as tests (no external codec exists in
+this container): for every 8-bit code c, ``encode(decode(c)) == c``
+(companding codecs are exact on their own reconstruction levels), and
+ADPCM round-trips track the input within the step-quantization error.
+
+All functions are numpy-vectorized (G.711) or tight per-sample loops
+over small blocks (ADPCM — the recurrence is sequential by design);
+used inside Arrow ``mapInPandas`` stages, never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- G.711
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 -> uint8 mu-law codes (ITU-T G.711, MSB-inverted form)."""
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = floor(log2(mag)) - 7, in 0..7 (mag >= BIAS >= 2^7)
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 mu-law codes -> int16 reconstruction levels."""
+    c = (~np.asarray(codes, dtype=np.int32)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 -> uint8 A-law codes (ITU-T G.711, 0x55-inverted form)."""
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32767)
+    # segment: 0 for mag < 256, else floor(log2(mag)) - 7 in 1..7
+    exp = np.where(
+        mag < 256, 0, (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7)
+    ).clip(0, 7)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 A-law codes -> int16 reconstruction levels."""
+    c = np.asarray(codes, dtype=np.int32) ^ 0x55
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+    )
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+# ------------------------------------------------------------ IMA ADPCM
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(code: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA decode step: (new_predictor, new_index)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    predictor = predictor - diff if code & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_IMA_INDEX[code & 7])))
+    return predictor, index
+
+
+def ima_encode_block(pcm: np.ndarray, index: int) -> tuple[bytes, int]:
+    """Encode one mono IMA block: first sample verbatim in the header,
+    the rest as 4-bit codes (low nibble first). Returns (block bytes,
+    next block's starting step index). ``len(pcm)`` must be odd so the
+    nibble payload is whole bytes."""
+    if len(pcm) % 2 != 1:
+        raise ValueError("IMA block needs an odd sample count (header + 2n nibbles)")
+    predictor = int(pcm[0])
+    header = struct.pack("<hBB", predictor, index, 0)
+    nibbles: list[int] = []
+    for s in np.asarray(pcm[1:], dtype=np.int32):
+        step = int(_IMA_STEPS[index])
+        delta = int(s) - predictor
+        code = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            code |= 4
+            delta -= step
+        if delta >= step >> 1:
+            code |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            code |= 1
+        predictor, index = _ima_step(code, predictor, index)
+        nibbles.append(code)
+    packed = bytes(
+        (nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2)
+    )
+    return header + packed, index
+
+
+def ima_decode_block(block: bytes) -> np.ndarray:
+    """Decode one mono IMA block -> int16 samples."""
+    predictor, index, _ = struct.unpack_from("<hBB", block, 0)
+    if not 0 <= index <= 88:
+        raise ValueError(f"IMA step index {index} out of range")
+    out = [predictor]
+    for byte in block[4:]:
+        for code in (byte & 0x0F, byte >> 4):
+            predictor, index = _ima_step(code, predictor, index)
+            out.append(predictor)
+    return np.array(out, dtype=np.int16)
+
+
+# --------------------------------------------------- WAV container glue
+
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
+WAVE_FORMAT_IMA_ADPCM = 0x11
+
+IMA_BLOCK_ALIGN = 256  # bytes per mono block -> 505 samples/block
+IMA_SAMPLES_PER_BLOCK = (IMA_BLOCK_ALIGN - 4) * 2 + 1
+
+
+def _riff(fmt_body: bytes, extra_chunks: list[bytes], data: bytes) -> bytes:
+    chunks = [struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body]
+    chunks.extend(extra_chunks)
+    chunks.append(struct.pack("<4sI", b"data", len(data)) + data)
+    body = b"".join(chunks)
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str) -> bytes:
+    """float32 [-1, 1] mono -> 8-bit G.711 WAV (wFormatTag 7 or 6)."""
+    pcm = (np.clip(np.asarray(samples, dtype=np.float32), -1, 1) * 32767).astype(
+        np.int16
+    )
+    if law == "ulaw":
+        tag, data = WAVE_FORMAT_MULAW, ulaw_encode(pcm).tobytes()
+    elif law == "alaw":
+        tag, data = WAVE_FORMAT_ALAW, alaw_encode(pcm).tobytes()
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
+    fact = struct.pack("<4sII", b"fact", 4, len(pcm))
+    return _riff(fmt, [fact], data)
+
+
+def encode_wav_ima(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1, 1] mono -> IMA ADPCM WAV (wFormatTag 0x11,
+    256-byte blocks, 505 samples/block, final block zero-padded)."""
+    pcm = (np.clip(np.asarray(samples, dtype=np.float32), -1, 1) * 32767).astype(
+        np.int16
+    )
+    n = len(pcm)
+    blocks: list[bytes] = []
+    index = 0
+    for start in range(0, n, IMA_SAMPLES_PER_BLOCK):
+        chunk = pcm[start : start + IMA_SAMPLES_PER_BLOCK]
+        if len(chunk) < IMA_SAMPLES_PER_BLOCK:
+            chunk = np.concatenate(
+                [chunk, np.zeros(IMA_SAMPLES_PER_BLOCK - len(chunk), dtype=np.int16)]
+            )
+        block, index = ima_encode_block(chunk, index)
+        blocks.append(block)
+    data = b"".join(blocks)
+    avg_bps = sample_rate * IMA_BLOCK_ALIGN // IMA_SAMPLES_PER_BLOCK
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        WAVE_FORMAT_IMA_ADPCM, 1, sample_rate, avg_bps,
+        IMA_BLOCK_ALIGN, 4, 2, IMA_SAMPLES_PER_BLOCK,
+    )
+    fact = struct.pack("<4sII", b"fact", 4, n)
+    return _riff(fmt, [fact], data)
+
+
+def decode_wav_compressed(
+    fmt: tuple, data: bytes, fact_samples: int | None
+) -> tuple[int, np.ndarray]:
+    """Decode the non-PCM WAV formats this module owns.  ``fmt`` is the
+    unpacked (tag, n_ch, rate, byte_rate, block_align, bits) prefix;
+    returns (rate, float32 mono [-1, 1]) — the decode_wav contract."""
+    tag, n_ch, rate, _, block_align, _ = fmt[:6]
+    if n_ch != 1:
+        raise NotImplementedError("compressed WAV: mono only")
+    if tag == WAVE_FORMAT_MULAW:
+        pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    elif tag == WAVE_FORMAT_ALAW:
+        pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
+    elif tag == WAVE_FORMAT_IMA_ADPCM:
+        if block_align < 5:
+            raise ValueError("IMA ADPCM block_align too small")
+        parts = [
+            ima_decode_block(data[i : i + block_align])
+            for i in range(0, len(data) - block_align + 1, block_align)
+        ]
+        pcm = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
+        if fact_samples is not None:
+            pcm = pcm[:fact_samples]  # drop final-block padding
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    return int(rate), pcm.astype(np.float32) / 32768.0

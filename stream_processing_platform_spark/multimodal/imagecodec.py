@@ -316,12 +316,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
-    """PCM WAV (8/16-bit, any channel count) → (sample_rate, float32
-    mono samples in [-1, 1]). Walks RIFF chunks, so extra chunks
+    """WAV → (sample_rate, float32 mono samples in [-1, 1]).  Handles
+    integer PCM (8/16-bit, any channel count) plus the compressed
+    formats real crawl WAV carries: G.711 mu-law/A-law (wFormatTag
+    7/6) and IMA ADPCM (0x11) via :mod:`g711adpcm` (from-scratch,
+    exactly-specified algorithms).  Walks RIFF chunks, so extra chunks
     (LIST/fact) between fmt and data are fine."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_samples = 12, None, None, None
     while pos + 8 <= len(b):
         cid, size = struct.unpack_from("<4sI", b, pos)
         body = b[pos + 8 : pos + 8 + size]
@@ -329,11 +332,19 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
+    if audio_format != 1:
+        from stream_processing_platform_spark.multimodal.g711adpcm import (
+            decode_wav_compressed,
+        )
+
+        return decode_wav_compressed(fmt, data, fact_samples)
+    if bits not in (8, 16):
         raise ValueError(f"only 8/16-bit PCM WAV supported (format={audio_format}, bits={bits})")
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0

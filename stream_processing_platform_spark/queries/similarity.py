@@ -2260,3 +2260,102 @@ def _pq_trained_oracle(
 _REG_SIM["q_ann_pq_trained"] = _dc_replace_sim(
     _REG_SIM["q_ann_pq_trained"], oracle=_pq_trained_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# q_audio_segments_g711 (r10): telephony/game-audio compressed WAV —
+# G.711 mu-law / A-law companding and IMA ADPCM (multimodal/g711adpcm,
+# exactly-specified algorithms) decoded through the SAME segment_pcm
+# core. Per doc the FORMAT cycles with doc_id % 3 and the burst length
+# with doc_id % 5, so payloads are a pure function of doc_id % 15 —
+# sequential-replay oracle over the 15 residue classes exercises all
+# three decoders.
+# --------------------------------------------------------------------------
+
+_G711_FORMATS = ("ulaw", "alaw", "ima")
+
+
+def _synth_g711_payload(d: int) -> bytes:
+    """Deterministic compressed-WAV stream for one doc id — one 440 Hz
+    burst whose length derives from d % 5, encoded as mu-law, A-law or
+    IMA ADPCM depending on d % 3. Pure function of d % 15; shared by
+    the Spark UDF and the oracle generator."""
+    import numpy as np
+
+    from stream_processing_platform_spark.multimodal import g711adpcm as G
+
+    n = (d % 5 + 1) * _AUDIO_RATE // 10  # 100-500 ms burst
+    t = np.arange(n) / _AUDIO_RATE
+    sig = np.concatenate(
+        [
+            0.4 * np.sin(2 * np.pi * 440.0 * t),
+            np.zeros(_AUDIO_RATE // 5),  # 200 ms silence
+            0.3 * np.sin(2 * np.pi * 880.0 * t),
+        ]
+    ).astype(np.float32)
+    fmt = _G711_FORMATS[d % 3]
+    if fmt == "ima":
+        return G.encode_wav_ima(sig, _AUDIO_RATE)
+    return G.encode_wav_g711(sig, _AUDIO_RATE, fmt)
+
+
+def _audio_segments_g711_oracle() -> str:
+    """GENERATED oracle: replay all 15 residue classes through the SAME
+    synth -> compressed-WAV encode -> decode_wav -> segment_pcm path
+    sequentially, joined on the residue (the q_audio_segments_flac
+    doctrine, now covering three more real compressed formats)."""
+    from stream_processing_platform_spark.multimodal.codecs import segment_pcm
+    from stream_processing_platform_spark.multimodal.imagecodec import decode_wav
+
+    rows = []
+    for rem in range(15):
+        rate, samples = decode_wav(_synth_g711_payload(rem))
+        for seg_idx, s_ms, e_ms, n, rms in segment_pcm(rate, samples, 20, 0.05, 2):
+            rows.append(
+                f"({rem}, CAST({seg_idx} AS INTEGER), CAST({s_ms} AS BIGINT),"
+                f" CAST({e_ms} AS BIGINT), CAST({n} AS BIGINT),"
+                f" CAST({rms!r} AS DOUBLE))"
+            )
+    return f"""
+    WITH exp(rem, seg_idx, start_ms, end_ms, n_samples, rms)
+         AS (VALUES {", ".join(rows)})
+    SELECT d.doc_id AS media_id, e.seg_idx, e.start_ms, e.end_ms,
+           e.n_samples, e.rms
+    FROM documents d JOIN exp e ON d.doc_id % 15 = e.rem
+    """
+
+
+@query(
+    "q_audio_segments_g711",
+    oracle=None,  # patched below: generated sequential-replay oracle
+    description="Compressed telephony/game-audio segmentation: per "
+    "document a deterministic WAV is synthesized and encoded as G.711 "
+    "mu-law, A-law, or IMA ADPCM (format cycles with doc_id — "
+    "multimodal/g711adpcm.py, from-scratch exactly-specified "
+    "companding + the published IMA step/index tables), then decoded "
+    "through the format-dispatching decode_wav and silence-split via "
+    "the shared segment_pcm core — Arrow mapInPandas, no shuffle. "
+    "Full oracle: payloads are a pure function of doc_id % 15, "
+    "replayed sequentially per residue class; one query exercises all "
+    "three decoders.",
+)
+def q_audio_segments_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from stream_processing_platform_spark.multimodal.codecs import segment_audio
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([_synth_g711_payload(int(d)) for d in ids])
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), synth(F.col("doc_id")).alias("content")
+    )
+    return segment_audio(docs, frame_ms=20, threshold=0.05, min_frames=2, codec="wav")
+
+
+_REG_SIM["q_audio_segments_g711"] = _dc_replace_sim(
+    _REG_SIM["q_audio_segments_g711"], oracle=_audio_segments_g711_oracle()
+)
