@@ -2760,3 +2760,83 @@ def _clf_eval_oracle() -> str:
 _REG2["q_quality_classifier_eval"] = _dc_replace2(
     _REG2["q_quality_classifier_eval"], oracle=_clf_eval_oracle()
 )
+
+
+@query(
+    "q_kneser_ney_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok,
+                        unnest(range(len({_SQL_TOKENS}))) AS pos
+                 FROM documents),
+    bi AS (SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
+           FROM tok t1 JOIN tok t2
+             ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+    c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY a, b),
+    ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c1,
+                  CAST(count(DISTINCT b) AS BIGINT) AS n1a
+           FROM bi GROUP BY a),
+    cb AS (SELECT b, CAST(count(DISTINCT a) AS BIGINT) AS n1b
+           FROM bi GROUP BY b),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c2)
+    SELECT bi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(CAST(sum(CAST(floor(-ln(
+                     CAST(4 * c2.c2 - 3 AS DOUBLE) / CAST(4 * ca.c1 AS DOUBLE)
+                     + (CAST(3 * ca.n1a AS DOUBLE) / CAST(4 * ca.c1 AS DOUBLE))
+                       * (CAST(cb.n1b AS DOUBLE) / CAST(nn.nn AS DOUBLE)))
+                                     * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) + 0.5) / 10000.0 AS mean_nll
+    FROM bi JOIN c2 USING (a, b) JOIN ca USING (a) JOIN cb USING (b)
+         CROSS JOIN nn
+    GROUP BY bi.doc_id
+    """,
+    description="Interpolated Kneser-Ney bigram LM score (the canonical "
+    "LM smoothing — Kneser & Ney 1995; the rung above q_bigram_logprob's "
+    "add-1): P(b|a) = max(c(a,b)-d, 0)/c(a) + d*N1+(a,.)/c(a) * "
+    "P_cont(b), with P_cont the continuation probability "
+    "N1+(.,b)/N1+(.,.) and d=0.75 exactly representable so max(c-d,0) "
+    "= (4c-3)/4 in exact integers. Every P is a fixed IEEE expression "
+    "over exact integer counts (two divisions, one multiply, one add — "
+    "identical order both engines), each per-bigram nll floor-rounded "
+    "to the 1e-6 grid BEFORE the order-free integer sum (the additive-"
+    "scores doctrine), staged 4dp mean. Scale shape identical to "
+    "q_bigram_logprob: bigram-keyed partial aggregates + joins back, "
+    "1-row broadcast for the bigram-type total.",
+)
+def q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    t2 = tok.select(
+        F.col("doc_id"), (F.col("pos") - 1).alias("pos"), F.col("tok").alias("_b")
+    )
+    bi = tok.join(t2, ["doc_id", "pos"]).select(
+        "doc_id", F.col("tok").alias("a"), F.col("_b").alias("b")
+    )
+    c2 = bi.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    ca = bi.groupBy("a").agg(
+        F.count("*").alias("c1"), F.countDistinct("b").alias("n1a")
+    )
+    cb = bi.groupBy("b").agg(F.countDistinct("a").alias("n1b"))
+    nn = c2.agg(F.count("*").alias("nn"))
+    p = (4 * F.col("c2") - 3).cast("double") / (4 * F.col("c1")).cast("double") + (
+        (3 * F.col("n1a")).cast("double") / (4 * F.col("c1")).cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("nn").cast("double"))
+    nll = F.floor(-F.ln(p) * 1000000.0 + 0.5).cast("long")
+    return (
+        bi.join(c2, ["a", "b"])
+        .join(ca, "a")
+        .join(cb, "b")
+        .join(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(nll).cast("double") / (100.0 * F.count("*")) + 0.5
+                )
+                / 10000.0
+            ).alias("mean_nll"),
+        )
+    )
