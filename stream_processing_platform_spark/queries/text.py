@@ -2762,13 +2762,15 @@ _REG2["q_quality_classifier_eval"] = _dc_replace2(
 )
 
 
-@query(
-    "q_kneser_ney_logprob",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok,
+def _kn_score_ctes() -> str:
+    """CTE chain ending at ``kn(doc_id, n_bigrams, mean_nll)`` — the
+    interpolated Kneser-Ney per-doc score, shared by the KN score
+    query and the perplexity-band pruner (one generator, every
+    consumer)."""
+    return f"""tok AS MATERIALIZED (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok,
                         unnest(range(len({_SQL_TOKENS}))) AS pos
                  FROM documents),
-    bi AS (SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
+    bi AS MATERIALIZED (SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
            FROM tok t1 JOIN tok t2
              ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
     c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY a, b),
@@ -2777,8 +2779,8 @@ _REG2["q_quality_classifier_eval"] = _dc_replace2(
            FROM bi GROUP BY a),
     cb AS (SELECT b, CAST(count(DISTINCT a) AS BIGINT) AS n1b
            FROM bi GROUP BY b),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c2)
-    SELECT bi.doc_id,
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c2),
+    kn AS MATERIALIZED (SELECT bi.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            floor(CAST(sum(CAST(floor(-ln(
                      CAST(4 * c2.c2 - 3 AS DOUBLE) / CAST(4 * ca.c1 AS DOUBLE)
@@ -2788,8 +2790,12 @@ _REG2["q_quality_classifier_eval"] = _dc_replace2(
                  / (100.0 * count(*)) + 0.5) / 10000.0 AS mean_nll
     FROM bi JOIN c2 USING (a, b) JOIN ca USING (a) JOIN cb USING (b)
          CROSS JOIN nn
-    GROUP BY bi.doc_id
-    """,
+    GROUP BY bi.doc_id)"""
+
+
+@query(
+    "q_kneser_ney_logprob",
+    oracle=None,  # generated below from _kn_score_ctes
     description="Interpolated Kneser-Ney bigram LM score (the canonical "
     "LM smoothing — Kneser & Ney 1995; the rung above q_bigram_logprob's "
     "add-1): P(b|a) = max(c(a,b)-d, 0)/c(a) + d*N1+(a,.)/c(a) * "
@@ -2840,3 +2846,75 @@ def q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+_REG2["q_kneser_ney_logprob"] = _dc_replace2(
+    _REG2["q_kneser_ney_logprob"],
+    oracle=f"""
+    WITH {_kn_score_ctes()}
+    SELECT doc_id, n_bigrams, mean_nll FROM kn
+    """,
+)
+
+
+_PPL_BAND = {"q25": 0.25, "q75": 0.75}
+
+
+@query(
+    "q_ppl_band_prune",
+    oracle=None,  # generated below: KN CTEs + rank-select bounds
+    description="Perplexity-band corpus pruning (the DCLM-style "
+    "selection step): keep documents whose Kneser-Ney mean NLL lies in "
+    "the exact [q25, q75] corpus band — dropping both the too-easy "
+    "boilerplate tail and the too-perplexed noise tail. Bounds come "
+    "from operators/percentiles.exact_percentiles_distributed over the "
+    "4dp scores (scaled-integer order statistics, so the band compare "
+    "is pure BIGINT), broadcast back as a 1-row filter. Scale shape: "
+    "the KN scoring shuffles; the band pass adds ONE sort-free "
+    "aggregate pipeline + a broadcast filter — never a global rank "
+    "over the corpus.",
+)
+def q_ppl_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.percentiles import (
+        exact_percentiles_distributed,
+    )
+
+    scores = q_kneser_ney_logprob(spark, sf_dir)
+    bounds = exact_percentiles_distributed(
+        scores.select(F.lit(1).alias("grp"), "mean_nll"),
+        "mean_nll",
+        _PPL_BAND,
+        ["grp"],
+        scale_decimals=4,
+    ).select("q25", "q75")
+    scaled = F.floor(F.col("mean_nll") * 10000.0 + 0.5).cast("long")
+    return (
+        scores.withColumn("_c", scaled)
+        .join(F.broadcast(bounds))
+        .where(F.col("_c").between(F.col("q25"), F.col("q75")))
+        .select("doc_id", "n_bigrams", "mean_nll")
+    )
+
+
+def _ppl_band_oracle() -> str:
+    from stream_processing_platform_spark.queries.relational import (
+        _rank_select_ctes,
+    )
+
+    rank = _rank_select_ctes(
+        "grp", "SELECT 1 AS grp, c FROM scaled", _PPL_BAND
+    )
+    return f"""
+    WITH {_kn_score_ctes()},
+    scaled AS MATERIALIZED (SELECT doc_id, n_bigrams, mean_nll,
+        CAST(floor(mean_nll * 10000.0 + 0.5) AS BIGINT) AS c FROM kn),
+    {rank}
+    SELECT s.doc_id, s.n_bigrams, s.mean_nll
+    FROM scaled s CROSS JOIN g
+    WHERE s.c BETWEEN g.q25 AND g.q75
+    """
+
+
+_REG2["q_ppl_band_prune"] = _dc_replace2(
+    _REG2["q_ppl_band_prune"], oracle=_ppl_band_oracle()
+)

@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     'q_quality_classifier_eval',      # NEW r10 — never driver-checked
     'q_audio_segments_g711',          # NEW r10 — never driver-checked
     'q_kneser_ney_logprob',           # NEW r10 — never driver-checked
+    'q_ppl_band_prune',               # NEW r10 — never driver-checked
     'q_ann_pq',
     'q_ann_ivfpq',
     'q_ann_ivfpq_residual',
