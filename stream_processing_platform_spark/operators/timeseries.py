@@ -474,13 +474,21 @@ def acf(
         *[F.lead("_d", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
     )
     den = F.sum(F.col("_d") * F.col("_d"))
+    # A constant-valued series centers to all-zero _d: den == 0 and the
+    # ratio is 0/0 = NaN, whose floor/cast differs across engines. Emit
+    # the 0 sentinel on both sides (oracle carries the matching
+    # CASE WHEN) — no-nullable/no-NaN output invariant.
     aggs = [
-        F.floor(
-            F.sum(F.col("_d") * F.col(f"_l{k}")).cast("double")
-            * F.lit(1000000.0)
-            / den.cast("double")
-            + F.lit(0.5)
+        F.when(
+            den != F.lit(0),
+            F.floor(
+                F.sum(F.col("_d") * F.col(f"_l{k}")).cast("double")
+                * F.lit(1000000.0)
+                / den.cast("double")
+                + F.lit(0.5)
+            ),
         )
+        .otherwise(F.lit(0))
         .cast("long")
         .alias(f"acf{k}_micro")
         for k in range(1, max_lag + 1)

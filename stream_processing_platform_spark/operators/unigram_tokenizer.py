@@ -118,6 +118,15 @@ def induce_vocab(docs: DataFrame, text_col: str = "text", top_k: int = 500) -> U
         .where(F.col("_rn") <= top_k)
         .drop("_rn")
     )
+    # Driver-state bound (same analysis convention as classifier.py's
+    # int64 note): this collect is |distinct 1-grams| + (max_len-1)*top_k
+    # rows. 1-grams are charset-bounded — ~100 for ASCII corpora, ~1e4
+    # for mixed European scripts, worst-case ~1e5 for full CJK+emoji
+    # (Unicode has ~1.1e5 assigned codepoints) — times ~40 bytes/row ≈
+    # 4 MB driver memory at the absolute ceiling; top_k is a constant
+    # (default 2000) per gram length. If a corpus ever pushes past the
+    # codepoint ceiling (it can't — codepoints ARE the 1-grams), the
+    # fix is ranking 1-grams through the same per-length top-K branch.
     part = singles.unionByName(ranked).select("gram", "cnt").collect()
     rows = [(r["gram"], int(r["cnt"])) for r in part]
     total = sum(c for _, c in rows)

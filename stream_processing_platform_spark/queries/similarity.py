@@ -1711,7 +1711,10 @@ def _synth_avc_payload(d: int) -> bytes:
         # intra-in-P triggers on some residues
         shift = k * (1 + r % 3)
         y = ((xx * (3 + r % 5) + yy * 2 + shift * 4 + r * 11) % 256).astype(np.uint8)
-        if k == 2 and r % 3 == 0:
+        # k reaches 2 only when n_frames == 3, i.e. r % 3 == 2 — the
+        # r % 3 == 0 form was unreachable (r10 advice), so intra-in-P
+        # depended on incidental encoder cost decisions.
+        if k == 2 and r % 3 == 2:
             y = ((xx // 4 * 29 + yy // 4 * 13 + r) % 256).astype(np.uint8)
         cb = ((xx[::2, ::2] * 5 + r * 7) % 256).astype(np.uint8)
         cr = ((yy[::2, ::2] * 3 + k * 23) % 256).astype(np.uint8)

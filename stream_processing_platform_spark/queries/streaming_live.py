@@ -1277,17 +1277,26 @@ def _gate_stats(df: DataFrame) -> DataFrame:
     10k-token web doc on the LIVE ingest path. The fold is O(n log n),
     stays JVM-side, and produces the identical integer, so the duckdb
     oracle is unchanged."""
+    from stream_processing_platform_spark.functions.text import let as _let
+
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    # Bind the incremented run ONCE per element via let(): Column exprs
+    # are trees, so referencing run(acc, x) in both struct fields would
+    # evaluate it twice per token inside the interpreted HOF lambda
+    # (r10 advice — the k-times-evaluation cost the let() rule exists
+    # to avoid, on the live ingest path).
     max_tf = F.aggregate(
         F.array_sort(toks),
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        lambda acc, x: _let(
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            lambda r: F.struct(
+                x.alias("prev"),
+                r.alias("run"),
+                F.greatest(acc["best"], r).alias("best"),
+            ),
         ),
         lambda acc: acc["best"],
     )

@@ -382,8 +382,10 @@ def _acf_oracle() -> str:
         f"lead(d, {k}) OVER w AS l{k}" for k in range(1, _ACF_MAX_LAG + 1)
     )
     ratios = ",\n           ".join(
+        f"CASE WHEN sum(d * d) <> 0 THEN "
         f"CAST(floor(CAST(sum(d * l{k}) AS DOUBLE) * 1000000.0"
-        f" / CAST(sum(d * d) AS DOUBLE) + 0.5) AS BIGINT) AS acf{k}_micro"
+        f" / CAST(sum(d * d) AS DOUBLE) + 0.5) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END AS acf{k}_micro"
         for k in range(1, _ACF_MAX_LAG + 1)
     )
     return f"""

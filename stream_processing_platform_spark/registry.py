@@ -69,66 +69,18 @@ _loaded = False
 # Registry order = the order the driver runs queries in, and the driver
 # verifies only the first ~50 per round. With >50 registered queries the
 # order IS the coverage policy, so it is explicit here (not an accident of
-# import order) and rotates per round. Round-10 rotation, per the r9
-# verdict asks #1/#8: the 13 r9 rows-only->oracle conversions lead (their
-# official ledger rows still read no_oracle/r8 even though the judge
-# verified all 13 hash-MATCH), then q_approx_percentile (converted to a
-# full sketch-then-verify oracle THIS round), then the 50 queries whose
-# last official row is r6 (13+1+50 = 64 > the ~50 window, so the
-# alphabetical tail of the r6 block may slip to r11 — the conversions are
-# the judge's explicit top_next and win the tie), then r7/r8/r9 ascending.
-# New r10 queries are inserted at the very front when registered.
+# import order) and rotates per round. Round-11 rotation, per the r10
+# verdict ask #1 (ledger hygiene): NEW r11 queries lead (never checked),
+# then every remaining query ordered by the round of its last official
+# CORRECTNESS row, ascending — so the 31 r6-stale rows fill the window
+# right after the new block, the oldest r7 rows take the remaining slots,
+# and max staleness is provably minimized. scripts/ledger_check.py
+# recomputes this ordering from the CORRECTNESS_r*.json history and exits
+# nonzero if the window about to be submitted would let any query's
+# staleness exceed the freshness bound.
 _PRIORITY: list[str] = [
-    'q_audio_segments_flac',          # NEW r10 — never driver-checked
-    'q_multimodal_avc_decode',        # NEW r10 — never driver-checked
-    'q_quality_classifier',           # NEW r10 — never driver-checked
-    'q_quality_classifier_weights',   # NEW r10 — never driver-checked
-    'q_acf',                          # NEW r10 — never driver-checked
-    'q_cusum_changepoint',            # NEW r10 — never driver-checked
-    'q_weighted_sample',              # NEW r10 — never driver-checked
-    'q_stream_quality_gate',          # NEW r10 — never driver-checked
-    'q_seasonal_decompose',           # NEW r10 — never driver-checked
-    'q_unigram_tokenize',             # NEW r10 — never driver-checked
-    'q_stream_cusum',                 # NEW r10 — never driver-checked
-    'q_sequence_patterns',            # NEW r10 — never driver-checked
-    'q_stream_weighted_sample',       # NEW r10 — never driver-checked
-    'q_quality_classifier_eval',      # NEW r10 — never driver-checked
-    'q_audio_segments_g711',          # NEW r10 — never driver-checked
-    'q_kneser_ney_logprob',           # NEW r10 — never driver-checked
-    'q_ppl_band_prune',               # NEW r10 — never driver-checked
-    'q_ann_pq',
-    'q_ann_ivfpq',
-    'q_ann_ivfpq_residual',
-    'q_ann_pq_trained',
-    'q_ann_ivf_trained',
-    'q_bpe_real',
-    'q_sequence_packing_bpe',
-    'q_corpus_mixture_bpe',
-    'q_multimodal_features',
-    'q_multimodal_real_decode',
-    'q_audio_segments',
-    'q_kmeans_embeddings',
-    'q_custom_source_ticks',
-    'q_approx_percentile',
-    'q02_min_cost_supplier',
-    'q11_important_stock',
-    'q15_top_supplier',
-    'q16_supplier_part_types',
-    'q17_small_quantity_revenue',
-    'q20_concentrated_suppliers',
-    'q21_waiting_suppliers',
-    'q22_dormant_customers',
-    'q_ann_rerank',
-    'q_bm25_rank',
-    'q_cdc_apply',
-    'q_cluster_safe_split',
-    'q_cogroup_attribution',
-    'q_corpus_split',
-    'q_data_expectations',
-    'q_embedding_centroids',
-    'q_fuzzy_token_pairs',
-    'q_gap_fill_linear',
-    'q_gap_fill_locf',
+    # --- NEW r11 — never driver-checked (inserted as registered) ---
+    # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
     'q_html_extract',
@@ -160,6 +112,7 @@ _PRIORITY: list[str] = [
     'q_winnow_dup_pairs',
     'q_winnow_fingerprints',
     'q_zorder_events',
+    # --- last official row: r7 (50 queries) ---
     'q01_pricing_summary',
     'q03_shipping_priority',
     'q05_local_supplier_volume',
@@ -210,6 +163,7 @@ _PRIORITY: list[str] = [
     'q_window_distribution',
     'q_window_range_frame',
     'q_winsorize',
+    # --- last official row: r8 (34 queries) ---
     'q_approx_distinct',
     'q_containment_pairs',
     'q_corpus_stats',
@@ -244,6 +198,7 @@ _PRIORITY: list[str] = [
     'q_topk_per_group',
     'q_window_rank',
     'q_window_running',
+    # --- last official row: r9 (50 queries) ---
     'q04_order_priority',
     'q06_forecast_revenue',
     'q07_volume_shipping',
@@ -294,6 +249,57 @@ _PRIORITY: list[str] = [
     'q_unpivot_event_counts',
     'q_video_frame_sample',
     'q_window_navigation',
+    # --- last official row: r10 (50 queries) ---
+    'q02_min_cost_supplier',
+    'q11_important_stock',
+    'q15_top_supplier',
+    'q16_supplier_part_types',
+    'q17_small_quantity_revenue',
+    'q20_concentrated_suppliers',
+    'q21_waiting_suppliers',
+    'q22_dormant_customers',
+    'q_acf',
+    'q_ann_ivf_trained',
+    'q_ann_ivfpq',
+    'q_ann_ivfpq_residual',
+    'q_ann_pq',
+    'q_ann_pq_trained',
+    'q_ann_rerank',
+    'q_approx_percentile',
+    'q_audio_segments',
+    'q_audio_segments_flac',
+    'q_audio_segments_g711',
+    'q_bm25_rank',
+    'q_bpe_real',
+    'q_cdc_apply',
+    'q_cluster_safe_split',
+    'q_cogroup_attribution',
+    'q_corpus_mixture_bpe',
+    'q_corpus_split',
+    'q_custom_source_ticks',
+    'q_cusum_changepoint',
+    'q_data_expectations',
+    'q_embedding_centroids',
+    'q_fuzzy_token_pairs',
+    'q_gap_fill_linear',
+    'q_gap_fill_locf',
+    'q_kmeans_embeddings',
+    'q_kneser_ney_logprob',
+    'q_multimodal_avc_decode',
+    'q_multimodal_features',
+    'q_multimodal_real_decode',
+    'q_ppl_band_prune',
+    'q_quality_classifier',
+    'q_quality_classifier_eval',
+    'q_quality_classifier_weights',
+    'q_seasonal_decompose',
+    'q_sequence_packing_bpe',
+    'q_sequence_patterns',
+    'q_stream_cusum',
+    'q_stream_quality_gate',
+    'q_stream_weighted_sample',
+    'q_unigram_tokenize',
+    'q_weighted_sample',
 ]
 
 

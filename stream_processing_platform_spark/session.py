@@ -119,19 +119,42 @@ def _ship_package(spark: SparkSession) -> None:
         return
     if getattr(spark, "_spp_pkg_shipped", False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zip_path = os.path.join(tempfile.mkdtemp(prefix="spp_pkg_"), "spp_spark_pkg.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for r, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in r:
-                continue
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(r, fn)
-                    zf.write(full, os.path.relpath(full, root))
+    sources = []
+    h = hashlib.sha256()
+    for r, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in r:
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(r, fn)
+                st = os.stat(full)
+                sources.append(full)
+                h.update(
+                    f"{os.path.relpath(full, root)}:{st.st_mtime_ns}:{st.st_size}".encode()
+                )
+    sources.sort()
+    # Content-addressed path (hash of relpaths+mtimes+sizes): repeated
+    # non-local sessions on one host (driver_sim sweeps, CI loops) reuse
+    # the same zip instead of leaking one mkdtemp per session (r10
+    # advice). Build-to-temp + atomic rename so concurrent sessions
+    # never ship a half-written zip.
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"spp_pkg_{h.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        fd, tmp = tempfile.mkstemp(
+            prefix="spp_pkg_build_", suffix=".zip", dir=tempfile.gettempdir()
+        )
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     spark._spp_pkg_shipped = True

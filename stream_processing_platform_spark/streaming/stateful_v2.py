@@ -439,7 +439,13 @@ class CusumProcessor(StatefulProcessor):
             if p < minp:
                 minp = p
             s = p - min(0, minp)
-            if smax is None or s > smax:
+            # Tie-break toward the SMALLEST seq among rows attaining the
+            # max — matches the oracle's min(struct(-s, seq)) and the
+            # batch q_cusum_changepoint argmax exactly; a strict `>`
+            # would keep the first row in scan order, which diverges
+            # whenever the statistic reattains its max at a later ts
+            # carrying a smaller event_id (r10 advice, data-dependent).
+            if smax is None or s > smax or (s == smax and int(seq) < at):
                 smax, at = s, int(seq)
         n += int(len(pdf))
         self._s.update((p, minp, smax, at, n))
