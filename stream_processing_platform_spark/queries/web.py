@@ -1,0 +1,223 @@
+"""Web-crawl ingestion queries: WARC/WET round-trips through the
+``spp_warc`` Python DataSource (sources/warc_datasource.py) feeding the
+existing HTML-extraction chain — the canonical LLM-pipeline input stage
+(Common Crawl → visible text) the reference platform has no analogue
+for (its sources are Kafka/CSV/JSON/collection, taskmanager/operators/
+sources.py:25-198).
+
+Oracle doctrine (sequential replay, CLAUDE.md): every WARC fixture byte
+is a pure function of the ``documents`` rows — the query WRITES the
+archive from the table through the spp_warc writer, READS it back
+through the spp_warc reader, and extracts; the duckdb oracle recomputes
+the same answer straight from ``documents`` using the shared
+strip-chain SQL. A hash-MATCH therefore proves the full
+encode → member-gzip → two-phase commit → streaming decode →
+HTTP-split → strip cycle is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions import text as T
+from stream_processing_platform_spark.functions.html import strip_html, strip_html_sql
+from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+from stream_processing_platform_spark.registry import query
+from stream_processing_platform_spark.tables import load_table
+
+# Page chrome wrapped around each document's text to form the HTTP
+# entity — script/style/comment/entity traps so the strip chain is
+# genuinely exercised, doc identity in the title/URI. NO single quotes
+# (these constants are inlined into the SQL oracle as literals).
+_W_PRE = "<html><head><title>Doc "
+_W_MID1 = (
+    "</title><script>if (a < b) { track(); }</script>"
+    "<style>.nav { display: none; }</style></head>"
+    "<body><nav>Home | About</nav><h1>Source "
+)
+_W_MID2 = "</h1><!-- chrome --><p>"
+_W_POST = "</p><footer>Tom &amp; Jerry &lt;3&nbsp;corp</footer></body></html>"
+
+# HTTP/1.1 response head the payload is framed in (the msgtype=response
+# body of a WARC response record). BASE_LEN feeds the oracle's
+# content_length reconstruction: head + digits-of-L + L.
+_HTTP_PRE = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nContent-Length: "
+_HTTP_POST = "\r\n\r\n"
+_HTTP_BASE_LEN = len(_HTTP_PRE) + len(_HTTP_POST)
+
+_URI_PREFIX = "https://docs.example.test/"
+
+
+def _html_col() -> F.Column:
+    return F.concat(
+        F.lit(_W_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_W_MID1),
+        F.col("source"),
+        F.lit(_W_MID2),
+        F.col("text"),
+        F.lit(_W_POST),
+    )
+
+
+def _html_sql() -> str:
+    return (
+        f"'{_W_PRE}' || CAST(doc_id AS VARCHAR) || '{_W_MID1}' || source"
+        f" || '{_W_MID2}' || text || '{_W_POST}'"
+    )
+
+
+def _uri_col() -> F.Column:
+    return F.concat(F.lit(_URI_PREFIX), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+
+
+def _warc_fixture_dir(sf_dir: str, kind: str) -> str:
+    return f"/tmp/spp_warc_{kind}_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _write_warc_docs(spark: SparkSession, sf_dir: str) -> str:
+    """documents → response-record WARC archive (member-gzipped), one
+    file per task via the spp_warc writer's two-phase manifest commit."""
+    from stream_processing_platform_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    out = _warc_fixture_dir(sf_dir, "docs")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    html = _html_col()
+    http = F.concat(
+        F.lit(_HTTP_PRE), F.octet_length(html).cast("string"), F.lit(_HTTP_POST), html
+    )
+    rows = d.select(
+        F.lit("response").alias("warc_type"),
+        F.lit("").alias("record_id"),  # writer fills deterministic UUIDv5
+        F.lit("").alias("warc_date"),
+        _uri_col().alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.encode(http, "UTF-8").alias("payload"),
+    )
+    rows.write.format("spp_warc").mode("overwrite").option("gzip", "true").save(out)
+    return out
+
+
+@query(
+    "q_warc_extract",
+    oracle=f"""
+    WITH x AS (SELECT doc_id, {_html_sql()} AS html FROM documents),
+    y AS (SELECT doc_id,
+                 {strip_html_sql("html")} AS extracted,
+                 CAST(length(html) AS BIGINT) AS hchars,
+                 CAST(strlen(html) AS BIGINT) AS hl
+          FROM x)
+    SELECT doc_id,
+           CAST(200 AS INTEGER) AS status,
+           extracted,
+           floor(length(extracted) * 10000.0 / hchars + 0.5) / 10000.0 AS density,
+           CAST({_HTTP_BASE_LEN} + length(CAST(hl AS VARCHAR)) + hl AS BIGINT)
+             AS content_length
+    FROM y
+    """,
+    description="WARC ingestion end-to-end (sources/warccodec.py + the "
+    "spp_warc Python DataSource): documents are framed as HTTP "
+    "responses inside member-gzipped WARC response records (warcinfo-"
+    "led files, two-phase manifest commit), read back with warc_type "
+    "pushdown pruning the warcinfo records inside the Python source, "
+    "HTTP-split and boilerplate-stripped with the SAME regexp chain as "
+    "q_html_extract. The oracle rebuilds the page from documents "
+    "directly and reconstructs content_length arithmetically (head + "
+    "digits(L) + L), so a hash-MATCH proves the whole encode → gzip → "
+    "commit → streaming decode → extract cycle lossless. Scale shape: "
+    "one partition per archive file (the honest unit for member-gzip; "
+    "a 100 TB crawl is ~100k files >> executor count), record-streaming "
+    "decode (working set = one record), extraction pure JVM columns.",
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _write_warc_docs(spark, sf_dir)
+    back = (
+        spark.read.format("spp_warc")
+        .load(out)
+        .where(F.col("warc_type") == "response")  # pushed into the source
+    )
+    body = F.decode(F.col("payload"), "UTF-8")
+    # The entity never contains CRLF (documents text is single-line
+    # ASCII, the chrome adds none), so the LAST occurrence of the blank
+    # line == the head/body split — substring_index stays one JVM call.
+    html = F.substring_index(body, "\r\n\r\n", -1)
+    parsed = back.select(
+        F.regexp_extract(F.col("target_uri"), r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract(body, r"^HTTP/1\.1 (\d+) ", 1).cast("int").alias("status"),
+        strip_html(html).alias("extracted"),
+        F.length(html).alias("_hchars"),
+        F.col("content_length"),
+    )
+    return parsed.select(
+        "doc_id",
+        "status",
+        "extracted",
+        (F.floor(F.length("extracted") * 10000.0 / F.col("_hchars") + 0.5) / 10000.0).alias(
+            "density"
+        ),
+        "content_length",
+    )
+
+
+@query(
+    "q_warc_wet_tokens",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY source
+    """,
+    description="WET (plain-text conversion records) round-trip: the "
+    "same documents written as text/plain conversion records — the "
+    "Common Crawl .wet.gz layout — read back with warc_type pushdown "
+    "and aggregated per source (source recovered from the target URI). "
+    "n_bytes sums the records' Content-Length, so the hash-MATCH "
+    "against octet_length(text) proves byte-exact payload transport; "
+    "token counts use the shared whitespace tokenizer. One source-keyed "
+    "shuffle after a map-side partial aggregate.",
+)
+def q_warc_wet_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    out = _warc_fixture_dir(sf_dir, "wet")
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    rows = d.select(
+        F.lit("conversion").alias("warc_type"),
+        F.lit("").alias("record_id"),
+        F.lit("").alias("warc_date"),
+        _uri_col().alias("target_uri"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    rows.write.format("spp_warc").mode("overwrite").option("gzip", "true").save(out)
+    back = (
+        spark.read.format("spp_warc")
+        .load(out)
+        .where(F.col("warc_type") == "conversion")
+    )
+    text = F.decode(F.col("payload"), "UTF-8")
+    return (
+        back.select(
+            F.regexp_extract(F.col("target_uri"), r"test/([a-z0-9]+)/", 1).alias("source"),
+            F.size(T.tokens(text)).alias("_toks"),
+            F.col("content_length"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_toks").alias("n_tokens"),
+            F.sum("content_length").alias("n_bytes"),
+        )
+    )

@@ -80,6 +80,8 @@ _loaded = False
 # staleness exceed the freshness bound.
 _PRIORITY: list[str] = [
     # --- NEW r11 — never driver-checked (inserted as registered) ---
+    'q_warc_extract',
+    'q_warc_wet_tokens',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
@@ -317,6 +319,7 @@ def _ensure_loaded() -> None:
         streaming_live,
         text,
         timeseries,
+        web,
     )
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,257 @@
+"""``spp_warc`` — WARC/WET files as a Spark 4 Python DataSource, backed
+by the from-scratch ISO 28500 codec (sources/warccodec.py).
+
+The canonical LLM-pipeline input: Common Crawl ships ``.warc.gz`` /
+``.wet.gz`` segments, and the curation stages this engine already has
+(q_html_extract's strip chain, Gopher rules, dedup, mixture) all start
+from these records. The reference platform has no WARC surface
+(sources are Kafka/CSV/JSON/collection — taskmanager/operators/
+sources.py), so this is north-star capability, same chassis as the
+``spp_avro`` and ``spp_ticks`` sources (custom_datasource.py).
+
+Read schema (fixed — WARC is self-describing per record, not per file):
+
+    warc_file string, warc_type string, record_id string,
+    warc_date string, target_uri string, content_type string,
+    content_length bigint, payload binary
+
+Scale shape: ONE input partition per file — the honest parallelism unit
+for member-gzipped archives (gzip is not block-splittable without a
+side index; Common Crawl segments are ~1 GB each and a 100 TB crawl is
+~100k files, far above any executor count, so per-file parallelism
+saturates the cluster). Within a task the codec streams record by
+record: the working set is one record, never the file. ``pushFilters``
+accepts ``warc_type`` equality (e.g. ``response`` only) — records of
+other types are skipped right after their header block parses, before
+any row materializes (a CPU/allocation prune; the bytes still stream
+past, as they must under gzip).
+
+Write side (fixture/export path): each task writes one
+``part-<uuid>.warc[.gz]`` led by a ``warcinfo`` record (the standard
+file-level provenance convention), two-phase manifest commit — the
+same atomic rename + union/seed protocol as spp_avro, commit cost
+O(files) at the driver.
+
+Input rows for the writer: (warc_type, record_id, warc_date,
+target_uri, content_type, payload) — record_id/warc_date/target_uri
+may be empty strings, in which case the writer fills a deterministic
+UUIDv5 id and omits the URI header.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from stream_processing_platform_spark.sources.warccodec import (
+    decode_records,
+    encode_record,
+    record_id_from,
+    write_warc,
+)
+
+MANIFEST = "_spp_warc_manifest.json"
+
+WARC_SCHEMA_DDL = (
+    "warc_file string, warc_type string, record_id string, warc_date string, "
+    "target_uri string, content_type string, content_length bigint, payload binary"
+)
+
+_EXTS = (".warc", ".warc.gz", ".wet", ".wet.gz")
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    mf = os.path.join(path, MANIFEST)
+    if os.path.exists(mf):
+        with open(mf) as fh:
+            return [os.path.join(path, n) for n in json.load(fh)["files"]]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.endswith(_EXTS)
+        )
+    return sorted(p for p in _glob.glob(path) if p.endswith(_EXTS))
+
+
+@dataclass
+class WarcFilePartition(InputPartition):
+    path: str
+    warc_type: str | None = None  # pushed-down WARC-Type equality
+
+
+class WarcBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("spp_warc requires a path")
+        self._warc_type: str | None = None
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr else None
+            if isinstance(f, EqualTo) and col == "warc_type" and isinstance(f.value, str):
+                self._warc_type = f.value
+            else:
+                yield f  # Spark evaluates everything else post-scan
+
+    def partitions(self):
+        files = _list_files(self._path)
+        if not files:
+            raise ValueError(f"no WARC files under {self._path!r}")
+        return [WarcFilePartition(p, self._warc_type) for p in files]
+
+    def read(self, partition: WarcFilePartition):
+        base = os.path.basename(partition.path)
+        with open(partition.path, "rb") as fh:
+            for headers, body in decode_records(fh):
+                rtype = headers.get("WARC-Type", "")
+                if partition.warc_type is not None and rtype != partition.warc_type:
+                    continue
+                yield (
+                    base,
+                    rtype,
+                    headers.get("WARC-Record-ID", ""),
+                    headers.get("WARC-Date", ""),
+                    headers.get("WARC-Target-URI", ""),
+                    headers.get("Content-Type", ""),
+                    len(body),
+                    body,
+                )
+
+
+@dataclass
+class WarcPartFile(WriterCommitMessage):
+    name: str
+
+
+class WarcBatchWriter(DataSourceWriter):
+    """One WARC file per task, warcinfo-led, two-phase manifest commit
+    (protocol identical to spp_avro's writer — see that module's
+    comments for why temp names + union/seed semantics are load-bearing)."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("spp_warc requires a path")
+        self._gzip = str(options.get("gzip", "true")).lower() == "true"
+        self._date = options.get("warc_date", "2024-01-01T00:00:00Z")
+        self._overwrite = overwrite
+        names = [f.name for f in schema.fields]
+        want = ["warc_type", "record_id", "warc_date", "target_uri", "content_type", "payload"]
+        if names != want:
+            raise ValueError(f"spp_warc writer needs columns {want}, got {names}")
+        os.makedirs(self._path, exist_ok=True)
+
+    def _records(self, name: str, iterator):
+        info = f"software: stream-processing-platform-spark\r\nformat: WARC file version 1.0\r\n".encode()
+        yield (
+            {
+                "WARC-Type": "warcinfo",
+                "WARC-Record-ID": record_id_from(f"warcinfo:{name}"),
+                "WARC-Date": self._date,
+                "Content-Type": "application/warc-fields",
+            },
+            info,
+        )
+        for row in iterator:
+            wtype, rid, wdate, uri, ctype, payload = row
+            headers = {
+                "WARC-Type": wtype,
+                "WARC-Record-ID": rid or record_id_from(f"{wtype}:{uri}"),
+                "WARC-Date": wdate or self._date,
+                "Content-Type": ctype,
+            }
+            if uri:
+                headers["WARC-Target-URI"] = uri
+            yield headers, bytes(payload)
+
+    def write(self, iterator) -> WarcPartFile:
+        ext = ".warc.gz" if self._gzip else ".warc"
+        name = f"part-{uuid.uuid4().hex}{ext}"
+        full = os.path.join(self._path, "." + name + ".tmp")
+        write_warc(full, self._records(name, iterator), gzip_members=self._gzip)
+        return WarcPartFile(name)
+
+    def commit(self, messages) -> None:
+        files = [m.name for m in messages if m is not None]
+        for name in files:
+            os.replace(
+                os.path.join(self._path, "." + name + ".tmp"),
+                os.path.join(self._path, name),
+            )
+        mf_path = os.path.join(self._path, MANIFEST)
+        if not self._overwrite:
+            if os.path.exists(mf_path):
+                with open(mf_path) as fh:
+                    files = json.load(fh)["files"] + files
+            else:
+                new = set(files)
+                files = sorted(
+                    e
+                    for e in os.listdir(self._path)
+                    if e.endswith(_EXTS) and e not in new
+                ) + files
+        tmp = os.path.join(self._path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"files": files}, fh)
+        os.replace(tmp, mf_path)
+        if self._overwrite:
+            keep = set(files)
+            for e in os.listdir(self._path):
+                if e.endswith(_EXTS) and e not in keep:
+                    try:
+                        os.remove(os.path.join(self._path, e))
+                    except FileNotFoundError:
+                        pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                for name in ("." + m.name + ".tmp", m.name):
+                    try:
+                        os.remove(os.path.join(self._path, name))
+                    except FileNotFoundError:
+                        pass
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("spp_warc").load(path)`` — path may be a
+    file, a directory, or a glob; ``df.write.format("spp_warc")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "spp_warc"
+
+    def schema(self) -> str:
+        return WARC_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> WarcBatchReader:
+        return WarcBatchReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WarcBatchWriter:
+        return WarcBatchWriter(self.options, schema, overwrite)
+
+
+def register_warc_source(spark) -> None:
+    """Idempotent registration (and enable Python-source filter
+    pushdown, off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcDataSource)
