@@ -221,3 +221,170 @@ def q_warc_wet_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("content_length").alias("n_bytes"),
         )
     )
+
+
+# --------------------------------------------------------------- URL curation
+#
+# documents carry no URL column, so a deterministic URL is synthesized
+# per doc (pure function of doc_id — sequential-replay doctrine): both
+# engines build the identical string, then the OPERATOR under test
+# (operators/webcur.py registered-domain extraction) runs on the Spark
+# side while its generated SQL twin runs on duckdb.
+
+_URL_SUBS = ("www", "blog", "docs", "shop", "cdn")
+_URL_NAMES = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+_URL_SUFFIXES = ("com", "org", "net", "io", "co.uk", "com.au", "github.io", "ac.uk")
+
+# Registered domains banned by the curation policy — exercises both the
+# single-level and multi-level suffix branches of the PSL rule.
+_BLOCKLIST = ("beta.com", "zeta.co.uk", "epsilon.github.io", "delta.org")
+
+
+def _synth_url_col() -> F.Column:
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in _URL_SUBS]),
+        (F.col("doc_id") % len(_URL_SUBS) + 1).cast("int"),
+    )
+    name = F.element_at(
+        F.array(*[F.lit(s) for s in _URL_NAMES]),
+        (F.col("doc_id") % len(_URL_NAMES) + 1).cast("int"),
+    )
+    suf = F.element_at(
+        F.array(*[F.lit(s) for s in _URL_SUFFIXES]),
+        (F.col("doc_id") % len(_URL_SUFFIXES) + 1).cast("int"),
+    )
+    host = F.concat_ws(".", sub, name, suf)
+    return F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string"))
+
+
+def _synth_url_sql() -> str:
+    def arr(items):
+        return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+    sub = f"{arr(_URL_SUBS)}[CAST(doc_id % {len(_URL_SUBS)} AS INT) + 1]"
+    name = f"{arr(_URL_NAMES)}[CAST(doc_id % {len(_URL_NAMES)} AS INT) + 1]"
+    suf = f"{arr(_URL_SUFFIXES)}[CAST(doc_id % {len(_URL_SUFFIXES)} AS INT) + 1]"
+    return f"('https://' || {sub} || '.' || {name} || '.' || {suf} || '/p/' || CAST(doc_id AS VARCHAR))"
+
+
+def _domain_stats_oracle() -> str:
+    from stream_processing_platform_spark.operators.webcur import (
+        host_of_sql,
+        registered_domain_sql,
+    )
+
+    host = host_of_sql("url")
+    return f"""
+    WITH u AS (SELECT doc_id, text, {_synth_url_sql()} AS url FROM documents),
+    h AS (SELECT doc_id, text, {host} AS host FROM u),
+    d AS (SELECT doc_id, text, host, {registered_domain_sql("host")} AS registered_domain
+          FROM h)
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(length(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> ''))) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+           CAST(floor((count(*) - count(DISTINCT text)) * 10000.0 / count(*) + 0.5)
+                AS BIGINT) AS dup_rate_bp
+    FROM d
+    GROUP BY registered_domain
+    """
+
+
+@query(
+    "q_domain_stats",
+    oracle=None,  # generated below (shared suffix table)
+    description="Per-registered-domain corpus statistics — the standard "
+    "CCNet/RefinedWeb URL-level curation stage: hosts parsed with "
+    "parse_url, pay-level domains via the PSL-style longest-suffix rule "
+    "(operators/webcur.py; single- and multi-level suffixes both "
+    "exercised), then docs/hosts/tokens/exact-dup-rate per domain. "
+    "dup_rate_bp is on the integer basis-point grid ((n-u)*10000/n, "
+    "floor(x+0.5)). Scale shape: one domain-keyed shuffle with map-side "
+    "partials; the suffix rule set is a literal array in the plan "
+    "(never shuffled); distinct counts are exact per group.",
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.webcur import (
+        host_of,
+        registered_domain,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _synth_url_col().alias("url")
+    )
+    h = d.select("doc_id", "text", host_of(F.col("url")).alias("host"))
+    dom = h.select(
+        "doc_id", "text", "host", registered_domain(F.col("host")).alias("registered_domain")
+    )
+    n, u = F.count("*"), F.count_distinct(F.col("text"))
+    return dom.groupBy("registered_domain").agg(
+        n.alias("n_docs"),
+        F.count_distinct(F.col("host")).alias("n_hosts"),
+        F.sum(F.size(T.tokens(F.col("text")))).alias("n_tokens"),
+        u.alias("n_unique_texts"),
+        F.floor((n - u) * 10000.0 / n + 0.5).cast("long").alias("dup_rate_bp"),
+    )
+
+
+def _blocklist_oracle() -> str:
+    from stream_processing_platform_spark.operators.webcur import (
+        host_of_sql,
+        registered_domain_sql,
+    )
+
+    blocked = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    host = host_of_sql("url")
+    return f"""
+    WITH u AS (SELECT doc_id, lang, {_synth_url_sql()} AS url FROM documents),
+    h AS (SELECT doc_id, lang, url, {host} AS host FROM u),
+    d AS (SELECT doc_id, lang, url, host,
+                 {registered_domain_sql("host")} AS registered_domain
+          FROM h)
+    SELECT doc_id, host, registered_domain, lang
+    FROM d
+    WHERE registered_domain NOT IN ({blocked})
+    """
+
+
+@query(
+    "q_blocklist_filter",
+    oracle=None,  # generated below (shared suffix table)
+    description="Domain-blocklist anti-join — the URL-level removal "
+    "stage every web-curation pipeline runs before content filters. "
+    "The blocklist is a tiny dimension: broadcast-hinted LEFT ANTI "
+    "join on the registered domain (never a shuffle of the corpus "
+    "side), so at 100 TB the plan is one broadcast + one scan. "
+    "Blocklist entries hit both suffix branches (beta.com vs "
+    "zeta.co.uk / epsilon.github.io).",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.webcur import (
+        host_of,
+        registered_domain,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _synth_url_col().alias("url")
+    )
+    dom = d.select(
+        "doc_id",
+        "lang",
+        host_of(F.col("url")).alias("host"),
+    ).withColumn("registered_domain", registered_domain(F.col("host")))
+    blocked = spark.createDataFrame(
+        [(b,) for b in _BLOCKLIST], "registered_domain string"
+    )
+    return dom.join(
+        F.broadcast(blocked), "registered_domain", "left_anti"
+    ).select("doc_id", "host", "registered_domain", "lang")
+
+
+_REGW = __import__("stream_processing_platform_spark.registry", fromlist=["REGISTRY"]).REGISTRY
+from dataclasses import replace as _dc_replace_w  # noqa: E402
+
+_REGW["q_domain_stats"] = _dc_replace_w(_REGW["q_domain_stats"], oracle=_domain_stats_oracle())
+_REGW["q_blocklist_filter"] = _dc_replace_w(
+    _REGW["q_blocklist_filter"], oracle=_blocklist_oracle()
+)

@@ -82,6 +82,8 @@ _PRIORITY: list[str] = [
     # --- NEW r11 — never driver-checked (inserted as registered) ---
     'q_warc_extract',
     'q_warc_wet_tokens',
+    'q_domain_stats',
+    'q_blocklist_filter',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

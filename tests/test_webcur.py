@@ -1,0 +1,68 @@
+"""URL/domain curation operator tests (operators/webcur.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.operators.webcur import (
+    host_of,
+    host_of_sql,
+    registered_domain,
+    registered_domain_sql,
+)
+
+CASES = [
+    ("https://www.beta.com/p/1", "www.beta.com", "beta.com"),
+    ("https://blog.alpha.co.uk/x?y=1", "blog.alpha.co.uk", "alpha.co.uk"),
+    ("http://a.b.c.gamma.github.io/", "a.b.c.gamma.github.io", "gamma.github.io"),
+    ("https://delta.org/p", "delta.org", "delta.org"),  # no subdomain
+    ("https://co.uk/", "co.uk", "co.uk"),  # bare multi-level suffix passes through
+    ("https://localhost/x", "localhost", "localhost"),  # single label
+    ("https://CDN.Epsilon.COM.AU/y", "cdn.epsilon.com.au", "epsilon.com.au"),  # case
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from stream_processing_platform_spark.session import get_spark
+
+    return get_spark(app_name="test-webcur")
+
+
+def test_registered_domain_spark(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in CASES], "url string")
+    out = df.select(
+        host_of(F.col("url")).alias("host"),
+        registered_domain(host_of(F.col("url"))).alias("rd"),
+    ).collect()
+    for (u, host, rd), row in zip(CASES, out):
+        assert row["host"] == host, u
+        assert row["rd"] == rd, u
+
+
+def test_registered_domain_sql_twin_matches():
+    """The generated duckdb twin must agree case-for-case with the
+    Spark expression (same suffix table drives both)."""
+    con = duckdb.connect()
+    for u, host, rd in CASES:
+        h, r = con.execute(
+            f"SELECT {host_of_sql('url')} AS h, "
+            f"{registered_domain_sql(host_of_sql('url'))} AS r "
+            f"FROM (SELECT '{u}' AS url)"
+        ).fetchone()
+        assert h == host, u
+        assert r == rd, u
+
+
+def test_blocklist_plan_broadcasts(spark):
+    """The blocklist anti-join must broadcast the tiny dim — a shuffle
+    of the corpus side on registered_domain would be the 100 TB
+    bottleneck."""
+    from stream_processing_platform_spark.registry import queries
+
+    df = queries()["q_blocklist_filter"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
