@@ -226,9 +226,8 @@ def main() -> None:
         "q_dsir_weights",
         "q_video_frame_sample",
         "q_ann_ivf",
-        # round-10 additions
-        "q_audio_segments_flac",
-        "q_multimodal_avc_decode",
+        # round-10 additions (codec entries timed decode-only below —
+        # their fixture ENCODE stage is pre-materialized un-timed)
         "q_approx_percentile",  # now sketch-then-verify EXACT (also in headline)
         "q_quality_classifier",
         "q_unigram_tokenize",
@@ -246,6 +245,47 @@ def main() -> None:
             samples.append(time.time() - t0)
         samples.sort()
         extended[name] = round(samples[len(samples) // 2], 3)
+
+    # Codec queries: the in-query fixture ENCODER (a test harness, not
+    # the engine) dominated the r10 numbers (q_multimodal_avc_decode
+    # "15.8 s" was mostly the synthetic encoder's motion search). Per
+    # the r10 verdict, pre-materialize the fixture bytes ONCE into a
+    # parquet staging dir (un-timed apart from its own recorded cost)
+    # and time ONLY the decode path — the stage whose shape matters at
+    # 100 TB, where payload bytes come from storage, not an encoder.
+    import shutil
+    import tempfile
+
+    from stream_processing_platform_spark.queries.similarity import (
+        avc_decode_df,
+        avc_fixture_df,
+        flac_decode_df,
+        flac_fixture_df,
+    )
+
+    fixture_encode: dict[str, float] = {}
+    for name, fixture_fn, decode_fn in (
+        ("q_audio_segments_flac", flac_fixture_df, flac_decode_df),
+        ("q_multimodal_avc_decode", avc_fixture_df, avc_decode_df),
+    ):
+        stage = tempfile.mkdtemp(prefix="spp_bench_codec_fixture_")
+        try:
+            t0 = time.time()
+            fixture_fn(spark, sf_dir).write.mode("overwrite").parquet(stage)
+            fixture_encode[name] = round(time.time() - t0, 3)
+            fixed = spark.read.parquet(stage)
+            decode_fn(fixed).count()  # warm-up, same as above
+            samples = []
+            for _ in range(runs):
+                df = decode_fn(spark.read.parquet(stage))
+                t0 = time.time()
+                df.collect()
+                samples.append(time.time() - t0)
+            samples.sort()
+            extended[name] = round(samples[len(samples) // 2], 3)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
     # Extended (post-r4) operators are measured identically but live in
     # their own file: the driver tail-captures only ~2 KB of stdout, and
     # keeping 47+ entries inline truncated the JSON head in r6/r7/r8
@@ -255,8 +295,11 @@ def main() -> None:
         json.dump(
             {
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "methodology": "median-of-3, fresh lineage per run",
+                "methodology": "median-of-3, fresh lineage per run; codec "
+                "entries are DECODE-ONLY over pre-materialized fixture "
+                "parquet (encode cost reported separately)",
                 "extended_queries": extended,
+                "codec_fixture_encode_sec": fixture_encode,
             },
             fh,
             indent=1,
