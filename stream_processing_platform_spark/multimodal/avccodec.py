@@ -22,13 +22,20 @@ keyframe half of that gate with no codec library:
   to the decoder) so every decode path is exercised by bit-exact
   round-trip tests in-container.
 
+- **In-loop deblocking (r11)**: the full ITU-T 8.7 filter — boundary
+  strength derivation (intra/coeff/MV rules), Table 8-16/8-17 alpha/
+  beta/tc0 thresholds with slice offsets, the normal (bS<4) and strong
+  (bS=4) luma kernels, the 2-tap chroma kernels, spec MB/edge
+  processing order, qPp=0 for I_PCM. The decoder applies it whenever
+  the bitstream enables it (including when the PPS omits the slice
+  controls); the encoder can signal + run it in-loop (``deblock=True``)
+  so IDR+P round-trips stay bit-exact against filtered references —
+  real baseline streams with deblocking on (nearly all of them) now
+  decode instead of being refused.
+
 Honest gates (loud ``NotImplementedError``): CABAC, B slices, P
-sub-16x16 partitions, multiple reference frames,
-fields/MBAFF, high-profile tools (8x8 transform,
-scaling lists, monochrome), and in-loop deblocking — the encoder
-always signals ``disable_deblocking_filter_idc = 1`` and the decoder
-refuses streams that enable the filter rather than return wrong
-pixels.
+sub-16x16 partitions, multiple reference frames, fields/MBAFF, and
+high-profile tools (8x8 transform, scaling lists, monochrome).
 
 Conformance note: the VLC tables are transcribed from the public spec
 (ITU-T H.264 Tables 9-5, 9-7/9-8, 9-9, 9-10); with no reference
@@ -1052,6 +1059,7 @@ def encode_iframe(
     cr: np.ndarray,
     qp: int = 26,
     mode: str = "auto",
+    deblock: bool = False,
 ) -> list[bytes]:
     """Encode one 4:2:0 frame as [SPS, PPS, IDR-slice] NAL units.
 
@@ -1085,7 +1093,10 @@ def encode_iframe(
     bw.u(0, 1)    # no_output_of_prior_pics
     bw.u(0, 1)    # long_term_reference
     bw.se(0)      # slice_qp_delta (qp comes from PPS)
-    bw.ue(1)      # disable_deblocking_filter_idc = 1 (off)
+    bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
+    if deblock:
+        bw.se(0)  # slice_alpha_c0_offset_div2
+        bw.se(0)  # slice_beta_offset_div2
 
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
@@ -1190,6 +1201,20 @@ def encode_iframe(
             )
 
     bw.rbsp_trailing()
+    if deblock:
+        # run the decoder's filter on the in-loop recon so last_recon
+        # (the P-frame reference) matches a conformant decoder exactly;
+        # intra prediction above already used the UNFILTERED samples,
+        # as the spec requires
+        deblock_picture(
+            ry, rcb, rcr,
+            mb_qp=np.full((h_mbs, w_mbs), qp, dtype=np.int64),
+            pcm=np.full((h_mbs, w_mbs), mode == "pcm"),
+            intra=np.ones((h_mbs, w_mbs), dtype=bool),
+            nz=nc.luma,
+            mv=np.zeros((h_mbs, w_mbs, 2), dtype=np.int64),
+            ref=np.full((h_mbs, w_mbs), -1, dtype=np.int64),
+        )
     encode_iframe.last_recon = (
         ry.astype(np.uint8), rcb.astype(np.uint8), rcr.astype(np.uint8)
     )
@@ -1219,6 +1244,9 @@ def _new_frame_state(sps: dict, pps: dict, qp: int) -> dict:
         # -1 = intra, 0 = inter ref0
         "mv": np.zeros((h_mbs, w_mbs, 2), dtype=np.int64),
         "ref": np.full((h_mbs, w_mbs), -2, dtype=np.int64),
+        # per-MB deblocking metadata: running QP at the MB, I_PCM flags
+        "mb_qp": np.full((h_mbs, w_mbs), qp, dtype=np.int64),
+        "pcm": np.zeros((h_mbs, w_mbs), dtype=bool),
     }
 
 
@@ -1233,6 +1261,7 @@ def _decode_intra_mb(br: BitReader, mb_type: int, st: dict, mbx: int, mby: int) 
     if mb_type > 25:
         raise ValueError(f"AVC: invalid I mb_type {mb_type}")
     if mb_type == 25:  # I_PCM
+        st["pcm"][mby, mbx] = True
         br.byte_align()
         blk = np.array([br.u(8) for _ in range(256)], dtype=np.int64)
         ry[y0 : y0 + 16, x0 : x0 + 16] = blk.reshape(16, 16)
@@ -1325,9 +1354,253 @@ def _decode_intra_mb(br: BitReader, mb_type: int, st: dict, mbx: int, mby: int) 
     )
 
 
+# ----------------------------------------------- in-loop deblocking (8.7)
+#
+# ITU-T H.264 section 8.7: boundary-strength derivation (8.7.2.1), the
+# alpha/beta/tc0 threshold tables (Tables 8-16 / 8-17, transcribed from
+# the public spec), the normal (bS < 4) and strong (bS = 4) filters
+# (8.7.2.3 / 8.7.2.4). Frame-only, single-slice pictures: bS never needs
+# the field/MBAFF or cross-slice cases. The encoder runs the SAME filter
+# on its in-loop reconstruction, so IDR+P round-trips stay bit-exact and
+# P frames predict from the filtered reference exactly as a conformant
+# decoder would.
+
+_DB_ALPHA = [0] * 16 + [
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+    226, 255, 255,
+]
+_DB_BETA = [0] * 16 + [
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10,
+    11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
+]
+# tc0 by (indexA, bS-1) — Table 8-17
+_DB_TC0 = [(0, 0, 0)] * 17 + [
+    (0, 0, 1), (0, 0, 1), (0, 0, 1), (0, 0, 1),
+    (0, 1, 1), (0, 1, 1),
+    (1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1),
+    (1, 1, 2), (1, 1, 2), (1, 1, 2), (1, 1, 2),
+    (1, 2, 3), (1, 2, 3),
+    (2, 2, 3), (2, 2, 4), (2, 3, 4), (2, 3, 4),
+    (3, 3, 5), (3, 4, 6), (3, 4, 6),
+    (4, 5, 7), (4, 5, 8), (4, 6, 9),
+    (5, 7, 10), (6, 8, 11), (6, 8, 13), (7, 10, 14), (8, 11, 16),
+    (9, 12, 18), (10, 13, 20), (11, 15, 23), (13, 17, 25),
+]
+assert len(_DB_ALPHA) == len(_DB_BETA) == len(_DB_TC0) == 52
+
+
+def _luma_filter_seg(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
+    """Filter one luma edge segment (int64 arrays, one entry per line)
+    → (p2', p1', p0', q0', q1', q2'). Spec 8.7.2.3 (bS < 4) and
+    8.7.2.4 (bS = 4)."""
+    fm = (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) & (
+        np.abs(q1 - q0) < beta
+    )
+    ap = np.abs(p2 - p0)
+    aq = np.abs(q2 - q0)
+    if bs < 4:
+        tc = tc0 + (ap < beta) + (aq < beta)
+        delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+        p0n = np.clip(p0 + delta, 0, 255)
+        q0n = np.clip(q0 - delta, 0, 255)
+        dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
+        dq1 = np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
+        p1n = np.where(ap < beta, p1 + dp1, p1)
+        q1n = np.where(aq < beta, q1 + dq1, q1)
+        p2n, q2n = p2, q2
+    else:
+        close = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        sp = (ap < beta) & close
+        sq = (aq < beta) & close
+        p0n = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                       (2 * p1 + p0 + q1 + 2) >> 2)
+        p1n = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+        p2n = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+        q0n = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                       (2 * q1 + q0 + p1 + 2) >> 2)
+        q1n = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+        q2n = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    return tuple(
+        np.where(fm, n, o)
+        for n, o in ((p2n, p2), (p1n, p1), (p0n, p0),
+                     (q0n, q0), (q1n, q1), (q2n, q2))
+    )
+
+
+def _chroma_filter_seg(p1, p0, q0, q1, bs, alpha, beta, tc0):
+    """Filter one chroma edge segment → (p0', q0'). Chroma modifies
+    only the row/column adjacent to the edge (spec 8.7.2.3/8.7.2.4)."""
+    fm = (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) & (
+        np.abs(q1 - q0) < beta
+    )
+    if bs < 4:
+        tc = tc0 + 1
+        delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+        p0n = np.clip(p0 + delta, 0, 255)
+        q0n = np.clip(q0 - delta, 0, 255)
+    else:
+        p0n = (2 * p1 + p0 + q1 + 2) >> 2
+        q0n = (2 * q1 + q0 + p1 + 2) >> 2
+    return np.where(fm, p0n, p0), np.where(fm, q0n, q0)
+
+
+def _edge_bs(intra, nz, mv, ref, pbx, pby, qbx, qby, mb_edge: bool) -> int:
+    """Boundary strength for the edge between 4x4 luma blocks p and q
+    (block coordinates), spec 8.7.2.1 reduced to frame-only single-slice
+    single-reference streams."""
+    pm = (pby >> 2, pbx >> 2)
+    qm = (qby >> 2, qbx >> 2)
+    if intra[pm] or intra[qm]:
+        return 4 if mb_edge else 3
+    if nz[pby, pbx] or nz[qby, qbx]:
+        return 2
+    if ref[pm] != ref[qm]:
+        return 1
+    if (
+        abs(int(mv[pm][0]) - int(mv[qm][0])) >= 4
+        or abs(int(mv[pm][1]) - int(mv[qm][1])) >= 4
+    ):
+        return 1
+    return 0
+
+
+def deblock_picture(
+    ry: np.ndarray,
+    rcb: np.ndarray,
+    rcr: np.ndarray,
+    *,
+    mb_qp: np.ndarray,
+    pcm: np.ndarray,
+    intra: np.ndarray,
+    nz: np.ndarray,
+    mv: np.ndarray,
+    ref: np.ndarray,
+    chroma_qp_offset: int = 0,
+    a_off: int = 0,
+    b_off: int = 0,
+) -> None:
+    """In-place deblocking of one reconstructed picture (int64 planes).
+
+    MBs in raster order; per MB all vertical edges left→right, then all
+    horizontal edges top→bottom, each reading samples already modified
+    by earlier edges (spec 8.7 processing order). ``mb_qp``/``pcm``/
+    ``intra`` are per-MB, ``nz`` is the per-4x4-luma-block total_coeff
+    grid, ``mv``/``ref`` per-MB motion state. qPp of an I_PCM MB is 0
+    (8.7.2) so all-PCM content passes through untouched (alpha[0]=0) and
+    lossless fixtures stay lossless."""
+    h_mbs, w_mbs = mb_qp.shape
+    qpy = np.where(pcm, 0, mb_qp).astype(np.int64)
+    qpc_tab = np.array(
+        [[0 if pcm[r, c] else chroma_qp(int(mb_qp[r, c]), chroma_qp_offset)
+          for c in range(w_mbs)] for r in range(h_mbs)],
+        dtype=np.int64,
+    )
+
+    def thresholds(qp_tab, pmb, qmb, bs):
+        qav = (int(qp_tab[pmb]) + int(qp_tab[qmb]) + 1) >> 1
+        ia = min(max(qav + a_off, 0), 51)
+        ib = min(max(qav + b_off, 0), 51)
+        return _DB_ALPHA[ia], _DB_BETA[ib], (_DB_TC0[ia][bs - 1] if bs < 4 else 0)
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            # ---- vertical edges (filter columns), left → right
+            for e in range(4):
+                if e == 0 and mbx == 0:
+                    continue
+                x = mbx * 16 + e * 4
+                qbx = x >> 2
+                for j in range(4):
+                    by = mby * 4 + j
+                    bs = _edge_bs(intra, nz, mv, ref, qbx - 1, by, qbx, by, e == 0)
+                    if bs == 0:
+                        continue
+                    pmb = (by >> 2, (qbx - 1) >> 2)
+                    qmb = (by >> 2, qbx >> 2)
+                    alpha, beta, tc0 = thresholds(qpy, pmb, qmb, bs)
+                    if alpha == 0 or beta == 0:
+                        continue
+                    r0 = by * 4
+                    seg = ry[r0 : r0 + 4, x - 4 : x + 4]
+                    cols = [seg[:, k].copy() for k in range(8)]
+                    out = _luma_filter_seg(*cols, bs, alpha, beta, tc0)
+                    for k, arr in enumerate(out, start=1):
+                        seg[:, k] = arr
+            # vertical chroma edges: 4:2:0 ⇒ only the luma edges at
+            # x % 8 == 0 have chroma counterparts (e = 0 and e = 2)
+            for e in (0, 2):
+                if e == 0 and mbx == 0:
+                    continue
+                qbx = (mbx * 16 + e * 4) >> 2
+                xc = mbx * 8 + e * 2
+                for j in range(4):
+                    by = mby * 4 + j
+                    bs = _edge_bs(intra, nz, mv, ref, qbx - 1, by, qbx, by, e == 0)
+                    if bs == 0:
+                        continue
+                    pmb = (by >> 2, (qbx - 1) >> 2)
+                    qmb = (by >> 2, qbx >> 2)
+                    alpha, beta, tc0 = thresholds(qpc_tab, pmb, qmb, bs)
+                    if alpha == 0 or beta == 0:
+                        continue
+                    rc0 = mby * 8 + j * 2
+                    for plane in (rcb, rcr):
+                        seg = plane[rc0 : rc0 + 2, xc - 2 : xc + 2]
+                        cols = [seg[:, k].copy() for k in range(4)]
+                        p0n, q0n = _chroma_filter_seg(*cols, bs, alpha, beta, tc0)
+                        seg[:, 1] = p0n
+                        seg[:, 2] = q0n
+            # ---- horizontal edges (filter rows), top → bottom
+            for e in range(4):
+                if e == 0 and mby == 0:
+                    continue
+                yh = mby * 16 + e * 4
+                qby = yh >> 2
+                for j in range(4):
+                    bx = mbx * 4 + j
+                    bs = _edge_bs(intra, nz, mv, ref, bx, qby - 1, bx, qby, e == 0)
+                    if bs == 0:
+                        continue
+                    pmb = ((qby - 1) >> 2, bx >> 2)
+                    qmb = (qby >> 2, bx >> 2)
+                    alpha, beta, tc0 = thresholds(qpy, pmb, qmb, bs)
+                    if alpha == 0 or beta == 0:
+                        continue
+                    c0 = bx * 4
+                    seg = ry[yh - 4 : yh + 4, c0 : c0 + 4]
+                    rows = [seg[k, :].copy() for k in range(8)]
+                    out = _luma_filter_seg(*rows, bs, alpha, beta, tc0)
+                    for k, arr in enumerate(out, start=1):
+                        seg[k, :] = arr
+            for e in (0, 2):
+                if e == 0 and mby == 0:
+                    continue
+                qby = (mby * 16 + e * 4) >> 2
+                yc = mby * 8 + e * 2
+                for j in range(4):
+                    bx = mbx * 4 + j
+                    bs = _edge_bs(intra, nz, mv, ref, bx, qby - 1, bx, qby, e == 0)
+                    if bs == 0:
+                        continue
+                    pmb = ((qby - 1) >> 2, bx >> 2)
+                    qmb = (qby >> 2, bx >> 2)
+                    alpha, beta, tc0 = thresholds(qpc_tab, pmb, qmb, bs)
+                    if alpha == 0 or beta == 0:
+                        continue
+                    cc0 = mbx * 8 + j * 2
+                    for plane in (rcb, rcr):
+                        seg = plane[yc - 2 : yc + 2, cc0 : cc0 + 2]
+                        rows = [seg[k, :].copy() for k in range(4)]
+                        p0n, q0n = _chroma_filter_seg(*rows, bs, alpha, beta, tc0)
+                        seg[1, :] = p0n
+                        seg[2, :] = q0n
+
+
 def _parse_slice_header(br: BitReader, sps: dict, pps: dict, idr: bool,
-                        ref_idc: int) -> tuple[int, int]:
-    """Common slice-header fields → (slice_type % 5, qp)."""
+                        ref_idc: int) -> tuple[int, int, tuple[int, int, int]]:
+    """Common slice-header fields → (slice_type % 5, qp,
+    (disable_deblocking_filter_idc, alpha_offset, beta_offset))."""
     if br.ue() != 0:
         raise NotImplementedError("AVC: multi-slice pictures")
     slice_type = br.ue() % 5
@@ -1355,19 +1628,43 @@ def _parse_slice_header(br: BitReader, sps: dict, pps: dict, idr: bool,
         if br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("AVC: adaptive ref-pic marking (MMCO)")
     qp = pps["init_qp"] + br.se()
+    # deblocking controls: absent header fields ⇒ filter on, offsets 0
+    deb = (0, 0, 0)
     if pps["deblock_control"]:
-        if br.ue() != 1:
-            raise NotImplementedError("AVC: in-loop deblocking not implemented")
-    else:
-        raise NotImplementedError("AVC: in-loop deblocking not implemented")
-    return slice_type, qp
+        idc = br.ue()
+        if idc > 2:
+            raise ValueError(f"AVC: disable_deblocking_filter_idc {idc}")
+        if idc != 1:
+            # idc 2 (don't filter across slice boundaries) == idc 0 for
+            # the single-slice pictures this decoder accepts
+            deb = (idc, br.se() * 2, br.se() * 2)
+        else:
+            deb = (1, 0, 0)
+    return slice_type, qp, deb
 
 
-def _decode_islice(br: BitReader, sps: dict, pps: dict, qp: int):
+def _deblock_state(st: dict, deb: tuple[int, int, int]) -> None:
+    """Apply the in-loop filter to a fully decoded frame state when the
+    slice header enables it."""
+    if deb[0] == 1:
+        return
+    deblock_picture(
+        st["ry"], st["rcb"], st["rcr"],
+        mb_qp=st["mb_qp"], pcm=st["pcm"], intra=st["ref"] < 0,
+        nz=st["nc"].luma, mv=st["mv"], ref=st["ref"],
+        chroma_qp_offset=st["pps"]["chroma_qp_offset"],
+        a_off=deb[1], b_off=deb[2],
+    )
+
+
+def _decode_islice(br: BitReader, sps: dict, pps: dict, qp: int,
+                   deb: tuple[int, int, int] = (1, 0, 0)):
     st = _new_frame_state(sps, pps, qp)
     for mby in range(st["h_mbs"]):
         for mbx in range(st["w_mbs"]):
             _decode_intra_mb(br, br.ue(), st, mbx, mby)
+            st["mb_qp"][mby, mbx] = st["qp"]
+    _deblock_state(st, deb)
     return (
         st["ry"].astype(np.uint8),
         st["rcb"].astype(np.uint8),
@@ -1479,7 +1776,8 @@ def _decode_inter16_mb(br: BitReader, st: dict, ref_planes, mbx: int, mby: int):
     )
 
 
-def _decode_pslice(br: BitReader, sps: dict, pps: dict, qp: int, ref_planes):
+def _decode_pslice(br: BitReader, sps: dict, pps: dict, qp: int, ref_planes,
+                   deb: tuple[int, int, int] = (1, 0, 0)):
     st = _new_frame_state(sps, pps, qp)
     refs = tuple(p.astype(np.int64) for p in ref_planes)
     total = st["w_mbs"] * st["h_mbs"]
@@ -1491,6 +1789,7 @@ def _decode_pslice(br: BitReader, sps: dict, pps: dict, qp: int, ref_planes):
         for _ in range(run):
             mbx, mby = i % st["w_mbs"], i // st["w_mbs"]
             _recon_skip_mb(st, refs, mbx, mby)
+            st["mb_qp"][mby, mbx] = st["qp"]
             i += 1
         if i >= total:
             break
@@ -1505,7 +1804,9 @@ def _decode_pslice(br: BitReader, sps: dict, pps: dict, qp: int, ref_planes):
                 f"AVC: P macroblock partitions (mb_type {mb_type} — only "
                 "P_Skip / P_L0_16x16 / intra-in-P implemented)"
             )
+        st["mb_qp"][mby, mbx] = st["qp"]
         i += 1
+    _deblock_state(st, deb)
     return (
         st["ry"].astype(np.uint8),
         st["rcb"].astype(np.uint8),
@@ -1532,17 +1833,17 @@ def decode_stream(nals: list[bytes]) -> list[tuple[np.ndarray, np.ndarray, np.nd
             if sps is None or pps is None:
                 raise ValueError("AVC: slice before SPS/PPS")
             br = BitReader(rbsp)
-            stype, qp = _parse_slice_header(br, sps, pps, ntype == 5, ref_idc)
+            stype, qp, deb = _parse_slice_header(br, sps, pps, ntype == 5, ref_idc)
             if ntype == 5:
                 if stype != 2:
                     raise NotImplementedError("AVC: non-I IDR slice")
-                prev = _decode_islice(br, sps, pps, qp)
+                prev = _decode_islice(br, sps, pps, qp, deb)
             else:
                 if stype != 0:
                     raise NotImplementedError(f"AVC: slice_type {stype} (B?)")
                 if prev is None:
                     raise ValueError("AVC: P slice with no reference frame")
-                prev = _decode_pslice(br, sps, pps, qp, prev)
+                prev = _decode_pslice(br, sps, pps, qp, prev, deb)
             frames.append(prev)
     return frames
 
@@ -1952,6 +2253,7 @@ def encode_pframe(
     qp: int = 26,
     frame_num: int = 1,
     search: int = 4,
+    deblock: bool = False,
 ) -> bytes:
     """Encode one P frame (single NAL, type 1) predicting from
     ``ref_planes`` (the previous decoded frame): P_Skip where the
@@ -1983,7 +2285,10 @@ def encode_pframe(
     bw.u(0, 1)     # ref_pic_list_modification_flag_l0
     bw.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
     bw.se(0)       # slice_qp_delta
-    bw.ue(1)       # disable_deblocking_filter_idc
+    bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
+    if deblock:
+        bw.se(0)   # slice_alpha_c0_offset_div2
+        bw.se(0)   # slice_beta_offset_div2
 
     def quant_inter_luma(src_b, pred_b):
         zs = []
@@ -2101,6 +2406,16 @@ def encode_pframe(
     if skip_run:
         bw.ue(skip_run)
     bw.rbsp_trailing()
+    if deblock:
+        deblock_picture(
+            ry, rcb, rcr,
+            mb_qp=np.full((h_mbs, w_mbs), qp, dtype=np.int64),
+            pcm=np.zeros((h_mbs, w_mbs), dtype=bool),
+            intra=st["ref"] < 0,
+            nz=nc.luma,
+            mv=st["mv"],
+            ref=st["ref"],
+        )
     encode_pframe.last_recon = (
         ry.astype(np.uint8), rcb.astype(np.uint8), rcr.astype(np.uint8)
     )
@@ -2111,21 +2426,24 @@ def encode_gop(
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     qp: int = 26,
     gop_size: int = 8,
+    deblock: bool = False,
 ) -> tuple[list[list[bytes]], list[bool]]:
     """Encode an IDR+P group-of-pictures sequence. Returns (per-frame
     NAL lists, per-frame sync flags); frame 0 and every ``gop_size``-th
-    frame are IDR, the rest P-predict from the previous recon."""
+    frame are IDR, the rest P-predict from the previous recon (the
+    in-loop-filtered recon when ``deblock`` is set)."""
     aus: list[list[bytes]] = []
     syncs: list[bool] = []
     prev = None
     for i, (fy, fcb, fcr) in enumerate(frames):
         if i % gop_size == 0 or prev is None:
-            nals = encode_iframe(fy, fcb, fcr, qp=qp)
+            nals = encode_iframe(fy, fcb, fcr, qp=qp, deblock=deblock)
             prev = encode_iframe.last_recon
             aus.append(nals)
             syncs.append(True)
         else:
-            nal = encode_pframe(fy, fcb, fcr, prev, qp=qp, frame_num=i % 16)
+            nal = encode_pframe(fy, fcb, fcr, prev, qp=qp, frame_num=i % 16,
+                                deblock=deblock)
             prev = encode_pframe.last_recon
             aus.append([nal])
             syncs.append(False)

@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     'q_warc_wet_tokens',
     'q_domain_stats',
     'q_blocklist_filter',
+    'q_multimodal_avc_deblock',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
