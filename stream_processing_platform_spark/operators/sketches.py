@@ -76,3 +76,97 @@ def heavy_hitters(df: DataFrame, item_col: str, phi_denom: int) -> DataFrame:
         .join(F.broadcast(total), F.col("cnt") * phi_denom > F.col("_total"))
         .select(item_col, "cnt")
     )
+
+
+# ------------------------------------------------------------------ KMV
+#
+# k-minimum-values distinct sketch (Bar-Yossef et al. 2002, the
+# bottom-k / theta-sketch family): hash every value, keep the k smallest
+# DISTINCT hashes per group, estimate |D| as (k-1) * M / h_(k) where
+# h_(k) is the k-th minimum and M the hash range. Unlike HLL (whose
+# register layout is engine-specific, so q_approx_distinct can only be
+# rows-only checked), KMV over the SQL-expressible Knuth hash is a PURE
+# FUNCTION of the data: every intermediate is a BIGINT, so a duckdb
+# oracle replays the sketch exactly and the driver hash-checks the
+# approximation itself — the same doctrine that made the ANN tiers and
+# q_approx_percentile full-oracle.
+#
+# Scale shape: one (group, hash) dedup shuffle, then a rank-window
+# top-k whose filter Spark rewrites to WindowGroupLimit — each map task
+# keeps at most k rows per group before the exchange, so state is
+# bounded by k per group everywhere, never by |D|. Estimator error is
+# ~1/sqrt(k-2) relative (pytest-gated).
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+    salt: int = 7,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value_col) per group via a
+    deterministic KMV sketch. Columns: group_cols + (approx_distinct,
+    kth_hash). When a group holds fewer than k distinct hashes the
+    sketch IS the distinct set and the exact count is returned
+    (kth_hash then being the max observed hash)."""
+    from pyspark.sql import Window
+
+    from stream_processing_platform_spark.functions.cols import as_col_list
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        repro_hash_col,
+    )
+
+    gcols = as_col_list(group_cols)
+    d = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, repro_hash_col(F.col(value_col), salt=salt).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[c for c in group_cols]).orderBy("_h")
+    topk = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return topk.groupBy(*[c for c in group_cols]).agg(
+        F.when(
+            F.count("*") < k, F.count("*")
+        )
+        .otherwise(F.expr(f"CAST({k - 1} AS BIGINT) * {REPRO_INIT_MOD} div max(_h)"))
+        .alias("approx_distinct"),
+        F.max("_h").alias("kth_hash"),
+    )
+
+
+def kmv_distinct_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+    salt: int = 7,
+) -> str:
+    """Generated duckdb oracle twin of :func:`kmv_distinct` — built from
+    the same constants so the estimator can never drift from the
+    operator (the generated-oracles doctrine)."""
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        repro_hash_sql,
+    )
+
+    g = ", ".join(group_cols)
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT {g}, {repro_hash_sql(value_col, salt=salt)} AS h
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    r AS (
+      SELECT {g}, h,
+             row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn
+      FROM d
+    )
+    SELECT {g},
+           CAST(CASE WHEN count(*) < {k} THEN count(*)
+                ELSE (CAST({k - 1} AS BIGINT) * {REPRO_INIT_MOD}) // max(h)
+                END AS BIGINT) AS approx_distinct,
+           CAST(max(h) AS BIGINT) AS kth_hash
+    FROM r WHERE rn <= {k}
+    GROUP BY {g}
+    """

@@ -968,6 +968,46 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K, _KMV_SALT = 32, 7
+
+
+@query(
+    "q_approx_distinct_kmv",
+    oracle=None,  # patched below from the generated twin
+    description="Approximate COUNT(DISTINCT user_id) per event_type via "
+    "a k-minimum-values sketch (r11) — the FULL-ORACLE counterpart of "
+    "q_approx_distinct's engine-specific HLL: the k smallest distinct "
+    "Knuth-hash values per group are a pure BIGINT function of the "
+    "data, so duckdb replays the sketch (and its (k-1)*M/h_k estimator) "
+    "exactly and the driver hash-checks the approximation itself. "
+    "Scale shape: one (group,hash) dedup shuffle + a WindowGroupLimit "
+    "top-k — per-group state bounded by k everywhere, never by |D|; "
+    "estimator error ~1/sqrt(k-2), pytest-gated vs the exact count.",
+)
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.sketches import kmv_distinct
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(e, ["event_type"], "user_id", k=_KMV_K, salt=_KMV_SALT)
+
+
+def _patch_kmv_oracle() -> None:
+    from dataclasses import replace as _dc_replace
+
+    from stream_processing_platform_spark.operators.sketches import kmv_distinct_sql
+    from stream_processing_platform_spark.registry import REGISTRY
+
+    REGISTRY["q_approx_distinct_kmv"] = _dc_replace(
+        REGISTRY["q_approx_distinct_kmv"],
+        oracle=kmv_distinct_sql(
+            "events", ["event_type"], "user_id", k=_KMV_K, salt=_KMV_SALT
+        ),
+    )
+
+
+_patch_kmv_oracle()
+
+
 @query(
     "q_percentiles",
     oracle="""

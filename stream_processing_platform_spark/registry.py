@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     'q_domain_stats',
     'q_blocklist_filter',
     'q_multimodal_avc_deblock',
+    'q_approx_distinct_kmv',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

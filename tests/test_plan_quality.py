@@ -215,6 +215,9 @@ def test_window_topk_rank_limit_pushdown(spark, sf_dir):
                                      # (encode argmin is a min(struct)
                                      # aggregate, not a rank-limit)
         ("q_ann_ivfpq", 3, 3),       # probes + ADC cut + exact re-rank
+        ("q_approx_distinct_kmv", 1, 1),  # KMV bottom-k per group: the
+                                     # Partial limit is what bounds
+                                     # per-group state by k everywhere
     ]:
         modes = _window_group_limit_modes(_plan(qs[name](spark, sf_dir)))
         finals = modes.count("Final")
