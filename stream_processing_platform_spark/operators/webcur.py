@@ -100,3 +100,86 @@ def registered_domain_sql(
         f"THEN ({p}[-3] || '.' || {last2}) "
         f"WHEN len({p}) >= 2 THEN {last2} ELSE {host_expr} END"
     )
+
+
+# ------------------------------------------------- URL canonicalization
+#
+# The CCNet/RefinedWeb dedup-key step: distinct raw URLs that denote the
+# same resource must collapse before URL-level dedup/stats, or per-URL
+# counts fragment across case/port/tracking-param/fragment variants.
+# Pure JVM expressions (regexp + array ops — whole-stage codegen); the
+# duckdb twin is generated from the SAME tracking-parameter table.
+
+# Query parameters that never change the denoted resource (click/campaign
+# trackers). Shared by the Column and SQL builders.
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_[^=]*",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "ref",
+)
+
+_TRACK_RE = "^(" + "|".join(TRACKING_PARAMS) + ")="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL: lowercased scheme and host, userinfo and
+    default port stripped, fragment dropped, tracking query parameters
+    removed and the rest sorted, trailing path slashes collapsed
+    (empty path -> '/'). Variants of the same resource become equal
+    strings; everything stays inside whole-stage codegen."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^[^@]*@", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACK_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qtail)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """duckdb twin of :func:`canonical_url`, generated from the same
+    tracking-parameter table. Kept as a single expression so callers can
+    splice it into generated oracles."""
+    scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    hostport = (
+        f"lower(regexp_extract({url_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))"
+    )
+    host = f"regexp_replace({hostport}, '^[^@]*@', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({url_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')"
+    )
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}')))"
+    )
+    qtail = (
+        f"CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string({kept}, '&') ELSE '' END"
+    )
+    return f"({scheme} || '://' || {host} || {path} || {qtail})"

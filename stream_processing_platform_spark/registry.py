@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     'q_blocklist_filter',
     'q_multimodal_avc_deblock',
     'q_approx_distinct_kmv',
+    'q_url_canonicalize',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

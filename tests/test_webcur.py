@@ -66,3 +66,48 @@ def test_blocklist_plan_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+CANON_CASES = [
+    # (raw, canonical)
+    ("HTTPS://User:pw@WWW.Alpha.COM:443/p/7/?utm_source=x&b=2&a=1#frag",
+     "https://www.alpha.com/p/7?a=1&b=2"),
+    ("https://www.alpha.com/p/7?a=1&b=2", "https://www.alpha.com/p/7?a=1&b=2"),
+    ("http://beta.org:80//", "http://beta.org/"),
+    ("http://beta.org", "http://beta.org/"),
+    ("https://shop.gamma.co.uk/a/b/?ref=tw", "https://shop.gamma.co.uk/a/b"),
+    ("ftp://x.y:80/z/", "ftp://x.y:80/z"),  # :80 is NOT ftp's default
+    ("https://a.io/?gclid=1&fbclid=2&msclkid=3&mc_cid=4&mc_eid=5&utm_x=6",
+     "https://a.io/"),
+    ("https://a.io/p?refresh=1", "https://a.io/p?refresh=1"),  # 'ref' is
+    # anchored with '=' so legitimate params sharing the prefix survive
+]
+
+
+def test_canonical_url_spark_cases(spark):
+    from stream_processing_platform_spark.operators.webcur import canonical_url
+
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(CANON_CASES, got):
+        assert g == want, u
+
+
+def test_canonical_url_sql_twin_and_idempotence(spark):
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    con = duckdb.connect()
+    for u, want in CANON_CASES:
+        got = con.execute(
+            f"SELECT {canonical_url_sql('url')} FROM (SELECT '{u}' AS url)"
+        ).fetchone()[0]
+        assert got == want, u
+    # canonicalization is idempotent: canonical(canonical(u)) == canonical(u)
+    df = spark.createDataFrame([(w,) for _, w in CANON_CASES], "url string")
+    again = [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert again == [w for _, w in CANON_CASES]
