@@ -60,3 +60,89 @@ def text_density(raw: Column, stripped: Column) -> Column:
     boilerplate signal (low density ⇒ chrome-heavy page). Exact-integer
     lengths, floor(x+0.5) rounding: engine-portable."""
     return F.floor(F.length(stripped) * 10000.0 / F.length(raw) + 0.5) / 10000.0
+
+
+# ------------------------------------------------ block-level extraction
+#
+# jusText/trafilatura-lite: real pipelines don't strip a page to one
+# string — they segment it into BLOCKS at block-level tag boundaries,
+# score each block (visible-text length, link density), and keep only
+# content-like blocks, which is what actually removes nav bars,
+# sidebars, ad units and footers (a whole-page strip keeps their text).
+# Shared-constant design: the Spark Columns and the duckdb SQL are both
+# generated from the tables below, so the heuristic can never drift
+# between engines.
+
+# block-level boundaries -> split sentinel (absent from fixtures/corpus)
+_BLOCK_TAG_RE = (
+    r"</?(p|div|h[1-6]|li|ul|ol|nav|header|footer|aside|section|article"
+    r"|table|tr|td|blockquote|br)[^>]*>"
+)
+_BLOCK_SENTINEL = "¶"  # pilcrow
+_LINK_RE = r"(?s)<a [^>]*>(.*?)</a>"
+MIN_BLOCK_TEXT = 25   # chars of visible text a content block must have
+LINK_RATIO_DENOM = 3  # keep iff link_chars * DENOM < text_chars (<1/3 links)
+
+
+def _block_is_content(b: Column) -> Column:
+    text_len = F.length(strip_html(b))
+    link_len = F.length(
+        F.regexp_replace(
+            F.array_join(F.regexp_extract_all(b, F.lit(_LINK_RE), 1), ""),
+            r"<[^>]+>",
+            "",
+        )
+    )
+    return (text_len >= MIN_BLOCK_TEXT) & (link_len * LINK_RATIO_DENOM < text_len)
+
+
+def boilerplate_blocks(raw: Column) -> dict[str, Column]:
+    """Block-level content extraction of an HTML payload. Returns the
+    columns ``content`` (kept blocks' visible text joined by single
+    spaces), ``n_blocks`` (blocks with any visible text) and ``n_kept``.
+
+    Pure column expressions; the per-block strip chain runs inside
+    higher-order-function lambdas (interpreted per element — fine for
+    the tens of blocks a page has; the page itself never shuffles)."""
+    blocks = F.split(F.regexp_replace(raw, _BLOCK_TAG_RE, _BLOCK_SENTINEL),
+                     _BLOCK_SENTINEL)
+    nonempty = F.filter(blocks, lambda b: F.length(strip_html(b)) > 0)
+    kept = F.filter(blocks, _block_is_content)
+    return {
+        "content": F.array_join(F.transform(kept, strip_html), " "),
+        "n_blocks": F.size(nonempty).cast("long"),
+        "n_kept": F.size(kept).cast("long"),
+    }
+
+
+def boilerplate_blocks_sql(raw_expr: str) -> dict[str, str]:
+    """duckdb twin of :func:`boilerplate_blocks`, generated from the
+    same tag/link/threshold tables."""
+    blocks = (
+        f"string_split(regexp_replace({raw_expr}, '{_BLOCK_TAG_RE}', "
+        f"'{_BLOCK_SENTINEL}', 'g'), '{_BLOCK_SENTINEL}')"
+    )
+    strip_b = strip_html_sql("b")
+    # duckdb regexp_extract_all yields NULL (not []) when nothing
+    # matches — coalesce so linkless blocks score 0, as on the Spark side
+    link_b = (
+        f"coalesce(length(regexp_replace(array_to_string("
+        f"regexp_extract_all(b, '{_LINK_RE}', 1), ''), '<[^>]+>', '', 'g')), 0)"
+    )
+    keep = (
+        f"length({strip_b}) >= {MIN_BLOCK_TEXT} "
+        f"AND {link_b} * {LINK_RATIO_DENOM} < length({strip_b})"
+    )
+    kept = f"list_filter({blocks}, b -> {keep})"
+    nonempty = f"list_filter({blocks}, b -> length({strip_b}) > 0)"
+    return {
+        # coalesce: duckdb's array_to_string over an empty list is NULL,
+        # Spark's array_join is '' — a page with zero content blocks
+        # must emit '' on both engines (no-nullable-columns invariant)
+        "content": (
+            f"coalesce(array_to_string("
+            f"list_transform({kept}, b -> {strip_b}), ' '), '')"
+        ),
+        "n_blocks": f"CAST(len({nonempty}) AS BIGINT)",
+        "n_kept": f"CAST(len({kept}) AS BIGINT)",
+    }

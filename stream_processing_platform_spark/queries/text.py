@@ -2918,3 +2918,91 @@ def _ppl_band_oracle() -> str:
 _REG2["q_ppl_band_prune"] = _dc_replace2(
     _REG2["q_ppl_band_prune"], oracle=_ppl_band_oracle()
 )
+
+
+# ------------------------------------------- block-level boilerplate (r11)
+#
+# Page chrome with REALISTIC boilerplate structure: nav bar, heading, an
+# ad unit, the document text split across two <p> blocks, a link-heavy
+# aside and a footer — so q_boilerplate_blocks proves the block
+# classifier keeps exactly the content paragraphs and drops every
+# chrome block (a whole-page strip, q_html_extract, keeps their text).
+# No single quotes, no pilcrow (the block sentinel) in any constant.
+
+_BP_PRE = (
+    "<html><head><script>var a = 1 < 2;</script><style>.m {}</style>"
+    "</head><body><nav><a href=x>Home</a> <a href=y>About</a> "
+    "<a href=z>Contact</a></nav><h1>Doc "
+)
+_BP_MID1 = (
+    "</h1><div class=ad><a href=b>Buy now before the countdown timer "
+    "expires</a></div><p>"
+)
+_BP_MID2 = "</p><aside><a href=m>more</a> links</aside><p>"
+_BP_POST = (
+    "</p><footer>Copyright 2026 <a href=t>Terms</a> "
+    "<a href=p>Privacy</a></footer></body></html>"
+)
+
+
+def _bp_raw_col() -> F.Column:
+    half = F.expr("length(text) div 2")
+    left = F.col("text").substr(F.lit(1), half)
+    right = F.col("text").substr(half + 1, F.length("text"))
+    return F.concat(
+        F.lit(_BP_PRE), F.col("source"), F.lit(_BP_MID1), left,
+        F.lit(_BP_MID2), right, F.lit(_BP_POST),
+    )
+
+
+def _bp_raw_sql() -> str:
+    return (
+        f"('{_BP_PRE}' || source || '{_BP_MID1}' "
+        f"|| substr(text, 1, length(text) // 2) || '{_BP_MID2}' "
+        f"|| substr(text, length(text) // 2 + 1) || '{_BP_POST}')"
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from stream_processing_platform_spark.functions.html import boilerplate_blocks_sql
+
+    e = boilerplate_blocks_sql(_bp_raw_sql())
+    return f"""
+    SELECT doc_id, {e["content"]} AS content,
+           {e["n_blocks"]} AS n_blocks, {e["n_kept"]} AS n_kept
+    FROM documents
+    """
+
+
+@query(
+    "q_boilerplate_blocks",
+    oracle=None,  # generated below from the same tag/threshold tables
+    description="Block-level boilerplate removal (r11, jusText/"
+    "trafilatura-lite): pages segment into blocks at block-tag "
+    "boundaries, each block scores visible-text length and link "
+    "density, and only content-like blocks survive — which is what "
+    "actually drops nav bars, ad units, asides and footers (the whole-"
+    "page strip of q_html_extract keeps their text). Fixture wraps "
+    "every document in chrome with all four boilerplate classes and "
+    "the payload split across two paragraphs; pytest pins that the "
+    "extracted content is exactly the document text and every chrome "
+    "block is gone. Pure column expressions (split + HOF filter/"
+    "transform over the shared strip chain); duckdb twin generated "
+    "from the same tables. Scale shape: per-row map, no shuffle.",
+)
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.html import boilerplate_blocks
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = boilerplate_blocks(_bp_raw_col())
+    return d.select(
+        "doc_id",
+        cols["content"].alias("content"),
+        cols["n_blocks"].alias("n_blocks"),
+        cols["n_kept"].alias("n_kept"),
+    )
+
+
+_REG2["q_boilerplate_blocks"] = _dc_replace2(
+    _REG2["q_boilerplate_blocks"], oracle=_boilerplate_oracle()
+)

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     'q_multimodal_avc_deblock',
     'q_approx_distinct_kmv',
     'q_url_canonicalize',
+    'q_boilerplate_blocks',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

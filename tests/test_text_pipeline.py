@@ -542,3 +542,68 @@ def test_gate_stats_long_doc_linear_and_exact(spark):
     assert out["max_tf"] == 137
     assert out["n_words"] == 20_000
     assert elapsed < 30, f"long-doc gate took {elapsed:.1f}s — quadratic regression?"
+
+
+def test_boilerplate_blocks_recover_content_and_drop_chrome(spark):
+    """Block-level extraction (r11): the kept content must be exactly
+    the payload paragraphs (chrome text like Home/About/Buy/Copyright
+    gone), and the whole-page strip must NOT have that property — the
+    reason the block classifier exists."""
+    from stream_processing_platform_spark.functions.html import (
+        boilerplate_blocks,
+        strip_html,
+    )
+    from stream_processing_platform_spark.queries.text import _bp_raw_col
+
+    payload = (
+        "spark shuffles partition data across executors when joins demand it "
+        "and broadcast joins avoid the exchange for small dimension tables"
+    )
+    df = spark.createDataFrame(
+        [(1, payload, "srcA")], "doc_id long, text string, source string"
+    )
+    cols = boilerplate_blocks(_bp_raw_col())
+    row = df.select(
+        cols["content"].alias("c"),
+        cols["n_blocks"].alias("nb"),
+        cols["n_kept"].alias("nk"),
+        strip_html(_bp_raw_col()).alias("whole"),
+    ).collect()[0]
+    # the two kept paragraphs concatenate back to the payload halves
+    # (the fixture splits at length/2, which may land mid-word)
+    half = len(payload) // 2
+    expected = " ".join((payload[:half].strip() + " " + payload[half:].strip()).split())
+    assert row["c"] == expected
+    assert row["nk"] == 2
+    assert row["nb"] > row["nk"]  # chrome blocks existed and were dropped
+    for chrome in ("Home", "About", "Buy now", "Copyright", "more"):
+        assert chrome not in row["c"]
+        assert chrome in row["whole"]  # the whole-page strip keeps chrome
+
+
+def test_boilerplate_blocks_zero_content_page(spark):
+    """A page whose payload halves are too short keeps nothing and must
+    emit an EMPTY (not null) content string on both engines."""
+    import duckdb
+
+    from stream_processing_platform_spark.functions.html import (
+        boilerplate_blocks,
+        boilerplate_blocks_sql,
+    )
+    from stream_processing_platform_spark.queries.text import (
+        _bp_raw_col,
+        _bp_raw_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny text", "srcB")], "doc_id long, text string, source string"
+    )
+    cols = boilerplate_blocks(_bp_raw_col())
+    row = df.select(cols["content"].alias("c"), cols["n_kept"].alias("nk")).collect()[0]
+    assert row["c"] == "" and row["nk"] == 0
+    e = boilerplate_blocks_sql(_bp_raw_sql())
+    got = duckdb.sql(
+        f"SELECT {e['content']} AS c, {e['n_kept']} AS nk FROM "
+        f"(SELECT 'tiny text' AS text, 'srcB' AS source)"
+    ).fetchone()
+    assert got == ("", 0)
