@@ -206,3 +206,68 @@ def weighted_sample_sql(
     ORDER BY key_nano ASC, {id_col} ASC
     LIMIT {k}
     """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    hash_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture (the XLM-R/mT5 alpha-sampling rule):
+    source weights derive from the corpus itself as ``n_s ** 0.5``
+    instead of a hand recipe — tail sources are upweighted relative to
+    their raw share, the standard fix for head-language domination in
+    multilingual/multi-domain training sets.
+
+    Alpha is fixed at 0.5 because ``sqrt`` is IEEE exact-rounded on
+    every engine (``pow`` is not), so ``floor(sqrt(n_s) * 1000)`` is a
+    bit-identical BIGINT weight cross-engine — the no-float-divergence
+    doctrine. Targets use staged integer division (the q_dsir_weights
+    rule): exact under ANSI while ``total_w^2 < 2^63`` — total_w is
+    ~1000*sqrt(corpus tokens), so the bound holds to ~10^12-token
+    corpora per thousand sources; beyond that, shift weights down
+    before summing.
+
+    Admission then follows :func:`corpus_mixture`'s shape — one window
+    shuffle per source in fingerprint order, boundary doc admitted
+    whole. Returns kept rows with ``weight_milli`` and ``mix_target``
+    attached. Everything stays distributed: the per-source weight table
+    (|sources| rows) is broadcast back, never collected."""
+    counts = df.groupBy(source_col).agg(F.sum(token_col).alias("_n_s"))
+    w = counts.select(
+        source_col,
+        F.floor(F.sqrt(F.col("_n_s")) * 1000).cast("long").alias("weight_milli"),
+    )
+    total = w.agg(F.sum("weight_milli").alias("_total_w"))
+    recipe = (
+        w.join(F.broadcast(total))
+        .select(
+            source_col,
+            "weight_milli",
+            (
+                F.col("weight_milli") * F.expr(f"{budget_tokens} div _total_w")
+                + F.expr(
+                    f"weight_milli * ({budget_tokens} % _total_w) div _total_w"
+                )
+            ).alias("mix_target"),
+        )
+    )
+    order = (
+        [F.col(hash_col).asc(), F.col(order_col).asc()]
+        if hash_col
+        else [F.col(order_col).asc()]
+    )
+    win = (
+        Window.partitionBy(source_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(F.broadcast(recipe), source_col)
+        .withColumn("_cum_before", F.coalesce(F.sum(token_col).over(win), F.lit(0)))
+        .where(F.col("_cum_before") < F.col("mix_target"))
+        .drop("_cum_before")
+    )

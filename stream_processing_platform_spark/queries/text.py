@@ -3006,3 +3006,65 @@ def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG2["q_boilerplate_blocks"] = _dc_replace2(
     _REG2["q_boilerplate_blocks"], oracle=_boilerplate_oracle()
 )
+
+
+_TEMP_MIX_BUDGET = 24_000
+
+
+@query(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len({_SQL_TOKENS}) AS BIGINT) AS n,
+                      {_SQL_FP} AS h
+               FROM documents),
+    c AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM t GROUP BY source),
+    w AS (SELECT source,
+                 CAST(floor(sqrt(n_s) * 1000) AS BIGINT) AS weight_milli
+          FROM c),
+    tot AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS total_w FROM w),
+    r AS (SELECT source, weight_milli,
+                 weight_milli * ({_TEMP_MIX_BUDGET} // total_w)
+                 + (weight_milli * ({_TEMP_MIX_BUDGET} % total_w)) // total_w
+                   AS mix_target
+          FROM w CROSS JOIN tot),
+    adm AS (SELECT t.source, t.n, r.mix_target, r.weight_milli,
+                   COALESCE(sum(t.n) OVER (PARTITION BY t.source
+                            ORDER BY t.h, t.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS cum_before
+            FROM t JOIN r USING (source))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS mix_tokens,
+           CAST(max(mix_target) AS BIGINT) AS mix_target,
+           CAST(max(weight_milli) AS BIGINT) AS weight_milli
+    FROM adm WHERE cum_before < mix_target GROUP BY source
+    """,
+    description="Temperature-scaled corpus mixture (r11, the XLM-R/mT5 "
+    "alpha-sampling rule): source weights come from the corpus itself "
+    "as n_s^0.5 instead of a hand recipe, upweighting tail sources — "
+    "the standard fix for head-domination in multi-domain training "
+    "sets. Alpha is 0.5 because sqrt is IEEE exact-rounded on every "
+    "engine (pow is not), so floor(sqrt(n_s)*1000) is a bit-identical "
+    "BIGINT weight; targets use staged integer division (q_dsir rule). "
+    "Scale shape: one source-keyed count aggregate, a |sources|-row "
+    "weight table broadcast back, one admission window — no collect, "
+    "no global sort.",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n"),
+        T.fingerprint(F.col("text")).alias("h"),
+    )
+    kept = mixture.temperature_mixture(t, _TEMP_MIX_BUDGET, "n", hash_col="h")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("mix_tokens"),
+        F.max("mix_target").alias("mix_target"),
+        F.max("weight_milli").alias("weight_milli"),
+    )

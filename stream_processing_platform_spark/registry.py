@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     'q_approx_distinct_kmv',
     'q_url_canonicalize',
     'q_boilerplate_blocks',
+    'q_mixture_temperature',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

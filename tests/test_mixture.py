@@ -177,3 +177,39 @@ def test_weighted_sample_is_length_biased(spark, sf_dir):
         s = weighted_sample(d, "doc_id", "n_chars", k=20, salt=salt)
         means.append(s.select(F.avg("weight")).collect()[0][0])
     assert sum(means) / len(means) > corpus_mean * 1.1
+
+
+def test_temperature_mixture_upweights_tail_sources(spark):
+    """alpha=0.5 weights: a source with 100x the tokens of another gets
+    only 10x the weight (sqrt), so the tail source's mixture share must
+    EXCEED its raw corpus share while the head source's share shrinks."""
+    from stream_processing_platform_spark.operators.mixture import (
+        temperature_mixture,
+    )
+
+    rows = []
+    did = 0
+    for src, docs in (("head", 400), ("tail", 4)):
+        for _ in range(docs):
+            rows.append((did, src, 50, f"h{did:06d}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long, h string")
+    budget = 2_000
+    kept = temperature_mixture(df, budget, "n", hash_col="h")
+    got = {
+        r["source"]: r
+        for r in kept.groupBy("source")
+        .agg(F.sum("n").alias("tok"), F.max("mix_target").alias("tgt"))
+        .collect()
+    }
+    raw_tail_share = 4 / 404
+    # sqrt weights: w_head = sqrt(20000)*1000, w_tail = sqrt(200)*1000
+    # -> tail target share = 1/11 ~ 9.1%, vs 0.99% raw
+    tail_share = got["tail"]["tgt"] / budget
+    assert tail_share > 5 * raw_tail_share, (tail_share, raw_tail_share)
+    # tail is small enough that its entire corpus is admitted
+    assert got["tail"]["tok"] == 4 * 50
+    # head admission stops at (not far past) its target: boundary doc whole
+    assert got["head"]["tok"] - got["head"]["tgt"] < 50, got["head"]
+    # targets telescope to <= budget (integer floor division)
+    assert got["head"]["tgt"] + got["tail"]["tgt"] <= budget
