@@ -3068,3 +3068,43 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mix_target").alias("mix_target"),
         F.max("weight_milli").alias("weight_milli"),
     )
+
+
+# word-filter blocklist (C4-style). Mixed hit classes on the synthetic
+# corpus: one high-frequency vocabulary word plus absent terms, so the
+# query exercises both outcomes.
+_BADWORDS = ("deadlock", "slow", "stale")
+_BADWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in _BADWORDS) + "]"
+
+
+@query(
+    "q_badwords_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
+    m AS (SELECT doc_id, source,
+                 list_sort(list_intersect(toks, {_BADWORDS_SQL})) AS hits
+          FROM t)
+    SELECT doc_id, source,
+           (len(hits) > 0) AS blocked,
+           COALESCE(hits[1], '') AS first_match
+    FROM m
+    """,
+    description="Bad-words blocklist filter (r11) — the C4 cleaning "
+    "rule: a document is dropped when any token appears in a word "
+    "blocklist. Token-set intersection against the broadcast-literal "
+    "list (arrays ride into the expression with the plan — JVM array "
+    "ops inside whole-stage codegen, no UDF, no join, no shuffle: at "
+    "100 TB this is a scan-speed map). Emits the per-doc verdict and "
+    "the lexicographically first matched word ('' sentinel when clean, "
+    "the no-nullable-columns invariant).",
+)
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    hits = F.array_intersect(toks, F.array(*[F.lit(w) for w in _BADWORDS]))
+    return d.select(
+        "doc_id",
+        "source",
+        (F.size(hits) > 0).alias("blocked"),
+        F.coalesce(F.array_min(hits), F.lit("")).alias("first_match"),
+    )

@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     'q_url_canonicalize',
     'q_boilerplate_blocks',
     'q_mixture_temperature',
+    'q_badwords_filter',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
