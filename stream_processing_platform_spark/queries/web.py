@@ -514,3 +514,88 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGW["q_url_canonicalize"] = _dc_replace_w(
     _REGW["q_url_canonicalize"], oracle=_url_canonicalize_oracle()
 )
+
+
+# ---------------------------------------------------- WebDataset (r11)
+#
+# Same round-trip doctrine as q_warc_extract: the shard bytes are a
+# pure function of the documents rows (the sample JSON is built with
+# explicit concat — not to_json — so the oracle rebuilds identical
+# bytes), the query WRITES the shards through spp_wds, READS them back
+# and re-derives every field; the duckdb oracle recomputes the answer
+# straight from documents. A hash-MATCH proves the tar encode → gzip →
+# two-phase commit → streaming member-group decode cycle lossless.
+
+
+def _wds_json_col() -> F.Column:
+    return F.concat(
+        F.lit('{"source":"'), F.col("source"),
+        F.lit('","n_chars":'), F.col("n_chars").cast("string"), F.lit("}"),
+    )
+
+
+def _wds_json_sql() -> str:
+    return (
+        "('{\"source\":\"' || source || '\",\"n_chars\":' "
+        "|| CAST(n_chars AS VARCHAR) || '}')"
+    )
+
+
+def _write_wds_docs(spark: SparkSession, sf_dir: str) -> str:
+    from stream_processing_platform_spark.sources.wds_datasource import (
+        register_wds_source,
+    )
+
+    register_wds_source(spark)
+    out = f"/tmp/spp_wds_docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    rows = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        F.create_map(
+            F.lit("txt"), F.encode(F.col("text"), "UTF-8"),
+            F.lit("cls"), F.encode(F.col("lang"), "UTF-8"),
+            F.lit("json"), F.encode(_wds_json_col(), "UTF-8"),
+        ).alias("files"),
+    )
+    rows.write.format("spp_wds").mode("overwrite").option("gzip", "true").save(out)
+    return out
+
+
+@query(
+    "q_wds_roundtrip",
+    oracle=f"""
+    SELECT doc_id, source, lang,
+           CAST(3 AS INTEGER) AS n_files,
+           CAST(strlen(text) + strlen(lang) + strlen({_wds_json_sql()})
+                AS BIGINT) AS total_bytes,
+           CAST(strlen(text) AS BIGINT) AS text_len,
+           CAST(n_chars AS BIGINT) AS json_n_chars
+    FROM documents
+    """,
+    description="WebDataset ingestion end-to-end (sources/"
+    "wds_datasource.py): documents are packed as (key.txt, key.cls, "
+    "key.json) members of gzipped tar shards — the webdataset "
+    "convention behind most large multimodal training runs — written "
+    "with deterministic member metadata and a two-phase manifest "
+    "commit, then streamed back member by member with consecutive "
+    "members folding into one sample row per key. Every field "
+    "re-derives from the sample map (decode + regexp over the JSON "
+    "sidecar); the oracle recomputes from documents directly, so a "
+    "hash-MATCH proves the full cycle lossless. Scale shape: one "
+    "partition per shard (tars are not block-splittable; real corpora "
+    "shard to ~1 GB precisely for this), member-streaming reads "
+    "(working set = one member).",
+)
+def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _write_wds_docs(spark, sf_dir)
+    back = spark.read.format("spp_wds").load(out)
+    js = F.decode(F.col("files")["json"], "UTF-8")
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.regexp_extract(js, r'"source":"([^"]*)"', 1).alias("source"),
+        F.decode(F.col("files")["cls"], "UTF-8").alias("lang"),
+        F.col("n_files"),
+        F.col("total_bytes"),
+        F.octet_length(F.decode(F.col("files")["txt"], "UTF-8")).cast("long").alias("text_len"),
+        F.regexp_extract(js, r'"n_chars":(\d+)', 1).cast("long").alias("json_n_chars"),
+    )

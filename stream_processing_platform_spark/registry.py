@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     'q_boilerplate_blocks',
     'q_mixture_temperature',
     'q_badwords_filter',
+    'q_wds_roundtrip',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
