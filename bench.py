@@ -235,6 +235,17 @@ def main() -> None:
         "q_cusum_changepoint",
         "q_weighted_sample",
         "q_seasonal_decompose",
+        # round-11 additions (q_multimodal_avc_deblock timed decode-only
+        # below with the other codec entries)
+        "q_warc_extract",
+        "q_wds_roundtrip",
+        "q_domain_stats",
+        "q_blocklist_filter",
+        "q_url_canonicalize",
+        "q_boilerplate_blocks",
+        "q_approx_distinct_kmv",
+        "q_mixture_temperature",
+        "q_badwords_filter",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
@@ -257,6 +268,7 @@ def main() -> None:
     import tempfile
 
     from stream_processing_platform_spark.queries.similarity import (
+        avc_deblock_fixture_df,
         avc_decode_df,
         avc_fixture_df,
         flac_decode_df,
@@ -267,6 +279,7 @@ def main() -> None:
     for name, fixture_fn, decode_fn in (
         ("q_audio_segments_flac", flac_fixture_df, flac_decode_df),
         ("q_multimodal_avc_decode", avc_fixture_df, avc_decode_df),
+        ("q_multimodal_avc_deblock", avc_deblock_fixture_df, avc_decode_df),
     ):
         stage = tempfile.mkdtemp(prefix="spp_bench_codec_fixture_")
         try:

@@ -1938,26 +1938,24 @@ def _avc_deblock_oracle() -> str:
     f"Scale shape: 1-in-N-out Arrow mapInPandas, no shuffle.",
 )
 def q_multimodal_avc_deblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return avc_decode_df(avc_deblock_fixture_df(spark, sf_dir))
+
+
+def avc_deblock_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-synthesis stage of q_multimodal_avc_deblock (same
+    bench-split convention as avc_fixture_df)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from stream_processing_platform_spark.multimodal.codecs import sample_video_frames
     from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
     @pandas_udf("binary")
     def synth(ids: pd.Series) -> pd.Series:
         return pd.Series([_synth_avc_deblock_payload(int(d)) for d in ids])
 
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+    return ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
         synth(F.col("doc_id")).alias("content")
     ).withColumn("content_hash", F.sha2(F.col("content"), 256))
-    frames = sample_video_frames(docs, every_ms=_AVC_EVERY_MS, decoder="image")
-    return frames.select(
-        "content_hash",
-        "frame_idx",
-        "frame_ts_ms",
-        F.sha2(F.col("frame"), 256).alias("frame_sha"),
-    )
 
 
 _REG_SIM["q_multimodal_avc_deblock"] = _dc_replace_sim(
