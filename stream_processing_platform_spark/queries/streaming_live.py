@@ -1636,3 +1636,75 @@ def _stream_weighted_sample_oracle() -> str:
 _REG_SL["q_stream_weighted_sample"] = _dc_replace_sl(
     _REG_SL["q_stream_weighted_sample"], oracle=_stream_weighted_sample_oracle()
 )
+
+
+@query(
+    "q_stream_kmv_distinct",
+    oracle=None,  # patched below: the BATCH KMV oracle — the streaming
+    # sketch must land exactly where the batch operator does
+    description="LIVE streaming approximate COUNT(DISTINCT) per "
+    "event_type via the KMV sketch (streaming/stateful_v2."
+    "KmvDistinctProcessor, r11): the deterministic Knuth hash is a "
+    "stateless Spark map, state is ONE sorted k-capped array of "
+    "distinct hashes per key — O(k) memory forever, and min-k of a "
+    "set union is a semilattice merge, so the estimate is provably "
+    "invariant to batch boundaries and arrival order. The oracle is "
+    "the batch kmv_distinct SQL over the same table: a LIVE stateful "
+    "sketch hash-checked against its closed-form batch twin (the "
+    "q_stream_weighted_sample doctrine).",
+)
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.clustering import (
+        REPRO_INIT_MOD,
+        repro_hash_col,
+    )
+    from stream_processing_platform_spark.queries.relational import (
+        _KMV_K,
+        _KMV_SALT,
+    )
+    from stream_processing_platform_spark.streaming.stateful_v2 import (
+        kmv_distinct_state,
+    )
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    stage = tempfile.mkdtemp(prefix="spp_stream_events_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stream = file_source(spark, stage, static.schema)
+
+    mapped = stream.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        repro_hash_col(F.col("user_id"), salt=_KMV_SALT).alias("h"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = _run_to_table(
+            kmv_distinct_state(
+                mapped, "event_type", k=_KMV_K, mod=REPRO_INIT_MOD
+            )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select(
+        F.col("key").alias("event_type"), "approx_distinct", "kth_hash"
+    )
+
+
+def _stream_kmv_oracle() -> str:
+    from stream_processing_platform_spark.operators.sketches import kmv_distinct_sql
+    from stream_processing_platform_spark.queries.relational import (
+        _KMV_K,
+        _KMV_SALT,
+    )
+
+    return kmv_distinct_sql("events", ["event_type"], "user_id", k=_KMV_K, salt=_KMV_SALT)
+
+
+_REG_SL["q_stream_kmv_distinct"] = _dc_replace_sl(
+    _REG_SL["q_stream_kmv_distinct"], oracle=_stream_kmv_oracle()
+)

@@ -547,6 +547,64 @@ def weighted_reservoir_state(
     )
 
 
+class KmvDistinctProcessor(StatefulProcessor):
+    """Per-key streaming KMV distinct sketch (the online half of
+    operators/sketches.kmv_distinct): keep the k smallest DISTINCT
+    hashes seen so far. State is ONE sorted array capped at k — O(k)
+    per key, and min-k of a set union is a semilattice merge, so the
+    maintained sketch (hence the emitted estimate) is invariant to
+    batch boundaries and arrival order. Hashes are computed Spark-side
+    (stateless map, the deterministic Knuth mix); the processor only
+    merges and emits (approx_distinct, kth_hash) exactly as the batch
+    operator would."""
+
+    def __init__(self, k: int, mod: int, hash_col: str = "h"):
+        self._k = int(k)
+        self._mod = int(mod)
+        self._hash_col = hash_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._s = handle.getValueState("kmin", "hs array<long>")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        prev = self._s.get() if self._s.exists() else None
+        cur = set(prev[0]) if prev is not None else set()
+        cur.update(int(h) for h in pdf[self._hash_col].tolist())
+        ks = sorted(cur)[: self._k]
+        self._s.update((ks,))
+        m = len(ks)
+        est = m if m < self._k else (self._k - 1) * self._mod // ks[-1]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "approx_distinct": [est],
+                "kth_hash": [ks[-1]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def kmv_distinct_state(
+    df: DataFrame, group_col: str, k: int, mod: int, hash_col: str = "h"
+) -> DataFrame:
+    """Per-group streaming KMV distinct estimate via transformWithState.
+    Output (key, approx_distinct, kth_hash); update mode — the last
+    emission per group is the current estimate."""
+    ensure_state_v2_runtime(df.sparkSession)
+    ensure_rocksdb_state_store(df.sparkSession)
+    return df.groupBy(group_col).transformWithStateInPandas(
+        KmvDistinctProcessor(k, mod, hash_col),
+        outputStructType="key string, approx_distinct long, kth_hash long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class HoltProcessor(StatefulProcessor):
     """Streaming Holt linear smoothing — the coupled (level, trend)
     twin of :class:`EwmaProcessor`: TWO scalars of ValueState per key

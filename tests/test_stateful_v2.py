@@ -532,3 +532,57 @@ def test_weighted_reservoir_merge_is_order_invariant():
         assert run([list(perm[:2]), list(perm[2:5]), list(perm[5:])]) == want
         break  # one shuffled split is enough alongside the two above
     assert run([list(reversed(items))]) == want
+
+
+def test_kmv_processor_merge_is_batch_invariant():
+    """min-k over a set union is a semilattice: any batch split or
+    arrival order must leave the same sketch (and estimate)."""
+    import itertools
+
+    from stream_processing_platform_spark.streaming.stateful_v2 import (
+        KmvDistinctProcessor,
+    )
+
+    k, mod = 4, 2147483647
+    hashes = [500, 90, 90, 7, 1200, 33, 7, 850, 2, 610]
+
+    class _H:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    def run(batches):
+        p = KmvDistinctProcessor(k, mod)
+        p._s = _H()
+        last = None
+        for b in batches:
+            if not b:
+                continue
+            out = list(
+                p.handleInputRows(("k",), iter([pd.DataFrame({"h": b})]), None)
+            )
+            last = out[-1]
+        return (
+            int(last["approx_distinct"].iloc[0]),
+            int(last["kth_hash"].iloc[0]),
+            tuple(p._s.get()[0]),
+        )
+
+    want = run([hashes])
+    assert want[2] == tuple(sorted(set(hashes))[:k])
+    assert want[0] == (k - 1) * mod // want[2][-1]
+    assert run([hashes[:3], hashes[3:7], hashes[7:]]) == want
+    assert run([list(reversed(hashes))]) == want
+    perm = list(itertools.permutations(hashes))[1]
+    assert run([list(perm[:5]), list(perm[5:])]) == want
+    # below-k group: the estimate IS the exact distinct count
+    small = run([[42, 17, 42]])
+    assert small[0] == 2 and small[2] == (17, 42)
