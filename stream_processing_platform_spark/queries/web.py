@@ -599,3 +599,128 @@ def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.decode(F.col("files")["txt"], "UTF-8")).cast("long").alias("text_len"),
         F.regexp_extract(js, r'"n_chars":(\d+)', 1).cast("long").alias("json_n_chars"),
     )
+
+
+# ------------------------------------------- WDS multimodal shards (r11)
+#
+# The format's actual use case: image+caption samples. Per document a
+# small RGB image (pure function of doc_id % 8) is PNG-encoded and
+# packed beside the caption and a JSON sidecar; reading back decodes
+# the PNG through the from-scratch imagecodec and reports dimensions +
+# a pixel digest. Sequential-replay oracle over the 8 residue classes
+# (the q_audio_segments doctrine) — a hash-MATCH proves tar framing,
+# PNG encode AND decode all lossless through the distributed cycle.
+
+import pandas as pd  # noqa: E402  (module-global: pandas_udf type hints
+# resolve in MODULE globals under `from __future__ import annotations`)
+
+_WDS_IMG_MOD = 8
+
+
+def _wds_image(rem: int):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    r = (xx * 11 + rem * 37) % 256
+    g = (yy * 23 + rem * 5) % 256
+    b = (xx + yy * 7 + rem) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _write_wds_multimodal(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark.sql.functions import pandas_udf
+
+    from stream_processing_platform_spark.sources.wds_datasource import (
+        register_wds_source,
+    )
+
+    register_wds_source(spark)
+    out = f"/tmp/spp_wds_mm_{os.path.basename(sf_dir.rstrip('/'))}"
+
+    @pandas_udf("binary")
+    def synth_png(ids: pd.Series) -> pd.Series:
+        from stream_processing_platform_spark.multimodal.imagecodec import encode_png
+
+        return pd.Series(
+            [encode_png(_wds_image(int(d) % _WDS_IMG_MOD)) for d in ids]
+        )
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    rows = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        F.create_map(
+            F.lit("png"), synth_png(F.col("doc_id")),
+            F.lit("txt"), F.encode(F.substring(F.col("text"), 1, 40), "UTF-8"),
+            F.lit("json"), F.encode(_wds_json_col(), "UTF-8"),
+        ).alias("files"),
+    )
+    rows.write.format("spp_wds").mode("overwrite").save(out)
+    return out
+
+
+def _wds_multimodal_oracle() -> str:
+    import hashlib
+
+    rows = []
+    for rem in range(_WDS_IMG_MOD):
+        img = _wds_image(rem)
+        h, w = img.shape[:2]
+        rows.append(
+            f"({rem}, CAST({h} AS INTEGER), CAST({w} AS INTEGER),"
+            f" '{hashlib.sha256(img.tobytes()).hexdigest()}')"
+        )
+    return f"""
+    WITH exp(rem, img_h, img_w, pix_sha) AS (VALUES {", ".join(rows)})
+    SELECT d.doc_id, e.img_h, e.img_w, e.pix_sha,
+           substr(d.text, 1, 40) AS caption
+    FROM documents d JOIN exp e ON d.doc_id % {_WDS_IMG_MOD} = e.rem
+    """
+
+
+@query(
+    "q_wds_multimodal",
+    oracle=None,  # generated below: sequential-replay per residue class
+    description=f"WebDataset multimodal samples end-to-end (r11): per "
+    f"document a deterministic RGB image (pure function of doc_id % "
+    f"{_WDS_IMG_MOD}) is PNG-encoded via the from-scratch imagecodec "
+    f"and packed as (key.png, key.txt, key.json) tar members beside "
+    f"the caption; reading back through spp_wds DECODES the PNG and "
+    f"reports dimensions plus a raw-pixel sha256. Sequential-replay "
+    f"oracle over the residue classes — a hash-MATCH proves tar "
+    f"framing AND the PNG encode/decode cycle lossless through the "
+    f"distributed write/read. Scale shape: per-shard parallel read, "
+    f"decode is a 1-in-1-out Arrow map, no shuffle.",
+)
+def q_wds_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    out = _write_wds_multimodal(spark, sf_dir)
+    back = spark.read.format("spp_wds").load(out)
+
+    @pandas_udf("img_h int, img_w int, pix_sha string")
+    def decode(pngs: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        from stream_processing_platform_spark.multimodal.imagecodec import decode_png
+
+        hs, ws, shas = [], [], []
+        for b in pngs:
+            img = decode_png(bytes(b))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            shas.append(hashlib.sha256(img.tobytes()).hexdigest())
+        return pd.DataFrame({"img_h": hs, "img_w": ws, "pix_sha": shas})
+
+    dec = decode(F.col("files")["png"])
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        dec["img_h"].alias("img_h"),
+        dec["img_w"].alias("img_w"),
+        dec["pix_sha"].alias("pix_sha"),
+        F.decode(F.col("files")["txt"], "UTF-8").alias("caption"),
+    )
+
+
+_REGW["q_wds_multimodal"] = _dc_replace_w(
+    _REGW["q_wds_multimodal"], oracle=_wds_multimodal_oracle()
+)
