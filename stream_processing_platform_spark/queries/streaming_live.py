@@ -1708,3 +1708,63 @@ def _stream_kmv_oracle() -> str:
 _REG_SL["q_stream_kmv_distinct"] = _dc_replace_sl(
     _REG_SL["q_stream_kmv_distinct"], oracle=_stream_kmv_oracle()
 )
+
+
+@query(
+    "q_stream_warc",
+    oracle=None,  # patched below: recomputed straight from documents
+    description="LIVE streaming WARC ingestion (r11): the spp_warc "
+    "Python DataSource's STREAM reader consumes the member-gzipped "
+    "archive directory as an archive-per-micro-batch log (the same "
+    "files-are-the-log model as spp_avro/Spark's file source), "
+    "response records are pruned post-scan, the HTTP entity is split "
+    "and boilerplate-stripped with the shared regexp chain — the "
+    "continuous-crawl shape: archives land, text comes out. The "
+    "oracle rebuilds the expected rows straight from documents "
+    "(content_length reconstructed arithmetically), so a hash-MATCH "
+    "proves the streaming decode path lossless end to end.",
+)
+def q_stream_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.html import strip_html
+    from stream_processing_platform_spark.queries.web import _write_warc_docs
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    out = _write_warc_docs(spark, sf_dir)
+    stream = spark.readStream.format("spp_warc").load(out)
+    resp = stream.where(F.col("warc_type") == "response")
+    body = F.decode(F.col("payload"), "UTF-8")
+    html = F.substring_index(body, "\r\n\r\n", -1)
+    parsed = resp.select(
+        F.regexp_extract(F.col("target_uri"), r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract(body, r"^HTTP/1\.1 (\d+) ", 1).cast("int").alias("status"),
+        F.length(strip_html(html)).cast("long").alias("extracted_len"),
+        F.col("content_length"),
+    )
+    return _run_to_table(parsed, mode="append")
+
+
+def _stream_warc_oracle() -> str:
+    from stream_processing_platform_spark.functions.html import strip_html_sql
+    from stream_processing_platform_spark.queries.web import (
+        _HTTP_BASE_LEN,
+        _html_sql,
+    )
+
+    return f"""
+    WITH x AS (SELECT doc_id, {_html_sql()} AS html FROM documents),
+    y AS (SELECT doc_id,
+                 CAST(length({strip_html_sql("html")}) AS BIGINT)
+                   AS extracted_len,
+                 CAST(strlen(html) AS BIGINT) AS hl
+          FROM x)
+    SELECT doc_id, CAST(200 AS INTEGER) AS status, extracted_len,
+           CAST({_HTTP_BASE_LEN} + length(CAST(hl AS VARCHAR)) + hl AS BIGINT)
+             AS content_length
+    FROM y
+    """
+
+
+_REG_SL["q_stream_warc"] = _dc_replace_sl(
+    _REG_SL["q_stream_warc"], oracle=_stream_warc_oracle()
+)

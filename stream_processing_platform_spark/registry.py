@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     'q_wds_roundtrip',
     'q_stream_kmv_distinct',
     'q_wds_multimodal',
+    'q_stream_warc',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

@@ -49,6 +49,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -232,9 +233,58 @@ class WarcBatchWriter(DataSourceWriter):
                         pass
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader — continuous crawl ingestion:
+    a micro-batch per slice of the sorted archive listing, the same
+    files-are-the-log model as spp_avro's stream reader (offsets are
+    ``{"index": n}`` = archives [0, n) consumed; append-only directory
+    with lexicographically increasing names, the standard file-stream
+    contract; ``latestOffset`` reports everything listed — correct for
+    availableNow and for continuous polling). Record-type pruning is a
+    post-scan filter in the stream DataFrame (pushFilters is a
+    batch-read surface)."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("spp_warc requires a path")
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(_list_files(self._path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_files(self._path)[start["index"]:end["index"]]
+        return [WarcFilePartition(p) for p in files]
+
+    def read(self, partition: WarcFilePartition):
+        base = os.path.basename(partition.path)
+        with open(partition.path, "rb") as fh:
+            for headers, body in decode_records(fh):
+                yield (
+                    base,
+                    headers.get("WARC-Type", ""),
+                    headers.get("WARC-Record-ID", ""),
+                    headers.get("WARC-Date", ""),
+                    headers.get("WARC-Target-URI", ""),
+                    headers.get("Content-Type", ""),
+                    len(body),
+                    body,
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpointed offset log is the source of truth
+
+    def stop(self) -> None:
+        pass
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("spp_warc").load(path)`` — path may be a
-    file, a directory, or a glob; ``df.write.format("spp_warc")``."""
+    file, a directory, or a glob; ``df.write.format("spp_warc")``;
+    ``spark.readStream.format("spp_warc")`` (archive-per-batch log)."""
 
     @classmethod
     def name(cls) -> str:
@@ -248,6 +298,9 @@ class WarcDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> WarcBatchWriter:
         return WarcBatchWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register_warc_source(spark) -> None:

@@ -257,3 +257,55 @@ def test_writer_roundtrip_and_manifest(spark, tmp_path):
     df.limit(5).write.format("spp_warc").mode("overwrite").save(out)
     again = spark.read.format("spp_warc").load(out)
     assert again.where(F.col("warc_type") == "conversion").count() == 5
+
+
+def test_stream_reader_consumes_archives_and_resumes(spark, tmp_path):
+    """The spp_warc STREAM reader (r11): availableNow drains every
+    archive currently listed; a restart from the same checkpoint after
+    a NEW archive lands consumes only the new one (offset = archives
+    consumed) — the continuous-crawl contract. Sink is the recoverable
+    spp_manifest writer (the memory sink cannot resume a checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.sources.custom_datasource import (
+        read_manifested,
+        register_custom_sources,
+    )
+    from stream_processing_platform_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    register_custom_sources(spark)
+    src = tmp_path / "archives"
+    src.mkdir()
+    _write_archive(src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("spp_warc")
+            .load(str(src))
+            .where(F.col("warc_type") == "response")
+            .select("warc_file", "target_uri")
+            .writeStream.format("spp_manifest")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_manifested(out)
+
+    assert len(drain()) == 12  # 3 archives x 4 response records
+    # a new archive lands ('zz-' sorts after the existing names, the
+    # append-only contract); the resumed stream reads ONLY it
+    import shutil
+
+    extra = src / "zz-extra.warc.gz"
+    shutil.copy(sorted(src.glob("f*.warc.gz"))[0], extra)
+    rows = drain()
+    assert len(rows) == 16  # 12 + the new archive's 4, no re-reads
+    assert sum(1 for r in rows if r["warc_file"] == "zz-extra.warc.gz") == 4
