@@ -724,3 +724,73 @@ def q_wds_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGW["q_wds_multimodal"] = _dc_replace_w(
     _REGW["q_wds_multimodal"], oracle=_wds_multimodal_oracle()
 )
+
+
+# --------------------------------------------- robots meta gate (r11)
+#
+# Crawl-politeness page gate: pages whose <meta name=robots> carries
+# noindex must be dropped from a training corpus (the crawl-side
+# robots.txt gate can't see page-level directives). Directive set is a
+# pure function of doc_id % 5, shared by both engines.
+
+_ROBOTS_VARIANTS = (
+    "",                                             # no meta tag
+    '<meta name=robots content="index,follow">',
+    '<meta name=robots content="noindex">',
+    '<meta name=ROBOTS content="NOINDEX,nofollow">',  # case-insensitive
+    '<meta name=robots content="nofollow">',          # nofollow alone OK
+)
+_ROBOTS_SQL_VARIANTS = (
+    "['', '<meta name=robots content=\"index,follow\">', "
+    "'<meta name=robots content=\"noindex\">', "
+    "'<meta name=ROBOTS content=\"NOINDEX,nofollow\">', "
+    "'<meta name=robots content=\"nofollow\">']"
+)
+# a page is excluded iff a robots meta tag's content contains noindex
+_ROBOTS_RE = '<meta[^>]*name="?robots"?[^>]*content="([^"]*)"'
+
+
+@query(
+    "q_meta_robots_filter",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             ('<html><head>'
+              || {_ROBOTS_SQL_VARIANTS}[CAST(doc_id % 5 AS INT) + 1]
+              || '</head><body>' || text || '</body></html>') AS page
+      FROM documents
+    ),
+    d AS (SELECT doc_id,
+                 lower(regexp_extract(page, '(?i){_ROBOTS_RE}', 1))
+                   AS directives
+          FROM p)
+    SELECT doc_id, directives,
+           (directives NOT LIKE '%noindex%') AS indexable
+    FROM d
+    """,
+    description="Page-level robots directive gate (r11): the crawl "
+    "pipeline's politeness stage — <meta name=robots> is parsed "
+    "case-insensitively from each page and documents carrying noindex "
+    "are flagged non-indexable (nofollow alone passes, matching "
+    "indexing semantics). Fixture cycles all five directive classes by "
+    "doc_id % 5; pure JVM regexp in whole-stage codegen, scan-speed "
+    "map, '' sentinel for tagless pages (no-nullable invariant).",
+)
+def q_meta_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    variant = F.element_at(
+        F.array(*[F.lit(v) for v in _ROBOTS_VARIANTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    page = F.concat(
+        F.lit("<html><head>"), variant, F.lit("</head><body>"),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_extract(page, f"(?i){_ROBOTS_RE}", 1)).alias("directives"),
+    )
+    return d.select(
+        "doc_id",
+        "directives",
+        (~F.col("directives").contains("noindex")).alias("indexable"),
+    )

@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     'q_stream_kmv_distinct',
     'q_wds_multimodal',
     'q_stream_warc',
+    'q_meta_robots_filter',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
