@@ -3108,3 +3108,96 @@ def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(hits) > 0).alias("blocked"),
         F.coalesce(F.array_min(hits), F.lit("")).alias("first_match"),
     )
+
+
+_CHUNK_SENT_TARGET = 12  # tokens per chunk (prefix-sum boundary rule)
+
+
+@query(
+    "q_chunk_sentences",
+    oracle=f"""
+    WITH prose AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || '. ' || substr(text, 41, 60) || '! '
+               || 'Source ' || source || '?  ' || substr(text, 101, 80) || '.'
+               AS prose
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             generate_subscripts(parts, 1) AS sent_idx,
+             trim(unnest(parts)) AS sentence
+      FROM (SELECT doc_id,
+                   string_split_regex(prose, '[.!?]+\\s+') AS parts
+            FROM prose)
+    ),
+    t AS (
+      SELECT doc_id, sent_idx, sentence,
+             CAST(len(list_filter(string_split_regex(lower(sentence), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM s WHERE sentence <> ''
+    ),
+    c AS (
+      SELECT doc_id, sent_idx, sentence, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id
+                      ORDER BY sent_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_CHUNK_SENT_TARGET} AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+           CAST(count(*) AS INTEGER) AS n_sentences,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM c GROUP BY doc_id, chunk_id
+    """,
+    description=f"Sentence-boundary-aware chunking (r11): the context-"
+    f"window splitter RAG/packing pipelines actually want — sentences "
+    f"never split mid-way. Boundary rule is the scalable closed form: "
+    f"chunk_id = prefix_tokens_before div {_CHUNK_SENT_TARGET}, one "
+    f"window prefix sum per doc instead of a sequential greedy fold "
+    f"(chunks may overshoot by at most one sentence — the standard "
+    f"trade for a shuffle-free-beyond-the-window plan). Chunk text "
+    f"reassembles order-preserving on both engines (sorted-struct "
+    f"array join vs string_agg ORDER BY).",
+)
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(". "),
+            F.substring("text", 41, 60), F.lit("! "),
+            F.lit("Source "), F.col("source"), F.lit("?  "),
+            F.substring("text", 101, 80), F.lit("."),
+        ).alias("prose"),
+    )
+    parts = F.split(F.col("prose"), r"[.!?]+\s+")
+    s = (
+        d.select("doc_id", F.posexplode(parts).alias("pos", "raw"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("sent_idx"),
+            F.trim(F.col("raw")).alias("sentence"),
+        )
+        .where(F.col("sentence") != "")
+        .withColumn("n_tokens", F.size(T.tokens(F.col("sentence"))).cast("long"))
+    )
+    c = s.withColumn(
+        "chunk_id",
+        F.expr(
+            f"coalesce(sum(n_tokens) over (partition by doc_id order by sent_idx "
+            f"rows between unbounded preceding and 1 preceding), 0) "
+            f"div {_CHUNK_SENT_TARGET}"
+        ).cast("int"),
+    )
+    return c.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                lambda x: x["sentence"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count("*").cast("int").alias("n_sentences"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
