@@ -183,3 +183,29 @@ def canonical_url_sql(url_expr: str) -> str:
         f"THEN '?' || array_to_string({kept}, '&') ELSE '' END"
     )
     return f"({scheme} || '://' || {host} || {path} || {qtail})"
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-form URL key (the sort key of Common Crawl's CDX index:
+    ``com,example)/path?query``): host labels reversed and comma-
+    joined (www. stripped), then ')' and the lowercased path+query.
+    Feed it the output of :func:`canonical_url` so the host is already
+    lowercase and the query params deduplicated/sorted — the composed
+    key is what URL-index builders actually emit."""
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(.*)$", 1))
+    return F.concat(rev, F.lit(")"), tail)
+
+
+def surt_key_sql(url_expr: str) -> str:
+    """duckdb twin of :func:`surt_key`."""
+    host = f"regexp_extract({url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)"
+    host = f"regexp_replace({host}, '^www\\.', '')"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    tail = (
+        f"lower(regexp_extract({url_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(.*)$', 1))"
+    )
+    return f"({rev} || ')' || {tail})"

@@ -794,3 +794,57 @@ def q_meta_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "directives",
         (~F.col("directives").contains("noindex")).alias("indexable"),
     )
+
+
+# -------------------------------------------------- CDX URL index (r11)
+
+
+def _cdx_oracle() -> str:
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url_sql,
+        surt_key_sql,
+    )
+
+    canon = canonical_url_sql(_messy_url_sql())
+    return f"""
+    WITH c AS (SELECT doc_id, text, {canon} AS canonical FROM documents)
+    SELECT doc_id, {surt_key_sql("canonical")} AS urlkey,
+           sha256(text) AS digest,
+           CAST(strlen(text) AS BIGINT) AS length
+    FROM c
+    """
+
+
+@query(
+    "q_cdx_index",
+    oracle=None,  # generated below (composes the canonical + SURT twins)
+    description="CDX-style URL index records (r11): the Common Crawl "
+    "index convention — each capture keyed by its SURT-form urlkey "
+    "(host labels reversed/comma-joined, www. stripped, lowercased "
+    "path+query) computed over the CANONICAL url, plus a content "
+    "digest and length. Composes canonical_url and surt_key, both "
+    "pure JVM expressions with twins generated from the same tables; "
+    "fixture is the messy-variant URL synth, so the emitted urlkeys "
+    "also prove variant spellings index identically. Scan-speed map; "
+    "at scale the urlkey is the range-partition sort key an index "
+    "writer would bucket by.",
+)
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url,
+        surt_key,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _messy_url_col().alias("url")
+    )
+    c = d.withColumn("canonical", canonical_url(F.col("url")))
+    return c.select(
+        "doc_id",
+        surt_key(F.col("canonical")).alias("urlkey"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+        F.octet_length(F.col("text")).cast("long").alias("length"),
+    )
+
+
+_REGW["q_cdx_index"] = _dc_replace_w(_REGW["q_cdx_index"], oracle=_cdx_oracle())

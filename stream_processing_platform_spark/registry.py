@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     'q_stream_warc',
     'q_meta_robots_filter',
     'q_chunk_sentences',
+    'q_cdx_index',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
