@@ -246,6 +246,10 @@ def main() -> None:
         "q_approx_distinct_kmv",
         "q_mixture_temperature",
         "q_badwords_filter",
+        "q_wds_multimodal",
+        "q_meta_robots_filter",
+        "q_chunk_sentences",
+        "q_cdx_index",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
