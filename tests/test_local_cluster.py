@@ -47,6 +47,11 @@ _QUERIES = [
     "q_quality_classifier_weights",  # r10: GD training loop, literal-array closures
     "q_stream_window_tumbling",
     "q_stream_state_v2",
+    # r11: Python DataSource reader/writer classes + codec closures must
+    # ship to executor-side Python workers (warccodec, tarfile members,
+    # imagecodec PNG decode inside the wds multimodal UDFs)
+    "q_warc_extract",
+    "q_wds_multimodal",
 ]
 
 _CLUSTER_START_FAILURES = (
