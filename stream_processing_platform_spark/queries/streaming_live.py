@@ -1768,3 +1768,53 @@ def _stream_warc_oracle() -> str:
 _REG_SL["q_stream_warc"] = _dc_replace_sl(
     _REG_SL["q_stream_warc"], oracle=_stream_warc_oracle()
 )
+
+
+@query(
+    "q_stream_wds",
+    oracle=None,  # patched below: the q_wds_roundtrip oracle — the
+    # streamed samples must be exactly the batch read's
+    description="LIVE streaming WebDataset ingestion (r11): spp_wds's "
+    "STREAM reader consumes the shard directory as a shard-per-micro-"
+    "batch log and every sample field re-derives from the tar members "
+    "exactly as in the batch round trip — the training-ingest shape "
+    "(shards land, samples stream out), hash-checked against the same "
+    "documents-derived oracle as q_wds_roundtrip.",
+)
+def q_stream_wds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.queries.web import _write_wds_docs
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    out = _write_wds_docs(spark, sf_dir)
+    back = spark.readStream.format("spp_wds").load(out)
+    js = F.decode(F.col("files")["json"], "UTF-8")
+    parsed = back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.regexp_extract(js, r'"source":"([^"]*)"', 1).alias("source"),
+        F.decode(F.col("files")["cls"], "UTF-8").alias("lang"),
+        F.col("n_files"),
+        F.col("total_bytes"),
+        F.octet_length(F.decode(F.col("files")["txt"], "UTF-8")).cast("long").alias("text_len"),
+        F.regexp_extract(js, r'"n_chars":(\d+)', 1).cast("long").alias("json_n_chars"),
+    )
+    return _run_to_table(parsed, mode="append")
+
+
+def _stream_wds_oracle() -> str:
+    from stream_processing_platform_spark.queries.web import _wds_json_sql
+
+    return f"""
+    SELECT doc_id, source, lang,
+           CAST(3 AS INTEGER) AS n_files,
+           CAST(strlen(text) + strlen(lang) + strlen({_wds_json_sql()})
+                AS BIGINT) AS total_bytes,
+           CAST(strlen(text) AS BIGINT) AS text_len,
+           CAST(n_chars AS BIGINT) AS json_n_chars
+    FROM documents
+    """
+
+
+_REG_SL["q_stream_wds"] = _dc_replace_sl(
+    _REG_SL["q_stream_wds"], oracle=_stream_wds_oracle()
+)

@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     'q_meta_robots_filter',
     'q_chunk_sentences',
     'q_cdx_index',
+    'q_stream_wds',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

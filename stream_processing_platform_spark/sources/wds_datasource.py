@@ -51,6 +51,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -226,10 +227,44 @@ class WdsBatchWriter(DataSourceWriter):
                         pass
 
 
+class WdsStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader — shards-are-the-log (the
+    spp_warc/spp_avro model): offsets are ``{"index": n}`` shards
+    consumed from the sorted listing, availableNow drains everything
+    listed, a checkpointed restart consumes only newly-landed shards.
+    The training-ingest shape: shards land, samples stream out."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("spp_wds requires a path")
+        self._batch = WdsBatchReader(options)
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(_list_files(self._path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_files(self._path)[start["index"]:end["index"]]
+        return [WdsShardPartition(p) for p in files]
+
+    def read(self, partition: WdsShardPartition):
+        yield from self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpointed offset log is the source of truth
+
+    def stop(self) -> None:
+        pass
+
+
 class WdsDataSource(DataSource):
     """``spark.read.format("spp_wds").load(path)`` — path may be a
     shard file, a directory, or a glob; ``df.write.format("spp_wds")``
-    with columns (key, files)."""
+    with columns (key, files); ``spark.readStream.format("spp_wds")``
+    (shard-per-batch log)."""
 
     @classmethod
     def name(cls) -> str:
@@ -243,6 +278,9 @@ class WdsDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> WdsBatchWriter:
         return WdsBatchWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> WdsStreamReader:
+        return WdsStreamReader(self.options)
 
 
 def register_wds_source(spark) -> None:

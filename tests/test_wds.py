@@ -146,3 +146,46 @@ def test_writer_rejects_wrong_schema(spark, tmp_path):
     df = spark.range(3).select(F.col("id").cast("string").alias("key"))
     with pytest.raises(Exception, match="needs columns"):
         df.write.format("spp_wds").mode("overwrite").save(str(tmp_path / "bad"))
+
+
+def test_stream_reader_consumes_shards_and_resumes(spark, tmp_path):
+    """spp_wds STREAM reader (r11): availableNow drains every shard
+    listed; a checkpointed restart after a new shard lands reads only
+    it — the training-ingest contract. Recoverable spp_manifest sink
+    (the memory sink cannot resume a checkpoint)."""
+    from stream_processing_platform_spark.sources.custom_datasource import (
+        read_manifested,
+        register_custom_sources,
+    )
+
+    register_wds_source(spark)
+    register_custom_sources(spark)
+    src = tmp_path / "shards"
+    src.mkdir()
+    for i in range(2):
+        _make_tar(
+            str(src / f"s{i}.tar"),
+            [(f"{i}{j}.txt", b"x") for j in range(3)],
+        )
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("spp_wds")
+            .load(str(src))
+            .select("shard", "key")
+            .writeStream.format("spp_manifest")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_manifested(out)
+
+    assert len(drain()) == 6
+    _make_tar(str(src / "zz.tar"), [("n0.txt", b"y"), ("n1.txt", b"y")])
+    rows = drain()
+    assert len(rows) == 8
+    assert sum(1 for r in rows if r["shard"] == "zz.tar") == 2
