@@ -848,3 +848,129 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REGW["q_cdx_index"] = _dc_replace_w(_REGW["q_cdx_index"], oracle=_cdx_oracle())
+
+
+# ------------------------------------------- robots.txt matching (r11)
+#
+# The fetch-side crawl gate (complement of q_meta_robots_filter's
+# page-level one): per-domain Allow/Disallow path rules applied with
+# the REP precedence — longest matching prefix wins, Allow wins
+# length ties (RFC 9309 / the Google specification), no match =>
+# allowed. One shared Python rule list drives the Spark literal frame
+# AND the oracle VALUES, so the rule set can never drift.
+
+# (domain-name, allow, path-prefix): five of the seven _URL_NAMES
+# domains get a disallow tree with carve-outs; two stay ruleless
+# (default-allow path exercised). Pages are doc_id % 40 and the domain
+# name index is page % 7, so the longer Allow carve-out for name i is
+# pinned to page 14+i (inside the /page/1* disallow subtree AND
+# congruent to i mod 7 — without the alignment the override would
+# never fire, every /page/1x landing on a different domain).
+_ROBOTS_RULES: tuple[tuple[str, int, str], ...] = tuple(
+    (name, allow, prefix)
+    for i, name in enumerate(_URL_NAMES)
+    if i < 5
+    for allow, prefix in (
+        (0, "/page/1"),           # disallow the /page/1* subtree
+        (1, f"/page/{14 + i}"),   # ...but allow this page back (longer)
+        (0, f"/page/{2 + i}"),    # one name-specific disallow
+    )
+)
+
+
+def _robots_oracle() -> str:
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url_sql,
+        registered_domain_sql,
+    )
+
+    vals = ", ".join(
+        f"('{n}', {a}, '{p}')" for n, a, p in _ROBOTS_RULES
+    )
+    canon = canonical_url_sql(_messy_url_sql())
+    host = "regexp_extract(canonical, '^[a-zA-Z]+://([^/?#]+)', 1)"
+    return f"""
+    WITH rules(name, allow, prefix) AS (VALUES {vals}),
+    c AS (SELECT doc_id, {canon} AS canonical FROM documents),
+    u AS (SELECT doc_id,
+                 string_split({registered_domain_sql(host)}, '.')[1] AS name,
+                 regexp_extract(canonical, '^[a-zA-Z]+://[^/]+([^?#]*)', 1)
+                   AS path
+          FROM c),
+    m AS (SELECT u.doc_id,
+                 max({{'l': strlen(r.prefix), 'a': r.allow, 'p': r.prefix}})
+                   AS b
+          FROM u JOIN rules r
+            ON u.name = r.name AND starts_with(u.path, r.prefix)
+          GROUP BY u.doc_id),
+    j AS (SELECT u.doc_id, u.name, u.path, m.b
+          FROM u LEFT JOIN m ON u.doc_id = m.doc_id)
+    SELECT doc_id, name AS domain_name, path,
+           (b IS NULL OR b.a = 1) AS allowed,
+           COALESCE(b.p, '') AS matched_rule
+    FROM j
+    """
+
+
+@query(
+    "q_robots_rules_filter",
+    oracle=None,  # generated below from the same rule list
+    description="robots.txt path-rule matching (r11) — the fetch-side "
+    "crawl gate: per-domain Allow/Disallow prefix rules applied with "
+    "RFC 9309 precedence (longest matching prefix wins, Allow wins "
+    "length ties, no match allows). The winner is a max(struct(len, "
+    "allow, prefix)) aggregate — map-side combinable, never a rank "
+    "window — over a broadcast rules join; unmatched URLs rejoin with "
+    "a '' sentinel. One shared rule list generates both the Spark "
+    "literal frame and the oracle VALUES. Scale shape: rules are KBs "
+    "broadcast with the plan; one doc-keyed aggregate.",
+)
+def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url,
+        registered_domain,
+    )
+
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "name string, allow int, prefix string"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url_col().alias("url")
+    )
+    c = d.withColumn("canonical", canonical_url(F.col("url")))
+    host = F.regexp_extract(F.col("canonical"), r"^[a-zA-Z]+://([^/?#]+)", 1)
+    u = c.select(
+        "doc_id",
+        F.split(registered_domain(host), r"\.")[0].alias("name"),
+        F.regexp_extract(F.col("canonical"), r"^[a-zA-Z]+://[^/]+([^?#]*)", 1).alias("path"),
+    )
+    m = (
+        u.join(
+            F.broadcast(rules),
+            (u["name"] == rules["name"]) & F.col("path").startswith(F.col("prefix")),
+            "inner",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("allow").alias("a"),
+                    F.col("prefix").alias("p"),
+                )
+            ).alias("b")
+        )
+    )
+    j = u.join(m, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        F.col("name").alias("domain_name"),
+        "path",
+        (F.col("b").isNull() | (F.col("b")["a"] == 1)).alias("allowed"),
+        F.coalesce(F.col("b")["p"], F.lit("")).alias("matched_rule"),
+    )
+
+
+_REGW["q_robots_rules_filter"] = _dc_replace_w(
+    _REGW["q_robots_rules_filter"], oracle=_robots_oracle()
+)

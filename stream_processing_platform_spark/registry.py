@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     'q_chunk_sentences',
     'q_cdx_index',
     'q_stream_wds',
+    'q_robots_rules_filter',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',

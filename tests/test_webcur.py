@@ -111,3 +111,42 @@ def test_canonical_url_sql_twin_and_idempotence(spark):
         r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
     ]
     assert again == [w for _, w in CANON_CASES]
+
+
+def test_robots_rules_precedence(spark):
+    """RFC 9309 precedence on hand-built URLs: longest prefix wins,
+    Allow wins length ties, no match allows."""
+    from stream_processing_platform_spark.registry import REGISTRY
+
+    # drive the registered query's own logic through crafted doc_ids:
+    # residues pin pages 14 (override allowed), 10 (disallowed), 5
+    # (ruleless domain), 21 (name-specific disallow for alpha: /page/2*)
+    import pandas as pd
+
+    from stream_processing_platform_spark.queries.web import (
+        _ROBOTS_RULES,
+        q_robots_rules_filter,
+    )
+
+    # sanity of the generated table itself
+    names = {n for n, _, _ in _ROBOTS_RULES}
+    assert len(names) == 5
+    for n in names:
+        assert (n, 0, "/page/1") in _ROBOTS_RULES
+
+    out = q_robots_rules_filter(spark, "/root/testdata/sf0.001").toPandas()
+    out = out.set_index("doc_id")
+    # page == doc_id % 40; name index == page % 7 (ruled iff < 5)
+    for doc_id, row in out.iterrows():
+        page = doc_id % 40
+        ni = page % 7
+        if ni >= 5:
+            assert row["allowed"] and row["matched_rule"] == "", doc_id
+        elif page == 14 + ni:
+            assert row["allowed"] and row["matched_rule"] == f"/page/{page}", doc_id
+        elif str(page).startswith("1"):
+            assert not row["allowed"] and row["matched_rule"] == "/page/1", doc_id
+        elif str(page).startswith(str(2 + ni)):
+            assert not row["allowed"], doc_id
+        else:
+            assert row["allowed"], doc_id
