@@ -1818,3 +1818,49 @@ def _stream_wds_oracle() -> str:
 _REG_SL["q_stream_wds"] = _dc_replace_sl(
     _REG_SL["q_stream_wds"], oracle=_stream_wds_oracle()
 )
+
+
+@query(
+    "q_stream_url_dedup",
+    oracle=None,  # patched below: distinct canonical keys from documents
+    description="LIVE streaming URL-level dedup (r11): raw URL variants "
+    "stream in, canonicalize (the r11 canonical_url expression riding "
+    "the stream as pure JVM columns) and dropDuplicates on the "
+    "canonical key — state is one entry per DISTINCT canonical URL, "
+    "never per raw spelling, which is the point of canonicalizing "
+    "before the dedup boundary. Emits the canonical-key set (the "
+    "surviving representative is arrival-order dependent and is NOT "
+    "emitted — the deterministic contract is the key set itself); "
+    "oracle = SELECT DISTINCT canonical over the same fixture.",
+)
+def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.webcur import canonical_url
+    from stream_processing_platform_spark.queries.web import _messy_url_col
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    static = spark.read.parquet(path)
+    stage = tempfile.mkdtemp(prefix="spp_stream_docs_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    stream = file_source(spark, stage, static.schema)
+
+    canon = stream.select(
+        canonical_url(_messy_url_col()).alias("canonical_url")
+    ).dropDuplicates(["canonical_url"])
+    return _run_to_table(canon, mode="append")
+
+
+def _stream_url_dedup_oracle() -> str:
+    from stream_processing_platform_spark.operators.webcur import canonical_url_sql
+    from stream_processing_platform_spark.queries.web import _messy_url_sql
+
+    return f"""
+    SELECT DISTINCT {canonical_url_sql(_messy_url_sql())} AS canonical_url
+    FROM documents
+    """
+
+
+_REG_SL["q_stream_url_dedup"] = _dc_replace_sl(
+    _REG_SL["q_stream_url_dedup"], oracle=_stream_url_dedup_oracle()
+)

@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     'q_cdx_index',
     'q_stream_wds',
     'q_robots_rules_filter',
+    'q_stream_url_dedup',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
