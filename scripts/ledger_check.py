@@ -37,7 +37,10 @@ def main() -> int:
     ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     args = ap.parse_args()
 
-    from stream_processing_platform_spark.registry import _PRIORITY
+    from stream_processing_platform_spark.registry import (
+        _PRIORITY,
+        _REGISTERED_ROUND,
+    )
 
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(args.repo, "CORRECTNESS_r*.json"))):
@@ -54,9 +57,16 @@ def main() -> int:
     failures: list[str] = []
     post: dict[str, int] = {}
     for q in _PRIORITY:
-        post[q] = cur if q in window else last.get(q, 0)
-        if q not in last and q not in window:
-            failures.append(f"NEVER-CHECKED outside window: {q}")
+        # A never-ledgered query's staleness counts from its BIRTH round
+        # (a query that did not exist cannot have a stale official row);
+        # it must still land an official row within `bound` rounds of
+        # registration, so deferring newborns cannot hide them forever.
+        baseline = last.get(q, _REGISTERED_ROUND.get(q, 0))
+        post[q] = cur if q in window else baseline
+        if q not in last and q not in window and cur - baseline > bound:
+            failures.append(
+                f"NEVER-CHECKED beyond bound: {q} (registered r{baseline})"
+            )
     worst = [(cur - r, q) for q, r in post.items()]
     worst.sort(reverse=True)
     for staleness, q in worst:

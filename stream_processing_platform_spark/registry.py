@@ -78,6 +78,25 @@ _loaded = False
 # recomputes this ordering from the CORRECTNESS_r*.json history and exits
 # nonzero if the window about to be submitted would let any query's
 # staleness exceed the freshness bound.
+# Registration round of queries that did not exist when the official
+# ledger began rotating (scripts/ledger_check.py measures a
+# never-ledgered query's staleness from its BIRTH round, not r0 — a
+# query born this round cannot have a stale official row; it must land
+# an official row within `bound` rounds of its birth).
+_REGISTERED_ROUND: dict[str, int] = {
+    name: 11
+    for name in (
+        'q_warc_extract', 'q_warc_wet_tokens', 'q_domain_stats',
+        'q_blocklist_filter', 'q_multimodal_avc_deblock',
+        'q_approx_distinct_kmv', 'q_url_canonicalize',
+        'q_boilerplate_blocks', 'q_mixture_temperature',
+        'q_badwords_filter', 'q_wds_roundtrip', 'q_stream_kmv_distinct',
+        'q_wds_multimodal', 'q_stream_warc', 'q_meta_robots_filter',
+        'q_chunk_sentences', 'q_cdx_index', 'q_stream_wds',
+        'q_robots_rules_filter', 'q_stream_url_dedup',
+    )
+}
+
 _PRIORITY: list[str] = [
     # --- NEW r11 — never driver-checked (inserted as registered) ---
     'q_warc_extract',
@@ -99,7 +118,6 @@ _PRIORITY: list[str] = [
     'q_cdx_index',
     'q_stream_wds',
     'q_robots_rules_filter',
-    'q_stream_url_dedup',
     # --- last official row: r6 (31 queries) ---
     'q_heavy_hitters',
     'q_hierarchical_rollup',
@@ -132,6 +150,13 @@ _PRIORITY: list[str] = [
     'q_winnow_dup_pairs',
     'q_winnow_fingerprints',
     'q_zorder_events',
+    # --- new r11, deferred behind the r6 block (window = 50; the r10
+    # verdict's ask #1 ranks refreshing the 31 r6-stale official rows
+    # above a 20th brand-new entry; this one is the most derivative —
+    # its components canonical_url and stream dedup are each
+    # independently hash-checked — and gets its first official row in
+    # the r12 window) ---
+    'q_stream_url_dedup',
     # --- last official row: r7 (50 queries) ---
     'q01_pricing_summary',
     'q03_shipping_priority',
