@@ -250,6 +250,7 @@ def main() -> None:
         "q_meta_robots_filter",
         "q_chunk_sentences",
         "q_cdx_index",
+        "q_robots_rules_filter",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
