@@ -974,3 +974,112 @@ def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGW["q_robots_rules_filter"] = _dc_replace_w(
     _REGW["q_robots_rules_filter"], oracle=_robots_oracle()
 )
+
+
+# ------------------------------- WARC request/response pairing (r11)
+#
+# Real WARC consumers pair the request record with its response (and
+# metadata) for the same capture — the multi-record-type shape a
+# single-type extract never exercises. The fixture writes BOTH records
+# per document into one archive; the query reads the mixed archive
+# back and equi-joins the types on the target URI.
+
+
+def _write_warc_pairs(spark: SparkSession, sf_dir: str) -> str:
+    from stream_processing_platform_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    out = f"/tmp/spp_warc_pairs_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    uri = _uri_col()
+    req_body = F.concat(
+        F.lit("GET /"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" HTTP/1.1\r\nHost: docs.example.test\r\n\r\n"),
+    )
+    html = _html_col()
+    resp_body = F.concat(
+        F.lit(_HTTP_PRE), F.octet_length(html).cast("string"),
+        F.lit(_HTTP_POST), html,
+    )
+    req = d.select(
+        F.lit("request").alias("warc_type"),
+        F.lit("").alias("record_id"),
+        F.lit("").alias("warc_date"),
+        uri.alias("target_uri"),
+        F.lit("application/http; msgtype=request").alias("content_type"),
+        F.encode(req_body, "UTF-8").alias("payload"),
+    )
+    resp = d.select(
+        F.lit("response").alias("warc_type"),
+        F.lit("").alias("record_id"),
+        F.lit("").alias("warc_date"),
+        uri.alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.encode(resp_body, "UTF-8").alias("payload"),
+    )
+    req.unionAll(resp).write.format("spp_warc").mode("overwrite").option(
+        "gzip", "true"
+    ).save(out)
+    return out
+
+
+@query(
+    "q_warc_pair_capture",
+    oracle=f"""
+    WITH x AS (SELECT doc_id, source, {_html_sql()} AS html FROM documents)
+    SELECT doc_id,
+           ('GET /' || source || '/' || CAST(doc_id AS VARCHAR)) AS request_line,
+           CAST(200 AS INTEGER) AS status,
+           CAST({_HTTP_BASE_LEN} + length(CAST(strlen(html) AS VARCHAR))
+                + strlen(html) AS BIGINT) AS response_bytes
+    FROM x
+    """,
+    description="WARC request/response capture pairing (r11): the "
+    "multi-record-type consumer shape — one archive carries BOTH the "
+    "request and the response record per capture (as real crawls do), "
+    "and the reader's output self-joins on the target URI to pair "
+    "them, emitting the request line beside the response status and "
+    "size. The oracle recomputes everything from documents, so a "
+    "hash-MATCH proves mixed-type framing survives the round trip and "
+    "the pairing join drops nothing. Scale shape: per-archive "
+    "parallel read; the pair join keys on URI (both sides arrive "
+    "from the same scan — one shuffle).",
+)
+def q_warc_pair_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _write_warc_pairs(spark, sf_dir)
+    # Two separate load() calls, NOT two .where branches of one: Spark
+    # reuses a single Python DataSource reader instance per relation,
+    # and two conflicting warc_type pushdowns through one instance
+    # mis-scan (see WarcBatchReader's docstring — caught by this very
+    # query). Independent relations get independent readers, so each
+    # branch keeps its own (correct, pruning) pushdown.
+    body = F.decode(F.col("payload"), "UTF-8")
+    req = (
+        spark.read.format("spp_warc").load(out)
+        .where(F.col("warc_type") == "request")
+        .select(
+            F.col("target_uri"),
+            F.regexp_extract(body, r"^(GET [^ ]+) HTTP", 1).alias("request_line"),
+        )
+    )
+    resp = (
+        spark.read.format("spp_warc").load(out)
+        .where(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri"),
+            F.regexp_extract(body, r"^HTTP/1\.1 (\d+) ", 1).cast("int").alias("status"),
+            F.col("content_length").alias("response_bytes"),
+        )
+    )
+    j = req.join(resp, "target_uri")
+    return j.select(
+        F.regexp_extract(F.col("target_uri"), r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "request_line",
+        "status",
+        "response_bytes",
+    )
+
+

@@ -94,6 +94,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         'q_wds_multimodal', 'q_stream_warc', 'q_meta_robots_filter',
         'q_chunk_sentences', 'q_cdx_index', 'q_stream_wds',
         'q_robots_rules_filter', 'q_stream_url_dedup',
+        'q_warc_pair_capture',
     )
 }
 
@@ -157,6 +158,7 @@ _PRIORITY: list[str] = [
     # independently hash-checked — and gets its first official row in
     # the r12 window) ---
     'q_stream_url_dedup',
+    'q_warc_pair_capture',
     # --- last official row: r7 (50 queries) ---
     'q01_pricing_summary',
     'q03_shipping_priority',

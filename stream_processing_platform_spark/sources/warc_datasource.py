@@ -98,26 +98,40 @@ class WarcFilePartition(InputPartition):
 
 
 class WarcBatchReader(DataSourceReader):
+    """Batch reader with ADVISORY warc_type pushdown.
+
+    Spark reuses ONE reader instance across every scan of the same
+    ``load()`` relation, and pushFilters for ALL branches runs before
+    any partitions() call — so two branches filtering on different
+    warc_type values would overwrite a single pushed slot and the
+    last filter would silently apply to both scans (caught live by
+    q_warc_pair_capture's request/response self-join: the request
+    branch read response records). The safe contract: every filter is
+    YIELDED BACK so Spark always re-applies it post-scan, and the
+    source prunes only when exactly one distinct warc_type was pushed
+    (the single-branch case — q_warc_extract keeps its warcinfo
+    prune); conflicting pushdowns disable pruning, never correctness."""
+
     def __init__(self, options):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("spp_warc requires a path")
-        self._warc_type: str | None = None
+        self._pushed_types: set[str] = set()
 
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr else None
             if isinstance(f, EqualTo) and col == "warc_type" and isinstance(f.value, str):
-                self._warc_type = f.value
-            else:
-                yield f  # Spark evaluates everything else post-scan
+                self._pushed_types.add(f.value)
+            yield f  # ALWAYS re-evaluated by Spark (advisory pushdown)
 
     def partitions(self):
         files = _list_files(self._path)
         if not files:
             raise ValueError(f"no WARC files under {self._path!r}")
-        return [WarcFilePartition(p, self._warc_type) for p in files]
+        wt = next(iter(self._pushed_types)) if len(self._pushed_types) == 1 else None
+        return [WarcFilePartition(p, wt) for p in files]
 
     def read(self, partition: WarcFilePartition):
         base = os.path.basename(partition.path)

@@ -309,3 +309,61 @@ def test_stream_reader_consumes_archives_and_resumes(spark, tmp_path):
     rows = drain()
     assert len(rows) == 16  # 12 + the new archive's 4, no re-reads
     assert sum(1 for r in rows if r["warc_file"] == "zz-extra.warc.gz") == 4
+
+
+def test_pushdown_is_advisory_under_conflicting_scans():
+    """Spark reuses ONE Python DataSource reader per load() relation,
+    so two branches pushing different warc_type values overwrite a
+    single slot — the request/response pair join read response records
+    on both sides when pushdown was trusted (caught by
+    q_warc_pair_capture). The reader must (a) yield every filter back
+    so Spark re-applies it, and (b) prune only when the pushed value
+    is unambiguous."""
+    from pyspark.sql.datasource import EqualTo
+
+    from stream_processing_platform_spark.sources.warc_datasource import (
+        WarcBatchReader,
+    )
+
+    r = WarcBatchReader({"path": "/tmp"})
+    f1 = EqualTo(("warc_type",), "request")
+    # the filter comes back (Spark will re-evaluate it post-scan)
+    assert list(r.pushFilters([f1])) == [f1]
+    assert r._pushed_types == {"request"}
+    # a second scan pushes a different value -> ambiguity disables the
+    # source-side prune instead of last-write-wins mis-scanning
+    f2 = EqualTo(("warc_type",), "response")
+    assert list(r.pushFilters([f2])) == [f2]
+    assert r._pushed_types == {"request", "response"}
+
+
+def test_pair_capture_branches_use_independent_relations(spark, tmp_path):
+    """End-to-end guard: with SEPARATE load() calls per branch, the
+    request/response pairing keeps both record types intact."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    recs = []
+    for j in range(3):
+        uri = f"https://example.test/{j}"
+        recs.append((
+            {**H, "WARC-Type": "request", "WARC-Record-ID": record_id_from(f"rq{j}"),
+             "WARC-Target-URI": uri},
+            f"GET /{j} HTTP/1.1\r\n\r\n".encode(),
+        ))
+        recs.append((
+            {**H, "WARC-Record-ID": record_id_from(f"rs{j}"), "WARC-Target-URI": uri},
+            b"HTTP/1.1 200 OK\r\n\r\nbody",
+        ))
+    p = str(tmp_path / "pairs.warc.gz")
+    write_warc(p, recs, gzip_members=True)
+    req = spark.read.format("spp_warc").load(p).where(F.col("warc_type") == "request")
+    resp = spark.read.format("spp_warc").load(p).where(F.col("warc_type") == "response")
+    j = req.select("target_uri").join(resp.select("target_uri", "content_length"), "target_uri")
+    rows = j.collect()
+    assert len(rows) == 3
+    assert all(r["content_length"] == len(b"HTTP/1.1 200 OK\r\n\r\nbody") for r in rows)
