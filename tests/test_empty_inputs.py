@@ -185,3 +185,38 @@ def test_avro_write_read_empty_frame(spark, tmp_path):
     ).mode("overwrite").save(out)
     back = spark.read.format("spp_avro").load(out)
     assert back.count() == 0 and back.columns == ["id", "s"]
+
+
+def test_r11_operators_on_empty(spark, empty_docs):
+    """r11 additions must return empty results of the right schema (not
+    throw) on empty input — the partition-pruned-pipeline-stage case."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_platform_spark.functions.html import boilerplate_blocks
+    from stream_processing_platform_spark.operators.mixture import (
+        temperature_mixture,
+    )
+    from stream_processing_platform_spark.operators.sketches import kmv_distinct
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url,
+        surt_key,
+    )
+
+    e = spark.createDataFrame([], "g string, v long")
+    out = kmv_distinct(e, ["g"], "v", k=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["g", "approx_distinct", "kth_hash"]
+
+    m = spark.createDataFrame([], "doc_id long, source string, n long, h string")
+    tm = temperature_mixture(m, 1000, "n", hash_col="h")
+    assert tm.count() == 0
+
+    u = spark.createDataFrame([], "url string")
+    cu = u.select(canonical_url(F.col("url")).alias("c"),
+                  surt_key(F.col("url")).alias("s"))
+    assert cu.count() == 0
+
+    bp = empty_docs.select(
+        boilerplate_blocks(F.coalesce(F.col("text"), F.lit("")))["content"].alias("c")
+    )
+    assert bp.count() == 0
