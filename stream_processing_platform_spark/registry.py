@@ -69,12 +69,16 @@ _loaded = False
 # Registry order = the order the driver runs queries in, and the driver
 # verifies only the first ~50 per round. With >50 registered queries the
 # order IS the coverage policy, so it is explicit here (not an accident of
-# import order) and rotates per round. Round-11 rotation, per the r10
-# verdict ask #1 (ledger hygiene): NEW r11 queries lead (never checked),
-# then every remaining query ordered by the round of its last official
-# CORRECTNESS row, ascending — so the 31 r6-stale rows fill the window
-# right after the new block, the oldest r7 rows take the remaining slots,
-# and max staleness is provably minimized. scripts/ledger_check.py
+# import order) and rotates per round. Round-12 rotation, per the r11
+# verdict ask #1: the window is EXACTLY the 50 rows whose last official
+# CORRECTNESS row is r7 (the stalest cohort — zero slots spent on new
+# queries this round), then the two never-ledgered r11 rows, then every
+# remaining query ordered by the round of its last official row,
+# ascending. The freshness bound is ceil(N / window): with N registered
+# queries and a 50-slot window a full rotation takes ceil(N/50) rounds,
+# so that staleness is achievable by a perfect rotation and nothing
+# tighter is — every query registration therefore RAISES worst-case
+# staleness and must be worth a ledger slot. scripts/ledger_check.py
 # recomputes this ordering from the CORRECTNESS_r*.json history and exits
 # nonzero if the window about to be submitted would let any query's
 # staleness exceed the freshness bound.
@@ -99,67 +103,7 @@ _REGISTERED_ROUND: dict[str, int] = {
 }
 
 _PRIORITY: list[str] = [
-    # --- NEW r11 — never driver-checked (inserted as registered) ---
-    'q_warc_extract',
-    'q_warc_wet_tokens',
-    'q_domain_stats',
-    'q_blocklist_filter',
-    'q_multimodal_avc_deblock',
-    'q_approx_distinct_kmv',
-    'q_url_canonicalize',
-    'q_boilerplate_blocks',
-    'q_mixture_temperature',
-    'q_badwords_filter',
-    'q_wds_roundtrip',
-    'q_stream_kmv_distinct',
-    'q_wds_multimodal',
-    'q_stream_warc',
-    'q_meta_robots_filter',
-    'q_chunk_sentences',
-    'q_cdx_index',
-    'q_stream_wds',
-    'q_robots_rules_filter',
-    # --- last official row: r6 (31 queries) ---
-    'q_heavy_hitters',
-    'q_hierarchical_rollup',
-    'q_html_extract',
-    'q_json_variant',
-    'q_kmeans_assign',
-    'q_line_dedup',
-    'q_lpa_labels',
-    'q_mad_outliers',
-    'q_ohlc_bars',
-    'q_pagerank_near_dups',
-    'q_pipeline_funnel',
-    'q_scd2_customers',
-    'q_sentence_split',
-    'q_stratified_sample',
-    'q_stream_cdc_apply',
-    'q_stream_chained_agg',
-    'q_stream_join_full',
-    'q_stream_join_semi',
-    'q_stream_ohlc',
-    'q_stream_state_v2',
-    'q_stream_state_v2_list',
-    'q_stream_state_v2_map',
-    'q_stream_state_v2_reduce',
-    'q_stream_window_collect',
-    'q_unigram_logprob',
-    'q_window_session',
-    'q_window_sliding',
-    'q_window_tumbling',
-    'q_winnow_dup_pairs',
-    'q_winnow_fingerprints',
-    'q_zorder_events',
-    # --- new r11, deferred behind the r6 block (window = 50; the r10
-    # verdict's ask #1 ranks refreshing the 31 r6-stale official rows
-    # above a 20th brand-new entry; this one is the most derivative —
-    # its components canonical_url and stream dedup are each
-    # independently hash-checked — and gets its first official row in
-    # the r12 window) ---
-    'q_stream_url_dedup',
-    'q_warc_pair_capture',
-    # --- last official row: r7 (50 queries) ---
+    # --- last official row: r7 (50 queries) — THE r12 window ---
     'q01_pricing_summary',
     'q03_shipping_priority',
     'q05_local_supplier_volume',
@@ -210,6 +154,9 @@ _PRIORITY: list[str] = [
     'q_window_distribution',
     'q_window_range_frame',
     'q_winsorize',
+    # --- never ledgered (registered r11; deadline = birth + bound) ---
+    'q_stream_url_dedup',
+    'q_warc_pair_capture',
     # --- last official row: r8 (34 queries) ---
     'q_approx_distinct',
     'q_containment_pairs',
@@ -347,6 +294,57 @@ _PRIORITY: list[str] = [
     'q_stream_weighted_sample',
     'q_unigram_tokenize',
     'q_weighted_sample',
+    # --- last official row: r11 (50 queries) ---
+    'q_approx_distinct_kmv',
+    'q_badwords_filter',
+    'q_blocklist_filter',
+    'q_boilerplate_blocks',
+    'q_cdx_index',
+    'q_chunk_sentences',
+    'q_domain_stats',
+    'q_heavy_hitters',
+    'q_hierarchical_rollup',
+    'q_html_extract',
+    'q_json_variant',
+    'q_kmeans_assign',
+    'q_line_dedup',
+    'q_lpa_labels',
+    'q_mad_outliers',
+    'q_meta_robots_filter',
+    'q_mixture_temperature',
+    'q_multimodal_avc_deblock',
+    'q_ohlc_bars',
+    'q_pagerank_near_dups',
+    'q_pipeline_funnel',
+    'q_robots_rules_filter',
+    'q_scd2_customers',
+    'q_sentence_split',
+    'q_stratified_sample',
+    'q_stream_cdc_apply',
+    'q_stream_chained_agg',
+    'q_stream_join_full',
+    'q_stream_join_semi',
+    'q_stream_kmv_distinct',
+    'q_stream_ohlc',
+    'q_stream_state_v2',
+    'q_stream_state_v2_list',
+    'q_stream_state_v2_map',
+    'q_stream_state_v2_reduce',
+    'q_stream_warc',
+    'q_stream_wds',
+    'q_stream_window_collect',
+    'q_unigram_logprob',
+    'q_url_canonicalize',
+    'q_warc_extract',
+    'q_warc_wet_tokens',
+    'q_wds_multimodal',
+    'q_wds_roundtrip',
+    'q_window_session',
+    'q_window_sliding',
+    'q_window_tumbling',
+    'q_winnow_dup_pairs',
+    'q_winnow_fingerprints',
+    'q_zorder_events',
 ]
 
 
