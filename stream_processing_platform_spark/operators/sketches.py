@@ -108,8 +108,12 @@ def kmv_distinct(
     """Approximate COUNT(DISTINCT value_col) per group via a
     deterministic KMV sketch. Columns: group_cols + (approx_distinct,
     kth_hash). When a group holds fewer than k distinct hashes the
-    sketch IS the distinct set and the exact count is returned
-    (kth_hash then being the max observed hash)."""
+    sketch IS the distinct set and the exact count of distinct HASHES
+    is returned (kth_hash then being the max observed hash). Distinct
+    values whose Knuth hashes collide — congruent mod 2^31-1 or
+    colliding after the multiply — merge even in this small-group
+    branch, so "exact" means exact over hashes, not values; the oracle
+    replays the same hash, so the comparison is unaffected."""
     from pyspark.sql import Window
 
     from stream_processing_platform_spark.functions.cols import as_col_list

@@ -9,44 +9,123 @@ split, array ops — whole-stage codegen, no UDF), with duckdb SQL twins
 generated from the SAME suffix table so the oracle can never drift
 from the operator (generated-oracle doctrine, CLAUDE.md).
 
-Public-suffix handling: the full PSL is ~9k rules; carrying it
-verbatim is a data-file concern, not an algorithmic one. The operator
-implements the PSL *algorithm* (longest matching suffix wins; the
-registered domain is one label beyond the matched suffix) over a
-built-in subset of the most common multi-level rules, and accepts a
-custom rule list for deployments that ship the full PSL. At 100 TB the
-rule set rides into the expression as a literal array (a few KB,
-serialized once per task with the plan, never shuffled).
+Public-suffix handling (r12): the PSL *file* ships as data
+(``data/public_suffix_list.dat`` — a snapshot subset in the official
+publicsuffix.org format; drop the full ~9k-rule file in its place for
+production) and :func:`load_psl` parses the complete format: exact
+rules, ``*.`` wildcard rules (one label), and ``!`` exception rules.
+The operator implements the full PSL algorithm — exception rules
+prevail, else the longest matching rule; the registered domain is one
+label beyond the matched public suffix; unlisted TLDs fall to the
+implicit ``*`` rule. Rules ride into the expression grouped by label
+count as ``isin(...)`` sets — Catalyst converts literal IN-lists above
+the inSetConversionThreshold to ``InSet`` (hash-set membership, O(1)
+per row even at the full 9k rules), serialized once per task with the
+plan, never shuffled. Single-label TLDs need no table entry — they are
+the default branch.
 """
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Multi-level public suffixes (PSL subset): a host ending in one of
-# these keeps TWO labels beyond the dot-split tail pair. Single-level
-# TLDs need no table — they are the default branch.
-TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
-    "co.uk",
-    "org.uk",
-    "ac.uk",
-    "gov.uk",
-    "com.au",
-    "net.au",
-    "org.au",
-    "co.jp",
-    "ne.jp",
-    "com.br",
-    "com.cn",
-    "co.in",
-    "co.nz",
-    "co.za",
-    "com.mx",
-    "github.io",
-    "blogspot.com",
-    "s3.amazonaws.com",
+_PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "data", "public_suffix_list.dat")
+
+
+@dataclass(frozen=True)
+class PslRules:
+    """Parsed public-suffix rules. ``exact`` holds multi-label exact
+    rules; ``wildcard`` holds the BASE of each ``*.base`` rule (the
+    wildcard consumes exactly one extra label, per the PSL spec);
+    ``exception`` holds each ``!rule`` with the '!' stripped."""
+
+    exact: tuple[str, ...]
+    wildcard: tuple[str, ...]
+    exception: tuple[str, ...]
+
+
+def load_psl(path: str | None = None) -> PslRules:
+    """Parse a publicsuffix.org-format rule file: one rule per line,
+    ``//`` comments, blank lines ignored, ``*.`` wildcards, ``!``
+    exceptions. Single-label exact rules are dropped (they equal the
+    implicit ``*`` default branch and would only bloat the plan)."""
+    exact, wildcard, exception = [], [], []
+    with open(path or _PSL_PATH, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            # the official file whitespace-separates trailing comments
+            line = line.split()[0].lower()
+            if line.startswith("!"):
+                exception.append(line[1:])
+            elif line.startswith("*."):
+                wildcard.append(line[2:])
+            elif "." in line:
+                exact.append(line)
+    return PslRules(tuple(exact), tuple(wildcard), tuple(exception))
+
+
+PSL_RULES: PslRules = load_psl()
+
+# Back-compat alias (pre-r12 API): a bare tuple of two-level suffixes is
+# still accepted by registered_domain/registered_domain_sql and treated
+# as exact rules.
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = tuple(
+    s for s in PSL_RULES.exact if s.count(".") == 1
 )
+
+
+def _psl_branches(rules: PslRules) -> list[tuple[str, int, tuple[str, ...], int]]:
+    """Shared branch table driving BOTH the Column and the SQL builder
+    (generated-oracle doctrine): ordered ``(kind, k, rule_set, result_k)``
+    rows, where ``k`` is the label count of the joined tail compared
+    against ``rule_set`` and ``result_k`` the label count of the
+    registered domain (0 = pass the host through). Kinds:
+
+    - ``exc``  — exception rule: the rule ITSELF is the registered
+      domain (public suffix = rule minus its leftmost label);
+    - ``exact`` — exact rule of k labels: suffix = rule, registered =
+      k+1 labels (guarded n >= k+1; a bare suffix falls through to the
+      default pass-through);
+    - ``wild`` — ``*.base`` with base of k labels: suffix = base plus
+      one label, registered = k+2 labels when n >= k+2;
+    - ``wild_bare`` — host IS a wildcard-matched suffix (n == k+1):
+      pass through unchanged (mirrors the bare exact-suffix case,
+      which the default branch happens to return verbatim).
+
+    Order = PSL precedence: exceptions first (they prevail regardless
+    of length), then exact/wildcard by descending effective rule
+    length. Membership sets can never alias across k: a joined tail of
+    k labels has k-1 dots, so it cannot equal a rule with a different
+    label count.
+    """
+    branches: list[tuple[str, int, tuple[str, ...], int]] = []
+    by_k: dict[int, list[str]] = {}
+    for r in rules.exception:
+        by_k.setdefault(r.count(".") + 1, []).append(r)
+    for k in sorted(by_k, reverse=True):
+        branches.append(("exc", k, tuple(by_k[k]), k))
+    merged: list[tuple[int, str, int, tuple[str, ...], int]] = []
+    by_k = {}
+    for r in rules.exact:
+        by_k.setdefault(r.count(".") + 1, []).append(r)
+    for k, rs in by_k.items():
+        merged.append((k, "exact", k, tuple(rs), k + 1))
+    by_k = {}
+    for b in rules.wildcard:
+        by_k.setdefault(b.count(".") + 1, []).append(b)
+    for k, rs in by_k.items():
+        # effective rule length = base labels + the wildcard label
+        merged.append((k + 1, "wild", k, tuple(rs), k + 2))
+        merged.append((k + 1, "wild_bare", k, tuple(rs), 0))
+    for _, kind, k, rs, res in sorted(merged, key=lambda t: (-t[0], t[1])):
+        branches.append((kind, k, rs, res))
+    return branches
 
 
 def host_of(url: Column) -> Column:
@@ -59,47 +138,89 @@ def host_of_sql(url_expr: str) -> str:
     return f"lower(regexp_extract({url_expr}, '^[a-zA-Z]+://([^/]+)', 1))"
 
 
+def _coerce_rules(rules: PslRules | tuple[str, ...]) -> PslRules:
+    if isinstance(rules, PslRules):
+        return rules
+    return PslRules(exact=tuple(rules), wildcard=(), exception=())
+
+
 def registered_domain(
-    host: Column, two_level: tuple[str, ...] = TWO_LEVEL_SUFFIXES
+    host: Column, rules: PslRules | tuple[str, ...] = PSL_RULES
 ) -> Column:
     """Registered (pay-level) domain of a hostname: one label beyond
-    the public suffix. ``blog.alpha.co.uk`` -> ``alpha.co.uk``;
-    ``www.beta.com`` -> ``beta.com``; a bare suffix passes through."""
+    the public suffix, full PSL semantics. ``blog.alpha.co.uk`` ->
+    ``alpha.co.uk``; ``www.beta.com`` -> ``beta.com``;
+    ``wiki.example.ck`` -> ``wiki.example.ck`` (wildcard ``*.ck``);
+    ``foo.www.ck`` -> ``www.ck`` (exception ``!www.ck``); a bare
+    suffix passes through. A bare tuple is accepted as exact rules
+    (pre-r12 API)."""
+    r = _coerce_rules(rules)
     parts = F.split(host, r"\.")
     n = F.size(parts)
+
     # try_element_at, not element_at: ANSI mode makes a negative index
-    # past the array bounds a runtime error, and last2 is evaluated
-    # unconditionally (it feeds the WHEN condition) — a single-label
+    # past the array bounds a runtime error, and the tails are evaluated
+    # unconditionally (they feed the WHEN conditions) — a single-label
     # host (localhost, intranet names) must not throw. concat_ws skips
-    # NULLs, and the n >= 2 guards keep the semantics exact.
-    last2 = F.concat_ws(
-        ".", F.try_element_at(parts, F.lit(-2)), F.try_element_at(parts, F.lit(-1))
-    )
-    rules = F.array(*[F.lit(s) for s in two_level])
-    return (
-        F.when(
-            F.array_contains(rules, last2) & (n >= 3),
-            F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2),
+    # NULLs; the n-guards keep the semantics exact, and a collapsed
+    # short tail can never alias a longer rule (fewer dots).
+    def last(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)]
         )
-        .when(n >= 2, last2)
-        .otherwise(host)
-    )
+
+    expr = F.when(n >= 2, last(2)).otherwise(host)
+    # build the chain back-to-front so the highest-precedence branch
+    # ends up outermost
+    for kind, k, rs, res in reversed(_psl_branches(r)):
+        member = last(k).isin(*rs)  # literal IN-list -> InSet (hash set)
+        if kind == "exc":
+            expr = F.when(member & (n >= k), last(k)).otherwise(expr)
+        elif kind == "exact":
+            expr = F.when(member & (n >= k + 1), last(k + 1)).otherwise(expr)
+        elif kind == "wild":
+            expr = F.when(member & (n >= k + 2), last(k + 2)).otherwise(expr)
+        else:  # wild_bare: the host IS a wildcard-matched public suffix
+            expr = F.when(member & (n == k + 1), host).otherwise(expr)
+    return expr
 
 
 def registered_domain_sql(
-    host_expr: str, two_level: tuple[str, ...] = TWO_LEVEL_SUFFIXES
+    host_expr: str, rules: PslRules | tuple[str, ...] = PSL_RULES
 ) -> str:
     """duckdb twin of :func:`registered_domain`, generated from the
-    SAME suffix table. duckdb lists are 1-indexed and support negative
-    indexing like Spark's element_at."""
-    rules = "[" + ", ".join(f"'{s}'" for s in two_level) + "]"
+    SAME parsed rule table via the SAME branch list (generated-oracle
+    doctrine). duckdb lists are 1-indexed and support negative indexing
+    like Spark's element_at; an out-of-bounds index yields NULL, which
+    NULL-propagates through || so an undersized host can never match a
+    longer rule."""
+    r = _coerce_rules(rules)
     p = f"string_split({host_expr}, '.')"
-    last2 = f"({p}[-2] || '.' || {p}[-1])"
-    return (
-        f"CASE WHEN list_contains({rules}, {last2}) AND len({p}) >= 3 "
-        f"THEN ({p}[-3] || '.' || {last2}) "
-        f"WHEN len({p}) >= 2 THEN {last2} ELSE {host_expr} END"
-    )
+
+    def last(k: int) -> str:
+        return "(" + " || '.' || ".join(f"{p}[-{i}]" for i in range(k, 0, -1)) + ")"
+
+    def inset(k: int, rs: tuple[str, ...]) -> str:
+        return f"{last(k)} IN (" + ", ".join(f"'{s}'" for s in rs) + ")"
+
+    whens = []
+    for kind, k, rs, res in _psl_branches(r):
+        if kind == "exc":
+            whens.append(f"WHEN {inset(k, rs)} AND len({p}) >= {k} THEN {last(k)}")
+        elif kind == "exact":
+            whens.append(
+                f"WHEN {inset(k, rs)} AND len({p}) >= {k + 1} THEN {last(k + 1)}"
+            )
+        elif kind == "wild":
+            whens.append(
+                f"WHEN {inset(k, rs)} AND len({p}) >= {k + 2} THEN {last(k + 2)}"
+            )
+        else:
+            whens.append(
+                f"WHEN {inset(k, rs)} AND len({p}) = {k + 1} THEN {host_expr}"
+            )
+    whens.append(f"WHEN len({p}) >= 2 THEN {last(2)}")
+    return "CASE " + " ".join(whens) + f" ELSE {host_expr} END"
 
 
 # ------------------------------------------------- URL canonicalization

@@ -412,7 +412,16 @@ _URL_VARIANTS = (
     "?fbclid=abc&b=2&a=1",                # tracker first
 )
 # host-spelling variants cycle separately so case/port/userinfo changes
-# combine with every query-tail class
+# combine with every query-tail class.
+#
+# Variant indices are driven by doc_id div _CANON_PAGES (the "generation"
+# g), NOT by doc_id itself: page = doc_id % 40 fixes doc_id mod 4 and
+# mod 8 (both divide 40), so a doc_id-modulo index would hand every
+# document of a page the IDENTICAL raw spelling and the canonicalizer
+# would never collapse anything (r11 ADVICE). g varies freely across the
+# documents of one page, so each canonical page receives g%4 × g%8
+# distinct spellings and n_raw_variants > 1 is genuinely exercised
+# (asserted in tests/test_web_curation.py).
 _HOST_VARIANTS = (
     ("https://", "www.{n}.{s}", ""),
     ("HTTPS://", "WWW.{n}.{s}", ""),       # scheme+host case
@@ -431,10 +440,11 @@ def _messy_url_col() -> F.Column:
         F.array(*[F.lit(s) for s in _URL_SUFFIXES]),
         (page % len(_URL_SUFFIXES) + 1).cast("int"),
     )
-    hv = (F.col("doc_id") % len(_HOST_VARIANTS)).cast("int")
+    gen = F.expr(f"doc_id div {_CANON_PAGES}")
+    hv = (gen % len(_HOST_VARIANTS)).cast("int")
     tail = F.element_at(
         F.array(*[F.lit(t) for t in _URL_VARIANTS]),
-        ((F.col("doc_id") % len(_URL_VARIANTS)) + 1).cast("int"),
+        ((gen % len(_URL_VARIANTS)) + 1).cast("int"),
     )
     heads = []
     for scheme, hostpat, _ in _HOST_VARIANTS:
@@ -452,8 +462,9 @@ def _messy_url_sql() -> str:
     page = f"(doc_id % {_CANON_PAGES})"
     name = f"{arr(_URL_NAMES)}[CAST({page} % {len(_URL_NAMES)} AS INT) + 1]"
     suf = f"{arr(_URL_SUFFIXES)}[CAST({page} % {len(_URL_SUFFIXES)} AS INT) + 1]"
+    gen = f"(doc_id // {_CANON_PAGES})"
     tail = (
-        f"{arr(_URL_VARIANTS)}[CAST(doc_id % {len(_URL_VARIANTS)} AS INT) + 1]"
+        f"{arr(_URL_VARIANTS)}[CAST({gen} % {len(_URL_VARIANTS)} AS INT) + 1]"
     )
     heads = []
     for scheme, hostpat, _ in _HOST_VARIANTS:
@@ -463,7 +474,7 @@ def _messy_url_sql() -> str:
         if tail_s:
             h += f" || '{tail_s}'"
         heads.append(f"({h})")
-    host = f"[{', '.join(heads)}][CAST(doc_id % {len(_HOST_VARIANTS)} AS INT) + 1]"
+    host = f"[{', '.join(heads)}][CAST({gen} % {len(_HOST_VARIANTS)} AS INT) + 1]"
     return f"({host} || '/page/' || CAST({page} AS VARCHAR) || {tail})"
 
 

@@ -174,6 +174,18 @@ class WdsBatchWriter(DataSourceWriter):
             for key, files in iterator:
                 if files is None:
                     continue
+                # The reader's split_member_name takes everything before
+                # the FIRST dot as the sample key, so a key containing
+                # '.' (or a path separator) would round-trip to a
+                # DIFFERENT key and silently splinter/merge samples
+                # (r11 ADVICE) — reject it at the datasource boundary.
+                if "." in key or "/" in key or "\\" in key:
+                    raise ValueError(
+                        f"spp_wds sample key {key!r} must not contain "
+                        "'.', '/' or '\\\\' — the member name is "
+                        "'<key>.<ext>' and the reader splits on the "
+                        "first dot"
+                    )
                 for fext in sorted(files):
                     data = bytes(files[fext])
                     ti = tarfile.TarInfo(name=f"{key}.{fext}")

@@ -189,3 +189,19 @@ def test_stream_reader_consumes_shards_and_resumes(spark, tmp_path):
     rows = drain()
     assert len(rows) == 8
     assert sum(1 for r in rows if r["shard"] == "zz.tar") == 2
+
+
+def test_writer_rejects_dotted_or_pathy_keys(spark, tmp_path):
+    """r11 ADVICE: the reader splits member names on the FIRST dot, so a
+    key containing '.' (or '/') would round-trip to a different key and
+    silently splinter/merge samples — the writer must reject it."""
+    register_wds_source(spark)
+    for bad in ("a.b", "a/b"):
+        df = spark.createDataFrame(
+            [(bad, {"txt": bytearray(b"x")})],
+            "key string, files map<string,binary>",
+        )
+        with pytest.raises(Exception, match="must not contain"):
+            df.coalesce(1).write.format("spp_wds").mode("overwrite").save(
+                str(tmp_path / "badkey")
+            )

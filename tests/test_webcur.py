@@ -150,3 +150,109 @@ def test_robots_rules_precedence(spark):
             assert not row["allowed"], doc_id
         else:
             assert row["allowed"], doc_id
+
+
+def test_messy_url_fixture_has_real_variants(spark):
+    """r11 ADVICE: doc_id%4 / doc_id%8 variant indices were constant within
+    each canonical page (4 and 8 divide _CANON_PAGES=40), so every doc of a
+    page got the identical raw URL and the canonicalizer never collapsed
+    anything. The indices now cycle on doc_id div 40; this pins that each
+    multi-doc canonical page really receives multiple raw spellings."""
+    import os
+
+    from stream_processing_platform_spark.queries.web import q_url_canonicalize
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = q_url_canonicalize(spark, sf).collect()
+    assert rows, "fixture produced no canonical pages"
+    multi = [r for r in rows if r["n_docs"] > 1]
+    assert multi, "expected canonical pages shared by several docs"
+    # every page with enough docs must have collapsed >1 raw spelling
+    assert all(r["n_raw_variants"] > 1 for r in multi), [
+        (r["canonical_url"], r["n_docs"], r["n_raw_variants"]) for r in multi[:5]
+    ]
+
+
+# Full-PSL rule classes (r12): wildcard '*.' rules consume exactly one
+# label, '!' exception rules prevail over everything, a host that IS a
+# wildcard-matched suffix passes through bare. Each case is checked on
+# BOTH engines (the same branch table generates both expressions).
+PSL_CASES = [
+    # *.ck wildcard: example.ck is a public suffix
+    ("https://wiki.example.ck/a", "wiki.example.ck", "wiki.example.ck"),
+    ("https://deep.wiki.example.ck/a", "deep.wiki.example.ck", "wiki.example.ck"),
+    ("https://example.ck/a", "example.ck", "example.ck"),  # bare wildcard suffix
+    # !www.ck exception: www.ck is NOT a suffix, it IS a registrable domain
+    ("https://www.ck/a", "www.ck", "www.ck"),
+    ("https://foo.www.ck/a", "foo.www.ck", "www.ck"),
+    # *.kawasaki.jp geographic wildcard + !city.kawasaki.jp exception
+    ("https://a.b.kawasaki.jp/", "a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+    ("https://b.kawasaki.jp/", "b.kawasaki.jp", "b.kawasaki.jp"),  # bare
+    ("https://city.kawasaki.jp/", "city.kawasaki.jp", "city.kawasaki.jp"),
+    ("https://foo.city.kawasaki.jp/", "foo.city.kawasaki.jp", "city.kawasaki.jp"),
+    # plain jp exact rule still wins at its own length
+    ("https://www.rakuten.co.jp/", "www.rakuten.co.jp", "rakuten.co.jp"),
+    # 3-label wildcard base (AWS EC2 hostnames)
+    (
+        "https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/x",
+        "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+        "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+    ),
+    # 4-label exact private rule
+    ("https://acct.blob.core.windows.net/c", "acct.blob.core.windows.net",
+     "acct.blob.core.windows.net"),
+    ("https://x.acct.blob.core.windows.net/c", "x.acct.blob.core.windows.net",
+     "acct.blob.core.windows.net"),
+]
+
+
+def test_psl_wildcard_and_exception_spark(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in PSL_CASES], "url string")
+    out = df.select(
+        host_of(F.col("url")).alias("host"),
+        registered_domain(host_of(F.col("url"))).alias("rd"),
+    ).collect()
+    for (u, host, rd), row in zip(PSL_CASES, out):
+        assert row["host"] == host, u
+        assert row["rd"] == rd, u
+
+
+def test_psl_wildcard_and_exception_sql_twin():
+    con = duckdb.connect()
+    for u, host, rd in PSL_CASES:
+        h, r = con.execute(
+            f"SELECT {host_of_sql('url')} AS h, "
+            f"{registered_domain_sql(host_of_sql('url'))} AS r "
+            f"FROM (SELECT '{u}' AS url)"
+        ).fetchone()
+        assert h == host, u
+        assert r == rd, u
+
+
+def test_load_psl_parses_all_rule_classes(tmp_path):
+    from stream_processing_platform_spark.operators.webcur import PSL_RULES, load_psl
+
+    f = tmp_path / "psl.dat"
+    f.write_text(
+        "// comment\n\nfoo.example\n*.bar.example\n!keep.bar.example\n"
+        "single\ncom // trailing\n"
+    )
+    r = load_psl(str(f))
+    assert r.exact == ("foo.example",)
+    assert r.wildcard == ("bar.example",)
+    assert r.exception == ("keep.bar.example",)
+    # the shipped snapshot carries every rule class
+    assert len(PSL_RULES.exact) > 300
+    assert "ck" in PSL_RULES.wildcard and "kawasaki.jp" in PSL_RULES.wildcard
+    assert "www.ck" in PSL_RULES.exception
+
+
+def test_registered_domain_inset_plan(spark):
+    """Membership must compile to InSet (hash set), not a linear
+    array_contains scan — the property that keeps the full 9k-rule PSL
+    O(1) per row at 100 TB."""
+    df = spark.createDataFrame([("a.co.uk",)], "host string")
+    plan = df.select(
+        registered_domain(F.col("host")).alias("rd")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "INSET" in plan or "inset" in plan.lower(), plan[:2000]
