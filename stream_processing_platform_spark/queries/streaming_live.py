@@ -1828,10 +1828,22 @@ _REG_SL["q_stream_wds"] = _dc_replace_sl(
     "the stream as pure JVM columns) and dropDuplicates on the "
     "canonical key — state is one entry per DISTINCT canonical URL, "
     "never per raw spelling, which is the point of canonicalizing "
-    "before the dedup boundary. Emits the canonical-key set (the "
-    "surviving representative is arrival-order dependent and is NOT "
-    "emitted — the deterministic contract is the key set itself); "
-    "oracle = SELECT DISTINCT canonical over the same fixture.",
+    "before the dedup boundary. State bound (r12): corpus-wide URL "
+    "dedup is GLOBAL by design — no watermark prunes it — so the 100 TB "
+    "sizing argument is explicit: ~60 B per canonical-URL key in the "
+    "RocksDB state store ⇒ ≈600 GB total state per 10^10 distinct URLs, "
+    "spread over the shuffle partitions (~600 MB/executor at 1000 "
+    "executors), well inside RocksDB's on-disk design envelope. "
+    "Continuous-crawl deployments that only need politeness-window "
+    "semantics use the bounded companion dedup_stream_within_watermark "
+    "(streaming/dedup.py:37 — dropDuplicatesWithinWatermark on the "
+    "canonical key, state expiring with the watermark; drop/expiry "
+    "behavior pinned by tests/test_streaming.py::"
+    "test_url_dedup_within_watermark_bounds_state). Emits the "
+    "canonical-key set (the surviving representative is arrival-order "
+    "dependent and is NOT emitted — the deterministic contract is the "
+    "key set itself); oracle = SELECT DISTINCT canonical over the same "
+    "fixture.",
 )
 def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_platform_spark.operators.webcur import canonical_url

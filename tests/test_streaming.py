@@ -319,3 +319,49 @@ def test_exactly_once_parquet_sink_restart_no_duplicates(spark, tmp_path):
     q2.awaitTermination(120)
     rows = spark.read.option("recursiveFileLookup", "true").parquet(out).collect()
     assert sorted(r.event_id for r in rows) == ["a", "b", "c"]  # no duplicates
+
+
+def test_url_dedup_within_watermark_bounds_state(spark, tmp_path, qname):
+    """Politeness-window URL dedup (r11 verdict #4): the bounded-state
+    companion of q_stream_url_dedup. Raw URL VARIANTS canonicalize on
+    the stream, then dropDuplicatesWithinWatermark on the canonical key:
+
+    - two raw spellings of one resource inside the window -> ONE row
+      (canonicalize-before-dedup, state per canonical key);
+    - a re-crawl of the same canonical URL AFTER its state expired ->
+      re-admitted (that re-emission IS the proof the state is bounded
+      by the watermark window, not by the corpus URL count).
+
+    Watermark staging per SPARK-42376: the late-row filter uses the
+    PREVIOUS batch's watermark, so the expiry is driven two batches
+    ahead of the re-crawl.
+    """
+    from stream_processing_platform_spark.operators.webcur import canonical_url
+    from stream_processing_platform_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+
+    batches = [
+        # event_id carries the RAW url spelling
+        [(1, "https://www.a.com/p?utm_source=x", T(0), 1.0)],
+        [(1, "HTTPS://WWW.A.COM/p", T(10), 1.0)],  # same resource, in-window: DROP
+        [(1, "https://b.com/q", T(30), 1.0)],      # watermark -> 30 - 20 = 10
+        [(1, "https://c.com/r", T(200), 1.0)],     # watermark -> 180 at batch end
+        [(1, "https://e.com/t", T(205), 1.0)],     # second mover: eviction sees 180
+        [(1, "https://www.a.com/p/", T(210), 1.0)],  # re-crawl after expiry: ADMIT
+        [(1, "https://d.com/s", T(400), 1.0)],     # flush
+    ]
+    src = stage(spark, tmp_path, batches)
+    stream = file_source(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    canon = stream.select(
+        canonical_url(F.col("event_id")).alias("canonical_url"), F.col("ts")
+    )
+    deduped = dedup_stream_within_watermark(
+        canon, ["canonical_url"], "ts", watermark_delay="20 seconds"
+    )
+    run_to_memory(deduped, qname)
+    urls = [r.canonical_url for r in spark.table(qname).collect()]
+    # canonicalization collapsed case/tracking variants to one key
+    assert urls.count("https://www.a.com/p") == 2  # batch 1 + post-expiry re-crawl
+    assert "https://b.com/q" in urls and "https://c.com/r" in urls
+    assert len(urls) == 6  # 1 dup dropped out of 7 arrivals
