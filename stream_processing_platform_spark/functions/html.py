@@ -146,3 +146,109 @@ def boilerplate_blocks_sql(raw_expr: str) -> dict[str, str]:
         "n_blocks": f"CAST(len({nonempty}) AS BIGINT)",
         "n_kept": f"CAST(len({kept}) AS BIGINT)",
     }
+
+
+# --------------------------------------------- Arrow twin (r12, perf)
+#
+# The HOF form above runs the per-block strip chain in INTERPRETED
+# lambdas (no codegen), and the strip chain is evaluated up to 3x per
+# block (filter condition twice via tree-splicing + transform) — the
+# exact shape CLAUDE.md's winnow lesson flags. The twin below runs the
+# SAME tables/patterns through Python's compiled `re` in one Arrow
+# mapInPandas pass, one strip per block. Pinned row-identical to the
+# expression form by tests/test_text_pipeline.py (integer/string
+# outputs — exact equality, no float allowance); the duckdb oracle
+# stays generated from the expression tables, so a pin breach has a
+# one-switch fallback (impl="expr").
+#
+# Regex-portability notes (Java regexp vs Python re):
+# - every pattern avoids backreferences/lookaround; inline (?s) works
+#   identically;
+# - `\s` differs (Python default is Unicode-aware) — compiled with
+#   re.ASCII, whose [ \t\n\r\f\v] equals Java's [ \t\n\x0B\f\r];
+# - Spark F.trim strips 0x20 only -> .strip(' ');
+# - F.length / len() both count code points.
+
+_PY_BLOCK_RE = None  # compiled lazily so `re` stays an import-local
+
+
+def _py_tables():
+    global _PY_BLOCK_RE
+    import re
+
+    if _PY_BLOCK_RE is None:
+        _PY_BLOCK_RE = (
+            re.compile(_BLOCK_TAG_RE),
+            [(re.compile(p), r) for p, r in _TAG_STEPS],
+            re.compile(r"\s+", re.ASCII),
+            re.compile(_LINK_RE),
+            re.compile(r"<[^>]+>"),
+        )
+    return _PY_BLOCK_RE
+
+
+def strip_html_py(raw: str) -> str:
+    """Python twin of :func:`strip_html` (same step tables)."""
+    _, tag_steps, ws, _, _ = _py_tables()
+    out = raw
+    for pat, rep in tag_steps:
+        out = pat.sub(rep, out)
+    for lit, rep in _ENTITY_STEPS:
+        out = out.replace(lit, rep)
+    return ws.sub(" ", out).strip(" ")
+
+
+def boilerplate_blocks_py(raw: str) -> tuple[str, int, int]:
+    """Python twin of :func:`boilerplate_blocks`: returns
+    ``(content, n_blocks, n_kept)`` for one page, one strip per block."""
+    block_re, _, _, link_re, tag_re = _py_tables()
+    kept_texts: list[str] = []
+    n_blocks = 0
+    n_kept = 0
+    for b in block_re.sub(_BLOCK_SENTINEL, raw).split(_BLOCK_SENTINEL):
+        text = strip_html_py(b)
+        tl = len(text)
+        if tl > 0:
+            n_blocks += 1
+        if tl >= MIN_BLOCK_TEXT:
+            link_len = len(tag_re.sub("", "".join(link_re.findall(b))))
+            if link_len * LINK_RATIO_DENOM < tl:
+                kept_texts.append(text)
+                n_kept += 1
+    return " ".join(kept_texts), n_blocks, n_kept
+
+
+def boilerplate_blocks_pandas(df, raw: Column, id_cols: list[str] | None = None):
+    """Arrow mapInPandas form of :func:`boilerplate_blocks` over a
+    DataFrame: emits ``id_cols + (content, n_blocks, n_kept)``. One
+    Python pass per page, zero shuffle — same scale shape as the
+    expression form, minus the interpreted-HOF re-evaluation."""
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ids = id_cols or ["doc_id"]
+    src = df.select(*ids, raw.alias("_raw"))
+    out_schema = StructType(
+        [src.schema[c] for c in ids]
+        + [
+            StructField("content", StringType(), False),
+            StructField("n_blocks", LongType(), False),
+            StructField("n_kept", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            res = [boilerplate_blocks_py(r) for r in pdf["_raw"]]
+            out = pdf[ids].copy()
+            out["content"] = [r[0] for r in res]
+            out["n_blocks"] = [r[1] for r in res]
+            out["n_kept"] = [r[2] for r in res]
+            yield out
+
+    return src.mapInPandas(run, out_schema)

@@ -2986,14 +2986,26 @@ def _boilerplate_oracle() -> str:
     "every document in chrome with all four boilerplate classes and "
     "the payload split across two paragraphs; pytest pins that the "
     "extracted content is exactly the document text and every chrome "
-    "block is gone. Pure column expressions (split + HOF filter/"
-    "transform over the shared strip chain); duckdb twin generated "
-    "from the same tables. Scale shape: per-row map, no shuffle.",
+    "block is gone. Since r12 the default path is an Arrow mapInPandas "
+    "twin of the expression form (the HOF lambdas interpret the strip "
+    "chain up to 3x per block — measured 2.5x slower at sf0.1; the "
+    "winnow doctrine), pinned EXACTLY row-identical to the expression "
+    "form by pytest (string/integer outputs, no float allowance); "
+    "impl='expr' is the one-switch fallback. duckdb twin stays "
+    "generated from the expression tables. Scale shape: per-row map, "
+    "no shuffle.",
 )
-def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_platform_spark.functions.html import boilerplate_blocks
+def q_boilerplate_blocks(
+    spark: SparkSession, sf_dir: str, impl: str = "arrow"
+) -> DataFrame:
+    from stream_processing_platform_spark.functions.html import (
+        boilerplate_blocks,
+        boilerplate_blocks_pandas,
+    )
 
     d = load_table(spark, sf_dir, "documents")
+    if impl == "arrow":
+        return boilerplate_blocks_pandas(d, _bp_raw_col())
     cols = boilerplate_blocks(_bp_raw_col())
     return d.select(
         "doc_id",

@@ -607,3 +607,55 @@ def test_boilerplate_blocks_zero_content_page(spark):
         f"(SELECT 'tiny text' AS text, 'srcB' AS source)"
     ).fetchone()
     assert got == ("", 0)
+
+
+def test_boilerplate_arrow_path_equals_expression_form(spark, sf_dir):
+    """The r12 Arrow mapInPandas boilerplate path must be EXACTLY
+    row-identical to the HOF expression form (string/integer outputs —
+    no float allowance; the duckdb oracle mirrors the expression form,
+    so this pin is what licenses the faster default). Adversarial cases
+    cover entity-in-entity decoding, link-density boundaries, and the
+    Java-vs-Python \\s divergence candidates (\\x0b, \\xa0)."""
+    from stream_processing_platform_spark.queries.text import q_boilerplate_blocks
+
+    a = q_boilerplate_blocks(spark, sf_dir, impl="arrow").alias("a")
+    e = q_boilerplate_blocks(spark, sf_dir, impl="expr").alias("e")
+    j = a.join(e, "doc_id", "full_outer")
+    assert j.where(
+        (F.col("a.content") != F.col("e.content"))
+        | (F.col("a.n_blocks") != F.col("e.n_blocks"))
+        | (F.col("a.n_kept") != F.col("e.n_kept"))
+        | F.col("a.content").isNull()
+        | F.col("e.content").isNull()
+    ).count() == 0
+
+    from stream_processing_platform_spark.functions.html import (
+        boilerplate_blocks,
+        boilerplate_blocks_pandas,
+    )
+
+    cases = [
+        (0, "<p>&amp;lt; stays literal but this block is long enough</p>"),
+        (1, "<p>short</p>"),
+        (2, "<p><a href=x>linklinklinklinklink</a> tiny tail that loses</p>"),
+        (3, "<p>vertical\x0btab and\xa0nbsp chars inside a long block here</p>"),
+        (4, "no tags at all but a perfectly long plain text payload here"),
+        (5, ""),
+        (6, "<ul><li>item one is long enough to keep around</li><li>x</li></ul>"),
+    ]
+    d = spark.createDataFrame(cases, "doc_id long, raw string")
+    cols = boilerplate_blocks(F.col("raw"))
+    ee = d.select(
+        "doc_id",
+        cols["content"].alias("content"),
+        cols["n_blocks"].alias("n_blocks"),
+        cols["n_kept"].alias("n_kept"),
+    ).alias("e")
+    aa = boilerplate_blocks_pandas(d, F.col("raw")).alias("a")
+    jj = aa.join(ee, "doc_id", "full_outer")
+    bad = jj.where(
+        (F.col("a.content") != F.col("e.content"))
+        | (F.col("a.n_blocks") != F.col("e.n_blocks"))
+        | (F.col("a.n_kept") != F.col("e.n_kept"))
+    ).collect()
+    assert bad == [], bad
