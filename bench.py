@@ -278,11 +278,14 @@ def main() -> None:
         avc_fixture_df,
         flac_decode_df,
         flac_fixture_df,
+        g711_decode_df,
+        g711_fixture_df,
     )
 
     fixture_encode: dict[str, float] = {}
     for name, fixture_fn, decode_fn in (
         ("q_audio_segments_flac", flac_fixture_df, flac_decode_df),
+        ("q_audio_segments_g711", g711_fixture_df, g711_decode_df),
         ("q_multimodal_avc_decode", avc_fixture_df, avc_decode_df),
         ("q_multimodal_avc_deblock", avc_deblock_fixture_df, avc_decode_df),
     ):

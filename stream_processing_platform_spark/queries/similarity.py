@@ -2497,19 +2497,32 @@ def _audio_segments_g711_oracle() -> str:
     "three decoders.",
 )
 def q_audio_segments_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return g711_decode_df(g711_fixture_df(spark, sf_dir))
+
+
+def g711_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-synthesis stage of q_audio_segments_g711 (the
+    flac_fixture_df convention): one compressed-WAV payload per
+    document, split out so the bench times decode only."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from stream_processing_platform_spark.multimodal.codecs import segment_audio
     from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
     @pandas_udf("binary")
     def synth(ids: pd.Series) -> pd.Series:
         return pd.Series([_synth_g711_payload(int(d)) for d in ids])
 
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+    return ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"), synth(F.col("doc_id")).alias("content")
     )
+
+
+def g711_decode_df(docs: DataFrame) -> DataFrame:
+    """Decode+segment stage of q_audio_segments_g711 over a
+    (media_id, content) frame — the engine-cost part."""
+    from stream_processing_platform_spark.multimodal.codecs import segment_audio
+
     return segment_audio(docs, frame_ms=20, threshold=0.05, min_frames=2, codec="wav")
 
 
