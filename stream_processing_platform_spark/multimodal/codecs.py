@@ -481,10 +481,16 @@ def segment_audio(
         # decoder that only reads its own output while claiming MP3
         # support. WAV (PCM + G.711/ADPCM) and FLAC are the real,
         # fully-tested compressed-audio paths.
+        # The metadata half IS implemented (r12): multimodal/mp3probe.py
+        # walks the frame chain (ID3v2 skip, Xing/VBR, duration/bitrate
+        # stats, q_mp3_probe full oracle) — probing needs only the
+        # exactly-published header structure, not the PCM tables.
         raise NotImplementedError(
             "segment_audio: MP3 (MPEG-1 Layer III) decode requires the "
             "ISO 11172-3 Huffman and synthesis-window tables, which are "
-            "not available in this environment; use codec='wav' or 'flac'"
+            "not available in this environment; use codec='wav' or "
+            "'flac' (frame/metadata probing is available via "
+            "multimodal/mp3probe.parse_mp3)"
         )
     if codec not in ("wav", "flac"):
         raise ValueError(f"segment_audio: unknown codec {codec!r}")

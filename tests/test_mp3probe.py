@@ -1,0 +1,83 @@
+"""MP3 frame-stream prober tests (multimodal/mp3probe.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_processing_platform_spark.multimodal.mp3probe import (
+    decode_mp3,
+    id3v2_size,
+    parse_mp3,
+    synth_mp3_payload,
+    _frame,
+)
+
+
+def test_all_residue_classes_probe_consistently():
+    for d in range(24):
+        m = parse_mp3(synth_mp3_payload(d))
+        assert m["n_frames"] >= 3, d
+        assert m["sample_rate"] in (44100, 22050), d
+        assert m["duration_ms"] > 0, d
+        # ID3 present iff even residue; Xing iff divisible by 4
+        assert (m["id3_bytes"] > 0) == (d % 2 == 0), d
+        assert m["has_xing"] == (d % 4 == 0), d
+        if m["has_xing"]:
+            # the Xing FRAMES field counts the audio frames we wrote
+            assert m["xing_frames"] == 3 + d % 4, d
+            assert not m["is_cbr"], d
+        else:
+            assert m["is_cbr"], d
+
+
+def test_duration_math():
+    # d=2: MPEG1 (1152 samples/frame), 5 CBR frames at 44100 Hz
+    m = parse_mp3(synth_mp3_payload(2))
+    assert m["n_frames"] == 5
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 44100
+    # d=1: MPEG2 (576 samples/frame), 4 frames at 22050 Hz
+    m = parse_mp3(synth_mp3_payload(1))
+    assert m["duration_ms"] == 4 * 576 * 1000 // 22050
+
+
+def test_garbage_and_truncated_inputs():
+    assert parse_mp3(b"")["n_frames"] == 0
+    assert parse_mp3(b"\x00" * 100)["n_frames"] == 0
+    assert parse_mp3(b"not audio at all")["n_frames"] == 0
+    # a truncated stream still reports the complete frames
+    full = synth_mp3_payload(1)
+    m_full = parse_mp3(full)
+    m_cut = parse_mp3(full[: len(full) - 10])
+    assert m_cut["n_frames"] == m_full["n_frames"] - 1
+
+
+def test_false_sync_defence():
+    """A lone 0xFFFB byte pair inside junk must not count as a frame:
+    a candidate sync is accepted only when the chain continues."""
+    junk = b"\x00\x01" + b"\xff\xfb\x90\x00" + b"\x00" * 50  # dangling header
+    assert parse_mp3(junk)["n_frames"] == 0
+    # but junk BEFORE a real chain is skipped by the resync scan
+    real = synth_mp3_payload(1)
+    m = parse_mp3(b"\x13\x37" * 8 + real)
+    assert m["n_frames"] == parse_mp3(real)["n_frames"]
+
+
+def test_id3v2_footer_flag():
+    body = bytes(20)
+    hdr = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20])  # footer flag set
+    assert id3v2_size(hdr + body) == 20 + 20
+    hdr = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20])
+    assert id3v2_size(hdr + body) == 20 + 10
+    assert id3v2_size(b"XX" + bytes(20)) == 0
+
+
+def test_padding_changes_frame_size_by_one_slot():
+    a = _frame(3, 9, 0, 0, True, 0)  # MPEG1 128k 44100
+    b = _frame(3, 9, 0, 1, True, 0)
+    assert len(a) == 144 * 128000 // 44100
+    assert len(b) == len(a) + 1
+
+
+def test_decode_gate_names_the_missing_spec_data():
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        decode_mp3(synth_mp3_payload(0))
