@@ -3213,3 +3213,109 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_sentences"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+# ------------------------------------------------ Unicode NFC (r12)
+#
+# Canonical normalization is the step every dedup/fingerprint key needs
+# BEFORE hashing: "café" spelled with U+00E9 and with e+U+0301 must
+# hash identically. Spark has no built-in normalizer, so the operator
+# is an Arrow mapInPandas over Python's unicodedata (UAX #15); the
+# oracle is duckdb's INDEPENDENT nfc_normalize (utf8proc) — a true
+# cross-engine check of two separate NFC implementations, stronger
+# than the generated-oracle pattern. The fixture prepends a snippet
+# cycling through the canonical-equivalence classes: combining marks
+# that compose, singleton compositions (U+212B ANGSTROM, U+2126 OHM),
+# already-composed text, and NFC-invariant compatibility characters
+# (the fi ligature changes only under NFKC).
+
+_NFC_SNIPPETS = (
+    "éclair",          # combining acute -> U+00E9
+    "Ångström",  # combining ring + diaeresis -> Å ... ö
+    "Ångstrom unit",    # ANGSTROM SIGN singleton -> U+00C5
+    "café noir",        # already composed: unchanged
+    "ﬁnance report",    # fi ligature: NFC-invariant
+    "piña colada",     # combining tilde -> ñ
+    "plain ascii only",      # unchanged
+    "Ωhm resistance",   # OHM SIGN singleton -> U+03A9
+)
+
+
+@query(
+    "q_unicode_nfc",
+    oracle=None,  # patched below (shared snippet table; INDEPENDENT NFC impls)
+    description="Unicode NFC canonical normalization (r12) — the "
+    "pre-hashing step of every dedup/fingerprint key: combining "
+    "sequences compose (e+U+0301 -> é), singletons map (U+212B -> Å, "
+    "U+2126 -> Ω), compatibility characters stay (fi ligature is "
+    "NFKC-only). Arrow mapInPandas over Python unicodedata; the duckdb "
+    "oracle runs its OWN nfc_normalize (utf8proc) — two independent "
+    "UAX #15 implementations hash-compared, not a generated twin. "
+    "Scan-speed 1-in-1-out map, zero shuffle.",
+)
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    raw = F.concat(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _NFC_SNIPPETS]),
+            (F.col("doc_id") % len(_NFC_SNIPPETS) + 1).cast("int"),
+        ),
+        F.lit(" "),
+        F.col("text"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", raw.alias("_raw"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("nfc", StringType(), False),
+            StructField("raw_cp", LongType(), False),
+            StructField("nfc_cp", LongType(), False),
+            StructField("changed", BooleanType(), False),
+        ]
+    )
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            nfc = [unicodedata.normalize("NFC", s) for s in pdf["_raw"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "nfc": nfc,
+                    "raw_cp": [len(s) for s in pdf["_raw"]],
+                    "nfc_cp": [len(s) for s in nfc],
+                    "changed": [a != b for a, b in zip(pdf["_raw"], nfc)],
+                }
+            )
+
+    return d.mapInPandas(run, schema)
+
+
+def _unicode_nfc_oracle() -> str:
+    snips = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_NFC_SNIPPETS)
+    )
+    return f"""
+    WITH snip(idx, s) AS (VALUES {snips}),
+    u AS (SELECT doc_id, (s || ' ' || text) AS raw
+          FROM documents JOIN snip ON doc_id % {len(_NFC_SNIPPETS)} = idx)
+    SELECT doc_id, nfc_normalize(raw) AS nfc,
+           CAST(length(raw) AS BIGINT) AS raw_cp,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_cp,
+           (nfc_normalize(raw) <> raw) AS changed
+    FROM u
+    """
+
+
+_REG2["q_unicode_nfc"] = _dc_replace2(
+    _REG2["q_unicode_nfc"], oracle=_unicode_nfc_oracle()
+)

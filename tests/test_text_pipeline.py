@@ -659,3 +659,23 @@ def test_boilerplate_arrow_path_equals_expression_form(spark, sf_dir):
         | (F.col("a.n_kept") != F.col("e.n_kept"))
     ).collect()
     assert bad == [], bad
+
+
+def test_nfc_snippet_classes_behave_as_labeled():
+    """The q_unicode_nfc fixture literals carry REAL decomposed
+    sequences (an editor normalizing this file would silently turn the
+    query into a no-op test): exactly the labeled classes must change
+    under NFC, and the singletons must land on their documented
+    composition targets."""
+    import unicodedata
+
+    from stream_processing_platform_spark.queries.text import _NFC_SNIPPETS
+
+    changed = [
+        unicodedata.normalize("NFC", s) != s for s in _NFC_SNIPPETS
+    ]
+    assert changed == [True, True, True, False, False, True, False, True]
+    assert _NFC_SNIPPETS[0].startswith("é")
+    assert unicodedata.normalize("NFC", _NFC_SNIPPETS[2])[0] == "Å"
+    assert unicodedata.normalize("NFC", _NFC_SNIPPETS[7])[0] == "Ω"
+    assert _NFC_SNIPPETS[4][0] == "ﬁ"  # NFC-invariant ligature
