@@ -3319,3 +3319,92 @@ def _unicode_nfc_oracle() -> str:
 _REG2["q_unicode_nfc"] = _dc_replace2(
     _REG2["q_unicode_nfc"], oracle=_unicode_nfc_oracle()
 )
+
+
+# -------------------------------------------- Unicode script mix (r12)
+#
+# The langid PREFILTER of web curation (operators/unicode_scripts.py):
+# pages bucket by dominant script before any per-language model runs,
+# and mixed-script pages are a spam/encoding-error signal. Fixture:
+# each doc prepends a snippet cycling through ten scripts (plus an
+# empty latin-control class) ahead of a short ASCII tail, so dominance,
+# counts and the mixed-script path are all exercised; the oracle
+# re-counts with duckdb's OWN unicode() per char over the SAME range
+# table and replays the same first-max CASE.
+
+_SCRIPT_SNIPPETS = (
+    "",                                  # latin control (ASCII tail wins)
+    "Привет мир русский текст тут",      # cyrillic
+    "Ελληνικά κείμενο εδώ τώρα",         # greek
+    "مرحبا بالعالم النص العربي هنا",     # arabic
+    "שלום עולם טקסט עברית כאן",          # hebrew
+    "नमस्ते दुनिया हिंदी पाठ यहाँ",      # devanagari
+    "สวัสดีชาวโลกข้อความไทยที่นี่",       # thai
+    "안녕하세요 세계 한국어 텍스트 문서 내용",  # hangul
+    "こんにちはせかいのテキストぶんしょ",       # kana
+    "你好世界中文文本在这里的文档内容样本",     # cjk
+)
+
+
+def _script_mix_raw_col() -> F.Column:
+    return F.concat(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+            (F.col("doc_id") % len(_SCRIPT_SNIPPETS) + 1).cast("int"),
+        ),
+        F.lit(" "),
+        F.substring(F.col("text"), 1, 12),
+    )
+
+
+def _script_mix_oracle() -> str:
+    from stream_processing_platform_spark.operators.unicode_scripts import (
+        SCRIPT_NAMES,
+        dominant_script_sql,
+        script_counts_sql,
+    )
+
+    snips = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_SCRIPT_SNIPPETS))
+    counts = script_counts_sql("raw")
+    proj = ", ".join(f"{sql} AS {col}" for col, sql in counts.items())
+    cols = ", ".join(f"n_{n}" for n in SCRIPT_NAMES)
+    return f"""
+    WITH snip(idx, s) AS (VALUES {snips}),
+    u AS (SELECT doc_id, (s || ' ' || substr(text, 1, 12)) AS raw
+          FROM documents JOIN snip ON doc_id % {len(_SCRIPT_SNIPPETS)} = idx),
+    c AS (SELECT doc_id, {proj} FROM u)
+    SELECT doc_id, {cols},
+           {dominant_script_sql()} AS dominant_script,
+           CAST({" + ".join(f"(n_{n} > 0)::INT" for n in SCRIPT_NAMES)} AS BIGINT)
+             AS n_scripts
+    FROM c
+    """
+
+
+@query(
+    "q_script_mix",
+    oracle=None,  # patched below (shared range/snippet tables)
+    description="Unicode script-mix detection (r12, operators/"
+    "unicode_scripts.py) — the langid prefilter of web curation: "
+    "per-document codepoint counts across ten major scripts (primary-"
+    "block table; the full UCD Scripts.txt drops into the same range "
+    "table, the PSL doctrine), dominant script with deterministic "
+    "first-max tie-break, and script diversity (the mixed-script spam "
+    "signal). Spark side is fully vectorized numpy — utf-32 view, one "
+    "searchsorted per doc, no per-char Python — in one Arrow "
+    "mapInPandas, zero shuffle. Oracle counts with duckdb's OWN "
+    "unicode() per char over the same range table and replays the "
+    "same CASE chain.",
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators.unicode_scripts import script_mix
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _script_mix_raw_col().alias("raw")
+    )
+    return script_mix(d, "raw")
+
+
+_REG2["q_script_mix"] = _dc_replace2(
+    _REG2["q_script_mix"], oracle=_script_mix_oracle()
+)
