@@ -220,3 +220,26 @@ def test_r11_operators_on_empty(spark, empty_docs):
         boilerplate_blocks(F.coalesce(F.col("text"), F.lit("")))["content"].alias("c")
     )
     assert bp.count() == 0
+
+
+def test_r12_operator_family_on_empty(spark, empty_docs):
+    """Round-12 operators on zero-row inputs: right schema, no throw."""
+    from stream_processing_platform_spark.functions.html import (
+        boilerplate_blocks_pandas,
+    )
+    from stream_processing_platform_spark.operators.unicode_scripts import (
+        script_mix,
+    )
+
+    bp = boilerplate_blocks_pandas(empty_docs, F.col("text"))
+    assert bp.count() == 0 and set(bp.columns) >= {"content", "n_blocks", "n_kept"}
+    sm = script_mix(empty_docs, "text")
+    assert sm.count() == 0 and "dominant_script" in sm.columns
+    # empty-string payloads (not just empty frames)
+    one = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert boilerplate_blocks_pandas(one, F.col("text")).collect()[0]["n_blocks"] == 0
+    assert script_mix(one, "text").collect()[0]["dominant_script"] == "none"
+    # mp3 probe over an empty payload
+    from stream_processing_platform_spark.multimodal.mp3probe import parse_mp3
+
+    assert parse_mp3(b"")["n_frames"] == 0
