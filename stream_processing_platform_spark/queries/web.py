@@ -1094,3 +1094,105 @@ def q_warc_pair_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------- charset decoding (r12)
+#
+# The step between WARC payload BYTES and every text operator
+# (functions/charset.py): BOM sniff -> meta-charset declaration ->
+# strict UTF-8 with cp1252 fallback (the WHATWG latin-1-means-cp1252
+# rule). The fixture encodes known text per doc_id % 6 residue class —
+# plain UTF-8, UTF-8 BOM, UTF-16 LE/BE BOMs, undeclared cp1252
+# (fallback path), meta-declared ISO-8859-1 — and because every decode
+# is a lossless round-trip of a string the oracle can RECONSTRUCT in
+# SQL, this carries a full oracle with no VALUES table at all.
+
+_CS_UNI = "café Ω "          # classes that can carry non-latin-1 text
+_CS_LAT = "café résumé "     # cp1252-encodable classes
+_CS_META = '<meta charset="ISO-8859-1">'
+
+
+def _charset_payload(d: int, text: str) -> bytes:
+    from stream_processing_platform_spark.functions import charset  # noqa: F401
+
+    r = d % 6
+    if r == 0:
+        return (_CS_UNI + text).encode("utf-8")
+    if r == 1:
+        return b"\xef\xbb\xbf" + (_CS_UNI + text).encode("utf-8")
+    if r == 2:
+        return b"\xff\xfe" + (_CS_UNI + text).encode("utf-16-le")
+    if r == 3:
+        return b"\xfe\xff" + (_CS_UNI + text).encode("utf-16-be")
+    if r == 4:
+        return (_CS_LAT + text).encode("cp1252")
+    return (_CS_META + _CS_LAT + text).encode("cp1252")
+
+
+@query(
+    "q_charset_decode",
+    oracle=f"""
+    SELECT doc_id,
+      CASE doc_id % 6
+        WHEN 4 THEN '{_CS_LAT}' || text
+        WHEN 5 THEN '{_CS_META}{_CS_LAT}' || text
+        ELSE '{_CS_UNI}' || text END AS text_out,
+      CASE doc_id % 6
+        WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+        WHEN 4 THEN 'cp1252' WHEN 5 THEN 'cp1252'
+        ELSE 'utf-8' END AS encoding,
+      CASE doc_id % 6
+        WHEN 0 THEN 'utf-8' WHEN 4 THEN 'fallback' WHEN 5 THEN 'meta'
+        ELSE 'bom' END AS how,
+      CAST(length(CASE doc_id % 6
+        WHEN 4 THEN '{_CS_LAT}' || text
+        WHEN 5 THEN '{_CS_META}{_CS_LAT}' || text
+        ELSE '{_CS_UNI}' || text END) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    description="Charset sniffing + byte->text decoding (r12, functions/"
+    "charset.py) — the crawl-ingest step between WARC payload bytes and "
+    "every text operator: BOM detection (UTF-8/16/32, longest-first so "
+    "UTF-32 LE beats its UTF-16 prefix), meta-charset declarations with "
+    "the WHATWG latin-1-means-cp1252 alias rule, strict UTF-8 attempt "
+    "with cp1252 fallback, U+FFFD replacement so the pipe never throws. "
+    "Fixture encodes per doc_id % 6 across all six sniff paths; every "
+    "decode is a lossless string round-trip, so the oracle RECONSTRUCTS "
+    "the expected text in plain SQL — a full oracle with no replay "
+    "table. Arrow mapInPandas, 1-in-1-out, zero shuffle.",
+)
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stream_processing_platform_spark.functions.charset import decode_payload
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("text_out", StringType(), False),
+            StructField("encoding", StringType(), False),
+            StructField("how", StringType(), False),
+            StructField("n_chars", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                decode_payload(_charset_payload(int(d), t))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "text_out": [r[0] for r in rows],
+                    "encoding": [r[1] for r in rows],
+                    "how": [r[2] for r in rows],
+                    "n_chars": [len(r[0]) for r in rows],
+                }
+            )
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        run, schema
+    )
