@@ -48,25 +48,48 @@ class PslRules:
     exception: tuple[str, ...]
 
 
+def _read_default_psl() -> str:
+    """The shipped snapshot — read zip-safely: on non-local masters the
+    package arrives on executors as an addPyFiles zip, where the module
+    __file__ path is NOT an openable file (NotADirectoryError — found
+    by tests/test_local_cluster.py). importlib.resources resolves
+    through the zipimporter; the plain open stays as the fast path."""
+    try:
+        with open(_PSL_PATH, encoding="utf-8") as fh:
+            return fh.read()
+    except OSError:
+        from importlib import resources
+
+        return (
+            resources.files("stream_processing_platform_spark")
+            / "data"
+            / "public_suffix_list.dat"
+        ).read_text("utf-8")
+
+
 def load_psl(path: str | None = None) -> PslRules:
     """Parse a publicsuffix.org-format rule file: one rule per line,
     ``//`` comments, blank lines ignored, ``*.`` wildcards, ``!``
     exceptions. Single-label exact rules are dropped (they equal the
     implicit ``*`` default branch and would only bloat the plan)."""
     exact, wildcard, exception = [], [], []
-    with open(path or _PSL_PATH, encoding="utf-8") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("//"):
-                continue
-            # the official file whitespace-separates trailing comments
-            line = line.split()[0].lower()
-            if line.startswith("!"):
-                exception.append(line[1:])
-            elif line.startswith("*."):
-                wildcard.append(line[2:])
-            elif "." in line:
-                exact.append(line)
+    if path is not None:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    else:
+        text = _read_default_psl()
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        # the official file whitespace-separates trailing comments
+        line = line.split()[0].lower()
+        if line.startswith("!"):
+            exception.append(line[1:])
+        elif line.startswith("*."):
+            wildcard.append(line[2:])
+        elif "." in line:
+            exact.append(line)
     return PslRules(tuple(exact), tuple(wildcard), tuple(exception))
 
 

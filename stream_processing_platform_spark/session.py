@@ -131,7 +131,12 @@ def _ship_package(spark: SparkSession) -> None:
         if "__pycache__" in r:
             continue
         for fn in sorted(files):
-            if fn.endswith(".py"):
+            # .dat rides along: data-file operators (the PSL table) read
+            # their tables through importlib.resources, which resolves
+            # inside the shipped zip — found by the local-cluster smoke
+            # test when load_psl crashed executor workers with
+            # NotADirectoryError on the zip path (r12)
+            if fn.endswith((".py", ".dat")):
                 full = os.path.join(r, fn)
                 st = os.stat(full)
                 sources.append(full)
