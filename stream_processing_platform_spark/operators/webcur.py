@@ -18,11 +18,12 @@ The operator implements the full PSL algorithm — exception rules
 prevail, else the longest matching rule; the registered domain is one
 label beyond the matched public suffix; unlisted TLDs fall to the
 implicit ``*`` rule. Rules ride into the expression grouped by label
-count as ``isin(...)`` sets — Catalyst converts literal IN-lists above
-the inSetConversionThreshold to ``InSet`` (hash-set membership, O(1)
-per row even at the full 9k rules), serialized once per task with the
-plan, never shuffled. Single-label TLDs need no table entry — they are
-the default branch.
+count: small sets as ``isin`` IN-lists, the large exact set as ONE
+ArrayType literal through ``array_contains`` (a single plan node — see
+the plan-time/row-time note inside :func:`registered_domain`); the
+whole chain is bound through ``let()`` so host/split evaluate once.
+Everything is serialized once per task with the plan, never shuffled.
+Single-label TLDs need no table entry — they are the default branch.
 """
 
 from __future__ import annotations
@@ -94,6 +95,12 @@ def load_psl(path: str | None = None) -> PslRules:
 
 
 PSL_RULES: PslRules = load_psl()
+
+# Rule sets at or below this size inline as isin() literal lists (InSet
+# hash lookups, one plan node per rule); larger sets ride as a single
+# ArrayType literal through array_contains (one plan node total, linear
+# per-row scan). See the trade-off note inside registered_domain.
+PSL_MEMBERSHIP_INLINE_MAX = 64
 
 # Back-compat alias (pre-r12 API): a bare tuple of two-level suffixes is
 # still accepted by registered_domain/registered_domain_sql and treated
@@ -178,34 +185,65 @@ def registered_domain(
     suffix passes through. A bare tuple is accepted as exact rules
     (pre-r12 API)."""
     r = _coerce_rules(rules)
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
 
-    # try_element_at, not element_at: ANSI mode makes a negative index
-    # past the array bounds a runtime error, and the tails are evaluated
-    # unconditionally (they feed the WHEN conditions) — a single-label
-    # host (localhost, intranet names) must not throw. concat_ws skips
-    # NULLs; the n-guards keep the semantics exact, and a collapsed
-    # short tail can never alias a longer rule (fewer dots).
-    def last(k: int) -> Column:
-        return F.concat_ws(
-            ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)]
-        )
+    # Column expressions are TREES: every reference splices a copy, so a
+    # chain with ~12 branches each referencing split(host) k times — and
+    # host itself often a deep expression (canonical_url of a generated
+    # fixture) — multiplies into tens of thousands of nodes. That's not
+    # a row-time problem (codegen CSE would dedupe) but a PLAN-time one:
+    # Catalyst's rule iterations over the exploded tree cost ~10 s of
+    # driver compile per fresh lineage (measured on
+    # q_robots_rules_filter, r12). let() binds host and its split ONCE
+    # as HOF lambda variables — references become reads, the tree stays
+    # a few hundred nodes, and per-row cost is a dozen hash-set
+    # membership checks (interpreted, but trivially cheap).
+    from stream_processing_platform_spark.functions.text import let
 
-    expr = F.when(n >= 2, last(2)).otherwise(host)
-    # build the chain back-to-front so the highest-precedence branch
-    # ends up outermost
-    for kind, k, rs, res in reversed(_psl_branches(r)):
-        member = last(k).isin(*rs)  # literal IN-list -> InSet (hash set)
-        if kind == "exc":
-            expr = F.when(member & (n >= k), last(k)).otherwise(expr)
-        elif kind == "exact":
-            expr = F.when(member & (n >= k + 1), last(k + 1)).otherwise(expr)
-        elif kind == "wild":
-            expr = F.when(member & (n >= k + 2), last(k + 2)).otherwise(expr)
-        else:  # wild_bare: the host IS a wildcard-matched public suffix
-            expr = F.when(member & (n == k + 1), host).otherwise(expr)
-    return expr
+    def chain(h: Column, p: Column) -> Column:
+        n = F.size(p)
+
+        # try_element_at, not element_at: ANSI mode makes a negative
+        # index past the array bounds a runtime error, and the tails
+        # are evaluated unconditionally (they feed the WHEN
+        # conditions) — a single-label host (localhost, intranet
+        # names) must not throw. concat_ws skips NULLs; the n-guards
+        # keep the semantics exact, and a collapsed short tail can
+        # never alias a longer rule (fewer dots).
+        def last(k: int) -> Column:
+            return F.concat_ws(
+                ".", *[F.try_element_at(p, F.lit(-i)) for i in range(k, 0, -1)]
+            )
+
+        expr = F.when(n >= 2, last(2)).otherwise(h)
+        # build the chain back-to-front so the highest-precedence
+        # branch ends up outermost.
+        #
+        # Membership structure is a plan-time/row-time trade: an
+        # isin(...) list is one Literal NODE PER RULE, and HOF lambda
+        # bodies never get the In->InSet rewrite, so a ~400-rule
+        # IN-list is BOTH a fat plan (every optimizer/AQE walk of a
+        # fresh lineage paid ~5 s, measured r12) AND a sequential
+        # interpreted compare. A big set therefore rides as ONE
+        # ArrayType literal (a single plan node) via array_contains —
+        # the same linear short-string scan (~2 µs at 400 rules)
+        # without the plan weight. Small sets stay IN-lists (cheap in
+        # both dimensions; the cutoff is PSL_MEMBERSHIP_INLINE_MAX).
+        for kind, k, rs, res in reversed(_psl_branches(r)):
+            if len(rs) <= PSL_MEMBERSHIP_INLINE_MAX:
+                member = last(k).isin(*rs)
+            else:
+                member = F.array_contains(F.lit(list(rs)), last(k))
+            if kind == "exc":
+                expr = F.when(member & (n >= k), last(k)).otherwise(expr)
+            elif kind == "exact":
+                expr = F.when(member & (n >= k + 1), last(k + 1)).otherwise(expr)
+            elif kind == "wild":
+                expr = F.when(member & (n >= k + 2), last(k + 2)).otherwise(expr)
+            else:  # wild_bare: the host IS a wildcard-matched suffix
+                expr = F.when(member & (n == k + 1), h).otherwise(expr)
+        return expr
+
+    return let(host, lambda h: let(F.split(h, r"\."), lambda p: chain(h, p)))
 
 
 def registered_domain_sql(

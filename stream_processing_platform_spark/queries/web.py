@@ -955,25 +955,40 @@ def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(registered_domain(host), r"\.")[0].alias("name"),
         F.regexp_extract(F.col("canonical"), r"^[a-zA-Z]+://[^/]+([^?#]*)", 1).alias("path"),
     )
-    m = (
-        u.join(
-            F.broadcast(rules),
-            (u["name"] == rules["name"]) & F.col("path").startswith(F.col("prefix")),
-            "inner",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.max(
+    # ONE left join + one grouped max(struct) — no self-join back onto u.
+    # The r11 shape (inner join -> agg -> left join u) referenced u's
+    # whole lineage TWICE; with the r12 full-PSL expression in that
+    # lineage the duplicated tree pushed fresh-lineage compile to ~5 s
+    # (AQE re-walks it per stage). name/path are functionally dependent
+    # on doc_id, so grouping by all three keeps the same one-shuffle
+    # width; unmatched docs keep NULL rule fields, excluded from the
+    # precedence max by the isNotNull guard (max ignores NULLs) — the
+    # default-allow path.
+    j = u.join(
+        F.broadcast(rules),
+        (u["name"] == rules["name"]) & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    # group on doc_id ALONE: name/path are functionally dependent, so
+    # they ride as first() aggregates — if they were group keys,
+    # CollapseProject would inline their full canonical+PSL expression
+    # chains into the partial aggregate AND the exchange hash keys
+    # (measured +3.7 s of fresh-lineage codegen/plan time at r12)
+    g = j.groupBy("doc_id").agg(
+        F.first(u["name"]).alias("name"),
+        F.first("path").alias("path"),
+        F.max(
+            F.when(
+                F.col("prefix").isNotNull(),
                 F.struct(
                     F.length("prefix").alias("l"),
                     F.col("allow").alias("a"),
                     F.col("prefix").alias("p"),
-                )
-            ).alias("b")
-        )
+                ),
+            )
+        ).alias("b")
     )
-    j = u.join(m, "doc_id", "left")
-    return j.select(
+    return g.select(
         "doc_id",
         F.col("name").alias("domain_name"),
         "path",

@@ -247,12 +247,32 @@ def test_load_psl_parses_all_rule_classes(tmp_path):
     assert "www.ck" in PSL_RULES.exception
 
 
-def test_registered_domain_inset_plan(spark):
-    """Membership must compile to InSet (hash set), not a linear
-    array_contains scan — the property that keeps the full 9k-rule PSL
-    O(1) per row at 100 TB."""
+def test_registered_domain_membership_plan(spark):
+    """Membership structure is the r12 plan-time/row-time trade
+    (operators/webcur.py PSL_MEMBERSHIP_INLINE_MAX): SMALL rule sets
+    inline as isin lists that Catalyst converts to InSet hash sets;
+    the LARGE exact set rides as ONE ArrayType literal through
+    array_contains so fresh-lineage plan walks stay cheap (a ~400-rule
+    IN-list measured ~5 s of optimizer/AQE time per lineage). Gate
+    both halves: an INSET appears (small sets), an array_contains
+    appears (big set), and no giant literal IN-list leaks through."""
+    from stream_processing_platform_spark.operators.webcur import (
+        PSL_MEMBERSHIP_INLINE_MAX,
+        PSL_RULES,
+    )
+
+    assert len(PSL_RULES.exact) > PSL_MEMBERSHIP_INLINE_MAX  # trade is live
     df = spark.createDataFrame([("a.co.uk",)], "host string")
     plan = df.select(
         registered_domain(F.col("host")).alias("rd")
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert "INSET" in plan or "inset" in plan.lower(), plan[:2000]
+    up = plan.upper()
+    # small sets are IN-lists (HOF lambda bodies never get the
+    # In->InSet rewrite, so a bounded interpreted IN is the form);
+    # the big exact set rides as ONE array literal via array_contains
+    assert " IN (" in up, plan[:2000]
+    assert "ARRAY_CONTAINS" in up, plan[:2000]
+    # the big set must not appear as an expanded IN-list: co.uk may
+    # surface only inside the single array literal, never as hundreds
+    # of IN operands (count stays far below the exact-set size)
+    assert up.count("CO.UK") <= 2, "exact-rule IN-list leaked into the plan"
