@@ -1211,3 +1211,130 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
         run, schema
     )
+
+
+# ---------------------------------------------- robots.txt parse (r12)
+#
+# The FRONT half of the robots pipeline (functions/robotstxt.py, RFC
+# 9309): q_robots_rules_filter consumes a per-agent rules TABLE; this
+# query produces it from robots.txt payload text — group selection
+# (most-specific token, '*' fallback, same-token merge), crawl-delay,
+# global sitemaps, and a longest-match path evaluation probe. Fixture
+# robots.txt files are a pure function of doc_id % 8 covering: plain
+# star group, specific-beats-star, same-token merge, disallow-all,
+# empty file, comments + mixed-case keys + sitemaps, UA stacking with
+# blank lines inside the group, and orphan rules before any group.
+
+_RBT_AGENT = "trainingbot"
+
+_RBT_CLASSES = (
+    "User-agent: *\nDisallow: /private/\nAllow: /private/public/\nCrawl-delay: 10\n",
+    "User-agent: *\nDisallow: /a/\n\nUser-agent: trainingbot\nDisallow: /private/\nCrawl-delay: 3\n",
+    "User-agent: trainingbot\nDisallow: /b/\n\nUser-agent: TrainingBot\nAllow: /b/public/\nDisallow: /private/\n",
+    "User-agent: trainingbot\nDisallow: /\n",
+    "",
+    "# policy\nUSER-AGENT: *\nDISALLOW: /private/\nSitemap: https://ex.test/s1.xml\nsitemap: https://ex.test/s2.xml\n",
+    "User-agent: otherbot\nUser-agent: *\n\nDisallow: /private/\nCrawl-delay: 7.9\n",
+    "Disallow: /orphan/\n\nUser-agent: *\nDisallow:\n",
+)
+
+_RBT_PROBE = "/private/data.html"
+
+
+def _robots_txt_oracle() -> str:
+    from stream_processing_platform_spark.functions.robotstxt import (
+        parse_robots_txt,
+        path_allowed,
+    )
+
+    rows = []
+    for rem, txt in enumerate(_RBT_CLASSES):
+        p = parse_robots_txt(txt, _RBT_AGENT)
+        rows.append(
+            f"({rem}, '{p.matched_agent}', CAST({len(p.rules)} AS BIGINT),"
+            f" CAST({sum(1 for a, _ in p.rules if a == 0)} AS BIGINT),"
+            f" CAST({p.crawl_delay} AS BIGINT),"
+            f" '{','.join(p.sitemaps)}',"
+            f" CAST({str(path_allowed(p, _RBT_PROBE)).upper()} AS BOOLEAN))"
+        )
+    return f"""
+    WITH exp(rem, matched_agent, n_rules, n_disallow, crawl_delay,
+             sitemaps, probe_allowed) AS (VALUES {", ".join(rows)})
+    SELECT d.doc_id, matched_agent, n_rules, n_disallow, crawl_delay,
+           sitemaps, probe_allowed
+    FROM documents d JOIN exp e ON d.doc_id % {len(_RBT_CLASSES)} = e.rem
+    """
+
+
+@query(
+    "q_robots_txt_parse",
+    oracle=None,  # patched below: generated sequential-replay oracle
+    description="robots.txt FILE parsing (r12, functions/robotstxt.py — "
+    "RFC 9309): per document a robots.txt payload (pure function of "
+    "doc_id % 8, covering star/specific/merged groups, UA stacking "
+    "across blank lines, disallow-all, empty files, comments and "
+    "mixed-case keys, global sitemaps, orphan rules) parses into the "
+    "agent's rule group — most-specific-token selection with '*' "
+    "fallback and same-token merge — plus crawl-delay, sitemaps, and "
+    "a longest-match/Allow-wins-ties path evaluation probe. This is "
+    "the front half of the robots pipeline whose back half "
+    "(q_robots_rules_filter) consumes the resulting rules table. "
+    "Arrow mapInPandas, zero shuffle, scan-speed at 100 TB (one parse "
+    "per fetched robots.txt). Full sequential-replay oracle through "
+    "the same parser core.",
+)
+def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stream_processing_platform_spark.functions.robotstxt import (
+        parse_robots_txt,
+        path_allowed,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("matched_agent", StringType(), False),
+            StructField("n_rules", LongType(), False),
+            StructField("n_disallow", LongType(), False),
+            StructField("crawl_delay", LongType(), False),
+            StructField("sitemaps", StringType(), False),
+            StructField("probe_allowed", BooleanType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ps = [
+                parse_robots_txt(_RBT_CLASSES[int(d) % len(_RBT_CLASSES)], _RBT_AGENT)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "matched_agent": [p.matched_agent for p in ps],
+                    "n_rules": [len(p.rules) for p in ps],
+                    "n_disallow": [
+                        sum(1 for a, _ in p.rules if a == 0) for p in ps
+                    ],
+                    "crawl_delay": [p.crawl_delay for p in ps],
+                    "sitemaps": [",".join(p.sitemaps) for p in ps],
+                    "probe_allowed": [path_allowed(p, _RBT_PROBE) for p in ps],
+                }
+            )
+
+    return load_table(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        run, schema
+    )
+
+
+_REGW["q_robots_txt_parse"] = _dc_replace_w(
+    _REGW["q_robots_txt_parse"], oracle=_robots_txt_oracle()
+)

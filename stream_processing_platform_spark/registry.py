@@ -101,7 +101,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         'q_warc_pair_capture',
     )
 }
-_REGISTERED_ROUND.update({'q_mp3_probe': 12, 'q_unicode_nfc': 12, 'q_script_mix': 12, 'q_charset_decode': 12})
+_REGISTERED_ROUND.update({'q_mp3_probe': 12, 'q_unicode_nfc': 12, 'q_script_mix': 12, 'q_charset_decode': 12, 'q_robots_txt_parse': 12})
 
 _PRIORITY: list[str] = [
     # --- last official row: r7 (50 queries) — THE r12 window ---
@@ -300,6 +300,7 @@ _PRIORITY: list[str] = [
     'q_unicode_nfc',
     'q_script_mix',
     'q_charset_decode',
+    'q_robots_txt_parse',
     # --- last official row: r11 (50 queries) ---
     'q_approx_distinct_kmv',
     'q_badwords_filter',
