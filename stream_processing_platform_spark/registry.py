@@ -69,12 +69,12 @@ _loaded = False
 # Registry order = the order the driver runs queries in, and the driver
 # verifies only the first ~50 per round. With >50 registered queries the
 # order IS the coverage policy, so it is explicit here (not an accident of
-# import order) and rotates per round. Round-12 rotation, per the r11
-# verdict ask #1: the window is EXACTLY the 50 rows whose last official
-# CORRECTNESS row is r7 (the stalest cohort — zero slots spent on new
-# queries this round), then the two never-ledgered r11 rows, then every
-# remaining query ordered by the round of its last official row,
-# ascending. The freshness bound is ceil(N / window): with N registered
+# import order) and rotates per round. Round-13 rotation, per the r12
+# verdict ask #1: the window is the stalest 50 rows — the two
+# never-ledgered r11 rows, the 34 rows whose last official row is r8,
+# the five r12 newborns (first official rows inside their birth+bound
+# budget), and the 9 oldest r9 rows to fill 50 — then every remaining
+# query ordered by the round of its last official row, ascending. The freshness bound is ceil(N / window): with N registered
 # queries and a 50-slot window a full rotation takes ceil(N/50) rounds,
 # so that staleness is achievable by a perfect rotation and nothing
 # tighter is — every query registration therefore RAISES worst-case
@@ -104,61 +104,11 @@ _REGISTERED_ROUND: dict[str, int] = {
 _REGISTERED_ROUND.update({'q_mp3_probe': 12, 'q_unicode_nfc': 12, 'q_script_mix': 12, 'q_charset_decode': 12, 'q_robots_txt_parse': 12})
 
 _PRIORITY: list[str] = [
-    # --- last official row: r7 (50 queries) — THE r12 window ---
-    'q01_pricing_summary',
-    'q03_shipping_priority',
-    'q05_local_supplier_volume',
-    'q_agg_global',
-    'q_agg_running',
-    'q_association_rules',
-    'q_avro_roundtrip',
-    'q_bfs_hops',
-    'q_clustering_coeff',
-    'q_cohort_retention',
-    'q_correlation',
-    'q_count_distinct',
-    'q_cube_orders',
-    'q_datetime_funcs',
-    'q_ewma',
-    'q_filter_threshold',
-    'q_holt',
-    'q_hybrid_rrf',
-    'q_impute_mode',
-    'q_incremental_agg_refresh',
-    'q_incremental_dedup',
-    'q_join_inner',
-    'q_kanon_pseudonymize',
-    'q_kcore',
-    'q_key_skew',
-    'q_map_scalar',
-    'q_mmr_diversify',
-    'q_pagerank_exact',
-    'q_percentiles_distributed',
-    'q_phrase_search',
-    'q_pii_redaction',
-    'q_pivot_event_counts',
-    'q_recursive_hierarchy',
-    'q_rolling_slope',
-    'q_rollup_revenue',
-    'q_semdedup',
-    'q_semdedup_incremental',
-    'q_snapshot_diff',
-    'q_stream_avro',
-    'q_stream_ewma',
-    'q_stream_holt',
-    'q_stream_semdedup',
-    'q_stream_window_session_dynamic',
-    'q_string_funcs',
-    'q_triangle_counts',
-    'q_udaf_geomean',
-    'q_window_collect',
-    'q_window_distribution',
-    'q_window_range_frame',
-    'q_winsorize',
-    # --- never ledgered (registered r11; deadline = birth + bound) ---
+    # ================= r13 window (first 50) =================
+    # never ledgered (registered r11; deadline = birth + bound)
     'q_stream_url_dedup',
     'q_warc_pair_capture',
-    # --- last official row: r8 (34 queries) ---
+    # last official row: r8 (34 queries)
     'q_approx_distinct',
     'q_containment_pairs',
     'q_corpus_stats',
@@ -193,7 +143,13 @@ _PRIORITY: list[str] = [
     'q_topk_per_group',
     'q_window_rank',
     'q_window_running',
-    # --- last official row: r9 (50 queries) ---
+    # registered r12 (first official rows, within birth+bound)
+    'q_mp3_probe',
+    'q_unicode_nfc',
+    'q_script_mix',
+    'q_charset_decode',
+    'q_robots_txt_parse',
+    # oldest r9 rows (9 slots to fill the window)
     'q04_order_priority',
     'q06_forecast_revenue',
     'q07_volume_shipping',
@@ -203,6 +159,8 @@ _PRIORITY: list[str] = [
     'q12_priority_shipments',
     'q13_customer_distribution',
     'q14_promo_revenue',
+    # ================= outside the window =================
+    # last official row: r9 (remaining 41 queries)
     'q18_large_volume',
     'q19_discounted_revenue',
     'q_ann_ivf',
@@ -244,7 +202,7 @@ _PRIORITY: list[str] = [
     'q_unpivot_event_counts',
     'q_video_frame_sample',
     'q_window_navigation',
-    # --- last official row: r10 (50 queries) ---
+    # last official row: r10 (50 queries)
     'q02_min_cost_supplier',
     'q11_important_stock',
     'q15_top_supplier',
@@ -295,13 +253,7 @@ _PRIORITY: list[str] = [
     'q_stream_weighted_sample',
     'q_unigram_tokenize',
     'q_weighted_sample',
-    # --- registered r12 (never ledgered; deadline = birth + bound) ---
-    'q_mp3_probe',
-    'q_unicode_nfc',
-    'q_script_mix',
-    'q_charset_decode',
-    'q_robots_txt_parse',
-    # --- last official row: r11 (50 queries) ---
+    # last official row: r11 (50 queries)
     'q_approx_distinct_kmv',
     'q_badwords_filter',
     'q_blocklist_filter',
@@ -352,6 +304,57 @@ _PRIORITY: list[str] = [
     'q_winnow_dup_pairs',
     'q_winnow_fingerprints',
     'q_zorder_events',
+    # last official row: r12 (50 queries — freshest cohort)
+    'q01_pricing_summary',
+    'q03_shipping_priority',
+    'q05_local_supplier_volume',
+    'q_agg_global',
+    'q_agg_running',
+    'q_association_rules',
+    'q_avro_roundtrip',
+    'q_bfs_hops',
+    'q_clustering_coeff',
+    'q_cohort_retention',
+    'q_correlation',
+    'q_count_distinct',
+    'q_cube_orders',
+    'q_datetime_funcs',
+    'q_ewma',
+    'q_filter_threshold',
+    'q_holt',
+    'q_hybrid_rrf',
+    'q_impute_mode',
+    'q_incremental_agg_refresh',
+    'q_incremental_dedup',
+    'q_join_inner',
+    'q_kanon_pseudonymize',
+    'q_kcore',
+    'q_key_skew',
+    'q_map_scalar',
+    'q_mmr_diversify',
+    'q_pagerank_exact',
+    'q_percentiles_distributed',
+    'q_phrase_search',
+    'q_pii_redaction',
+    'q_pivot_event_counts',
+    'q_recursive_hierarchy',
+    'q_rolling_slope',
+    'q_rollup_revenue',
+    'q_semdedup',
+    'q_semdedup_incremental',
+    'q_snapshot_diff',
+    'q_stream_avro',
+    'q_stream_ewma',
+    'q_stream_holt',
+    'q_stream_semdedup',
+    'q_stream_window_session_dynamic',
+    'q_string_funcs',
+    'q_triangle_counts',
+    'q_udaf_geomean',
+    'q_window_collect',
+    'q_window_distribution',
+    'q_window_range_frame',
+    'q_winsorize',
 ]
 
 
