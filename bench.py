@@ -114,23 +114,36 @@ def stream_windowed_agg(spark, sf_dir: str) -> tuple[float, int]:
     return samples[len(samples) // 2], n_rows
 
 
-def _drain_load(max_wait: float = 180.0) -> float:
-    """Best-effort: wait (bounded) for the 1-min load average to drop
-    below half the core count before timing. r9's official row (13.375 s
-    / 81k rows/s) was pure co-tenant load noise — the builder's A/B
-    control and the judge's idle rerun both landed at ~10.3-11.4 s, but
-    a reader of BENCH_r09.json alone couldn't know that. Returns the
-    load at the moment timing starts so the emitted JSON line carries
-    its own health signal either way (set SPARK_GRAFT_BENCH_NO_WAIT=1
-    to skip the wait, e.g. in tests)."""
+def _drain_load(max_wait: float = 1500.0) -> float:
+    """HARD idleness gate: an official bench row may only be taken on an
+    idle machine. Spin-wait until the 1-min load average drops below
+    ``SPARK_GRAFT_BENCH_MAX_LOAD`` (default 1.0) and REFUSE (exit 2) if
+    it never does within ``max_wait`` — r9's official row (13.375 s /
+    81k rows/s) and r12's (14.988 s at load 8.5) were both pure
+    co-tenant load noise with zero plan changes, and merely RECORDING
+    load_avg in the JSON (the r9 fix) diagnosed but did not prevent the
+    third occurrence. The 1-min load decays ~e× per idle minute, so
+    8.5 → <1.0 needs ~2-3 idle minutes; 25 min of budget covers any
+    realistic post-sweep drain. Returns the load at the moment timing
+    starts so the emitted JSON line carries its own health signal (set
+    SPARK_GRAFT_BENCH_NO_WAIT=1 to skip the gate, e.g. in tests)."""
     load = os.getloadavg()[0]
     if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
         return load
-    cores = os.cpu_count() or 1
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
     deadline = time.time() + max_wait
-    while load >= cores / 2 and time.time() < deadline:
+    while load >= max_load and time.time() < deadline:
         time.sleep(5.0)
         load = os.getloadavg()[0]
+    if load >= max_load:
+        print(
+            f"bench.py REFUSING to time on a busy machine: 1-min load "
+            f"{load:.1f} >= gate {max_load} after {max_wait:.0f}s of "
+            f"waiting. Re-run when idle (or set SPARK_GRAFT_BENCH_NO_WAIT=1 "
+            f"for an unofficial row).",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     return load
 
 
@@ -336,6 +349,10 @@ def main() -> None:
         # started/ended vs cores. Compare rounds only at similar load.
         "load_avg": round(load_start, 1),
         "load_avg_end": round(os.getloadavg()[0], 1),
+        # The idleness gate that was in force (rows taken with the gate
+        # skipped are unofficial by definition).
+        "load_gate": "skipped" if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT")
+        else float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0")),
         "cores": os.cpu_count(),
         # Fixed 21-query headline set (comparable to r3+); extended
         # operator timings in BENCH_EXTENDED.json, prose in BENCH_NOTES.md.
