@@ -17,9 +17,14 @@ Deterministic subset of RFC 9309 (documented choices):
   or a prefix of the crawler's product token; the MOST SPECIFIC
   (longest) matching token wins, and every group carrying that token
   merges (RFC 9309 §2.2.1);
-- path rule evaluation is longest-match-wins; on a tie Allow wins
-  (§2.2.2); no rules -> allowed. ``$``/``*`` wildcards are NOT
-  implemented (prefix rules only — same subset as the r11 path gate);
+- path rule evaluation implements the full RFC 9309 §2.2.3 pattern
+  language (r13): ``*`` matches any run of octets (including empty),
+  a TRAILING ``$`` anchors the end of the path (a ``$`` anywhere else
+  is a literal octet, the same reading Google's open-source parser
+  takes); most-specific-match-wins where specificity counts LITERAL
+  octets only (``*`` and the ``$`` anchor contribute zero — so
+  ``/page/*3$`` and the prefix rule ``/page/1`` tie at 7); on a
+  specificity tie Allow wins (§2.2.2); no matching rule -> allowed;
 - ``Crawl-delay`` (non-RFC but ubiquitous) and ``Sitemap`` (global,
   group-independent) are surfaced.
 """
@@ -56,14 +61,25 @@ def parse_robots_txt(text: str, agent: str) -> RobotsPolicy:
 
     for raw in text.split("\n"):
         line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
+        if not line:
             continue  # blank lines do NOT terminate a group (RFC 9309)
+        if ":" not in line:
+            # garbage (colon-less) lines are ignored, but DO end a
+            # User-agent run: per the RFC 9309 ABNF only startgrouplines
+            # and empty lines may sit between the User-agent lines of
+            # one group, so 'UA: a / <garbage> / UA: b' is two groups.
+            in_agent_run = False
+            continue
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
         if key == "sitemap":
             if val:
                 sitemaps.append(val)  # global directive, outside groups
+            # like any non-User-agent line, a sitemap ends a UA run:
+            # 'UA: a / Sitemap: x / UA: b' must NOT merge a and b into
+            # one group (r12 ADVICE — RFC 9309 group formation).
+            in_agent_run = False
             continue
         if key == "user-agent":
             if not in_agent_run:
@@ -110,15 +126,56 @@ def parse_robots_txt(text: str, agent: str) -> RobotsPolicy:
     return RobotsPolicy(best, tuple(rules), delay, tuple(sitemaps))
 
 
+def match_pattern(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 path-pattern match: the pattern is anchored at the
+    START of the path, ``*`` matches any run of octets (including the
+    empty run), and a TRAILING ``$`` additionally anchors the END (a
+    ``$`` anywhere else is a literal). Greedy first-fit over the
+    ``*``-split segments is exact for this language (each middle segment
+    placed at its earliest feasible position never blocks a later one)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = body.split("*")
+    if len(parts) == 1:  # no wildcard: plain prefix (or exact with $)
+        return path == body if anchored else path.startswith(body)
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for seg in parts[1:-1]:
+        if not seg:  # '**' — the extra star matches the empty run
+            continue
+        i = path.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
+    last = parts[-1]
+    if anchored:
+        return len(path) - len(last) >= pos and path.endswith(last)
+    return path.find(last, pos) >= 0  # '' found at pos when pos<=len
+
+
+def pattern_specificity(pattern: str) -> int:
+    """Rule precedence weight: the number of LITERAL octets in the
+    pattern — ``*`` and a trailing ``$`` anchor count zero. This is the
+    documented deterministic choice for wildcard-vs-prefix precedence
+    (RFC 9309 says only "most specific = longest"; counting literal
+    octets makes ``/page/*3$`` and ``/page/1`` tie at 7, resolved by
+    Allow-wins-ties)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    return len(body) - body.count("*")
+
+
 def path_allowed(policy: RobotsPolicy, path: str) -> bool:
-    """RFC 9309 §2.2.2 evaluation over prefix rules: longest matching
-    rule wins; Allow wins ties; no matching rule -> allowed."""
-    best_len = -1
+    """RFC 9309 §2.2.2 evaluation: most specific matching rule wins
+    (literal-octet specificity, wildcard-aware match); Allow wins ties;
+    no matching rule -> allowed."""
+    best_spec = -1
     best_allow = True
-    for allow, prefix in policy.rules:
-        if path.startswith(prefix):
-            ln = len(prefix)
-            if ln > best_len or (ln == best_len and allow == 1):
-                best_len = ln
+    for allow, pattern in policy.rules:
+        if match_pattern(pattern, path):
+            s = pattern_specificity(pattern)
+            if s > best_spec or (s == best_spec and allow == 1):
+                best_spec = s
                 best_allow = allow == 1
     return best_allow

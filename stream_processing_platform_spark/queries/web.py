@@ -870,13 +870,20 @@ _REGW["q_cdx_index"] = _dc_replace_w(_REGW["q_cdx_index"], oracle=_cdx_oracle())
 # allowed. One shared Python rule list drives the Spark literal frame
 # AND the oracle VALUES, so the rule set can never drift.
 
-# (domain-name, allow, path-prefix): five of the seven _URL_NAMES
+# (domain-name, allow, path-pattern): five of the seven _URL_NAMES
 # domains get a disallow tree with carve-outs; two stay ruleless
 # (default-allow path exercised). Pages are doc_id % 40 and the domain
 # name index is page % 7, so the longer Allow carve-out for name i is
 # pinned to page 14+i (inside the /page/1* disallow subtree AND
 # congruent to i mod 7 — without the alignment the override would
-# never fire, every /page/1x landing on a different domain).
+# never fire, every /page/1x landing on a different domain). r13 adds
+# RFC 9309 §2.2.3 wildcard rules, each placed on a domain where it is
+# DECISIVE under page ≡ i (mod 7): '/page/*0$' disallows alpha's page
+# 0 and gamma's page 30 outright; '/page/*3$' vs the 8-literal Allow
+# '/page/2*3$' wins gamma's page 23 back; on delta, '/page/*3$' (0,
+# spec 7) TIES '/page/3*$' (1, spec 7) on page 3 -> Allow wins; and
+# delta's page 10 ties two DISALLOWS ('/page/1' vs '/page/*0$', both
+# spec 7) -> matched_rule resolves by the struct max's pattern field.
 _ROBOTS_RULES: tuple[tuple[str, int, str], ...] = tuple(
     (name, allow, prefix)
     for i, name in enumerate(_URL_NAMES)
@@ -885,8 +892,28 @@ _ROBOTS_RULES: tuple[tuple[str, int, str], ...] = tuple(
         (0, "/page/1"),           # disallow the /page/1* subtree
         (1, f"/page/{14 + i}"),   # ...but allow this page back (longer)
         (0, f"/page/{2 + i}"),    # one name-specific disallow
+        (0, "/page/*3$"),         # wildcard+anchor: pages ending in 3
+        (0, "/page/*0$"),         # wildcard+anchor: pages ending in 0
+        *(((1, "/page/2*3$"),) if i == 2 else ()),  # allow 23 back
+        *(((1, "/page/3*$"),) if i == 3 else ()),   # specificity tie
     )
 )
+
+
+def _robots_like(pattern: str) -> str:
+    """RFC 9309 path pattern -> SQL LIKE pattern, '!' as the escape
+    char: '*' -> '%', a trailing '$' drops (LIKE is already
+    end-anchored), otherwise a trailing '%' is appended (un-anchored
+    patterns match any continuation). Literal '%'/'_'/'!' escape.
+    LIKE's fully-anchored glob semantics are exactly the RFC pattern
+    language, so ONE translation serves the Spark join and the duckdb
+    oracle (pinned equivalent to functions.robotstxt.match_pattern in
+    tests/test_web_queries.py)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    esc = body.replace("!", "!!").replace("%", "!%").replace("_", "!_")
+    like = esc.replace("*", "%")
+    return like if anchored else like + "%"
 
 
 def _robots_oracle() -> str:
@@ -895,13 +922,18 @@ def _robots_oracle() -> str:
         registered_domain_sql,
     )
 
+    from stream_processing_platform_spark.functions.robotstxt import (
+        pattern_specificity,
+    )
+
     vals = ", ".join(
-        f"('{n}', {a}, '{p}')" for n, a, p in _ROBOTS_RULES
+        f"('{n}', {a}, '{p}', '{_robots_like(p)}', {pattern_specificity(p)})"
+        for n, a, p in _ROBOTS_RULES
     )
     canon = canonical_url_sql(_messy_url_sql())
     host = "regexp_extract(canonical, '^[a-zA-Z]+://([^/?#]+)', 1)"
     return f"""
-    WITH rules(name, allow, prefix) AS (VALUES {vals}),
+    WITH rules(name, allow, prefix, pat, spec) AS (VALUES {vals}),
     c AS (SELECT doc_id, {canon} AS canonical FROM documents),
     u AS (SELECT doc_id,
                  string_split({registered_domain_sql(host)}, '.')[1] AS name,
@@ -909,10 +941,10 @@ def _robots_oracle() -> str:
                    AS path
           FROM c),
     m AS (SELECT u.doc_id,
-                 max({{'l': strlen(r.prefix), 'a': r.allow, 'p': r.prefix}})
+                 max({{'l': r.spec, 'a': r.allow, 'p': r.prefix}})
                    AS b
           FROM u JOIN rules r
-            ON u.name = r.name AND starts_with(u.path, r.prefix)
+            ON u.name = r.name AND u.path LIKE r.pat ESCAPE '!'
           GROUP BY u.doc_id),
     j AS (SELECT u.doc_id, u.name, u.path, m.b
           FROM u LEFT JOIN m ON u.doc_id = m.doc_id)
@@ -926,14 +958,19 @@ def _robots_oracle() -> str:
 @query(
     "q_robots_rules_filter",
     oracle=None,  # generated below from the same rule list
-    description="robots.txt path-rule matching (r11) — the fetch-side "
-    "crawl gate: per-domain Allow/Disallow prefix rules applied with "
-    "RFC 9309 precedence (longest matching prefix wins, Allow wins "
-    "length ties, no match allows). The winner is a max(struct(len, "
-    "allow, prefix)) aggregate — map-side combinable, never a rank "
-    "window — over a broadcast rules join; unmatched URLs rejoin with "
-    "a '' sentinel. One shared rule list generates both the Spark "
-    "literal frame and the oracle VALUES. Scale shape: rules are KBs "
+    description="robots.txt path-rule matching (r11, wildcards r13) — "
+    "the fetch-side crawl gate: per-domain Allow/Disallow rules in the "
+    "full RFC 9309 §2.2.3 pattern language ('*' any-run, trailing '$' "
+    "end anchor) applied with RFC precedence (most literal octets "
+    "wins, Allow wins ties, no match allows). Patterns compile ONCE "
+    "at plan time to SQL LIKE (whose fully-anchored glob semantics "
+    "are exactly the RFC language) + a precomputed specificity, so "
+    "matching stays a JVM-side LIKE on both engines; the winner is a "
+    "max(struct(spec, allow, pattern)) aggregate — map-side "
+    "combinable, never a rank window — over a broadcast rules join; "
+    "unmatched URLs rejoin with a '' sentinel. One shared rule list + "
+    "one shared LIKE translation generate both the Spark literal "
+    "frame and the oracle VALUES. Scale shape: rules are KBs "
     "broadcast with the plan; one doc-keyed aggregate.",
 )
 def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,8 +979,16 @@ def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain,
     )
 
+    from stream_processing_platform_spark.functions.robotstxt import (
+        pattern_specificity,
+    )
+
     rules = spark.createDataFrame(
-        list(_ROBOTS_RULES), "name string, allow int, prefix string"
+        [
+            (n, a, p, _robots_like(p), pattern_specificity(p))
+            for n, a, p in _ROBOTS_RULES
+        ],
+        "name string, allow int, prefix string, pat string, spec int",
     )
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _messy_url_col().alias("url")
@@ -966,7 +1011,7 @@ def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default-allow path.
     j = u.join(
         F.broadcast(rules),
-        (u["name"] == rules["name"]) & F.col("path").startswith(F.col("prefix")),
+        (u["name"] == rules["name"]) & F.expr("path LIKE pat ESCAPE '!'"),
         "left",
     )
     # group on doc_id ALONE: name/path are functionally dependent, so
@@ -981,7 +1026,7 @@ def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("prefix").isNotNull(),
                 F.struct(
-                    F.length("prefix").alias("l"),
+                    F.col("spec").alias("l"),
                     F.col("allow").alias("a"),
                     F.col("prefix").alias("p"),
                 ),
@@ -1220,10 +1265,14 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query produces it from robots.txt payload text — group selection
 # (most-specific token, '*' fallback, same-token merge), crawl-delay,
 # global sitemaps, and a longest-match path evaluation probe. Fixture
-# robots.txt files are a pure function of doc_id % 8 covering: plain
+# robots.txt files are a pure function of doc_id % 13 covering: plain
 # star group, specific-beats-star, same-token merge, disallow-all,
 # empty file, comments + mixed-case keys + sitemaps, UA stacking with
-# blank lines inside the group, and orphan rules before any group.
+# blank lines inside the group, orphan rules before any group, and the
+# r13 RFC 9309 §2.2.3 wildcard legs: '*'/'$' rules, the '/*.css$' vs
+# '/' precedence case, an equal-specificity Allow-wins tie, multi-star
+# + mid-pattern-literal-'$' patterns, and a Sitemap line splitting a
+# User-agent run (the r12 ADVICE group-formation fix).
 
 _RBT_AGENT = "trainingbot"
 
@@ -1236,9 +1285,21 @@ _RBT_CLASSES = (
     "# policy\nUSER-AGENT: *\nDISALLOW: /private/\nSitemap: https://ex.test/s1.xml\nsitemap: https://ex.test/s2.xml\n",
     "User-agent: otherbot\nUser-agent: *\n\nDisallow: /private/\nCrawl-delay: 7.9\n",
     "Disallow: /orphan/\n\nUser-agent: *\nDisallow:\n",
+    # r13 wildcard legs:
+    # suffix-anchor beats a shorter wildcard Allow (14 vs 13 literals)
+    "User-agent: *\nDisallow: /private/*.html$\nAllow: /private/data*\n",
+    # the verdict's canonical case: /*.css$ (5 literals) vs / (1)
+    "User-agent: *\nAllow: /*.css$\nDisallow: /\n",
+    # equal specificity (both 14 literals) -> Allow wins the tie
+    "User-agent: *\nDisallow: /private/*.html$\nAllow: /private/data.*\n",
+    # multi-star with trailing anchor; plus a mid-pattern '$' literal
+    "User-agent: *\nDisallow: /*iv*te/*$\nAllow: /pri$ate/\n",
+    # Sitemap splits the UA run: trainingbot's group carries NO rules
+    "User-agent: trainingbot\nSitemap: https://ex.test/s.xml\nUser-agent: otherbot\nDisallow: /private/\n",
 )
 
 _RBT_PROBE = "/private/data.html"
+_RBT_PROBE_CSS = "/static/app.css"
 
 
 def _robots_txt_oracle() -> str:
@@ -1255,13 +1316,14 @@ def _robots_txt_oracle() -> str:
             f" CAST({sum(1 for a, _ in p.rules if a == 0)} AS BIGINT),"
             f" CAST({p.crawl_delay} AS BIGINT),"
             f" '{','.join(p.sitemaps)}',"
-            f" CAST({str(path_allowed(p, _RBT_PROBE)).upper()} AS BOOLEAN))"
+            f" CAST({str(path_allowed(p, _RBT_PROBE)).upper()} AS BOOLEAN),"
+            f" CAST({str(path_allowed(p, _RBT_PROBE_CSS)).upper()} AS BOOLEAN))"
         )
     return f"""
     WITH exp(rem, matched_agent, n_rules, n_disallow, crawl_delay,
-             sitemaps, probe_allowed) AS (VALUES {", ".join(rows)})
+             sitemaps, probe_allowed, probe_css_allowed) AS (VALUES {", ".join(rows)})
     SELECT d.doc_id, matched_agent, n_rules, n_disallow, crawl_delay,
-           sitemaps, probe_allowed
+           sitemaps, probe_allowed, probe_css_allowed
     FROM documents d JOIN exp e ON d.doc_id % {len(_RBT_CLASSES)} = e.rem
     """
 
@@ -1269,14 +1331,18 @@ def _robots_txt_oracle() -> str:
 @query(
     "q_robots_txt_parse",
     oracle=None,  # patched below: generated sequential-replay oracle
-    description="robots.txt FILE parsing (r12, functions/robotstxt.py — "
-    "RFC 9309): per document a robots.txt payload (pure function of "
-    "doc_id % 8, covering star/specific/merged groups, UA stacking "
-    "across blank lines, disallow-all, empty files, comments and "
-    "mixed-case keys, global sitemaps, orphan rules) parses into the "
-    "agent's rule group — most-specific-token selection with '*' "
-    "fallback and same-token merge — plus crawl-delay, sitemaps, and "
-    "a longest-match/Allow-wins-ties path evaluation probe. This is "
+    description="robots.txt FILE parsing (r12/r13, functions/robotstxt.py "
+    "— RFC 9309 incl. §2.2.3 wildcards): per document a robots.txt "
+    "payload (pure function of doc_id % 13, covering star/specific/"
+    "merged groups, UA stacking across blank lines, disallow-all, "
+    "empty files, comments and mixed-case keys, global sitemaps, "
+    "orphan rules, and the r13 '*'/'$' wildcard legs — suffix anchors, "
+    "the /*.css$-vs-/ precedence case, an equal-specificity Allow-wins "
+    "tie, multi-star patterns, a Sitemap line splitting a UA run) "
+    "parses into the agent's rule group — most-specific-token "
+    "selection with '*' fallback and same-token merge — plus "
+    "crawl-delay, sitemaps, and two wildcard-aware "
+    "most-specific-match/Allow-wins-ties path probes. This is "
     "the front half of the robots pipeline whose back half "
     "(q_robots_rules_filter) consumes the resulting rules table. "
     "Arrow mapInPandas, zero shuffle, scan-speed at 100 TB (one parse "
@@ -1307,6 +1373,7 @@ def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("crawl_delay", LongType(), False),
             StructField("sitemaps", StringType(), False),
             StructField("probe_allowed", BooleanType(), False),
+            StructField("probe_css_allowed", BooleanType(), False),
         ]
     )
 
@@ -1327,6 +1394,9 @@ def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "crawl_delay": [p.crawl_delay for p in ps],
                     "sitemaps": [",".join(p.sitemaps) for p in ps],
                     "probe_allowed": [path_allowed(p, _RBT_PROBE) for p in ps],
+                    "probe_css_allowed": [
+                        path_allowed(p, _RBT_PROBE_CSS) for p in ps
+                    ],
                 }
             )
 

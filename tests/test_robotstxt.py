@@ -72,3 +72,97 @@ def test_no_groups_and_garbage():
     assert p.matched_agent == "" and path_allowed(p, "/x")
     p = parse_robots_txt("not a directive\n<<<>>>\n", "bot")
     assert p.rules == () and p.crawl_delay == -1
+
+
+# ---------------------------------------------------------------- r13:
+# RFC 9309 §2.2.3 wildcards ('*' any-run, trailing '$' end anchor) and
+# literal-octet specificity, plus the r12-ADVICE group-formation fixes.
+
+def test_match_pattern_wildcards():
+    from stream_processing_platform_spark.functions.robotstxt import (
+        match_pattern,
+    )
+
+    assert match_pattern("/fish*", "/fishheads/yummy.html")
+    assert match_pattern("/*.css$", "/static/app.css")
+    assert not match_pattern("/*.css$", "/static/app.css?v=1")  # $ anchors
+    assert match_pattern("/*.css", "/static/app.css?v=1")  # un-anchored
+    assert match_pattern("/a*b*c$", "/a-x-b-y-c")
+    assert not match_pattern("/a*b*c$", "/a-x-c-y-b")  # order matters
+    assert match_pattern("/a**b", "/ab")  # '**' matches the empty run
+    assert match_pattern("/p$", "/p") and not match_pattern("/p$", "/pq")
+    # a '$' that is NOT trailing is a literal octet
+    assert match_pattern("/pri$ate/", "/pri$ate/x")
+    assert not match_pattern("/pri$ate/", "/private/x")
+    # greedy-first-fit must not block a later segment
+    assert match_pattern("/*ab*ab$", "/xabyabzab")
+
+
+def test_wildcard_specificity_and_precedence():
+    from stream_processing_platform_spark.functions.robotstxt import (
+        pattern_specificity,
+    )
+
+    # literal octets only: '*' and the trailing '$' anchor count zero
+    assert pattern_specificity("/page/*3$") == 7 == pattern_specificity("/page/1")
+    assert pattern_specificity("/*.css$") == 5
+    assert pattern_specificity("/p") == 2
+    # the verdict's canonical case: Allow /*.css$ (5) beats Disallow /p (2)
+    p = parse_robots_txt(
+        "User-agent: *\nAllow: /*.css$\nDisallow: /p\n", "bot"
+    )
+    assert path_allowed(p, "/p/site.css")
+    assert not path_allowed(p, "/p/site.css?v=1")  # anchor fails -> /p wins
+    assert not path_allowed(p, "/p/index.html")
+    # equal specificity across a wildcard and a prefix rule: Allow wins
+    tie = parse_robots_txt(
+        "User-agent: *\nDisallow: /private/*.html$\nAllow: /private/data.*\n",
+        "bot",
+    )
+    assert path_allowed(tie, "/private/data.html")
+
+
+def test_sitemap_and_garbage_lines_end_a_ua_run():
+    # 'UA: a / Sitemap / UA: b' must be TWO groups (r12 ADVICE): a's
+    # group has no rules, b's group gets the disallow.
+    txt = (
+        "User-agent: a\nSitemap: https://ex.test/s.xml\n"
+        "User-agent: b\nDisallow: /private/\n"
+    )
+    assert parse_robots_txt(txt, "a").rules == ()
+    assert parse_robots_txt(txt, "b").rules == ((0, "/private/"),)
+    assert parse_robots_txt(txt, "a").sitemaps == ("https://ex.test/s.xml",)
+    # colon-less garbage also ends the run; blank lines still do NOT
+    txt2 = "User-agent: a\nnot a directive\nUser-agent: b\nDisallow: /x/\n"
+    assert parse_robots_txt(txt2, "a").rules == ()
+    assert parse_robots_txt(txt2, "b").rules == ((0, "/x/"),)
+
+
+def test_like_translation_matches_pattern_core():
+    """The q_robots_rules_filter LIKE translation is pinned equivalent
+    to match_pattern on a pattern×path grid, on BOTH engines' LIKE
+    (duckdb here; Spark's LIKE is exercised by the oracle sweep)."""
+    import duckdb
+
+    from stream_processing_platform_spark.functions.robotstxt import (
+        match_pattern,
+    )
+    from stream_processing_platform_spark.queries.web import _robots_like
+
+    patterns = [
+        "/page/1", "/page/*3$", "/page/1*3$", "/page/3*$", "/*.css$",
+        "/", "/a*b*c$", "/a**b", "/p$", "/pri$ate/", "/100!%$", "/u_x*",
+    ]
+    paths = [
+        "/page/1", "/page/13", "/page/3", "/page/33", "/page/130",
+        "/static/app.css", "/static/app.css?v=1", "/a-b-c", "/ab", "/p",
+        "/pq", "/pri$ate/x", "/100%", "/100!%", "/u_x/1", "/uax/1", "",
+    ]
+    con = duckdb.connect()
+    for pat in patterns:
+        like = _robots_like(pat)
+        for path in paths:
+            got = con.execute(
+                "SELECT ? LIKE ? ESCAPE '!'", [path, like]
+            ).fetchone()[0]
+            assert got == match_pattern(pat, path), (pat, like, path)

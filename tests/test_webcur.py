@@ -114,15 +114,16 @@ def test_canonical_url_sql_twin_and_idempotence(spark):
 
 
 def test_robots_rules_precedence(spark):
-    """RFC 9309 precedence on hand-built URLs: longest prefix wins,
-    Allow wins length ties, no match allows."""
-    from stream_processing_platform_spark.registry import REGISTRY
-
-    # drive the registered query's own logic through crafted doc_ids:
-    # residues pin pages 14 (override allowed), 10 (disallowed), 5
-    # (ruleless domain), 21 (name-specific disallow for alpha: /page/2*)
-    import pandas as pd
-
+    """RFC 9309 precedence on hand-built URLs: most literal octets wins
+    (wildcard-aware since r13), Allow wins ties, no match allows. Every
+    row is replayed through the Python pattern core (match_pattern +
+    pattern_specificity — an independent implementation of the same
+    semantics the query expresses as plan-time LIKE), and the wildcard
+    signature pages are additionally pinned explicitly."""
+    from stream_processing_platform_spark.functions.robotstxt import (
+        match_pattern,
+        pattern_specificity,
+    )
     from stream_processing_platform_spark.queries.web import (
         _ROBOTS_RULES,
         q_robots_rules_filter,
@@ -133,23 +134,41 @@ def test_robots_rules_precedence(spark):
     assert len(names) == 5
     for n in names:
         assert (n, 0, "/page/1") in _ROBOTS_RULES
+        assert (n, 0, "/page/*3$") in _ROBOTS_RULES
 
     out = q_robots_rules_filter(spark, "/root/testdata/sf0.001").toPandas()
     out = out.set_index("doc_id")
-    # page == doc_id % 40; name index == page % 7 (ruled iff < 5)
     for doc_id, row in out.iterrows():
-        page = doc_id % 40
-        ni = page % 7
-        if ni >= 5:
+        cands = [
+            (pattern_specificity(p), a, p)
+            for n, a, p in _ROBOTS_RULES
+            if n == row["domain_name"] and match_pattern(p, row["path"])
+        ]
+        if not cands:
             assert row["allowed"] and row["matched_rule"] == "", doc_id
-        elif page == 14 + ni:
-            assert row["allowed"] and row["matched_rule"] == f"/page/{page}", doc_id
-        elif str(page).startswith("1"):
-            assert not row["allowed"] and row["matched_rule"] == "/page/1", doc_id
-        elif str(page).startswith(str(2 + ni)):
-            assert not row["allowed"], doc_id
         else:
-            assert row["allowed"], doc_id
+            spec, allow, pat = max(cands)
+            assert row["allowed"] == (allow == 1), doc_id
+            assert row["matched_rule"] == pat, doc_id
+
+    # wildcard signature pages (page == doc_id % 40, name index page % 7):
+    by_page = {doc_id % 40: row for doc_id, row in out.iterrows()}
+    # page 0 (alpha): decisive '$'-anchored wildcard disallow
+    assert not by_page[0]["allowed"] and by_page[0]["matched_rule"] == "/page/*0$"
+    # page 30 (gamma): same wildcard fires on a two-digit page
+    assert not by_page[30]["allowed"]
+    # page 23 (gamma): 8-literal Allow '/page/2*3$' wins the 7-literal
+    # wildcard disallow back
+    assert by_page[23]["allowed"] and by_page[23]["matched_rule"] == "/page/2*3$"
+    # page 3 (delta): equal specificity (7) wildcard tie -> Allow wins
+    assert by_page[3]["allowed"] and by_page[3]["matched_rule"] == "/page/3*$"
+    # page 10 (delta): two DISALLOWS tie at 7 -> matched_rule resolves
+    # by the struct max's pattern field ('/page/1' > '/page/*0$')
+    assert not by_page[10]["allowed"] and by_page[10]["matched_rule"] == "/page/1"
+    # page 14 (alpha): the longer literal Allow carve-out still wins
+    assert by_page[14]["allowed"] and by_page[14]["matched_rule"] == "/page/14"
+    # page 5 (zeta): ruleless domain -> default allowed
+    assert by_page[5]["allowed"] and by_page[5]["matched_rule"] == ""
 
 
 def test_messy_url_fixture_has_real_variants(spark):
