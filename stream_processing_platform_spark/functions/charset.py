@@ -37,17 +37,158 @@ _META_RE = re.compile(
     re.IGNORECASE,
 )
 
-# labels a crawl actually carries -> python codec names
+# labels a crawl actually carries -> python codec names, following the
+# WHATWG Encoding Standard's labels table (r13: extended from the
+# latin/utf-8 subset to the major-encodings set — every target is a
+# Python stdlib codec). Deterministic-subset choices, documented:
+# - latin-1/iso-8859-1 labels MEAN cp1252 (the WHATWG superset rule);
+#   likewise iso-8859-9 labels mean windows-1254 and euc-kr/korean
+#   labels mean windows-949 (cp949), per the same table;
+# - a meta-declared UTF-16 label decodes as UTF-8 (WHATWG: BOM-less
+#   "utf-16" content on the web is almost always mislabeled UTF-8;
+#   real UTF-16 is caught by the BOM step before meta);
+# - Shift_JIS maps to Python's shift_jis and Big5 to big5 (WHATWG
+#   prescribes the windows-31j / HKSCS supersets; the stdlib base
+#   codecs differ only on vendor-extension code points).
 _ALIASES = {
+    # utf-8 family
     "utf8": "utf-8",
     "utf-8": "utf-8",
-    "latin1": "cp1252",  # the WHATWG rule: latin-1 labels MEAN cp1252
-    "latin-1": "cp1252",
-    "iso-8859-1": "cp1252",
-    "windows-1252": "cp1252",
-    "cp1252": "cp1252",
+    "unicode-1-1-utf-8": "utf-8",
     "ascii": "utf-8",  # ascii is a utf-8 subset
     "us-ascii": "utf-8",
+    "utf-16": "utf-8",  # WHATWG: UTF-16 meta labels decode as UTF-8
+    "utf-16le": "utf-8",
+    "utf-16be": "utf-8",
+    # windows-1252 family (the latin-1-means-cp1252 rule)
+    "latin1": "cp1252",
+    "latin-1": "cp1252",
+    "l1": "cp1252",
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "iso_8859-1": "cp1252",
+    "windows-1252": "cp1252",
+    "x-cp1252": "cp1252",
+    "cp1252": "cp1252",
+    "cp819": "cp1252",
+    "ibm819": "cp1252",
+    "csisolatin1": "cp1252",
+    # Japanese
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "ms_kanji": "shift_jis",
+    "csshiftjis": "shift_jis",
+    "windows-31j": "shift_jis",
+    "euc-jp": "euc_jp",
+    "x-euc-jp": "euc_jp",
+    "cseucpkdfmtjapanese": "euc_jp",
+    "iso-2022-jp": "iso2022_jp",
+    "csiso2022jp": "iso2022_jp",
+    # Korean (WHATWG euc-kr == windows-949)
+    "euc-kr": "cp949",
+    "korean": "cp949",
+    "windows-949": "cp949",
+    "ks_c_5601-1987": "cp949",
+    "ks_c_5601-1989": "cp949",
+    "ksc_5601": "cp949",
+    "csksc56011987": "cp949",
+    "iso-ir-149": "cp949",
+    # Chinese
+    "gbk": "gbk",
+    "gb2312": "gbk",  # WHATWG: gb2312 labels mean GBK
+    "gb_2312": "gbk",
+    "gb_2312-80": "gbk",
+    "chinese": "gbk",
+    "csgb2312": "gbk",
+    "csiso58gb231280": "gbk",
+    "x-gbk": "gbk",
+    "iso-ir-58": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5",
+    "big5-hkscs": "big5",
+    "cn-big5": "big5",
+    "csbig5": "big5",
+    "x-x-big5": "big5",
+    # Cyrillic
+    "koi8-r": "koi8_r",
+    "koi8": "koi8_r",
+    "koi": "koi8_r",
+    "cskoi8r": "koi8_r",
+    "koi8-u": "koi8_u",
+    "koi8-ru": "koi8_u",
+    "windows-1251": "cp1251",
+    "x-cp1251": "cp1251",
+    "cp1251": "cp1251",
+    "iso-8859-5": "iso8859-5",
+    "iso8859-5": "iso8859-5",
+    "iso_8859-5": "iso8859-5",
+    "cyrillic": "iso8859-5",
+    "csisolatincyrillic": "iso8859-5",
+    # Central European
+    "iso-8859-2": "iso8859-2",
+    "iso8859-2": "iso8859-2",
+    "iso_8859-2": "iso8859-2",
+    "latin2": "iso8859-2",
+    "l2": "iso8859-2",
+    "csisolatin2": "iso8859-2",
+    "windows-1250": "cp1250",
+    "x-cp1250": "cp1250",
+    "cp1250": "cp1250",
+    # Greek
+    "iso-8859-7": "iso8859-7",
+    "iso8859-7": "iso8859-7",
+    "iso_8859-7": "iso8859-7",
+    "greek": "iso8859-7",
+    "greek8": "iso8859-7",
+    "elot_928": "iso8859-7",
+    "ecma-118": "iso8859-7",
+    "sun_eu_greek": "iso8859-7",
+    "csisolatingreek": "iso8859-7",
+    "windows-1253": "cp1253",
+    "x-cp1253": "cp1253",
+    "cp1253": "cp1253",
+    # Turkish (WHATWG iso-8859-9 == windows-1254)
+    "iso-8859-9": "cp1254",
+    "iso8859-9": "cp1254",
+    "iso_8859-9": "cp1254",
+    "latin5": "cp1254",
+    "l5": "cp1254",
+    "csisolatin5": "cp1254",
+    "windows-1254": "cp1254",
+    "x-cp1254": "cp1254",
+    "cp1254": "cp1254",
+    # latin-9 / euro
+    "iso-8859-15": "iso8859-15",
+    "iso8859-15": "iso8859-15",
+    "iso_8859-15": "iso8859-15",
+    "latin9": "iso8859-15",
+    "l9": "iso8859-15",
+    "csisolatin9": "iso8859-15",
+    # Hebrew / Arabic / Baltic / Vietnamese / Thai
+    "windows-1255": "cp1255",
+    "x-cp1255": "cp1255",
+    "cp1255": "cp1255",
+    "windows-1256": "cp1256",
+    "x-cp1256": "cp1256",
+    "cp1256": "cp1256",
+    "windows-1257": "cp1257",
+    "x-cp1257": "cp1257",
+    "cp1257": "cp1257",
+    "windows-1258": "cp1258",
+    "x-cp1258": "cp1258",
+    "cp1258": "cp1258",
+    "windows-874": "cp874",
+    "dos-874": "cp874",
+    "tis-620": "cp874",
+    "iso-8859-11": "cp874",
+    "iso8859-11": "cp874",
+    # mac
+    "macintosh": "mac_roman",
+    "x-mac-roman": "mac_roman",
+    "mac": "mac_roman",
+    "csmacintosh": "mac_roman",
 }
 
 

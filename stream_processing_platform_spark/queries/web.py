@@ -1161,21 +1161,45 @@ def q_warc_pair_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The step between WARC payload BYTES and every text operator
 # (functions/charset.py): BOM sniff -> meta-charset declaration ->
 # strict UTF-8 with cp1252 fallback (the WHATWG latin-1-means-cp1252
-# rule). The fixture encodes known text per doc_id % 6 residue class —
+# rule). The fixture encodes known text per doc_id % 19 residue class —
 # plain UTF-8, UTF-8 BOM, UTF-16 LE/BE BOMs, undeclared cp1252
-# (fallback path), meta-declared ISO-8859-1 — and because every decode
-# is a lossless round-trip of a string the oracle can RECONSTRUCT in
-# SQL, this carries a full oracle with no VALUES table at all.
+# (fallback path), meta-declared ISO-8859-1, and (r13) one
+# meta-declared class per WHATWG major encoding — and because every
+# decode is a lossless round-trip of a string the oracle can
+# RECONSTRUCT in SQL, this carries a full oracle with no VALUES table.
+# Document text is ASCII, so the appended body round-trips under every
+# class codec; each class's SAMPLE exercises that codec's own script.
 
 _CS_UNI = "café Ω "          # classes that can carry non-latin-1 text
 _CS_LAT = "café résumé "     # cp1252-encodable classes
 _CS_META = '<meta charset="ISO-8859-1">'
 
+# r13 meta-declared classes (residues 6..18): (label, python codec,
+# codec-native sample). Labels deliberately exercise the WHATWG alias
+# rules — gb2312 means GBK, korean means windows-949, iso-8859-9 means
+# windows-1254, a utf-16 meta label decodes as UTF-8.
+_CS_META_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("shift_jis", "shift_jis", "日本語テスト "),
+    ("x-euc-jp", "euc_jp", "日本語テスト "),
+    ("korean", "cp949", "한국어 시험 "),
+    ("gb2312", "gbk", "中文测试 "),
+    ("big5", "big5", "中文測試 "),
+    ("koi8", "koi8_r", "русский текст "),
+    ("x-cp1251", "cp1251", "русский текст "),
+    ("latin2", "iso8859-2", "žluťoučký kůň "),
+    ("cyrillic", "iso8859-5", "кириллица "),
+    ("greek", "iso8859-7", "ελληνικά "),
+    ("iso-8859-9", "cp1254", "Türkçe sınama "),
+    ("latin9", "iso8859-15", "euro € sign "),
+    ("utf-16", "utf-8", "mislabeled as utf-16 "),
+)
+_CS_MOD = 6 + len(_CS_META_CLASSES)
+
 
 def _charset_payload(d: int, text: str) -> bytes:
     from stream_processing_platform_spark.functions import charset  # noqa: F401
 
-    r = d % 6
+    r = d % _CS_MOD
     if r == 0:
         return (_CS_UNI + text).encode("utf-8")
     if r == 1:
@@ -1186,40 +1210,61 @@ def _charset_payload(d: int, text: str) -> bytes:
         return b"\xfe\xff" + (_CS_UNI + text).encode("utf-16-be")
     if r == 4:
         return (_CS_LAT + text).encode("cp1252")
-    return (_CS_META + _CS_LAT + text).encode("cp1252")
+    if r == 5:
+        return (_CS_META + _CS_LAT + text).encode("cp1252")
+    label, codec, sample = _CS_META_CLASSES[r - 6]
+    return (f'<meta charset="{label}">{sample}' + text).encode(codec)
+
+
+def _charset_oracle() -> str:
+    text_whens = "\n        ".join(
+        f"WHEN {6 + i} THEN '<meta charset=\"{label}\">{sample}' || text"
+        for i, (label, _, sample) in enumerate(_CS_META_CLASSES)
+    )
+    enc_whens = "\n        ".join(
+        f"WHEN {6 + i} THEN '{codec}'"
+        for i, (_, codec, _) in enumerate(_CS_META_CLASSES)
+    )
+    text_case = f"""CASE doc_id % {_CS_MOD}
+        WHEN 4 THEN '{_CS_LAT}' || text
+        WHEN 5 THEN '{_CS_META}{_CS_LAT}' || text
+        {text_whens}
+        ELSE '{_CS_UNI}' || text END"""
+    return f"""
+    SELECT doc_id,
+      {text_case} AS text_out,
+      CASE doc_id % {_CS_MOD}
+        WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+        WHEN 4 THEN 'cp1252' WHEN 5 THEN 'cp1252'
+        {enc_whens}
+        ELSE 'utf-8' END AS encoding,
+      CASE doc_id % {_CS_MOD}
+        WHEN 0 THEN 'utf-8' WHEN 1 THEN 'bom' WHEN 2 THEN 'bom'
+        WHEN 3 THEN 'bom' WHEN 4 THEN 'fallback'
+        ELSE 'meta' END AS how,
+      CAST(length({text_case}) AS BIGINT) AS n_chars
+    FROM documents
+    """
 
 
 @query(
     "q_charset_decode",
-    oracle=f"""
-    SELECT doc_id,
-      CASE doc_id % 6
-        WHEN 4 THEN '{_CS_LAT}' || text
-        WHEN 5 THEN '{_CS_META}{_CS_LAT}' || text
-        ELSE '{_CS_UNI}' || text END AS text_out,
-      CASE doc_id % 6
-        WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
-        WHEN 4 THEN 'cp1252' WHEN 5 THEN 'cp1252'
-        ELSE 'utf-8' END AS encoding,
-      CASE doc_id % 6
-        WHEN 0 THEN 'utf-8' WHEN 4 THEN 'fallback' WHEN 5 THEN 'meta'
-        ELSE 'bom' END AS how,
-      CAST(length(CASE doc_id % 6
-        WHEN 4 THEN '{_CS_LAT}' || text
-        WHEN 5 THEN '{_CS_META}{_CS_LAT}' || text
-        ELSE '{_CS_UNI}' || text END) AS BIGINT) AS n_chars
-    FROM documents
-    """,
-    description="Charset sniffing + byte->text decoding (r12, functions/"
-    "charset.py) — the crawl-ingest step between WARC payload bytes and "
-    "every text operator: BOM detection (UTF-8/16/32, longest-first so "
-    "UTF-32 LE beats its UTF-16 prefix), meta-charset declarations with "
-    "the WHATWG latin-1-means-cp1252 alias rule, strict UTF-8 attempt "
-    "with cp1252 fallback, U+FFFD replacement so the pipe never throws. "
-    "Fixture encodes per doc_id % 6 across all six sniff paths; every "
-    "decode is a lossless string round-trip, so the oracle RECONSTRUCTS "
-    "the expected text in plain SQL — a full oracle with no replay "
-    "table. Arrow mapInPandas, 1-in-1-out, zero shuffle.",
+    oracle=None,  # patched below: generated from _CS_META_CLASSES
+    description="Charset sniffing + byte->text decoding (r12/r13, "
+    "functions/charset.py) — the crawl-ingest step between WARC payload "
+    "bytes and every text operator: BOM detection (UTF-8/16/32, "
+    "longest-first so UTF-32 LE beats its UTF-16 prefix), meta-charset "
+    "declarations over the full WHATWG major-encodings label table "
+    "(r13: shift_jis/euc-jp/euc-kr/gbk/big5/koi8/windows-125x/"
+    "iso-8859-2/5/7/9/15/thai/mac + the alias rules — latin-1 means "
+    "cp1252, gb2312 means GBK, korean means windows-949, iso-8859-9 "
+    "means windows-1254, a utf-16 meta label decodes as UTF-8), strict "
+    "UTF-8 attempt with cp1252 fallback, U+FFFD replacement so the "
+    "pipe never throws. Fixture encodes per doc_id % 19 across all "
+    "sniff paths with codec-native samples per script; every decode is "
+    "a lossless string round-trip, so the oracle RECONSTRUCTS the "
+    "expected text in plain SQL. Arrow mapInPandas, 1-in-1-out, zero "
+    "shuffle, scan speed at 100 TB.",
 )
 def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -1256,6 +1301,11 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
         run, schema
     )
+
+
+_REGW["q_charset_decode"] = _dc_replace_w(
+    _REGW["q_charset_decode"], oracle=_charset_oracle()
+)
 
 
 # ---------------------------------------------- robots.txt parse (r12)

@@ -53,3 +53,61 @@ def test_fallback_and_strict_utf8():
 def test_never_throws_on_garbage():
     text, enc, how = decode_payload(bytes(range(256)))
     assert isinstance(text, str) and enc == "cp1252"
+
+
+def test_whatwg_major_encodings_round_trip():
+    """r13: every WHATWG major-encoding label decodes its own script
+    losslessly via a meta declaration."""
+    from stream_processing_platform_spark.functions.charset import (
+        decode_payload,
+    )
+
+    cases = [
+        ("shift_jis", "shift_jis", "日本語テスト"),
+        ("sjis", "shift_jis", "日本語"),
+        ("windows-31j", "shift_jis", "日本語"),
+        ("x-euc-jp", "euc_jp", "日本語テスト"),
+        ("euc-kr", "cp949", "한국어 시험"),
+        ("korean", "cp949", "한국어"),
+        ("gb2312", "gbk", "中文测试"),  # WHATWG: gb2312 means GBK
+        ("gbk", "gbk", "中文测试"),
+        ("gb18030", "gb18030", "中文测试"),
+        ("big5", "big5", "中文測試"),
+        ("koi8-r", "koi8_r", "русский текст"),
+        ("koi8", "koi8_r", "русский"),
+        ("windows-1251", "cp1251", "русский текст"),
+        ("iso-8859-5", "iso8859-5", "кириллица"),
+        ("cyrillic", "iso8859-5", "кириллица"),
+        ("latin2", "iso8859-2", "žluťoučký kůň"),
+        ("iso-8859-7", "iso8859-7", "ελληνικά"),
+        ("greek", "iso8859-7", "ελληνικά"),
+        ("iso-8859-9", "cp1254", "Türkçe sınama"),  # means windows-1254
+        ("latin5", "cp1254", "Türkçe"),
+        ("iso-8859-15", "iso8859-15", "euro € sign"),
+        ("latin9", "iso8859-15", "euro €"),
+        ("windows-1255", "cp1255", "עברית"),
+        ("windows-1256", "cp1256", "عربي"),
+        ("windows-1257", "cp1257", "lietuvių"),
+        ("windows-874", "cp874", "ไทย"),
+        ("tis-620", "cp874", "ไทย"),
+        ("macintosh", "mac_roman", "café résumé"),
+    ]
+    for label, codec, sample in cases:
+        body = f'<meta charset="{label}">{sample} tail'
+        text, enc, how = decode_payload(body.encode(codec))
+        assert (text, enc, how) == (body, codec, "meta"), label
+
+
+def test_utf16_meta_label_means_utf8():
+    """WHATWG: a meta-declared UTF-16 label decodes as UTF-8 (real
+    UTF-16 is caught by the BOM step, which still wins)."""
+    from stream_processing_platform_spark.functions.charset import (
+        decode_payload,
+    )
+
+    body = '<meta charset="utf-16">não utf-16 at all'
+    text, enc, how = decode_payload(body.encode("utf-8"))
+    assert (text, enc, how) == (body, "utf-8", "meta")
+    # BOM still beats the (lying) meta declaration
+    text2, enc2, how2 = decode_payload(b"\xff\xfe" + body.encode("utf-16-le"))
+    assert (text2, enc2, how2) == (body, "utf-16-le", "bom")
