@@ -107,15 +107,83 @@ def id3v2_size(b: bytes) -> int:
     return extra + size
 
 
+# ID3v2 text-frame encodings (informal standard id3v2.3.0 §3.3 /
+# id3v2.4.0-structure §4): encoding byte 0 = ISO-8859-1, 1 = UTF-16
+# with BOM, 2 = UTF-16BE (v2.4), 3 = UTF-8 (v2.4).
+_ID3_TEXT_ENC = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3v2_text_frames(b: bytes) -> dict[str, str]:
+    """Extract the text frames of a leading ID3v2.3/2.4 container as
+    ``{frame_id: text}`` — the metadata a curation pass actually wants
+    (TIT2 title, TPE1 artist, TALB album, ...). Pure published
+    structure: 10-byte tag header with syncsafe size, frames of
+    4-byte id + 4-byte size (plain big-endian in v2.3, syncsafe in
+    v2.4) + 2 flag bytes; a ``T***`` frame body is one encoding byte
+    plus text, null-terminated optionally. Unknown/binary frames are
+    skipped by size; zero padding ends the walk; malformed frames end
+    the walk rather than throw (engine-wide never-throw policy).
+    ID3v2.2 (3-byte frame ids) is not parsed — its container is still
+    skipped correctly by :func:`id3v2_size`."""
+    out: dict[str, str] = {}
+    if len(b) < 10 or b[:3] != b"ID3":
+        return out
+    ver = b[3]
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    pos = 10
+    end = min(len(b), 10 + size)
+    if b[5] & 0x40 and pos + 4 <= end:  # extended header: skip by size
+        raw = b[pos : pos + 4]
+        if ver >= 4:  # syncsafe, counts itself
+            pos += (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:  # v2.3: size EXCLUDES the 4 size bytes
+            pos += int.from_bytes(raw, "big") + 4
+    while pos + 10 <= end:
+        fid = b[pos : pos + 4]
+        if fid[0] == 0:  # zero padding region
+            break
+        if not all(0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A for c in fid):
+            break  # not a valid frame id: stop rather than misparse
+        raw = b[pos + 4 : pos + 8]
+        if ver >= 4:
+            fsz = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            fsz = int.from_bytes(raw, "big")
+        if fsz <= 0 or pos + 10 + fsz > end:
+            break
+        if fid[0:1] == b"T":
+            body = b[pos + 10 : pos + 10 + fsz]
+            codec = _ID3_TEXT_ENC.get(body[0])
+            if codec is not None:
+                text = body[1:].decode(codec, "replace")
+                out[fid.decode("ascii")] = text.split("\x00", 1)[0]
+        pos += 10 + fsz
+    return out
+
+
 def parse_mp3(b: bytes, max_resync: int = 4096) -> dict:
     """Walk the frame chain of an MP3 payload and return stream-level
     metadata. A candidate sync is accepted only if the NEXT frame
     header (at the computed frame length) also parses — the standard
     false-sync defence. Returns a dict with n_frames, duration_ms,
     sample_rate, mono, bitrate min/max/avg (kbps), is_cbr, id3_bytes,
-    has_xing, xing_frames (-1 when absent).
+    has_xing, xing_frames (-1 when absent), and the ID3v2 text-frame
+    trio title/artist/album (TIT2/TPE1/TALB, '' when absent — r13).
+
+    Documented choice: ``bitrate_avg`` averages over ALL stream frames
+    including a Xing/Info tag frame (the tag frame IS a physical frame
+    with a real header bitrate), while ``duration_ms`` excludes it (it
+    carries no audio). VBR tools conventionally exclude the tag frame
+    from both; this probe's convention is replayed identically by its
+    oracle either way.
     """
     start = id3v2_size(b)
+    tags = id3v2_text_frames(b)
+    id3_text = {
+        "title": tags.get("TIT2", ""),
+        "artist": tags.get("TPE1", ""),
+        "album": tags.get("TALB", ""),
+    }
     # resync scan: tolerate junk between ID3 and the first frame
     first = None
     for pos in range(start, min(len(b), start + max_resync)):
@@ -131,12 +199,16 @@ def parse_mp3(b: bytes, max_resync: int = 4096) -> dict:
             "n_frames": 0, "duration_ms": 0, "sample_rate": 0, "mono": True,
             "bitrate_min": 0, "bitrate_max": 0, "bitrate_avg": 0,
             "is_cbr": False, "id3_bytes": start, "has_xing": False,
-            "xing_frames": -1,
+            "xing_frames": -1, **id3_text,
         }
 
-    # Xing/Info tag: first frame, right after the side info
+    # Xing/Info tag: first frame, right after the side info. When the
+    # protection bit (header bit 16) is 0 a 2-byte CRC sits between the
+    # header and the side info (ISO 11172-3 §2.4.1.4) and shifts the
+    # tag by 2 (r12 ADVICE).
+    crc_bytes = 2 if (int.from_bytes(b[first.offset:first.offset + 4], "big") >> 16) & 0x1 == 0 else 0
     si = _SIDE_INFO[(first.version == 3, first.mono)]
-    tag_at = first.offset + 4 + si
+    tag_at = first.offset + 4 + crc_bytes + si
     has_xing = b[tag_at : tag_at + 4] in (b"Xing", b"Info")
     xing_frames = -1
     if has_xing:
@@ -174,6 +246,7 @@ def parse_mp3(b: bytes, max_resync: int = 4096) -> dict:
         "id3_bytes": start,
         "has_xing": has_xing,
         "xing_frames": xing_frames,
+        **id3_text,
     }
 
 
@@ -202,6 +275,9 @@ def _frame(version: int, bidx: int, ridx: int, padding: int, mono: bool,
         (0x7FF << 21)
         | (version << 19)
         | (1 << 17)  # Layer III
+        | (1 << 16)  # protection bit = 1: NO CRC follows (r12 ADVICE —
+        #              a 0 here declares a 2-byte CRC the fixture never
+        #              wrote, making synthetic frames spec-invalid)
         | (bidx << 12)
         | (ridx << 10)
         | (padding << 9)
@@ -213,13 +289,29 @@ def _frame(version: int, bidx: int, ridx: int, padding: int, mono: bool,
     return h.to_bytes(4, "big") + body
 
 
+def _id3_text_frame(fid: bytes, text: str, enc: int) -> bytes:
+    """One ID3v2.3 text frame: 4-byte id + plain-BE size + 2 flag
+    bytes + encoding byte + encoded text."""
+    if enc == 1:
+        body = b"\x01" + text.encode("utf-16")  # BOM included
+    else:
+        body = b"\x00" + text.encode("latin-1")
+    return fid + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+
+
 def synth_mp3_payload(d: int) -> bytes:
     """Deterministic MP3 stream for one doc id — pure function of
     ``d % 24``: version cycles MPEG1/MPEG2 (d%2), bitrate index cycles
     3 classes (d%3), ID3v2 present iff d%2==0, Xing VBR header iff
     d%4==0 (with a real FRAMES field), mono iff d%3!=0, frame count
-    3 + d%4, alternating padding bits. Shared by the Spark probe query
-    and the sequential-replay oracle generator."""
+    3 + d%4, alternating padding bits. Even classes carry REAL ID3v2.3
+    text frames (r13): TIT2/TPE1/TALB, UTF-16 encoding when d%8==0 and
+    latin-1 otherwise, a binary PRIV frame prepended when d%6==0 (the
+    skip-unknown-frames path), trailing zero padding, except d%24==22
+    which keeps the pre-r13 opaque tag soup (the skip-by-size path —
+    a tag with no parseable frames must still probe cleanly). Shared
+    by the Spark probe query and the sequential-replay oracle
+    generator."""
     d = d % 24
     version = 3 if d % 2 == 0 else 2
     ridx = 0
@@ -227,8 +319,21 @@ def synth_mp3_payload(d: int) -> bytes:
     n_frames = 3 + d % 4
     out = bytearray()
     if d % 2 == 0:
-        # ID3v2.3 container: 10-byte header + deterministic tag soup
-        tag = bytes((d * 13 + i) % 256 for i in range(30 + d % 5))
+        if d == 22:
+            # opaque tag soup: no parseable frames, skipped by size
+            tag = bytes((d * 13 + i) % 256 for i in range(30 + d % 5))
+        else:
+            enc = 1 if d % 8 == 0 else 0
+            title = f"Tïtle №{d}" if enc == 1 else f"Title {d}"
+            frames = bytearray()
+            if d % 6 == 0:
+                # unknown binary frame: must be skipped by size
+                priv = bytes((d * 7 + i) % 256 for i in range(9))
+                frames += b"PRIV" + len(priv).to_bytes(4, "big") + b"\x00\x00" + priv
+            frames += _id3_text_frame(b"TIT2", title, enc)
+            frames += _id3_text_frame(b"TPE1", f"Artist {d % 6}", enc)
+            frames += _id3_text_frame(b"TALB", f"Album {d % 3}", enc)
+            tag = bytes(frames) + b"\x00" * (d % 5)  # zero padding
         sz = len(tag)
         out += b"ID3\x03\x00\x00" + bytes(
             [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]

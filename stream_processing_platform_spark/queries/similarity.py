@@ -2555,7 +2555,19 @@ _MP3_PROBE_FIELDS = (
     ("id3_bytes", "BIGINT"),
     ("has_xing", "BOOLEAN"),
     ("xing_frames", "BIGINT"),
+    # r13: ID3v2 text-frame trio (TIT2/TPE1/TALB, '' sentinel when absent)
+    ("title", "VARCHAR"),
+    ("artist", "VARCHAR"),
+    ("album", "VARCHAR"),
 )
+
+
+def _mp3_sql_val(v, t: str) -> str:
+    if t == "BOOLEAN":
+        return f"CAST({str(v).upper()} AS {t})"
+    if t == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    return f"CAST({v} AS {t})"
 
 
 def _mp3_probe_oracle() -> str:
@@ -2567,10 +2579,7 @@ def _mp3_probe_oracle() -> str:
     rows = []
     for rem in range(24):
         m = parse_mp3(synth_mp3_payload(rem))
-        vals = ", ".join(
-            f"CAST({str(m[f]).upper() if t == 'BOOLEAN' else m[f]} AS {t})"
-            for f, t in _MP3_PROBE_FIELDS
-        )
+        vals = ", ".join(_mp3_sql_val(m[f], t) for f, t in _MP3_PROBE_FIELDS)
         rows.append(f"({rem}, {vals})")
     cols = ", ".join(f for f, _ in _MP3_PROBE_FIELDS)
     return f"""
@@ -2601,6 +2610,7 @@ def q_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (
         BooleanType,
         LongType,
+        StringType,
         StructField,
         StructType,
     )
@@ -2610,10 +2620,11 @@ def q_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_mp3_payload,
     )
 
+    types = {"BOOLEAN": BooleanType(), "VARCHAR": StringType()}
     schema = StructType(
         [StructField("media_id", LongType(), False)]
         + [
-            StructField(f, BooleanType() if t == "BOOLEAN" else LongType(), False)
+            StructField(f, types.get(t, LongType()), False)
             for f, t in _MP3_PROBE_FIELDS
         ]
     )

@@ -81,3 +81,63 @@ def test_padding_changes_frame_size_by_one_slot():
 def test_decode_gate_names_the_missing_spec_data():
     with pytest.raises(NotImplementedError, match="Huffman"):
         decode_mp3(synth_mp3_payload(0))
+
+
+def test_id3v2_text_frames_extracted():
+    """r13: TIT2/TPE1/TALB text frames parse out of even classes —
+    latin-1 and UTF-16 encodings, PRIV skipped by size, soup class
+    (d=22) and ID3-less odd classes yield the '' sentinel."""
+    for d in range(24):
+        m = parse_mp3(synth_mp3_payload(d))
+        if d % 2 == 1 or d == 22:
+            assert m["title"] == m["artist"] == m["album"] == "", d
+        elif d % 8 == 0:  # utf-16 classes
+            assert m["title"] == f"Tïtle №{d}", d
+            assert m["artist"] == f"Artist {d % 6}", d
+        else:
+            assert m["title"] == f"Title {d}", d
+            assert m["album"] == f"Album {d % 3}", d
+
+
+def test_id3v2_text_frames_v24_syncsafe_and_malformed():
+    from stream_processing_platform_spark.multimodal.mp3probe import (
+        id3v2_text_frames,
+    )
+
+    # v2.4 tag: syncsafe frame size, utf-8 encoding byte
+    body = b"\x03" + "smörgås".encode("utf-8")
+    frame = b"TIT2" + bytes([0, 0, 0, len(body)]) + b"\x00\x00" + body
+    sz = len(frame)
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    ) + frame
+    assert id3v2_text_frames(tag) == {"TIT2": "smörgås"}
+    # malformed (frame size overruns the tag): walk stops, no throw
+    bad = tag[:-3]
+    assert id3v2_text_frames(bad) == {}
+    assert id3v2_text_frames(b"") == {}
+    assert id3v2_text_frames(b"ID3\x03\x00\x00\x00\x00\x00\x00") == {}
+
+
+def test_xing_offset_respects_crc_protection_bit():
+    """r12 ADVICE: when the protection bit is 0 a 2-byte CRC sits
+    between the header and side info, shifting a Xing tag by 2."""
+    from stream_processing_platform_spark.multimodal.mp3probe import (
+        _SIDE_INFO,
+    )
+
+    base = _frame(3, 9, 0, 0, True, 5)  # MPEG1 mono 128k, no CRC bit set
+    h = int.from_bytes(base[:4], "big") & ~(1 << 16)  # declare CRC
+    si = _SIDE_INFO[(True, True)]
+    xing = b"Xing" + (0x1).to_bytes(4, "big") + (3).to_bytes(4, "big")
+    body = b"\xAA\xBB" + b"\x00" * si + xing  # CRC + side info + tag
+    frame = h.to_bytes(4, "big") + body + base[4 + len(body):]
+    assert len(frame) == len(base)
+    tail = b"".join(_frame(3, 9, 0, 0, True, i) for i in range(3))
+    m = parse_mp3(frame + tail)
+    assert m["has_xing"] and m["xing_frames"] == 3
+    # and WITHOUT the CRC bytes the same header must NOT find a tag at
+    # the CRC-shifted offset
+    frame_no_crc = base[:4] + b"\x00" * si + xing + base[4 + si + len(xing):]
+    m2 = parse_mp3(frame_no_crc + tail)
+    assert m2["has_xing"]  # sanity: un-protected layout still detects
