@@ -244,7 +244,12 @@ def boilerplate_blocks_pandas(df, raw: Column, id_cols: list[str] | None = None)
 
     def run(batches):
         for pdf in batches:
-            res = [boilerplate_blocks_py(r) for r in pdf["_raw"]]
+            # NULL raw -> '' (r12 ADVICE): the expression twin
+            # NULL-propagates to NULL outputs, but the declared output
+            # schema here is non-nullable ('' / 0 / 0 sentinels), and
+            # the engine-wide UDF policy is never-throw — strip_html_py
+            # would TypeError on None.
+            res = [boilerplate_blocks_py(r or "") for r in pdf["_raw"]]
             out = pdf[ids].copy()
             out["content"] = [r[0] for r in res]
             out["n_blocks"] = [r[1] for r in res]

@@ -120,13 +120,19 @@ def _psl_branches(rules: PslRules) -> list[tuple[str, int, tuple[str, ...], int]
     - ``exc``  — exception rule: the rule ITSELF is the registered
       domain (public suffix = rule minus its leftmost label);
     - ``exact`` — exact rule of k labels: suffix = rule, registered =
-      k+1 labels (guarded n >= k+1; a bare suffix falls through to the
-      default pass-through);
+      k+1 labels when n >= k+1; when the host IS the bare suffix
+      (n == k) it passes through unchanged. The bare case lives INSIDE
+      the exact branch (result selected by a nested n-conditional)
+      rather than as a sibling branch so the rule-set membership
+      literal — ~500 entries for the k=2 exact set — appears ONCE in
+      the plan (r12 ADVICE: the default branch returns the LAST TWO
+      labels, so without the bare case 'blob.core.windows.net'
+      truncated to 'windows.net'; a sibling branch would have doubled
+      the array literal, caught by the plan-form gate);
     - ``wild`` — ``*.base`` with base of k labels: suffix = base plus
       one label, registered = k+2 labels when n >= k+2;
     - ``wild_bare`` — host IS a wildcard-matched suffix (n == k+1):
-      pass through unchanged (mirrors the bare exact-suffix case,
-      which the default branch happens to return verbatim).
+      pass through unchanged.
 
     Order = PSL precedence: exceptions first (they prevail regardless
     of length), then exact/wildcard by descending effective rule
@@ -236,7 +242,13 @@ def registered_domain(
             if kind == "exc":
                 expr = F.when(member & (n >= k), last(k)).otherwise(expr)
             elif kind == "exact":
-                expr = F.when(member & (n >= k + 1), last(k + 1)).otherwise(expr)
+                # n >= k+1: one label beyond the suffix; n == k: the
+                # host IS the bare suffix — pass through. One membership
+                # test (one array literal) serves both outcomes.
+                expr = F.when(
+                    member & (n >= k),
+                    F.when(n >= k + 1, last(k + 1)).otherwise(h),
+                ).otherwise(expr)
             elif kind == "wild":
                 expr = F.when(member & (n >= k + 2), last(k + 2)).otherwise(expr)
             else:  # wild_bare: the host IS a wildcard-matched suffix
@@ -270,7 +282,9 @@ def registered_domain_sql(
             whens.append(f"WHEN {inset(k, rs)} AND len({p}) >= {k} THEN {last(k)}")
         elif kind == "exact":
             whens.append(
-                f"WHEN {inset(k, rs)} AND len({p}) >= {k + 1} THEN {last(k + 1)}"
+                f"WHEN {inset(k, rs)} AND len({p}) >= {k} THEN "
+                f"(CASE WHEN len({p}) >= {k + 1} THEN {last(k + 1)} "
+                f"ELSE {host_expr} END)"
             )
         elif kind == "wild":
             whens.append(

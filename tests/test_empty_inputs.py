@@ -238,6 +238,10 @@ def test_r12_operator_family_on_empty(spark, empty_docs):
     # empty-string payloads (not just empty frames)
     one = spark.createDataFrame([(1, "")], "doc_id long, text string")
     assert boilerplate_blocks_pandas(one, F.col("text")).collect()[0]["n_blocks"] == 0
+    # NULL payloads decay to the '' sentinels, never throw (r12 ADVICE)
+    nul = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = boilerplate_blocks_pandas(nul, F.col("text")).collect()[0]
+    assert (row["content"], row["n_blocks"], row["n_kept"]) == ("", 0, 0)
     assert script_mix(one, "text").collect()[0]["dominant_script"] == "none"
     # mp3 probe over an empty payload
     from stream_processing_platform_spark.multimodal.mp3probe import parse_mp3

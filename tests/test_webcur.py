@@ -222,6 +222,13 @@ PSL_CASES = [
      "acct.blob.core.windows.net"),
     ("https://x.acct.blob.core.windows.net/c", "x.acct.blob.core.windows.net",
      "acct.blob.core.windows.net"),
+    # r12 ADVICE: a host that IS a multi-label EXACT suffix passes
+    # through bare (previously fell to the default last-two-labels
+    # branch: 'blob.core.windows.net' -> 'windows.net')
+    ("https://blob.core.windows.net/c", "blob.core.windows.net",
+     "blob.core.windows.net"),
+    ("https://co.uk/", "co.uk", "co.uk"),
+    ("https://github.io/", "github.io", "github.io"),
 ]
 
 
