@@ -29,7 +29,12 @@ from __future__ import annotations
 import numpy as np
 
 # (script, ((lo, hi), ...)) — primary blocks, ordered; the ORDER is the
-# dominant-script tie-break (first max wins) on BOTH engines.
+# dominant-script tie-break (first max wins) on BOTH engines. New
+# scripts therefore APPEND (existing dominance outcomes stay stable).
+# r13 extends the r12 ten with fifteen more primary blocks (all
+# standard public knowledge at block level — no UCD file needed):
+# Armenian, Georgian, the nine remaining major Indic blocks, Ethiopic,
+# Myanmar, Khmer, Lao.
 SCRIPT_RANGES: tuple[tuple[str, tuple[tuple[int, int], ...]], ...] = (
     ("latin", ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F))),
     ("cyrillic", ((0x400, 0x4FF),)),
@@ -41,6 +46,22 @@ SCRIPT_RANGES: tuple[tuple[str, tuple[tuple[int, int], ...]], ...] = (
     ("hangul", ((0xAC00, 0xD7AF),)),
     ("kana", ((0x3040, 0x30FF),)),
     ("cjk", ((0x4E00, 0x9FFF),)),
+    # --- r13 additions (appended: tie-break order preserved) ---
+    ("armenian", ((0x530, 0x58F),)),
+    ("georgian", ((0x10A0, 0x10FF),)),
+    ("bengali", ((0x980, 0x9FF),)),
+    ("gurmukhi", ((0xA00, 0xA7F),)),
+    ("gujarati", ((0xA80, 0xAFF),)),
+    ("oriya", ((0xB00, 0xB7F),)),
+    ("tamil", ((0xB80, 0xBFF),)),
+    ("telugu", ((0xC00, 0xC7F),)),
+    ("kannada", ((0xC80, 0xCFF),)),
+    ("malayalam", ((0xD00, 0xD7F),)),
+    ("sinhala", ((0xD80, 0xDFF),)),
+    ("lao", ((0xE80, 0xEFF),)),
+    ("ethiopic", ((0x1200, 0x137F),)),
+    ("myanmar", ((0x1000, 0x109F),)),
+    ("khmer", ((0x1780, 0x17FF),)),
 )
 
 SCRIPT_NAMES = tuple(name for name, _ in SCRIPT_RANGES)

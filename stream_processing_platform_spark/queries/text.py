@@ -3343,6 +3343,22 @@ _SCRIPT_SNIPPETS = (
     "안녕하세요 세계 한국어 텍스트 문서 내용",  # hangul
     "こんにちはせかいのテキストぶんしょ",       # kana
     "你好世界中文文本在这里的文档内容样本",     # cjk
+    # --- r13 legs, one per appended SCRIPT_RANGES row ---
+    "Բարեւ աշխարհ հայերեն տեքստ",        # armenian
+    "გამარჯობა მსოფლიო ქართული ტექსტი",  # georgian
+    "হ্যালো বিশ্ব বাংলা পাঠ্য",          # bengali
+    "ਸਤ ਸ੍ਰੀ ਅਕਾਲ ਦੁਨਿਆ ਪੰਜਾਬੀ",          # gurmukhi
+    "નમસ્તે દુનિયા ગુજરાતી લખાણ",        # gujarati
+    "ନମସ୍କାର ଦୁନିଆ ଓଡ଼ିଆ ପାଠ୍ୟ",          # oriya
+    "வணக்கம் உலகம் தமிழ் உரை",           # tamil
+    "హలో ప్రపంచం తెలుగు వచనం",           # telugu
+    "ನಮಸ್ಕಾರ ಜಗತ್ತು ಕನ್ನಡ ಪಠ್ಯ",          # kannada
+    "നമസ്കാരം ലോകം മലയാളം വാചകം",        # malayalam
+    "ආයුබෝවන් ලෝකය සිංහල පෙළ",           # sinhala
+    "ສະບາຍດີ ໂລກ ຂໍ້ຄວາມລາວ",             # lao
+    "ሰላም ለዓለም አማርኛ ጽሑፍ",                # ethiopic
+    "မင်္ဂလာပါ ကမ္ဘာ မြန်မာစာ",            # myanmar
+    "សួស្តី ពិភពលោក អត្ថបទខ្មែរ",          # khmer
 )
 
 

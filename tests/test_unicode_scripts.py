@@ -73,3 +73,30 @@ def test_fixture_snippets_dominate_their_script():
     for snip, exp in zip(_SCRIPT_SNIPPETS, expected):
         raw = snip + " abcdefghijkl"  # worst-case all-letter tail
         assert dominant_script(script_counts(raw)) == exp, (snip, exp)
+
+
+def test_r13_extended_script_blocks():
+    """Each appended primary block classifies its own fixture snippet
+    as dominant (Armenian through Khmer), and the appended order keeps
+    the r12 ten stable (tie-break order is APPEND-only)."""
+    from stream_processing_platform_spark.operators.unicode_scripts import (
+        SCRIPT_NAMES,
+        dominant_script,
+        script_counts,
+    )
+    from stream_processing_platform_spark.queries.text import _SCRIPT_SNIPPETS
+
+    assert SCRIPT_NAMES[:10] == (
+        "latin", "cyrillic", "greek", "arabic", "hebrew", "devanagari",
+        "thai", "hangul", "kana", "cjk",
+    )
+    assert len(_SCRIPT_SNIPPETS) == len(SCRIPT_NAMES)
+    for i, snippet in enumerate(_SCRIPT_SNIPPETS):
+        if i == 0:
+            assert dominant_script(script_counts(snippet)) == "none"
+        else:
+            assert dominant_script(script_counts(snippet)) == SCRIPT_NAMES[i], i
+    # spot checks on block membership at the edges
+    c = script_counts("԰֏ក៿က႟")
+    names = dict(zip(SCRIPT_NAMES, c))
+    assert names["armenian"] == 2 and names["khmer"] == 2 and names["myanmar"] == 2
