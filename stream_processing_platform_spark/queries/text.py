@@ -2601,6 +2601,228 @@ _REG2["q_quality_classifier_weights"] = _dc_replace2(
 
 
 # --------------------------------------------------------------------------
+# Trained language ID (r13): the upgrade path the r12 verdict named for
+# q_lang_id's marker-lexicon argmax — weak-label with the marker
+# heuristic, train a char-trigram linear model per language
+# (one-vs-rest) with the reproducible integer-GD doctrine
+# (operators/classifier.py), classify by exact-integer argmax. The
+# script-mix prefilter (operators/unicode_scripts.py) is the routing
+# stage in front of this model at deployment: non-Latin scripts map
+# directly (cyrillic->ru-family, ...), Latin-script pages — where
+# block-level classification can say nothing — go to THIS model; the
+# fixture is therefore all Latin-script. Measured on the fixture:
+# marker baseline ~88% (the ~12% no-marker docs fall to 'und'), trained
+# ~98% at every SF — the trained model recovers the docs the lexicon
+# cannot see, which is exactly the real-world gap (VERDICT r12 "What's
+# wrong" #2).
+# --------------------------------------------------------------------------
+
+_LID_LANGS = ("en", "de", "fr", "es")
+# 12 words per language: 3 marker words (the weak labeler's lexicon)
+# + 8 everyday content words + 'internet' shared by all four (real
+# cross-language collision noise).
+_LID_WORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "house", "water", "light", "morning",
+           "street", "people", "small", "data", "internet"),
+    "de": ("der", "und", "die", "haus", "wasser", "licht", "morgen",
+           "strasse", "leute", "klein", "daten", "internet"),
+    "fr": ("le", "et", "les", "maison", "eau", "lumiere", "matin",
+           "rue", "gens", "petit", "donnees", "internet"),
+    "es": ("el", "y", "los", "casa", "agua", "luz", "manana",
+           "calle", "gente", "pequeno", "datos", "internet"),
+}
+_LID_NW = 12
+_LID_POS = 8  # words per synthetic document
+_LID_DIM = 128
+_LID_ITERS = 6
+_LID_LR_NUM, _LID_LR_DEN = 1, 2
+_LID_FLAT = tuple(w for lang in _LID_LANGS for w in _LID_WORDS[lang])
+
+
+def _lid_synth_col() -> F.Column:
+    """Synthetic multilingual sentence, a pure function of doc_id: the
+    language is doc_id % 4 and word p (0..7) is list index
+    ((doc_id div 4) + (p+1) * (doc_id % 10 + 1)) % 12 — start offset
+    and stride both vary per doc, so marker coverage varies (and ~12%
+    of docs carry none: the weak labeler's blind spot)."""
+    flat = F.array(*[F.lit(w) for w in _LID_FLAT])
+    base = (F.col("doc_id") % 4) * _LID_NW
+    parts = []
+    for p in range(_LID_POS):
+        widx = (
+            F.expr("doc_id div 4") + (p + 1) * (F.col("doc_id") % 10 + 1)
+        ) % _LID_NW
+        parts.append(F.element_at(flat, (base + widx + 1).cast("int")))
+    return F.concat_ws(" ", *parts)
+
+
+def _lid_synth_sql() -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in _LID_FLAT) + "]"
+    parts = []
+    for p in range(_LID_POS):
+        widx = f"(((doc_id // 4) + {p + 1} * ((doc_id % 10) + 1)) % {_LID_NW})"
+        parts.append(
+            f"{arr}[CAST((doc_id % 4) * {_LID_NW} + {widx} AS INT) + 1]"
+        )
+    return " || ' ' || ".join(parts)
+
+
+def _lid_trigrams(col: F.Column) -> F.Column:
+    """Char trigrams of the space-padded text — the classic langid
+    feature. let() binds the padded string once so the per-element
+    substr does not re-evaluate the concat (the shingling lesson)."""
+    return T.let(
+        F.concat(F.lit(" "), col, F.lit(" ")),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)),
+        ),
+    )
+
+
+def _lid_train(spark: SparkSession, sf_dir: str):
+    """Returns (scored_base, models): ONE feature frame (shared by the
+    four one-vs-rest fits and the final scoring) and one
+    integer-grid LogRegModel per language, trained on the
+    marker-weak-labeled docs (lang_weak != 'und')."""
+    from stream_processing_platform_spark.operators import classifier as C
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _lid_synth_col().alias("synth")
+    )
+    weak = d.select(
+        "doc_id", "synth", T.lang_id(F.col("synth")).alias("lang_weak")
+    )
+    feats = C.doc_features(weak, _lid_trigrams(F.col("synth")), _LID_DIM)
+    base = feats.join(weak.select("doc_id", "lang_weak"), "doc_id")
+    train = base.where(F.col("lang_weak") != "und").persist()
+    try:
+        models = C.logreg_fit_ovr_reproducible(
+            train, "lang_weak", _LID_LANGS, _LID_DIM, _LID_ITERS,
+            _LID_LR_NUM, _LID_LR_DEN,
+        )
+    finally:
+        train.unpersist()
+    return base, models
+
+
+@query(
+    "q_lang_id_trained",
+    oracle=None,  # generated below: 4 training trajectories + argmax
+    description="Trained language ID (r13) — the model-based upgrade "
+    "of q_lang_id's marker argmax: weak labels from the marker lexicon "
+    "(no gold labels touched), one-vs-rest linear models over hashed "
+    "char-trigram features (md5 bucket % 128), 6 reproducible "
+    "integer-grid GD iterations per language "
+    "(operators/classifier.py), prediction by exact-BIGINT logit "
+    "argmax with the en>de>fr>es tie order. The script-mix prefilter "
+    "routes non-Latin scripts before this model at deployment. "
+    "Measured: marker baseline ~88%, trained ~98% (accuracy gate in "
+    "tests/test_lang_id_trained.py). Full generated oracle: the duckdb "
+    "side replays all FOUR training trajectories as suffix-namespaced "
+    "CTE chains over one shared feature CTE and hash-MATCHes every "
+    "prediction. Scale shape: one trigram explode + one (doc,bucket) "
+    "partial-agg shuffle builds the persisted feature frame; each of "
+    "the 24 GD steps is one scan + a 129-key map-side-combined "
+    "aggregate; driver state is 4x129 ints.",
+)
+def q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.operators import classifier as C
+
+    base, models = _lid_train(spark, sf_dir)
+    scored = base.select(
+        "doc_id",
+        "lang_weak",
+        *[
+            C._z_num(F.col("pairs"), list(models[c].weights)).alias(f"z_{c}")
+            for c in _LID_LANGS
+        ],
+    )
+    pred, best = F.lit("en"), F.col("z_en")
+    for c in ("de", "fr", "es"):
+        take = F.col(f"z_{c}") > best
+        pred = F.when(take, F.lit(c)).otherwise(pred)
+        best = F.when(take, F.col(f"z_{c}")).otherwise(best)
+    return scored.select("doc_id", "lang_weak", pred.alias("lang_trained"))
+
+
+def _lid_oracle() -> str:
+    from stream_processing_platform_spark.operators.classifier import (
+        bucket_sql,
+        training_ctes_sql,
+    )
+
+    def marker(ms: tuple[str, ...]) -> str:
+        return " + ".join(
+            f"(len(string_split(' ' || synth || ' ', ' {m} ')) - 1)"
+            for m in ms
+        )
+
+    ctes = [
+        f"synth AS MATERIALIZED (SELECT doc_id, ({_lid_synth_sql()}) AS synth"
+        f" FROM documents)",
+        "sc AS MATERIALIZED (SELECT doc_id, "
+        + ", ".join(
+            f"{marker(T.LANG_MARKERS[c])} AS s_{c}" for c in _LID_LANGS
+        )
+        + " FROM synth)",
+        """wk AS MATERIALIZED (SELECT doc_id,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_weak FROM sc)""",
+        "tri AS MATERIALIZED (SELECT doc_id,"
+        " unnest(list_transform(range(1, length(t) - 1),"
+        " i -> substr(t, CAST(i AS INT), 3))) AS g"
+        " FROM (SELECT doc_id, (' ' || synth || ' ') AS t FROM synth))",
+        f"bf AS MATERIALIZED (SELECT doc_id, {bucket_sql('g', _LID_DIM)} AS bucket,"
+        f" CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY doc_id, bucket)",
+        f"feat AS MATERIALIZED (SELECT doc_id, bucket, cnt FROM bf UNION ALL"
+        f" SELECT DISTINCT doc_id, CAST({_LID_DIM} AS BIGINT) AS bucket,"
+        f" CAST(1 AS BIGINT) AS cnt FROM bf)",
+    ]
+    for c in _LID_LANGS:
+        lbl = (
+            f"lbl_{c} AS MATERIALIZED (SELECT doc_id,"
+            f" CASE WHEN lang_weak = '{c}' THEN 1 ELSE 0 END AS y"
+            f" FROM wk WHERE lang_weak <> 'und')"
+        )
+        ctes += training_ctes_sql(
+            None, lbl, _LID_DIM, _LID_ITERS, _LID_LR_NUM, _LID_LR_DEN,
+            suffix=f"_{c}",
+        )
+    for c in _LID_LANGS:
+        ctes.append(
+            f"zf_{c} AS MATERIALIZED (SELECT f.doc_id, sum(f.cnt * w.w) AS z"
+            f" FROM feat f JOIN w_{c}{_LID_ITERS} w USING (bucket)"
+            f" GROUP BY f.doc_id)"
+        )
+    joins = " ".join(
+        f"JOIN zf_{c} ON zf_{c}.doc_id = wk.doc_id" for c in _LID_LANGS
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT wk.doc_id, wk.lang_weak,
+           CASE
+             WHEN zf_es.z > zf_en.z AND zf_es.z > zf_de.z AND zf_es.z > zf_fr.z THEN 'es'
+             WHEN zf_fr.z > zf_en.z AND zf_fr.z > zf_de.z THEN 'fr'
+             WHEN zf_de.z > zf_en.z THEN 'de'
+             ELSE 'en'
+           END AS lang_trained
+    FROM wk {joins}
+    """
+    )
+
+
+_REG2["q_lang_id_trained"] = _dc_replace2(
+    _REG2["q_lang_id_trained"], oracle=_lid_oracle()
+)
+
+
+# --------------------------------------------------------------------------
 # Weighted reservoir sampling (r10): Efraimidis-Spirakis A-ES with the
 # deterministic exponential-race key — reproducible-sampling doctrine.
 # --------------------------------------------------------------------------
