@@ -1458,3 +1458,284 @@ def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGW["q_robots_txt_parse"] = _dc_replace_w(
     _REGW["q_robots_txt_parse"], oracle=_robots_txt_oracle()
 )
+
+
+# ------------------------------------------ web-curation funnel (r13)
+#
+# The examples/web_curation.py lineage registered as ONE oracle query
+# (the q_pipeline_funnel precedent, r12 verdict ask #6): canonicalize
+# -> PSL registered domain -> blocklist -> boilerplate -> NFC ->
+# script-mix gate -> canonical-URL dedup, reporting pages, domains and
+# content characters surviving each stage. Every stage reuses the
+# shared fragment its standalone query already oracle-checks
+# (canonical_url/registered_domain twins, the _BP_* chrome +
+# boilerplate_blocks tables, the NFC cross-engine pair, SCRIPT_RANGES).
+#
+# One-scan shape: ONE Arrow mapInPandas computes the per-doc
+# boilerplate/NFC/script stats (the heavy Python, via the pinned
+# Python twins), then per-doc stage FLAGS are plain expressions, the
+# dedup keeper is one window min over ok5 survivors, and all six stage
+# rows come out of a single 18-column aggregate exploded into rows —
+# no per-stage rescan. At 100 TB: one scan, one canonical-keyed
+# window shuffle, one global aggregate.
+
+_WF_STAGES = (
+    "raw", "blocklist", "boilerplate", "nfc", "script_filter", "url_dedup"
+)
+
+
+def _wf_snip_col() -> F.Column:
+    from stream_processing_platform_spark.queries.text import (
+        _NFC_SNIPPETS,
+        _SCRIPT_SNIPPETS,
+    )
+
+    script = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+        (F.col("doc_id") % len(_SCRIPT_SNIPPETS) + 1).cast("int"),
+    )
+    nfc = F.element_at(
+        F.array(*[F.lit(s) for s in _NFC_SNIPPETS]),
+        (F.col("doc_id") % len(_NFC_SNIPPETS) + 1).cast("int"),
+    )
+    return F.concat(script, F.lit(" "), nfc)
+
+
+def _wf_raw_col() -> F.Column:
+    from stream_processing_platform_spark.queries.text import (
+        _BP_MID1,
+        _BP_MID2,
+        _BP_POST,
+        _BP_PRE,
+    )
+
+    return F.concat(
+        F.lit(_BP_PRE), F.col("source"), F.lit(_BP_MID1), F.col("snip"),
+        F.lit(_BP_MID2), F.col("text"), F.lit(_BP_POST),
+    )
+
+
+@query(
+    "q_web_funnel",
+    oracle=None,  # generated below from the same shared fragments
+    description="Web-curation funnel capstone (r13): the "
+    "examples/web_curation.py lineage as one composed oracle query — "
+    "messy URL variants canonicalize, hosts resolve to registered "
+    "domains (full PSL), blocklisted domains drop, chrome-wrapped "
+    "pages pass block-level boilerplate extraction (pages whose "
+    "content empties drop), kept content NFC-normalizes, mixed-script "
+    "pages drop (the spam/mojibake gate), and canonical-URL dedup "
+    "keeps the min-doc_id capture — reporting pages, distinct domains "
+    "and content characters per stage. Every stage reuses the shared "
+    "fragment its standalone query oracle-checks (canonical/PSL "
+    "twins, _BP_ chrome + boilerplate tables, the cross-engine NFC "
+    "pair, SCRIPT_RANGES). One-scan shape: one Arrow map for the "
+    "per-doc Python (pinned twins), flags as expressions, one "
+    "canonical-keyed window for the keeper, one exploded 18-column "
+    "aggregate for all six rows.",
+)
+def q_web_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url,
+        host_of,
+        registered_domain,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .withColumn("canonical", canonical_url(_messy_url_col()))
+        .withColumn("snip", _wf_snip_col())
+    )
+    d = d.select(
+        "doc_id",
+        "canonical",
+        registered_domain(host_of(F.col("canonical"))).alias("domain"),
+        _wf_raw_col().alias("raw"),
+    )
+
+    stats_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("canonical", StringType(), False),
+            StructField("domain", StringType(), False),
+            StructField("raw_len", LongType(), False),
+            StructField("content_len", LongType(), False),
+            StructField("n_kept", LongType(), False),
+            StructField("nfc_len", LongType(), False),
+            StructField("n_scripts", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import unicodedata
+
+        from stream_processing_platform_spark.functions.html import (
+            boilerplate_blocks_py,
+        )
+        from stream_processing_platform_spark.operators.unicode_scripts import (
+            script_counts,
+        )
+
+        for pdf in batches:
+            rows = [boilerplate_blocks_py(r or "") for r in pdf["raw"]]
+            nfcs = [unicodedata.normalize("NFC", r[0]) for r in rows]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "canonical": pdf["canonical"],
+                    "domain": pdf["domain"],
+                    "raw_len": [len(r) for r in pdf["raw"]],
+                    "content_len": [len(r[0]) for r in rows],
+                    "n_kept": [r[2] for r in rows],
+                    "nfc_len": [len(s) for s in nfcs],
+                    "n_scripts": [
+                        int((script_counts(s) > 0).sum()) for s in nfcs
+                    ],
+                }
+            )
+
+    s = d.mapInPandas(run, stats_schema)
+    ok2 = ~F.col("domain").isin(*_BLOCKLIST)
+    f = s.select(
+        "*",
+        F.lit(True).alias("ok1"),
+        ok2.alias("ok2"),
+        (ok2 & (F.col("n_kept") >= 1)).alias("ok3"),
+    ).withColumn("ok5", F.col("ok3") & (F.col("n_scripts") <= 1))
+    keeper = F.min(F.when(F.col("ok5"), F.col("doc_id"))).over(
+        Window.partitionBy("canonical")
+    )
+    g = f.withColumn("ok6", F.col("ok5") & (F.col("doc_id") == keeper))
+    # stage k -> (flag, chars): nfc (4) keeps ok3's survivors (a
+    # normalization stage drops nothing) but reports NFC char counts.
+    spec = [
+        ("ok1", "raw_len"), ("ok2", "raw_len"), ("ok3", "content_len"),
+        ("ok3", "nfc_len"), ("ok5", "nfc_len"), ("ok6", "nfc_len"),
+    ]
+    aggs = []
+    for k, (ok, chars) in enumerate(spec):
+        c = F.col(ok)
+        aggs += [
+            F.count(F.when(c, 1)).alias(f"p{k}"),
+            F.count_distinct(F.when(c, F.col("domain"))).alias(f"d{k}"),
+            F.coalesce(F.sum(F.when(c, F.col(chars))), F.lit(0)).alias(f"c{k}"),
+        ]
+    one = g.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).cast("int").alias("stage_idx"),
+                F.lit(_WF_STAGES[k]).alias("stage"),
+                F.col(f"p{k}").alias("n_pages"),
+                F.col(f"d{k}").alias("n_domains"),
+                F.col(f"c{k}").alias("n_chars"),
+            )
+            for k in range(6)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _web_funnel_oracle() -> str:
+    from stream_processing_platform_spark.functions.html import (
+        boilerplate_blocks_sql,
+    )
+    from stream_processing_platform_spark.operators.unicode_scripts import (
+        SCRIPT_RANGES,
+        _range_pred_sql,
+    )
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url_sql,
+        host_of_sql,
+        registered_domain_sql,
+    )
+    from stream_processing_platform_spark.queries.text import (
+        _BP_MID1,
+        _BP_MID2,
+        _BP_POST,
+        _BP_PRE,
+        _NFC_SNIPPETS,
+        _SCRIPT_SNIPPETS,
+    )
+
+    def arr(items):
+        return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+    snip = (
+        f"({arr(_SCRIPT_SNIPPETS)}[CAST(doc_id % {len(_SCRIPT_SNIPPETS)} AS INT) + 1]"
+        f" || ' ' || {arr(_NFC_SNIPPETS)}[CAST(doc_id % {len(_NFC_SNIPPETS)} AS INT) + 1])"
+    )
+    bp = boilerplate_blocks_sql("raw")
+    n_scripts = " + ".join(
+        f"(CASE WHEN len(list_filter(cps, x -> {_range_pred_sql(ranges)})) > 0"
+        f" THEN 1 ELSE 0 END)"
+        for _, ranges in SCRIPT_RANGES
+    )
+    blocked = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    spec = [
+        ("ok1", "raw_len"), ("ok2", "raw_len"), ("ok3", "content_len"),
+        ("ok3", "nfc_len"), ("ok5", "nfc_len"), ("ok6", "nfc_len"),
+    ]
+    branches = []
+    for k, (ok, chars) in enumerate(spec):
+        branches.append(
+            f"SELECT CAST({k + 1} AS INTEGER) AS stage_idx,"
+            f" '{_WF_STAGES[k]}' AS stage,"
+            f" CAST(count(*) AS BIGINT) AS n_pages,"
+            f" CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,"
+            f" CAST(coalesce(sum({chars}), 0) AS BIGINT) AS n_chars"
+            f" FROM g WHERE {ok}"
+        )
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT doc_id, text, source,
+             {canonical_url_sql(_messy_url_sql())} AS canonical,
+             {snip} AS snip
+      FROM documents),
+    d AS MATERIALIZED (
+      SELECT doc_id, canonical,
+             {registered_domain_sql(host_of_sql("canonical"))} AS domain,
+             ('{_BP_PRE}' || source || '{_BP_MID1}' || snip ||
+              '{_BP_MID2}' || text || '{_BP_POST}') AS raw
+      FROM u),
+    b AS MATERIALIZED (
+      SELECT doc_id, canonical, domain,
+             CAST(length(raw) AS BIGINT) AS raw_len,
+             {bp["content"]} AS content, {bp["n_kept"]} AS n_kept
+      FROM d),
+    n AS MATERIALIZED (
+      SELECT doc_id, canonical, domain, raw_len,
+             CAST(length(content) AS BIGINT) AS content_len, n_kept,
+             nfc_normalize(content) AS nfc
+      FROM b),
+    s AS MATERIALIZED (
+      SELECT doc_id, canonical, domain, raw_len, content_len, n_kept,
+             CAST(length(nfc) AS BIGINT) AS nfc_len,
+             list_transform(regexp_extract_all(nfc, '(?s).'),
+                            c -> unicode(c)) AS cps
+      FROM n),
+    f AS MATERIALIZED (
+      SELECT doc_id, canonical, domain, raw_len, content_len, nfc_len,
+             TRUE AS ok1,
+             (domain NOT IN ({blocked})) AS ok2,
+             ((domain NOT IN ({blocked})) AND n_kept >= 1) AS ok3,
+             ((domain NOT IN ({blocked})) AND n_kept >= 1
+              AND ({n_scripts}) <= 1) AS ok5
+      FROM s),
+    g AS MATERIALIZED (
+      SELECT *,
+             (ok5 AND doc_id = min(CASE WHEN ok5 THEN doc_id END)
+                       OVER (PARTITION BY canonical)) AS ok6
+      FROM f)
+    {" UNION ALL ".join(branches)}
+    """
+
+
+_REGW["q_web_funnel"] = _dc_replace_w(
+    _REGW["q_web_funnel"], oracle=_web_funnel_oracle()
+)
