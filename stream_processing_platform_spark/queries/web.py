@@ -1739,3 +1739,153 @@ def _web_funnel_oracle() -> str:
 _REGW["q_web_funnel"] = _dc_replace_w(
     _REGW["q_web_funnel"], oracle=_web_funnel_oracle()
 )
+
+
+# --------------------------------------------- sitemap parsing (r13)
+#
+# The frontier half of crawl discovery (functions/sitemap.py):
+# robots.txt surfaces Sitemap: URLs (q_robots_txt_parse emits them);
+# this parses the fetched payloads into frontier entries. Fixture
+# payloads are a pure function of doc_id % 7 covering: a plain urlset
+# (lastmod/changefreq/priority), entity-escaped locs + spec-default
+# priority, a sitemapindex, an empty urlset, a non-sitemap payload,
+# malformed priority + invalid changefreq + whitespace-padded loc, and
+# a loc-less entry (dropped — loc is the one required element).
+
+_SITEMAP_CLASSES = (
+    # 0: plain urlset, three complete entries
+    "<?xml version=\"1.0\"?><urlset><url><loc>https://ex.test/a</loc>"
+    "<lastmod>2026-01-03</lastmod><changefreq>daily</changefreq>"
+    "<priority>0.8</priority></url><url><loc>https://ex.test/b</loc>"
+    "<lastmod>2026-02-14</lastmod><changefreq>weekly</changefreq>"
+    "<priority>0.4</priority></url><url><loc>https://ex.test/c</loc>"
+    "<lastmod>2025-12-31</lastmod><changefreq>monthly</changefreq>"
+    "<priority>1.0</priority></url></urlset>",
+    # 1: entity-escaped loc, missing priority -> spec default 0.5
+    "<urlset><url><loc>https://ex.test/q?a=1&amp;b=2</loc></url>"
+    "<url><loc>https://ex.test/lt&lt;x&gt;</loc>"
+    "<changefreq>hourly</changefreq></url></urlset>",
+    # 2: sitemapindex with two children
+    "<sitemapindex><sitemap><loc>https://ex.test/s1.xml</loc>"
+    "<lastmod>2026-03-01</lastmod></sitemap><sitemap>"
+    "<loc>https://ex.test/s2.xml</loc></sitemap></sitemapindex>",
+    # 3: empty urlset
+    "<urlset></urlset>",
+    # 4: not a sitemap at all
+    "<html><body>404 not found</body></html>",
+    # 5: malformed priority + invalid changefreq + padded loc
+    "<urlset><url><loc>  https://ex.test/pad  </loc>"
+    "<changefreq>SOMETIMES</changefreq><priority>high</priority></url>"
+    "<url><loc>https://ex.test/neg</loc><priority>1.5</priority></url>"
+    "</urlset>",
+    # 6: loc-less entry dropped, one valid entry kept
+    "<urlset><url><lastmod>2026-01-01</lastmod></url>"
+    "<url><loc>https://ex.test/only</loc><priority>0.25</priority></url>"
+    "</urlset>",
+)
+
+
+def _sitemap_oracle() -> str:
+    from stream_processing_platform_spark.functions.sitemap import (
+        parse_sitemap,
+    )
+
+    rows = []
+    for rem, txt in enumerate(_SITEMAP_CLASSES):
+        kind, entries = parse_sitemap(txt)
+        first_loc = entries[0].loc if entries else ""
+        maxp = max((e.priority_milli for e in entries), default=-1)
+        lastmod_max = max((e.lastmod for e in entries), default="")
+        n_default = sum(1 for e in entries if e.priority_milli == 500)
+        rows.append(
+            f"({rem}, '{kind}', CAST({len(entries)} AS BIGINT),"
+            f" CAST({sum(1 for e in entries if e.is_child_sitemap)} AS BIGINT),"
+            f" '{first_loc}', CAST({maxp} AS BIGINT),"
+            f" '{lastmod_max}', CAST({n_default} AS BIGINT))"
+        )
+    return f"""
+    WITH exp(rem, kind, n_entries, n_children, first_loc,
+             max_priority_milli, lastmod_max, n_default_priority)
+         AS (VALUES {", ".join(rows)})
+    SELECT d.doc_id, kind, n_entries, n_children, first_loc,
+           max_priority_milli, lastmod_max, n_default_priority
+    FROM documents d JOIN exp e ON d.doc_id % {len(_SITEMAP_CLASSES)} = e.rem
+    """
+
+
+@query(
+    "q_sitemap_parse",
+    oracle=None,  # patched below: generated sequential-replay oracle
+    description="Sitemap XML parsing (r13, functions/sitemap.py — "
+    "sitemaps.org v0.9): per document a sitemap payload (pure function "
+    "of doc_id % 7 covering urlset/sitemapindex/empty/non-sitemap "
+    "shapes, entity-escaped locs, spec-default and malformed "
+    "priorities, invalid changefreq, loc-less entries) parses into "
+    "frontier-entry statistics — entry/child counts, first loc, max "
+    "priority on the exact 1e-3 integer grid, lexicographic max "
+    "lastmod, default-priority count. The frontier half of crawl "
+    "discovery: q_robots_txt_parse emits the Sitemap: URLs this "
+    "consumes. Arrow mapInPandas, 1-in-1-out, zero shuffle, scan speed "
+    "at 100 TB. Full sequential-replay oracle through the same parser "
+    "core.",
+)
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stream_processing_platform_spark.functions.sitemap import (
+        parse_sitemap,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("n_entries", LongType(), False),
+            StructField("n_children", LongType(), False),
+            StructField("first_loc", StringType(), False),
+            StructField("max_priority_milli", LongType(), False),
+            StructField("lastmod_max", StringType(), False),
+            StructField("n_default_priority", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            parsed = [
+                parse_sitemap(_SITEMAP_CLASSES[int(d) % len(_SITEMAP_CLASSES)])
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": [k for k, _ in parsed],
+                    "n_entries": [len(es) for _, es in parsed],
+                    "n_children": [
+                        sum(1 for e in es if e.is_child_sitemap)
+                        for _, es in parsed
+                    ],
+                    "first_loc": [es[0].loc if es else "" for _, es in parsed],
+                    "max_priority_milli": [
+                        max((e.priority_milli for e in es), default=-1)
+                        for _, es in parsed
+                    ],
+                    "lastmod_max": [
+                        max((e.lastmod for e in es), default="")
+                        for _, es in parsed
+                    ],
+                    "n_default_priority": [
+                        sum(1 for e in es if e.priority_milli == 500)
+                        for _, es in parsed
+                    ],
+                }
+            )
+
+    return load_table(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        run, schema
+    )
+
+
+_REGW["q_sitemap_parse"] = _dc_replace_w(
+    _REGW["q_sitemap_parse"], oracle=_sitemap_oracle()
+)
