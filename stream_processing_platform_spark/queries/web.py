@@ -1889,3 +1889,111 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGW["q_sitemap_parse"] = _dc_replace_w(
     _REGW["q_sitemap_parse"], oracle=_sitemap_oracle()
 )
+
+
+# ------------------------------------- crawl frontier schedule (r13)
+#
+# The step AFTER robots + sitemaps in a polite crawler: every
+# discovered URL gets a fetch slot within its host's politeness queue
+# — per-host FIFO ordered by sitemap priority (desc, doc_id tiebreak),
+# slot k fetching at k * crawl_delay seconds. Pure relational math
+# (one domain-keyed window), exact integers end to end. Composes the
+# shared fixtures: messy URLs canonicalize, hosts resolve through the
+# PSL, the per-domain delay comes from a recipe keyed like the robots
+# rules, the priority rides the sitemap 1e-3 grid.
+#
+# Scale shape: ONE shuffle keyed on the registered domain (the window
+# partition), no join at all for the delay (7 domains ride as a
+# literal CASE/array — broadcast-with-the-plan, the robots-rules
+# doctrine). At 100 TB the frontier is trillions of URLs over ~10^8
+# hosts: the per-host window is the natural partitioning and nothing
+# here is corpus-wide.
+
+_CRAWL_DELAYS = {name: 2 + 3 * i for i, name in enumerate(_URL_NAMES)}
+
+
+@query(
+    "q_crawl_schedule",
+    oracle=None,  # generated below from the same recipe tables
+    description="Polite crawl-frontier scheduling (r13): discovered "
+    "URLs (canonicalized, PSL-resolved) are queued per registered "
+    "domain ordered by sitemap priority (1e-3 integer grid, doc_id "
+    "tiebreak); slot k fetches at k * crawl_delay seconds with the "
+    "per-domain delay from a plan-literal recipe (robots crawl-delay "
+    "semantics). One domain-keyed window shuffle, exact integers "
+    "throughout — the step after q_robots_txt_parse/q_sitemap_parse "
+    "in the crawl pipeline.",
+)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url,
+        host_of,
+        registered_domain,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("canonical", canonical_url(_messy_url_col()))
+    )
+    d = d.select(
+        "doc_id",
+        "canonical",
+        F.split(registered_domain(host_of(F.col("canonical"))), r"\.")[0]
+        .alias("name"),
+        (F.col("doc_id") * 37 % 1000).alias("priority_milli"),
+    )
+    delay = F.element_at(
+        F.array(*[F.lit(_CRAWL_DELAYS[n]) for n in _URL_NAMES]),
+        F.array_position(
+            F.array(*[F.lit(n) for n in _URL_NAMES]), F.col("name")
+        ).cast("int"),
+    ).cast("long")
+    w = Window.partitionBy("name").orderBy(
+        F.col("priority_milli").desc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id",
+        F.col("name").alias("domain_name"),
+        "priority_milli",
+        (F.row_number().over(w) - 1).cast("long").alias("fetch_slot"),
+        ((F.row_number().over(w) - 1) * delay).alias("fetch_offset_s"),
+    )
+
+
+def _crawl_schedule_oracle() -> str:
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url_sql,
+        host_of_sql,
+        registered_domain_sql,
+    )
+
+    delays = " ".join(
+        f"WHEN '{n}' THEN {_CRAWL_DELAYS[n]}" for n in _URL_NAMES
+    )
+    canon = canonical_url_sql(_messy_url_sql())
+    return f"""
+    WITH c AS (SELECT doc_id, {canon} AS canonical FROM documents),
+    u AS (SELECT doc_id,
+                 string_split({registered_domain_sql(host_of_sql("canonical"))},
+                              '.')[1] AS name,
+                 (doc_id * 37 % 1000) AS priority_milli
+          FROM c),
+    r AS (SELECT doc_id, name, priority_milli,
+                 row_number() OVER (PARTITION BY name
+                                    ORDER BY priority_milli DESC, doc_id ASC)
+                   - 1 AS slot
+          FROM u)
+    SELECT doc_id, name AS domain_name,
+           CAST(priority_milli AS BIGINT) AS priority_milli,
+           CAST(slot AS BIGINT) AS fetch_slot,
+           CAST(slot * (CASE name {delays} END) AS BIGINT) AS fetch_offset_s
+    FROM r
+    """
+
+
+_REGW["q_crawl_schedule"] = _dc_replace_w(
+    _REGW["q_crawl_schedule"], oracle=_crawl_schedule_oracle()
+)
