@@ -264,6 +264,19 @@ def main() -> None:
         "q_chunk_sentences",
         "q_cdx_index",
         "q_robots_rules_filter",
+        # round-12 additions
+        "q_mp3_probe",
+        "q_unicode_nfc",
+        "q_script_mix",
+        "q_charset_decode",
+        "q_robots_txt_parse",
+        # round-13 additions (q_lang_id_trained stays out: its 6
+        # training jobs run at DataFrame-construction time, so a
+        # timed rebuild would spend ~30 s/run on untimed training —
+        # the q_avro_roundtrip exclusion rule)
+        "q_sitemap_parse",
+        "q_crawl_schedule",
+        "q_web_funnel",
     ):
         qs[name](spark, sf_dir).count()
         samples = []
