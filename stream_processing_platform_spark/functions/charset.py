@@ -192,12 +192,23 @@ _ALIASES = {
 }
 
 
-def sniff_charset(b: bytes) -> tuple[str, int, str]:
+def sniff_charset(
+    b: bytes, transport_label: str | None = None
+) -> tuple[str, int, str]:
     """``(encoding, bom_bytes, how)`` for a raw payload, where ``how``
-    is 'bom' | 'meta' | 'utf-8' | 'fallback'. Deterministic."""
+    is 'bom' | 'header' | 'meta' | 'utf-8' | 'fallback'. Deterministic.
+    ``transport_label`` is an out-of-band charset label (the HTTP
+    Content-Type parameter — functions/httpheaders.py); per the WHATWG
+    precedence it ranks above an in-document meta declaration and
+    below a BOM. An unrecognized label falls through to the in-band
+    steps."""
     for bom, enc in _BOMS:
         if b.startswith(bom):
             return enc, len(bom), "bom"
+    if transport_label:
+        enc = _ALIASES.get(transport_label.lower())
+        if enc is not None:
+            return enc, 0, "header"
     m = _META_RE.search(b[:1024])
     if m:
         label = m.group(1).decode("ascii", "replace").lower()
@@ -211,9 +222,13 @@ def sniff_charset(b: bytes) -> tuple[str, int, str]:
         return "cp1252", 0, "fallback"
 
 
-def decode_payload(b: bytes) -> tuple[str, str, str]:
+def decode_payload(
+    b: bytes, transport_label: str | None = None
+) -> tuple[str, str, str]:
     """``(text, encoding, how)``: sniff then decode, BOM stripped,
     undecodable bytes replaced (U+FFFD) so the pipe never throws —
-    the engine-wide UDF error policy (SURVEY.md §7 risk 4)."""
-    enc, skip, how = sniff_charset(b)
+    the engine-wide UDF error policy (SURVEY.md §7 risk 4).
+    ``transport_label`` forwards to :func:`sniff_charset` (the HTTP
+    Content-Type charset, ranked below a BOM, above meta)."""
+    enc, skip, how = sniff_charset(b, transport_label)
     return b[skip:].decode(enc, "replace"), enc, how

@@ -1997,3 +1997,141 @@ def _crawl_schedule_oracle() -> str:
 _REGW["q_crawl_schedule"] = _dc_replace_w(
     _REGW["q_crawl_schedule"], oracle=_crawl_schedule_oracle()
 )
+
+
+# --------------------------------------- HTTP response parsing (r13)
+#
+# The layer between a WARC response record and the charset/content
+# pipeline (functions/httpheaders.py): status line, header fields, and
+# the TRANSPORT-LAYER charset — which the WHATWG precedence ranks
+# above an in-document meta declaration and below a BOM (now wired
+# into sniff_charset as how='header'). Fixture payloads are a pure
+# function of doc_id % 8 covering: header-charset decode (utf-8 and
+# shift_jis), a redirect with Location, a charset-less text/plain
+# (strict-utf-8 sniff path), a BOM beating a LYING header label, a
+# quoted ISO-8859-1 label (the latin-1-means-cp1252 rule on the
+# transport layer), duplicate headers + LF-only endings + an invalid
+# Content-Length, and a non-HTTP payload (status -1, whole-payload
+# sniff).
+
+_HTTPR_CLASSES: tuple[bytes, ...] = (
+    ("HTTP/1.1 200 OK\r\nServer: ex\r\n"
+     "Content-Type: text/html; charset=utf-8\r\nContent-Length: 22\r\n"
+     "\r\n<p>café Ω body</p>").encode("utf-8"),
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n"
+     "\r\n<p>日本語の本文</p>").encode("shift_jis"),
+    b"HTTP/1.1 301 Moved Permanently\r\nLocation: https://ex.test/new\r\n"
+    b"Content-Length: 0\r\n\r\n",
+    b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n"
+    b"nothing here",
+    # BOM in the body BEATS the lying shift_jis header label
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n"
+     "\r\n").encode("ascii") + b"\xef\xbb\xbf"
+    + "café bom wins".encode("utf-8"),
+    ('HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="ISO-8859-1"\r\n'
+     "\r\ncafé résumé transport").encode("cp1252"),
+    b"HTTP/1.1 500 Internal Server Error\nX-Cache: MISS\nX-Cache: HIT\n"
+    b"Content-Length: oops\n\nplain ascii body",
+    b"%PDF-1.4 not an http response at all",
+)
+
+
+def _httpr_oracle() -> str:
+    from stream_processing_platform_spark.functions.httpheaders import (
+        decode_http_body,
+        parse_http_response,
+    )
+
+    rows = []
+    for rem, payload in enumerate(_HTTPR_CLASSES):
+        r = parse_http_response(payload)
+        text, enc, how, status = decode_http_body(payload)
+        rows.append(
+            f"({rem}, CAST({status} AS BIGINT), '{r.reason}',"
+            f" '{r.content_type}', '{r.charset_label}',"
+            f" CAST({r.content_length} AS BIGINT),"
+            f" CAST({len(r.headers)} AS BIGINT),"
+            f" '{text.replace(chr(39), chr(39) * 2)}', '{enc}', '{how}')"
+        )
+    return f"""
+    WITH exp(rem, status, reason, content_type, charset_label,
+             content_length, n_headers, body_text, encoding, how)
+         AS (VALUES {", ".join(rows)})
+    SELECT d.doc_id, status, reason, content_type, charset_label,
+           content_length, n_headers, body_text, encoding, how
+    FROM documents d JOIN exp e ON d.doc_id % {len(_HTTPR_CLASSES)} = e.rem
+    """
+
+
+@query(
+    "q_http_headers",
+    oracle=None,  # patched below: generated sequential-replay oracle
+    description="HTTP response parsing + transport-layer charset "
+    "(r13, functions/httpheaders.py): per document an HTTP/1.x "
+    "response payload (pure function of doc_id % 8 — header-charset "
+    "decode, redirects, charset-less sniff fallthrough, a BOM beating "
+    "a lying header label, quoted latin-1-means-cp1252 labels, "
+    "duplicate headers with LF-only endings and invalid "
+    "Content-Length, non-HTTP bytes) parses into status/reason/"
+    "headers and the body decodes with the full WHATWG precedence — "
+    "BOM > Content-Type charset ('header') > meta > strict UTF-8 > "
+    "cp1252. The stage between the WARC response record and every "
+    "text operator. Arrow mapInPandas, 1-in-1-out, zero shuffle, scan "
+    "speed at 100 TB. Full sequential-replay oracle through the same "
+    "parser core.",
+)
+def q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stream_processing_platform_spark.functions.httpheaders import (
+        decode_http_body,
+        parse_http_response,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("status", LongType(), False),
+            StructField("reason", StringType(), False),
+            StructField("content_type", StringType(), False),
+            StructField("charset_label", StringType(), False),
+            StructField("content_length", LongType(), False),
+            StructField("n_headers", LongType(), False),
+            StructField("body_text", StringType(), False),
+            StructField("encoding", StringType(), False),
+            StructField("how", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = [
+                _HTTPR_CLASSES[int(d) % len(_HTTPR_CLASSES)]
+                for d in pdf["doc_id"]
+            ]
+            parsed = [parse_http_response(p) for p in payloads]
+            decoded = [decode_http_body(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "status": [d[3] for d in decoded],
+                    "reason": [r.reason for r in parsed],
+                    "content_type": [r.content_type for r in parsed],
+                    "charset_label": [r.charset_label for r in parsed],
+                    "content_length": [r.content_length for r in parsed],
+                    "n_headers": [len(r.headers) for r in parsed],
+                    "body_text": [d[0] for d in decoded],
+                    "encoding": [d[1] for d in decoded],
+                    "how": [d[2] for d in decoded],
+                }
+            )
+
+    return load_table(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        run, schema
+    )
+
+
+_REGW["q_http_headers"] = _dc_replace_w(
+    _REGW["q_http_headers"], oracle=_httpr_oracle()
+)
