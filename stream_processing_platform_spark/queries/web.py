@@ -2135,3 +2135,125 @@ def q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGW["q_http_headers"] = _dc_replace_w(
     _REGW["q_http_headers"], oracle=_httpr_oracle()
 )
+
+
+# ----------------------------------------- URL feature filter (r13)
+#
+# The RefinedWeb/CCNet URL-text filter — the curation stage BETWEEN
+# the domain blocklist (q_blocklist_filter, registered-domain level)
+# and content fetch: per-URL structural features (path depth, query
+# arity, extension class, host digit density, length) plus a
+# blockword scan over the URL text, feeding a keep/drop gate. All
+# pure JVM codegen expressions (regexp + array ops, zero Python);
+# the fixture appends a per-residue tail to the messy URL so every
+# feature leg has real variance. One shared tail/blockword/media
+# table generates BOTH engines' expressions.
+
+_URLF_TAILS = (
+    "",                                   # bare page
+    "/index.html",                        # html doc
+    "/img/photo-01.jpg",                  # media: image
+    "/clip/video.mp4",                    # media: video
+    "/a/b/c/deep/page.php?x=1&y=2&z=3",   # deep path + wide query
+    "/download/setup.exe",                # executable
+    "/casino-poker/free-spins",           # blockword path
+    "/doc/report.pdf?session=abc123",     # doc + tracking-ish param
+)
+_URLF_MEDIA_EXTS = ("jpg", "jpeg", "png", "gif", "webp", "mp4", "webm", "mp3")
+_URLF_BLOCKWORDS = ("casino", "poker", "viagra", "warez")
+_URLF_MAX_DEPTH = 4
+_URLF_MAX_PARAMS = 2
+
+
+@query(
+    "q_url_features",
+    oracle=None,  # generated below from the same tables
+    description="URL-text feature filter (r13) — the RefinedWeb-style "
+    "stage between the domain blocklist and fetch: per-URL path depth, "
+    "query-parameter arity, extension class (media set), host digit "
+    "density, URL length, and a blockword scan over the URL text; the "
+    "keep gate drops media/executable extensions, blockword hits, "
+    "over-deep paths and over-wide queries. Pure whole-stage-codegen "
+    "expressions (regexp + array ops, zero Python, zero shuffle — "
+    "scan speed at 100 TB); one shared tail/media/blockword table "
+    "generates both engines.",
+)
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _URLF_TAILS]),
+        (F.col("doc_id") % len(_URLF_TAILS) + 1).cast("int"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(_messy_url_col(), tail).alias("url")
+    )
+    host = F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1)
+    path = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    query_s = F.regexp_extract("url", r"\?([^#]*)", 1)
+    lower_url = F.lower("url")
+    feats = d.select(
+        "doc_id",
+        "url",
+        F.length("url").cast("long").alias("url_len"),
+        F.size(F.filter(F.split(path, "/"), lambda x: x != "")).cast("long").alias("path_depth"),
+        F.size(F.filter(F.split(query_s, "&"), lambda x: x != "")).cast("long").alias("n_params"),
+        F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1)).alias("ext"),
+        F.length(F.regexp_replace(host, "[^0-9]", "")).cast("long").alias("host_digits"),
+        F.exists(
+            F.array(*[F.lit(w) for w in _URLF_BLOCKWORDS]),
+            lambda w: lower_url.contains(w),
+        ).alias("blockword_hit"),
+    )
+    is_media = F.col("ext").isin(*_URLF_MEDIA_EXTS)
+    keep = (
+        ~F.col("blockword_hit")
+        & ~is_media
+        & (F.col("ext") != "exe")
+        & (F.col("path_depth") <= _URLF_MAX_DEPTH)
+        & (F.col("n_params") <= _URLF_MAX_PARAMS)
+    )
+    return feats.select(
+        "doc_id", "url", "url_len", "path_depth", "n_params", "ext",
+        "host_digits", "blockword_hit",
+        is_media.alias("is_media"),
+        keep.alias("keep"),
+    )
+
+
+def _url_features_oracle() -> str:
+    def arr(items):
+        return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+    tail = f"{arr(_URLF_TAILS)}[CAST(doc_id % {len(_URLF_TAILS)} AS INT) + 1]"
+    media = ", ".join(f"'{e}'" for e in _URLF_MEDIA_EXTS)
+    block = " OR ".join(
+        f"contains(lower(url), '{w}')" for w in _URLF_BLOCKWORDS
+    )
+    return f"""
+    WITH u AS (SELECT doc_id, ({_messy_url_sql()} || {tail}) AS url
+               FROM documents),
+    p AS (SELECT doc_id, url,
+                 regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS host,
+                 regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM u),
+    f AS (SELECT doc_id, url,
+                 CAST(length(url) AS BIGINT) AS url_len,
+                 CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS path_depth,
+                 CAST(len(list_filter(string_split(q, '&'), x -> x <> '')) AS BIGINT) AS n_params,
+                 lower(regexp_extract(path, '\\.([A-Za-z0-9]{{1,5}})$', 1)) AS ext,
+                 CAST(length(regexp_replace(host, '[^0-9]', '', 'g')) AS BIGINT) AS host_digits,
+                 ({block}) AS blockword_hit
+          FROM p)
+    SELECT doc_id, url, url_len, path_depth, n_params, ext, host_digits,
+           blockword_hit,
+           (ext IN ({media})) AS is_media,
+           (NOT blockword_hit AND ext NOT IN ({media}) AND ext <> 'exe'
+            AND path_depth <= {_URLF_MAX_DEPTH}
+            AND n_params <= {_URLF_MAX_PARAMS}) AS keep
+    FROM f
+    """
+
+
+_REGW["q_url_features"] = _dc_replace_w(
+    _REGW["q_url_features"], oracle=_url_features_oracle()
+)
