@@ -499,3 +499,37 @@ def test_seasonal_decompose_single_shuffle_one_window_pass(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("+- Sort ") == 1
+
+
+def test_r13_crawl_family_plan_shapes(spark, sf_dir):
+    """The r13 crawl-family scale shapes: the parser queries are pure
+    scan-speed maps (zero Exchange), the scheduler is exactly one
+    domain-keyed window shuffle, the URL filter is zero-shuffle pure
+    codegen, and the rules gate stays a broadcast join after the
+    wildcard/LIKE upgrade."""
+    qs = queries()
+    for name in ("q_sitemap_parse", "q_robots_txt_parse", "q_http_headers"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+    plan = _plan(qs["q_url_features"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM codegen, no UDF of any kind
+    plan = _plan(qs["q_crawl_schedule"](spark, sf_dir))
+    assert plan.count("Exchange") == 1  # ONE domain-keyed window shuffle
+    assert "Join" not in plan  # the delay recipe rides as a plan literal
+    plan = _plan(qs["q_robots_rules_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_web_funnel_single_scan_shape(spark, sf_dir):
+    """q_web_funnel computes all six stage rows from ONE lineage: one
+    Arrow map (the per-doc Python stages), one canonical-keyed window,
+    and one global aggregate exploded into rows — never a per-stage
+    rescan of the documents table."""
+    plan = _plan(queries()["q_web_funnel"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1  # the one-scan claim, literally
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
