@@ -1876,3 +1876,98 @@ def _stream_url_dedup_oracle() -> str:
 _REG_SL["q_stream_url_dedup"] = _dc_replace_sl(
     _REG_SL["q_stream_url_dedup"], oracle=_stream_url_dedup_oracle()
 )
+
+
+# ----------------------- streaming crawl charset ingest (r13)
+
+
+def _stream_charset_oracle() -> str:
+    from stream_processing_platform_spark.queries.web import _WCS_CLASSES
+
+    text_whens, enc_whens, how_whens = [], [], []
+    for i, (label, codec, snip) in enumerate(_WCS_CLASSES):
+        text_whens.append(f"WHEN {i} THEN '{snip}' || text")
+        enc = "utf-8" if codec == "bom" else codec
+        how = "bom" if codec == "bom" else ("header" if label else "utf-8")
+        enc_whens.append(f"WHEN {i} THEN '{enc}'")
+        how_whens.append(f"WHEN {i} THEN '{how}'")
+    n = len(_WCS_CLASSES)
+    return f"""
+    SELECT doc_id, CAST(200 AS BIGINT) AS status,
+           CASE doc_id % {n} {' '.join(enc_whens)} END AS encoding,
+           CASE doc_id % {n} {' '.join(how_whens)} END AS how,
+           CASE doc_id % {n} {' '.join(text_whens)} END AS text_out,
+           CAST(length(CASE doc_id % {n} {' '.join(text_whens)} END)
+                AS BIGINT) AS n_chars
+    FROM documents
+    """
+
+
+@query(
+    "q_stream_charset_ingest",
+    oracle=None,  # patched below: generated from the shared class table
+    description="LIVE streaming crawl ingest with transport-layer "
+    "charset decode (r13): the spp_warc STREAM reader consumes a "
+    "response archive whose HTTP envelopes declare VARIED charsets "
+    "(utf-8 / shift_jis / quoted ISO-8859-1 / euc-kr / absent / "
+    "BOM-led bodies, per doc_id % 6), and each micro-batch parses the "
+    "HTTP envelope and decodes the body with the full WHATWG "
+    "precedence (functions/httpheaders.py + charset.py: BOM > header "
+    "> meta > strict UTF-8 > cp1252) in one Arrow map — the "
+    "continuous-crawl shape: archives land, correctly-decoded text "
+    "streams out. The oracle reconstructs every decoded string "
+    "directly from documents (the decode is a lossless round-trip), "
+    "so a hash-MATCH proves the streamed bytes, the envelope parse "
+    "and the charset decision all survived end to end.",
+)
+def q_stream_charset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stream_processing_platform_spark.queries.web import _write_warc_charset
+    from stream_processing_platform_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    out = _write_warc_charset(spark, sf_dir)
+    stream = spark.readStream.format("spp_warc").load(out).where(
+        F.col("warc_type") == "response"
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("status", LongType(), False),
+            StructField("encoding", StringType(), False),
+            StructField("how", StringType(), False),
+            StructField("text_out", StringType(), False),
+            StructField("n_chars", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        from stream_processing_platform_spark.functions.httpheaders import (
+            decode_http_body,
+        )
+
+        for pdf in batches:
+            decoded = [decode_http_body(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [
+                        int(u.rsplit("/", 1)[1]) for u in pdf["target_uri"]
+                    ],
+                    "status": [d[3] for d in decoded],
+                    "encoding": [d[1] for d in decoded],
+                    "how": [d[2] for d in decoded],
+                    "text_out": [d[0] for d in decoded],
+                    "n_chars": [len(d[0]) for d in decoded],
+                }
+            )
+
+    parsed = stream.select("target_uri", "payload").mapInPandas(run, schema)
+    return _run_to_table(parsed, mode="append")
+
+
+_REG_SL["q_stream_charset_ingest"] = _dc_replace_sl(
+    _REG_SL["q_stream_charset_ingest"], oracle=_stream_charset_oracle()
+)

@@ -2257,3 +2257,92 @@ def _url_features_oracle() -> str:
 _REGW["q_url_features"] = _dc_replace_w(
     _REGW["q_url_features"], oracle=_url_features_oracle()
 )
+
+
+# ---------------------------- multi-charset WARC fixture (r13)
+#
+# A response archive whose HTTP envelopes carry VARIED transport-layer
+# charsets (the q_stream_charset_ingest fixture): per doc_id % 6 the
+# Content-Type declares utf-8 / shift_jis / quoted ISO-8859-1 / euc-kr,
+# or omits the parameter (strict-UTF-8 sniff path), or the body leads
+# with a BOM (which outranks any label). Payload bytes are built in an
+# Arrow map because the CJK codecs are not in Spark's F.encode set —
+# fixture staging, never timed.
+
+_WCS_CLASSES: tuple[tuple[str | None, str, str], ...] = (
+    ("utf-8", "utf-8", "café Ω "),
+    ("shift_jis", "shift_jis", "日本語テスト "),
+    ('"ISO-8859-1"', "cp1252", "café résumé "),
+    ("euc-kr", "cp949", "한국어 시험 "),
+    (None, "utf-8", "strict ütf-8 "),   # no label -> strict-UTF-8 sniff
+    (None, "bom", "bom päge "),          # BOM wins regardless of labels
+)
+
+
+def _wcs_payload(d: int, text: str) -> bytes:
+    label, codec, snip = _WCS_CLASSES[d % len(_WCS_CLASSES)]
+    body_text = snip + text
+    if codec == "bom":
+        body = b"\xef\xbb\xbf" + body_text.encode("utf-8")
+    else:
+        body = body_text.encode(codec)
+    ct = "text/html" + (f"; charset={label}" if label else "")
+    head = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode("ascii") + body
+
+
+def _write_warc_charset(spark: SparkSession, sf_dir: str) -> str:
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stream_processing_platform_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    out = _warc_fixture_dir(sf_dir, "charset")
+    d = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    schema = StructType(
+        [
+            StructField("warc_type", StringType(), False),
+            StructField("record_id", StringType(), False),
+            StructField("warc_date", StringType(), False),
+            StructField("target_uri", StringType(), False),
+            StructField("content_type", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "warc_type": "response",
+                    "record_id": "",
+                    "warc_date": "",
+                    "target_uri": [
+                        f"{_URI_PREFIX}{s}/{int(i)}"
+                        for s, i in zip(pdf["source"], pdf["doc_id"])
+                    ],
+                    "content_type": "application/http; msgtype=response",
+                    "payload": [
+                        _wcs_payload(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    d.mapInPandas(run, schema).write.format("spp_warc").mode(
+        "overwrite"
+    ).option("gzip", "true").save(out)
+    return out

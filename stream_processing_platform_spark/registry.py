@@ -102,7 +102,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     )
 }
 _REGISTERED_ROUND.update({'q_mp3_probe': 12, 'q_unicode_nfc': 12, 'q_script_mix': 12, 'q_charset_decode': 12, 'q_robots_txt_parse': 12})
-_REGISTERED_ROUND.update({'q_lang_id_trained': 13, 'q_web_funnel': 13, 'q_sitemap_parse': 13, 'q_crawl_schedule': 13, 'q_http_headers': 13, 'q_url_features': 13})
+_REGISTERED_ROUND.update({'q_lang_id_trained': 13, 'q_web_funnel': 13, 'q_sitemap_parse': 13, 'q_crawl_schedule': 13, 'q_http_headers': 13, 'q_url_features': 13, 'q_stream_charset_ingest': 13})
 
 _PRIORITY: list[str] = [
     # ================= r13 window (first 50) =================
@@ -168,6 +168,7 @@ _PRIORITY: list[str] = [
     'q_crawl_schedule',
     'q_http_headers',
     'q_url_features',
+    'q_stream_charset_ingest',
     # last official row: r9 (remaining 41 queries)
     'q18_large_volume',
     'q19_discounted_revenue',
