@@ -46,7 +46,13 @@ _META_RE = re.compile(
 #   labels mean windows-949 (cp949), per the same table;
 # - a meta-declared UTF-16 label decodes as UTF-8 (WHATWG: BOM-less
 #   "utf-16" content on the web is almost always mislabeled UTF-8;
-#   real UTF-16 is caught by the BOM step before meta);
+#   real UTF-16 is caught by the BOM step before meta). That
+#   reinterpretation is specific to IN-DOCUMENT declarations — a
+#   document whose bytes ARE BOM-less UTF-16 cannot carry a readable
+#   ASCII meta tag, so the label must be lying. A TRANSPORT-layer
+#   (Content-Type) utf-16 label has no such contradiction and is
+#   honored as the named codec (_TRANSPORT_OVERRIDES below; WHATWG
+#   maps the bare "utf-16" label to UTF-16LE) — r13 ADVICE;
 # - Shift_JIS maps to Python's shift_jis and Big5 to big5 (WHATWG
 #   prescribes the windows-31j / HKSCS supersets; the stdlib base
 #   codecs differ only on vendor-extension code points).
@@ -191,6 +197,16 @@ _ALIASES = {
     "csmacintosh": "mac_roman",
 }
 
+# Transport-layer ONLY: an out-of-band utf-16 label is honored as the
+# named codec (an honest BOM-less UTF-16 body can carry it), unlike a
+# meta label, which a BOM-less UTF-16 document could not have made
+# ASCII-readable. WHATWG maps the bare "utf-16" label to UTF-16LE.
+_TRANSPORT_OVERRIDES = {
+    "utf-16": "utf-16-le",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
 
 def sniff_charset(
     b: bytes, transport_label: str | None = None
@@ -206,7 +222,8 @@ def sniff_charset(
         if b.startswith(bom):
             return enc, len(bom), "bom"
     if transport_label:
-        enc = _ALIASES.get(transport_label.lower())
+        lbl = transport_label.lower()
+        enc = _TRANSPORT_OVERRIDES.get(lbl) or _ALIASES.get(lbl)
         if enc is not None:
             return enc, 0, "header"
     m = _META_RE.search(b[:1024])

@@ -257,3 +257,47 @@ def boilerplate_blocks_pandas(df, raw: Column, id_cols: list[str] | None = None)
             yield out
 
     return src.mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------- outlink extraction
+#
+# The discovery half of the crawl loop (r14): <a href> values parsed
+# out of fetched HTML, feeding resolve_url (operators/webcur.py) and
+# the frontier anti-join. Regexp subset, documented:
+# - only <a> tags (a <link>/<img>/<script> href/src is not an outlink);
+# - double-quoted, single-quoted, and unquoted attribute forms, case-
+#   insensitive tag/attribute names ((?i) — Java regex and RE2 agree);
+# - no HTML-entity unescape inside the value (the fixture and real
+#   CDX pipelines treat &amp; rewriting as canonicalization's job);
+# - values are returned in pattern order (all double-quoted matches,
+#   then single-quoted, then unquoted) — consumers explode + group, so
+#   order never reaches a result.
+# Three JVM regexp_extract_all calls concatenated — whole-stage
+# codegen, zero Python; the duckdb twin is generated from the SAME
+# pattern table so the oracle cannot drift.
+
+HREF_PATTERNS: tuple[str, ...] = (
+    "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"",
+    "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'",
+    "(?i)<a\\s[^>]*?href\\s*=\\s*([^\"'\\s>][^\\s>]*)",
+)
+
+
+def extract_hrefs(raw: Column) -> Column:
+    """array<string> of <a href> attribute values in ``raw`` (subset
+    documented above). Never NULL: a page with no anchors yields an
+    empty array."""
+    return F.concat(
+        *[F.regexp_extract_all(raw, F.lit(p), F.lit(1)) for p in HREF_PATTERNS]
+    )
+
+
+def extract_hrefs_sql(raw_expr: str) -> str:
+    """duckdb twin of :func:`extract_hrefs`, from the same patterns."""
+    parts = [
+        "regexp_extract_all({e}, '{p}', 1)".format(
+            e=raw_expr, p=p.replace("'", "''")
+        )
+        for p in HREF_PATTERNS
+    ]
+    return "(" + " || ".join(parts) + ")"

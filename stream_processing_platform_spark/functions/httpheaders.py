@@ -9,10 +9,21 @@ Deterministic subset (documented choices):
 - status line ``HTTP/<v> <code> <reason>``; a payload that does not
   start with ``HTTP/`` parses as status -1 with the whole payload as
   body (never throws — a crawl sees plenty of non-HTTP bytes);
-- header block ends at the first empty line; both CRLF and bare-LF
-  line endings are accepted (tolerant-reader rule); obs-fold (RFC 9112
-  deprecated line folding) is NOT unfolded — a folded continuation
-  line without a colon is skipped;
+- header block ends at the first empty line — located with one
+  ``\\r?\\n\\r?\\n`` regex so CRLF, bare-LF and MIXED endings (LF
+  header lines closed by ``\\n\\r\\n``) all terminate it (tolerant-
+  reader rule; r13 ADVICE); obs-fold (RFC 9112 deprecated line
+  folding) is NOT unfolded — a folded continuation line without a
+  colon is skipped;
+- ``Transfer-Encoding: chunked`` is de-framed (hex size lines, chunk
+  extensions ignored, trailers dropped) and ``Content-Encoding:
+  gzip/x-gzip/deflate`` is inflated via zlib (deflate tries the
+  RFC-correct zlib wrapping first, then the raw-deflate form common
+  in the wild) BEFORE the charset precedence runs — r13 verdict ask.
+  Malformed chunk framing or compressed data never throws: de-chunking
+  keeps the chunks assembled so far, inflation falls back to the raw
+  bytes (the engine-wide never-throw policy). Other codings
+  (br, zstd, compress) pass through undecoded — stdlib has no codec;
 - header names lowercase for lookup; duplicate names all retained (in
   order) — ``header(name)`` returns the FIRST occurrence, the rule
   consumers apply to singleton fields like Content-Type;
@@ -31,6 +42,9 @@ from dataclasses import dataclass
 
 _STATUS_RE = re.compile(rb"^HTTP/\d\.\d[ \t]+(\d{3})[ \t]*([^\r\n]*)")
 _CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:\-]+)\"?", re.I)
+_BLANK_RE = re.compile(rb"\r?\n\r?\n")  # header/body boundary, any endings
+# chunk-size line: optional whitespace, hex size, optional ;extensions
+_CHUNK_SIZE_RE = re.compile(rb"[ \t]*([0-9a-fA-F]+)[^\r\n]*\r?\n")
 
 
 @dataclass(frozen=True)
@@ -57,13 +71,11 @@ def parse_http_response(b: bytes) -> HttpResponse:
         return HttpResponse(-1, "", (), "", "", -1, b)
     status = int(m.group(1))
     reason = m.group(2).decode("latin-1", "replace").strip()
-    # header block: up to the first empty line (CRLF or LF endings)
-    sep_crlf = b.find(b"\r\n\r\n")
-    sep_lf = b.find(b"\n\n")
-    if sep_crlf >= 0 and (sep_lf < 0 or sep_crlf <= sep_lf):
-        head, body = b[:sep_crlf], b[sep_crlf + 4:]
-    elif sep_lf >= 0:
-        head, body = b[:sep_lf], b[sep_lf + 2:]
+    # header block: up to the first empty line — one \r?\n\r?\n search
+    # so CRLF, LF, and mixed '\n\r\n' endings all match (r13 ADVICE)
+    sep = _BLANK_RE.search(b)
+    if sep is not None:
+        head, body = b[: sep.start()], b[sep.end():]
     else:
         head, body = b, b""
     headers: list[tuple[str, str]] = []
@@ -93,16 +105,83 @@ def parse_http_response(b: bytes) -> HttpResponse:
     )
 
 
+def dechunk(body: bytes) -> bytes:
+    """De-frame a ``Transfer-Encoding: chunked`` body: hex size lines
+    (chunk extensions after ``;`` ignored), data of that length, CRLF
+    (or tolerant bare-LF) after each chunk, a 0-size terminal chunk
+    whose trailers are dropped. Malformed framing never throws — the
+    chunks assembled so far are returned (best-effort, documented)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        m = _CHUNK_SIZE_RE.match(body, pos)
+        if m is None:
+            break  # malformed size line: keep what we have
+        size = int(m.group(1), 16)
+        if size == 0:
+            break  # terminal chunk; trailers ignored
+        data = body[m.end(): m.end() + size]
+        out += data
+        pos = m.end() + size
+        if len(data) < size:
+            break  # truncated final chunk: keep the partial data
+        if body[pos: pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos: pos + 1] == b"\n":
+            pos += 1
+    return bytes(out)
+
+
+def decompress_body(body: bytes, coding: str) -> bytes:
+    """Undo a ``Content-Encoding``: gzip/x-gzip via the gzip wrapper,
+    deflate via the RFC-correct zlib wrapping with a raw-deflate
+    fallback (the classic server bug). Unknown codings and corrupt
+    streams return the bytes untouched — never throws."""
+    import zlib
+
+    coding = coding.strip().lower()
+    try:
+        if coding in ("gzip", "x-gzip"):
+            return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        if coding == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except zlib.error:
+        return body
+    return body
+
+
+def decoded_body_bytes(r: HttpResponse) -> bytes:
+    """The response body after the transport layers: chunked de-framing
+    (when any Transfer-Encoding token is ``chunked``), then
+    Content-Encoding inflation. The step between the raw capture and
+    the charset precedence."""
+    body = r.body
+    if r.status >= 0:
+        te = r.header("transfer-encoding").lower()
+        if "chunked" in (t.strip() for t in te.split(",")):
+            body = dechunk(body)
+        ce = r.header("content-encoding")
+        if ce:
+            body = decompress_body(body, ce)
+    return body
+
+
 def decode_http_body(b: bytes) -> tuple[str, str, str, int]:
     """``(text, encoding, how, status)`` for a raw HTTP response
-    payload: parse the envelope, then decode the body with the WHATWG
-    precedence — BOM > transport-layer charset ('header') > meta >
-    strict UTF-8 > cp1252 fallback. Non-HTTP payloads decode whole
-    with status -1."""
+    payload: parse the envelope, undo the transport layers (chunked
+    de-framing, gzip/deflate inflation — r13 verdict ask), then decode
+    with the WHATWG precedence — BOM > transport-layer charset
+    ('header') > meta > strict UTF-8 > cp1252 fallback. Non-HTTP
+    payloads decode whole with status -1."""
     from stream_processing_platform_spark.functions.charset import (
         decode_payload,
     )
 
     r = parse_http_response(b)
-    text, enc, how = decode_payload(r.body, transport_label=r.charset_label or None)
+    text, enc, how = decode_payload(
+        decoded_body_bytes(r), transport_label=r.charset_label or None
+    )
     return text, enc, how, r.status

@@ -151,7 +151,17 @@ def id3v2_text_frames(b: bytes) -> dict[str, str]:
             fsz = int.from_bytes(raw, "big")
         if fsz <= 0 or pos + 10 + fsz > end:
             break
-        if fid[0:1] == b"T":
+        # format-flags byte (second flag byte): a frame whose content is
+        # transformed on the wire is NOT raw text — skip it like an
+        # unknown binary frame instead of decoding garbage (r13 ADVICE).
+        # v2.3: bit7 compression, bit6 encryption, bit5 grouping (a
+        # group-id byte prepends the body); v2.4: bit6 grouping, bit3
+        # compression, bit2 encryption, bit1 unsync, bit0 data-length.
+        fmt_flags = b[pos + 9]
+        transformed = (
+            fmt_flags & 0x4F if ver >= 4 else fmt_flags & 0xE0
+        )
+        if fid[0:1] == b"T" and not transformed:
             body = b[pos + 10 : pos + 10 + fsz]
             codec = _ID3_TEXT_ENC.get(body[0])
             if codec is not None:

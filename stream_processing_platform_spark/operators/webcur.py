@@ -381,6 +381,134 @@ def canonical_url_sql(url_expr: str) -> str:
     return f"({scheme} || '://' || {host} || {path} || {qtail})"
 
 
+# --------------------------------------------- relative URL resolution
+#
+# The crawl-discovery half of the frontier loop (r14 — the r13 verdict's
+# top ask): a fetched page's <a href> values are RELATIVE references
+# that must resolve against the page URL before canonicalization and
+# the seen-frontier anti-join. WHATWG-basic deterministic subset,
+# documented like the robots deviations:
+#
+# - fragment is stripped from the reference FIRST (a crawl frontier
+#   never distinguishes fragments); a fragment-only or empty reference
+#   resolves to the base with ITS fragment stripped;
+# - a reference with a scheme (``^[a-zA-Z][a-zA-Z0-9+.-]*:``) is taken
+#   VERBATIM (no dot-normalization of absolute URLs — canonical_url
+#   handles case/port/params downstream); this is also why a relative
+#   path containing ':' in its first segment needs './' (RFC 3986
+#   §4.2 note, same as every browser);
+# - scheme-relative ``//host/...`` gets the base scheme;
+# - path references drop the base query (RFC 3986 merge semantics);
+#   a query-only reference keeps the base path and replaces the query;
+# - dot segments ('.', '..') are removed by a BOUNDED unrolled rewrite
+#   (_DOT_PASSES passes — resolves any path with up to that many
+#   nested dot segments; deeper chains keep their residue rather than
+#   erroring, the never-throw policy). '..' at the root pops to '/'
+#   (WHATWG behavior);
+# - no percent-encoding normalization and no IDNA (the same documented
+#   deviations as canonical_url).
+#
+# Pure JVM regexp expressions — whole-stage codegen, zero Python at
+# 100 TB scan speed — with the duckdb twin generated from the SAME
+# step table (_DOT_STEPS) so the oracle cannot drift.
+
+_URL_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+_DOT_PASSES = 6
+# one pass = collapse '/./', trailing '/.', one '..' pop, one root-pop;
+# _DOT_PASSES passes unrolled — each pass resolves at least one level
+# of nesting, so depth <= _DOT_PASSES chains fully normalize.
+_DOT_STEPS: tuple[tuple[str, str], ...] = tuple(
+    step
+    for _ in range(_DOT_PASSES)
+    for step in (
+        (r"/\./", "/"),
+        (r"/\.$", "/"),
+        (r"/[^/]+/\.\.(/|$)", "/"),
+        (r"^/\.\.(/|$)", "/"),
+    )
+)
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    for pat, rep in _DOT_STEPS:
+        path = F.regexp_replace(path, pat, rep)
+    return path
+
+
+def _remove_dot_segments_sql(path_expr: str) -> str:
+    for pat, rep in _DOT_STEPS:
+        path_expr = f"regexp_replace({path_expr}, '{pat}', '{rep}', 'g')"
+    return path_expr
+
+
+def resolve_url(base: Column, ref: Column) -> Column:
+    """Resolve reference ``ref`` against page URL ``base`` (WHATWG-basic
+    subset — module comment above). Callers should pass plain columns:
+    the sub-expressions are referenced a handful of times each and stay
+    inside whole-stage codegen (a let() binding here would push the
+    whole resolve into interpreted-HOF territory)."""
+    ref0 = F.regexp_replace(ref, "#.*$", "")
+    scheme = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    basepath = F.regexp_extract(
+        base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    basedir = F.regexp_replace(basepath, "[^/]*$", "")
+    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+    rpath = F.regexp_extract(ref0, "^([^?]*)", 1)
+    rq = F.regexp_extract(ref0, r"(\?.*)$", 1)
+    return (
+        F.when(ref0 == "", F.regexp_replace(base, "#.*$", ""))
+        .when(ref0.rlike(_URL_SCHEME_RE), ref0)
+        .when(
+            ref0.startswith("//"), F.concat(scheme, F.lit(":"), ref0)
+        )
+        .when(
+            ref0.startswith("/"),
+            F.concat(origin, _remove_dot_segments(rpath), rq),
+        )
+        .when(rpath == "", F.concat(origin, basepath, rq))  # query-only
+        .otherwise(
+            F.concat(
+                origin,
+                _remove_dot_segments(F.concat(basedir, rpath)),
+                rq,
+            )
+        )
+    )
+
+
+def resolve_url_sql(base_expr: str, ref_expr: str) -> str:
+    """duckdb twin of :func:`resolve_url`, generated from the same
+    _DOT_STEPS table. Pre-bind ``base_expr``/``ref_expr`` to CTE
+    columns — each is spliced several times."""
+    ref0 = f"regexp_replace({ref_expr}, '#.*$', '')"
+    scheme = f"regexp_extract({base_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)"
+    origin = (
+        f"regexp_extract({base_expr}, "
+        f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)"
+    )
+    basepath = (
+        f"regexp_extract({base_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    )
+    basedir = f"regexp_replace({basepath}, '[^/]*$', '')"
+    basedir = f"CASE WHEN {basedir} = '' THEN '/' ELSE {basedir} END"
+    rpath = f"regexp_extract({ref0}, '^([^?]*)', 1)"
+    rq = f"regexp_extract({ref0}, '(\\?.*)$', 1)"
+    return f"""CASE
+      WHEN {ref0} = '' THEN regexp_replace({base_expr}, '#.*$', '')
+      WHEN regexp_matches({ref0}, '{_URL_SCHEME_RE}') THEN {ref0}
+      WHEN {ref0} LIKE '//%' THEN {scheme} || ':' || {ref0}
+      WHEN {ref0} LIKE '/%'
+        THEN {origin} || {_remove_dot_segments_sql(rpath)} || {rq}
+      WHEN {rpath} = '' THEN {origin} || {basepath} || {rq}
+      ELSE {origin}
+           || {_remove_dot_segments_sql(f"({basedir} || {rpath})")}
+           || {rq}
+    END"""
+
+
 def surt_key(url: Column) -> Column:
     """SURT-form URL key (the sort key of Common Crawl's CDX index:
     ``com,example)/path?query``): host labels reversed and comma-

@@ -1885,7 +1885,9 @@ def _stream_charset_oracle() -> str:
     from stream_processing_platform_spark.queries.web import _WCS_CLASSES
 
     text_whens, enc_whens, how_whens = [], [], []
-    for i, (label, codec, snip) in enumerate(_WCS_CLASSES):
+    for i, (label, codec, snip, _xfer) in enumerate(_WCS_CLASSES):
+        # the transport transform (chunked/gzip/deflate) is lossless —
+        # it never changes the decoded text or the charset decision
         text_whens.append(f"WHEN {i} THEN '{snip}' || text")
         enc = "utf-8" if codec == "bom" else codec
         how = "bom" if codec == "bom" else ("header" if label else "utf-8")
@@ -1907,11 +1909,14 @@ def _stream_charset_oracle() -> str:
     "q_stream_charset_ingest",
     oracle=None,  # patched below: generated from the shared class table
     description="LIVE streaming crawl ingest with transport-layer "
-    "charset decode (r13): the spp_warc STREAM reader consumes a "
-    "response archive whose HTTP envelopes declare VARIED charsets "
-    "(utf-8 / shift_jis / quoted ISO-8859-1 / euc-kr / absent / "
-    "BOM-led bodies, per doc_id % 6), and each micro-batch parses the "
-    "HTTP envelope and decodes the body with the full WHATWG "
+    "charset decode (r13; transport legs r14): the spp_warc STREAM "
+    "reader consumes a response archive whose HTTP envelopes declare "
+    "VARIED charsets AND transport codings (utf-8 / shift_jis / "
+    "quoted ISO-8859-1 / euc-kr / absent / BOM-led / chunked / gzip / "
+    "deflate / BOM-less UTF-16LE with a utf-16le label, per "
+    "doc_id % 10), and each micro-batch parses the HTTP envelope, "
+    "undoes the transport layers (chunked de-framing, zlib "
+    "inflation), and decodes the body with the full WHATWG "
     "precedence (functions/httpheaders.py + charset.py: BOM > header "
     "> meta > strict UTF-8 > cp1252) in one Arrow map — the "
     "continuous-crawl shape: archives land, correctly-decoded text "

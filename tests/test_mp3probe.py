@@ -119,6 +119,34 @@ def test_id3v2_text_frames_v24_syncsafe_and_malformed():
     assert id3v2_text_frames(b"ID3\x03\x00\x00\x00\x00\x00\x00") == {}
 
 
+def test_id3v2_transformed_frames_skipped():
+    """r13 ADVICE: T-frames with compression/encryption/unsync format
+    flags are wire-transformed — skipped, not decoded as raw text."""
+    from stream_processing_platform_spark.multimodal.mp3probe import (
+        id3v2_text_frames,
+    )
+
+    def tag(ver: int, fmt_flags: int, extra: bytes = b"") -> bytes:
+        body = b"\x03" + "plain".encode("utf-8")
+        frame = (
+            b"TIT2" + bytes([0, 0, 0, len(body)])
+            + bytes([0, fmt_flags]) + body + extra
+        )
+        sz = len(frame)
+        return b"ID3" + bytes([ver, 0, 0]) + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + frame
+
+    # clean flags decode; each transform bit suppresses the frame
+    assert id3v2_text_frames(tag(4, 0x00)) == {"TIT2": "plain"}
+    # v2.4 grouping/compr/encr/unsync/DLI all shift or transform the body
+    for bit in (0x40, 0x08, 0x04, 0x02, 0x01):
+        assert id3v2_text_frames(tag(4, bit)) == {}, hex(bit)
+    assert id3v2_text_frames(tag(3, 0x00)) == {"TIT2": "plain"}
+    for bit in (0x80, 0x40, 0x20):  # v2.3 compr/encr/grouping
+        assert id3v2_text_frames(tag(3, bit)) == {}, hex(bit)
+
+
 def test_xing_offset_respects_crc_protection_bit():
     """r12 ADVICE: when the protection bit is 0 a 2-byte CRC sits
     between the header and side info, shifting a Xing tag by 2."""

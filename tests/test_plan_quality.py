@@ -533,3 +533,22 @@ def test_web_funnel_single_scan_shape(spark, sf_dir):
     assert plan.count("Scan parquet") == 1  # the one-scan claim, literally
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_outlink_frontier_shape(spark, sf_dir):
+    """q_outlink_frontier (r14): extract+resolve+canonicalize is pure
+    JVM regexp codegen (zero Python operators), the seen anti-join is
+    a SHUFFLED sort-merge on the canonical key — the seen side is the
+    full frontier, which scales with the corpus, so a broadcast there
+    (what AQE picks from small-SF sizes) would invert at 100 TB — and
+    the per-URL aggregate reuses the join partitioning: exactly one
+    keyed Exchange per join side, no third for the aggregate."""
+    plan = _plan(queries()["q_outlink_frontier"](spark, sf_dir))
+    assert "Python" not in plan  # scan-speed path, no UDFs anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    keyed = plan.count("Exchange hashpartitioning")
+    assert keyed == 2, f"expected 2 keyed Exchanges, plan has {keyed}"
+    assert plan.count("Scan parquet") == 2  # links side + seen side

@@ -1,0 +1,128 @@
+"""Relative URL resolution (operators/webcur.resolve_url) + outlink
+extraction (functions/html.extract_hrefs) — the r14 crawl-discovery
+pair. The resolver is pinned THREE ways on one case grid: Spark
+expression == duckdb generated twin == urllib.parse.urljoin (the
+stdlib reference for the supported WHATWG-basic subset, fragments
+pre-stripped since the frontier drops them)."""
+
+from __future__ import annotations
+
+import duckdb
+from urllib.parse import urldefrag, urljoin
+
+from pyspark.sql import functions as F
+
+from stream_processing_platform_spark.functions.html import (
+    HREF_PATTERNS,
+    extract_hrefs,
+    extract_hrefs_sql,
+)
+from stream_processing_platform_spark.operators.webcur import (
+    resolve_url,
+    resolve_url_sql,
+)
+
+# (base, ref) grid — every branch of the resolver: plain/./../deep-..
+# relative paths, beyond-root pops, absolute path, scheme-relative
+# (http and https bases), absolute, mailto/javascript, fragment-only,
+# empty, query-only (with and without a base query), query+fragment,
+# pathless bases, trailing-slash bases, mixed dot segments.
+CASES = [
+    ("https://www.ex.com/a/b/c.html", "d.html"),
+    ("https://www.ex.com/a/b/c.html", "./d.html"),
+    ("https://www.ex.com/a/b/c.html", "../d.html"),
+    ("https://www.ex.com/a/b/c.html", "../../d.html"),
+    ("https://www.ex.com/a/b/c.html", "../../../../d.html"),
+    ("https://www.ex.com/a/b/c.html", "/top/x.html"),
+    ("https://www.ex.com/a/b/c.html", "//cdn.ex.org/l.js"),
+    ("http://ex.com/a/b/c.html", "//cdn.ex.org/l.js"),
+    ("https://www.ex.com/a/b/c.html", "https://other.org/p"),
+    ("https://www.ex.com/a/b/c.html", "mailto:x@y.z"),
+    ("https://www.ex.com/a/b/c.html", "javascript:void(0)"),
+    ("https://www.ex.com/a/b/c.html", "#frag"),
+    ("https://www.ex.com/a/b/c.html", ""),
+    ("https://www.ex.com/a/b/c.html#old", "#new"),
+    ("https://www.ex.com/a/b/c.html", "?q=1"),
+    ("https://www.ex.com/a/b/c.html?z=2", "?q=1"),
+    ("https://www.ex.com/a/b/c.html?z=2", "d.html?q=1"),
+    ("https://www.ex.com/a/b/c.html", "d.html?q=1#frag"),
+    ("https://www.ex.com", "p.html"),
+    ("https://www.ex.com", "/p.html"),
+    ("https://www.ex.com/", "p.html"),
+    ("https://www.ex.com/a/", "b/./c/../d.html"),
+    ("https://www.ex.com/a/b/", "../"),
+    ("https://www.ex.com/a/b/", ".."),
+    ("https://www.ex.com/a/b/", "."),
+    ("https://www.ex.com/a/b/", "sub/"),
+    ("https://www.ex.com/a/b/", "x/y/../../z.html"),
+    ("https://www.ex.com/p;v=1/q", "r.html"),
+]
+
+
+def _spark_resolved(spark):
+    df = spark.createDataFrame(CASES, ["base", "ref"])
+    return [
+        r["out"]
+        for r in df.select(
+            resolve_url(F.col("base"), F.col("ref")).alias("out")
+        ).collect()
+    ]
+
+
+def test_resolver_matches_urljoin_and_duckdb(spark):
+    got_spark = _spark_resolved(spark)
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT " + resolve_url_sql("base", "ref")
+            + " FROM (VALUES "
+            + ",".join(f"('{b}','{r}')" for b, r in CASES)
+            + ") t(base, ref)"
+        ).fetchall()
+    ]
+    for (b, r), s, d in zip(CASES, got_spark, got_duck):
+        exp = urldefrag(urljoin(b, r))[0]
+        assert s == exp, f"spark {(b, r)} -> {s!r} != urljoin {exp!r}"
+        assert d == exp, f"duckdb {(b, r)} -> {d!r} != urljoin {exp!r}"
+
+
+def test_extract_hrefs_subset(spark):
+    html = (
+        '<html><head><link rel="stylesheet" href="/css/site.css">'
+        "</head><body>"
+        '<a href="/dq/page.html">x</a>'
+        "<A HREF='../sq/page.html'>y</A>"
+        "<a class='k' href=unquoted.html>z</a>"
+        '<a href="">empty</a>'
+        '<a name="anchor-no-href">w</a>'
+        '<img src="/img/p.png">'
+        "</body></html>"
+    )
+    rows = (
+        spark.createDataFrame([(html,)], ["raw"])
+        .select(extract_hrefs(F.col("raw")).alias("hrefs"))
+        .collect()
+    )
+    got = sorted(rows[0]["hrefs"])
+    assert got == sorted(
+        ["/dq/page.html", "../sq/page.html", "unquoted.html", ""]
+    )
+    # duckdb twin extracts the identical multiset from the same HTML
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT " + extract_hrefs_sql("raw")
+        + " FROM (VALUES (?)) t(raw)",
+        [html],
+    ).fetchone()[0]
+    assert sorted(d) == got
+    assert len(HREF_PATTERNS) == 3
+
+
+def test_extract_hrefs_no_anchors_is_empty_array(spark):
+    rows = (
+        spark.createDataFrame([("<p>no links</p>",), ("",)], ["raw"])
+        .select(extract_hrefs(F.col("raw")).alias("hrefs"))
+        .collect()
+    )
+    assert [list(r["hrefs"]) for r in rows] == [[], []]
