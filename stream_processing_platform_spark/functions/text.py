@@ -106,7 +106,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "und", "die"),
     "fr": ("le", "et", "les"),
     "es": ("el", "y", "los"),
+    # r14: the Latin-script confusables the trained tier now covers
+    # (q_lang_id_trained); the 4-class default of lang_id() below is
+    # unchanged — q_lang_id keeps its original surface.
+    "pt": ("o", "nao", "uma"),
+    "it": ("il", "di", "che"),
+    "nl": ("de", "het", "een"),
 }
+
+LANG_DEFAULT: tuple[str, ...] = ("en", "de", "fr", "es")
 
 
 def _marker_hits(text_padded: Column, markers: tuple[str, ...]) -> Column:
@@ -116,15 +124,16 @@ def _marker_hits(text_padded: Column, markers: tuple[str, ...]) -> Column:
     return hit
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, langs: tuple[str, ...] = LANG_DEFAULT) -> Column:
     """Heuristic language guess: argmax of marker-word hit counts, 'und'
     (undetermined) when nothing matches. Deterministic tie-break by
-    language-code order en < de < fr < es (strictly-greater comparison)."""
+    position in ``langs`` (strictly-greater comparison — earlier wins
+    ties). Default stays the original 4-class tier; the trained LID
+    passes the extended 7-class tuple (r14)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    scores = {lang: _marker_hits(padded, ms) for lang, ms in LANG_MARKERS.items()}
     best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang in ("en", "de", "fr", "es"):
-        s = scores[lang]
+    for lang in langs:
+        s = _marker_hits(padded, LANG_MARKERS[lang])
         take = s > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, s).otherwise(best_score)

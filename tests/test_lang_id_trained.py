@@ -1,11 +1,11 @@
-"""Trained language ID (r13): accuracy gate vs the marker baseline.
+"""Trained language ID (r13; 7 Latin classes since r14): accuracy gate
+vs the marker baseline.
 
-The fixture's TRUE language is doc_id % 4 (never shown to training —
+The fixture's TRUE language is doc_id % 7 (never shown to training —
 weak labels come from the marker lexicon only), so accuracy is
 measurable exactly. The trained model must recover the no-marker docs
 the lexicon maps to 'und' (~12%) and beat the baseline by a wide
-margin; both thresholds hold at every oracle SF (measured weak ~88%,
-trained ~98% at sf0.001/0.01/0.1).
+margin; both thresholds hold at every oracle SF.
 """
 
 from __future__ import annotations
@@ -13,6 +13,26 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
+
+
+def test_lexicons_unique_except_internet():
+    """Every fixture word belongs to exactly one language except the
+    deliberate 'internet' collision — accidental overlap would blur
+    the class boundary the accuracy gate measures."""
+    from stream_processing_platform_spark.queries.text import (
+        _LID_LANGS,
+        _LID_WORDS,
+    )
+    from stream_processing_platform_spark.functions.text import LANG_MARKERS
+
+    seen: dict[str, str] = {}
+    for lang in _LID_LANGS:
+        assert _LID_WORDS[lang][:3] == LANG_MARKERS[lang]  # markers lead
+        for w in _LID_WORDS[lang]:
+            if w == "internet":
+                continue
+            assert w not in seen, f"{w!r} in both {seen.get(w)} and {lang}"
+            seen[w] = lang
 
 
 def test_trained_beats_marker_baseline(spark):
@@ -25,7 +45,7 @@ def test_trained_beats_marker_baseline(spark):
     out = q_lang_id_trained(spark, sf)
     truth = F.element_at(
         F.array(*[F.lit(c) for c in _LID_LANGS]),
-        (F.col("doc_id") % 4 + 1).cast("int"),
+        (F.col("doc_id") % len(_LID_LANGS) + 1).cast("int"),
     )
     agg = out.select(
         (F.col("lang_weak") == truth).cast("int").alias("weak_ok"),
@@ -46,7 +66,7 @@ def test_trained_beats_marker_baseline(spark):
 
 
 def test_ovr_fit_matches_binary_fit(spark):
-    """The fused one-vs-rest fit is pinned weight-identical to four
+    """The fused one-vs-rest fit is pinned weight-identical to seven
     independent binary fits (it must be: the oracle replays the
     BINARY trajectory per class)."""
     from stream_processing_platform_spark.operators import classifier as C
@@ -63,7 +83,9 @@ def test_ovr_fit_matches_binary_fit(spark):
         "doc_id", _lid_synth_col().alias("synth")
     )
     weak = d.select(
-        "doc_id", "synth", T.lang_id(F.col("synth")).alias("lang_weak")
+        "doc_id",
+        "synth",
+        T.lang_id(F.col("synth"), langs=_LID_LANGS).alias("lang_weak"),
     )
     feats = C.doc_features(weak, _lid_trigrams(F.col("synth")), _LID_DIM)
     train = (
