@@ -1,14 +1,17 @@
 """Crawl-frontier pipeline — the discovery half of web curation,
-tying the r12/r13 crawl surfaces together end to end:
+tying the r12/r13/r14 crawl surfaces together end to end:
 
     robots.txt parse (RFC 9309 incl. */$ wildcards) → sitemap parse
     (sitemaps.org v0.9, discovered via the robots Sitemap: lines) →
-    path-rule gate on the discovered URLs → polite per-host fetch
+    OUTLINK extraction from fetched pages + relative URL resolution
+    (r14 — where ~95% of a real frontier comes from) → seen anti-join
+    → path-rule gate on the discovered URLs → polite per-host fetch
     scheduling (priority queues, crawl-delay slots)
 
 Self-checking: every stage asserts the property it exists for
-(wildcard precedence resolves, sitemap entities unescape, disallowed
-paths are gated, fetch slots respect the per-host delay). Run:
+(wildcard precedence resolves, sitemap entities unescape, outlinks
+resolve and the seen set dedups, disallowed paths are gated, fetch
+slots respect the per-host delay). Run:
 
     python examples/crawl_frontier.py [sf_dir]
 """
@@ -81,7 +84,45 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"sitemap: {len(entries)} entries, "
           f"priorities={[e.priority_milli for e in entries]}")
 
-    # 3. gate + schedule, distributed: the discovered URLs become a
+    # 3. outlink discovery (r14): a fetched page's <a href> values are
+    # extracted, resolved against the page URL, and anti-joined
+    # against the already-seen set — the stage that feeds most of a
+    # real frontier (sitemaps alone miss ~95% of it).
+    from stream_processing_platform_spark.functions.html import extract_hrefs
+    from stream_processing_platform_spark.operators.webcur import resolve_url
+
+    page_html = (
+        '<html><body><a href="./guide2">next</a>'
+        "<a href='../private/data.html'>d</a>"
+        '<a href="#top">top</a>'
+        '<a href="mailto:x@ex.test">mail</a>'
+        '<a href="/docs/api">api</a></body></html>'
+    )
+    fetched = spark.createDataFrame(
+        [("https://ex.test/docs/guide", page_html)], "url string, html string"
+    )
+    outlinks = (
+        fetched.select(
+            "url", F.explode(extract_hrefs(F.col("html"))).alias("href")
+        )
+        .select(resolve_url(F.col("url"), F.col("href")).alias("url"))
+        .where(
+            F.regexp_extract("url", "^([a-z]+):", 1).isin("http", "https")
+        )
+        .distinct()
+    )
+    seen = spark.createDataFrame(
+        [(e.loc,) for e in entries], "url string"
+    )
+    discovered = sorted(
+        r["url"] for r in outlinks.join(seen, "url", "left_anti").collect()
+    )
+    # ./guide2 resolves; ../private/data.html, /docs/api and the
+    # fragment self-link are already seen/known; mailto is scheme-gated
+    assert discovered == ["https://ex.test/docs/guide2"], discovered
+    print(f"outlinks: 5 hrefs -> 1 newly discovered: {discovered[0]}")
+
+    # 4. gate + schedule, distributed: the discovered URLs become a
     # frontier DataFrame; the robots gate filters, then each survivor
     # gets a fetch slot in its host's politeness queue.
     rows = [

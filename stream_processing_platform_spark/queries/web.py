@@ -2426,58 +2426,68 @@ def _mod_str_sql(m: int) -> str:
     return f"CAST(doc_id % {m} AS VARCHAR)"
 
 
-def _ol_links() -> list[tuple[str, F.Column, str]]:
-    """(quote_style, href_col, href_sql) per link class. quote_style is
-    '\"', \"'\", or '' (unquoted) — the HTML attribute form the link is
-    emitted in, so all three extraction patterns get real coverage."""
-    cat = F.concat
-    links: list[tuple[str, F.Column, str]] = [
+def _ol_links() -> list[tuple]:
+    """(quote_style, href_col_thunk, href_sql) per link class.
+    quote_style is '\"', \"'\", or '' (unquoted) — the HTML attribute
+    form the link is emitted in, so all three extraction patterns get
+    real coverage. The column side is a zero-arg THUNK: oracle
+    generation runs at import time, before any SparkContext exists,
+    and F.lit cannot be called then."""
+
+    def cat(*parts):
+        return lambda: F.concat(
+            *[p() if callable(p) else F.lit(p) for p in parts]
+        )
+
+    links: list[tuple] = [
         # absolute (emitted as an uppercase <A HREF> tag)
         ('"',
-         cat(F.lit("https://mirror"), _mod_str_col(3),
-             F.lit(".example.org/m/p"), _mod_str_col(11), F.lit(".html")),
+         cat("https://mirror", lambda: _mod_str_col(3),
+             ".example.org/m/p", lambda: _mod_str_col(11), ".html"),
          f"('https://mirror' || {_mod_str_sql(3)} || '.example.org/m/p' "
          f"|| {_mod_str_sql(11)} || '.html')"),
         # scheme-relative, single-quoted
         ("'",
-         cat(F.lit("//cdn."), _ol_name_col(2), F.lit("."),
-             _ol_suffix_col(3), F.lit("/lib/app"), _mod_str_col(4),
-             F.lit(".js")),
+         cat("//cdn.", lambda: _ol_name_col(2), ".",
+             lambda: _ol_suffix_col(3), "/lib/app",
+             lambda: _mod_str_col(4), ".js"),
          f"('//cdn.' || {_ol_name_sql(2)} || '.' || {_ol_suffix_sql(3)} "
          f"|| '/lib/app' || {_mod_str_sql(4)} || '.js')"),
         # absolute-path
         ('"',
-         cat(F.lit("/top/s"), _mod_str_col(3), F.lit("/index.html")),
+         cat("/top/s", lambda: _mod_str_col(3), "/index.html"),
          f"('/top/s' || {_mod_str_sql(3)} || '/index.html')"),
         # ../ relative, unquoted attribute
         ("",
-         cat(F.lit("../up/d"), _mod_str_col(4), F.lit(".html")),
+         cat("../up/d", lambda: _mod_str_col(4), ".html"),
          f"('../up/d' || {_mod_str_sql(4)} || '.html')"),
         # ./ relative
         ('"',
-         cat(F.lit("./sib/p"), _mod_str_col(6), F.lit(".html")),
+         cat("./sib/p", lambda: _mod_str_col(6), ".html"),
          f"('./sib/p' || {_mod_str_sql(6)} || '.html')"),
         # fragment-only (self — anti-joined away)
         ('"',
-         cat(F.lit("#sec"), _mod_str_col(2)),
+         cat("#sec", lambda: _mod_str_col(2)),
          f"('#sec' || {_mod_str_sql(2)})"),
         # non-http schemes (scheme-gated away)
         ('"',
-         cat(F.lit("mailto:info@"), _ol_name_col(), F.lit(".com")),
+         cat("mailto:info@", lambda: _ol_name_col(), ".com"),
          f"('mailto:info@' || {_ol_name_sql()} || '.com')"),
-        ('"', F.lit("javascript:void(0)"), "'javascript:void(0)'"),
+        ('"', cat("javascript:void(0)"), "'javascript:void(0)'"),
         # bare relative, unquoted
         ("",
-         cat(F.lit("n"), _mod_str_col(5), F.lit(".html")),
+         cat("n", lambda: _mod_str_col(5), ".html"),
          f"('n' || {_mod_str_sql(5)} || '.html')"),
         # empty href (self — anti-joined away)
-        ('"', F.lit(""), "''"),
+        ('"', cat(""), "''"),
         # cross-page link: same origin by construction (doc_id mod 7
         # preserved), a REAL page for doc_id >= 14 — anti-joined away
         ('"',
-         cat(F.lit("./page"),
-             (F.col("doc_id") - 7 * (F.col("doc_id") % 3)).cast("string"),
-             F.lit(".html")),
+         cat("./page",
+             lambda: (
+                 F.col("doc_id") - 7 * (F.col("doc_id") % 3)
+             ).cast("string"),
+             ".html"),
          "('./page' || CAST(doc_id - 7 * (doc_id % 3) AS VARCHAR) "
          "|| '.html')"),
     ]
@@ -2492,7 +2502,8 @@ _OL_HTML_HEAD = (
 
 def _ol_html_col() -> F.Column:
     parts: list[F.Column] = [F.lit(_OL_HTML_HEAD)]
-    for i, (q, col, _sql) in enumerate(_ol_links()):
+    for i, (q, thunk, _sql) in enumerate(_ol_links()):
+        col = thunk()
         if i == 0:  # uppercase tag exercises (?i)
             parts += [F.lit('<A HREF="'), col, F.lit('">T</A>')]
         elif q == '"':

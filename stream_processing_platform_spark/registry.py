@@ -69,12 +69,12 @@ _loaded = False
 # Registry order = the order the driver runs queries in, and the driver
 # verifies only the first ~50 per round. With >50 registered queries the
 # order IS the coverage policy, so it is explicit here (not an accident of
-# import order) and rotates per round. Round-13 rotation, per the r12
-# verdict ask #1: the window is the stalest 50 rows — the two
-# never-ledgered r11 rows, the 34 rows whose last official row is r8,
-# the five r12 newborns (first official rows inside their birth+bound
-# budget), and the 9 oldest r9 rows to fill 50 — then every remaining
-# query ordered by the round of its last official row, ascending. The freshness bound is ceil(N / window): with N registered
+# import order) and rotates per round. Round-14 rotation, per the r13
+# verdict ask #3: the window is the 41 remaining r9-stale rows, the
+# seven r13 newborns (first official rows well inside birth+bound),
+# and the two r14 newborns — 50 exactly; then every remaining query
+# ordered by the round of its last official row, ascending (the r10
+# cohort of 50 is the natural r15 window). The freshness bound is ceil(N / window): with N registered
 # queries and a 50-slot window a full rotation takes ceil(N/50) rounds,
 # so that staleness is achievable by a perfect rotation and nothing
 # tighter is — every query registration therefore RAISES worst-case
@@ -103,73 +103,17 @@ _REGISTERED_ROUND: dict[str, int] = {
 }
 _REGISTERED_ROUND.update({'q_mp3_probe': 12, 'q_unicode_nfc': 12, 'q_script_mix': 12, 'q_charset_decode': 12, 'q_robots_txt_parse': 12})
 _REGISTERED_ROUND.update({'q_lang_id_trained': 13, 'q_web_funnel': 13, 'q_sitemap_parse': 13, 'q_crawl_schedule': 13, 'q_http_headers': 13, 'q_url_features': 13, 'q_stream_charset_ingest': 13})
+_REGISTERED_ROUND.update({'q_outlink_frontier': 14, 'q_lang_mismatch': 14})
 
 _PRIORITY: list[str] = [
-    # ================= r13 window (first 50) =================
-    # never ledgered (registered r11; deadline = birth + bound)
-    'q_stream_url_dedup',
-    'q_warc_pair_capture',
-    # last official row: r8 (34 queries)
-    'q_approx_distinct',
-    'q_containment_pairs',
-    'q_corpus_stats',
-    'q_cosine_topk',
-    'q_dedup_clusters',
-    'q_dedup_exact',
-    'q_dedup_exact_docs',
-    'q_embedding_dedup_clusters',
-    'q_embedding_near_dup',
-    'q_fingerprint',
-    'q_holt_winters',
-    'q_join_anti',
-    'q_join_asof',
-    'q_join_interval',
-    'q_join_left',
-    'q_join_salted',
-    'q_join_semi',
-    'q_lang_id',
-    'q_minhash_lsh_pairs',
-    'q_ngram_jaccard_pairs',
-    'q_orderby_limit',
-    'q_percentiles',
-    'q_quality_filter',
-    'q_repetition_ratio',
-    'q_set_ops',
-    'q_simhash_pairs',
-    'q_stream_holt_winters',
-    'q_substring_dup_spans',
-    'q_text_quality',
-    'q_text_tokens',
-    'q_token_histogram',
-    'q_topk_per_group',
-    'q_window_rank',
-    'q_window_running',
-    # registered r12 (first official rows, within birth+bound)
-    'q_mp3_probe',
-    'q_unicode_nfc',
-    'q_script_mix',
-    'q_charset_decode',
-    'q_robots_txt_parse',
-    # oldest r9 rows (9 slots to fill the window)
-    'q04_order_priority',
-    'q06_forecast_revenue',
-    'q07_volume_shipping',
-    'q08_market_share',
-    'q09_product_profit',
-    'q10_returned_items',
-    'q12_priority_shipments',
-    'q13_customer_distribution',
-    'q14_promo_revenue',
-    # ================= outside the window =================
-    # registered r13 (never ledgered; deadline = birth + bound)
-    'q_lang_id_trained',
-    'q_web_funnel',
-    'q_sitemap_parse',
-    'q_crawl_schedule',
-    'q_http_headers',
-    'q_url_features',
-    'q_stream_charset_ingest',
-    # last official row: r9 (remaining 41 queries)
+    # ================= r14 window (first 50) =================
+    # Round-14 rotation per the r13 verdict ask #3: the 41 remaining
+    # r9-stale rows, all seven r13 newborns (official rows well inside
+    # their birth+bound budget — the verdict asked not to let them
+    # ride to the r18 wire), and the two r14 newborns. 41+7+2 = 50
+    # exactly; the oldest remaining cohort (r10, 50 rows, staleness 4
+    # at r14) is the natural r15 window.
+    # last official row: r9 (41 queries)
     'q18_large_volume',
     'q19_discounted_revenue',
     'q_ann_ivf',
@@ -211,7 +155,19 @@ _PRIORITY: list[str] = [
     'q_unpivot_event_counts',
     'q_video_frame_sample',
     'q_window_navigation',
-    # last official row: r10 (50 queries)
+    # registered r13 (never ledgered; first official rows this round)
+    'q_lang_id_trained',
+    'q_web_funnel',
+    'q_sitemap_parse',
+    'q_crawl_schedule',
+    'q_http_headers',
+    'q_url_features',
+    'q_stream_charset_ingest',
+    # registered r14 (newborn official rows)
+    'q_outlink_frontier',
+    'q_lang_mismatch',
+    # ================= outside the window =================
+    # last official row: r10 (50 queries — the natural r15 window)
     'q02_min_cost_supplier',
     'q11_important_stock',
     'q15_top_supplier',
@@ -313,7 +269,7 @@ _PRIORITY: list[str] = [
     'q_winnow_dup_pairs',
     'q_winnow_fingerprints',
     'q_zorder_events',
-    # last official row: r12 (50 queries — freshest cohort)
+    # last official row: r12 (50 queries)
     'q01_pricing_summary',
     'q03_shipping_priority',
     'q05_local_supplier_volume',
@@ -364,6 +320,57 @@ _PRIORITY: list[str] = [
     'q_window_distribution',
     'q_window_range_frame',
     'q_winsorize',
+    # last official row: r13 (50 queries — freshest cohort)
+    'q_stream_url_dedup',
+    'q_warc_pair_capture',
+    'q_approx_distinct',
+    'q_containment_pairs',
+    'q_corpus_stats',
+    'q_cosine_topk',
+    'q_dedup_clusters',
+    'q_dedup_exact',
+    'q_dedup_exact_docs',
+    'q_embedding_dedup_clusters',
+    'q_embedding_near_dup',
+    'q_fingerprint',
+    'q_holt_winters',
+    'q_join_anti',
+    'q_join_asof',
+    'q_join_interval',
+    'q_join_left',
+    'q_join_salted',
+    'q_join_semi',
+    'q_lang_id',
+    'q_minhash_lsh_pairs',
+    'q_ngram_jaccard_pairs',
+    'q_orderby_limit',
+    'q_percentiles',
+    'q_quality_filter',
+    'q_repetition_ratio',
+    'q_set_ops',
+    'q_simhash_pairs',
+    'q_stream_holt_winters',
+    'q_substring_dup_spans',
+    'q_text_quality',
+    'q_text_tokens',
+    'q_token_histogram',
+    'q_topk_per_group',
+    'q_window_rank',
+    'q_window_running',
+    'q_mp3_probe',
+    'q_unicode_nfc',
+    'q_script_mix',
+    'q_charset_decode',
+    'q_robots_txt_parse',
+    'q04_order_priority',
+    'q06_forecast_revenue',
+    'q07_volume_shipping',
+    'q08_market_share',
+    'q09_product_profit',
+    'q10_returned_items',
+    'q12_priority_shipments',
+    'q13_customer_distribution',
+    'q14_promo_revenue',
 ]
 
 
