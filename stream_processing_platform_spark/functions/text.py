@@ -127,17 +127,30 @@ def _marker_hits(text_padded: Column, markers: tuple[str, ...]) -> Column:
 def lang_id(text: Column, langs: tuple[str, ...] = LANG_DEFAULT) -> Column:
     """Heuristic language guess: argmax of marker-word hit counts, 'und'
     (undetermined) when nothing matches. Deterministic tie-break by
-    position in ``langs`` (strictly-greater comparison — earlier wins
-    ties). Default stays the original 4-class tier; the trained LID
-    passes the extended 7-class tuple (r14)."""
+    position in ``langs`` (earlier wins ties). Default stays the
+    original 4-class tier; the trained LID passes the extended 7-class
+    tuple (r14).
+
+    Expression form: ``greatest`` over (score, reverse-position, lang)
+    structs — each score subtree appears exactly ONCE. The previous
+    take-if-greater ``when`` loop nested ``best_score`` inside itself,
+    duplicating every score subtree ~3^k times: at k=4 it compiled, at
+    k=7 the generated Java blew janino's 64 KB method limit and the
+    whole stage fell back to interpreted eval (r14; Column exprs are
+    trees — the CLAUDE.md k-references rule, compounding per loop
+    iteration)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang in langs:
-        s = _marker_hits(padded, LANG_MARKERS[lang])
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    k = len(langs)
+    cands = [
+        F.struct(
+            _marker_hits(padded, LANG_MARKERS[lang]).alias("s"),
+            F.lit(k - i).alias("r"),  # ties: higher r = earlier lang
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*cands) if k > 1 else cands[0]
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")

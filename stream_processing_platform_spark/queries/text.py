@@ -2757,11 +2757,20 @@ def q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in _LID_LANGS
         ],
     )
-    pred, best = F.lit(_LID_LANGS[0]), F.col(f"z_{_LID_LANGS[0]}")
-    for c in _LID_LANGS[1:]:
-        take = F.col(f"z_{c}") > best
-        pred = F.when(take, F.lit(c)).otherwise(pred)
-        best = F.when(take, F.col(f"z_{c}")).otherwise(best)
+    # argmax via greatest(struct) — earliest class wins ties (higher r);
+    # the take-if-greater when-loop form duplicates subtrees ~3^k times
+    # (see functions/text.lang_id — the r14 codegen-blowup lesson).
+    k = len(_LID_LANGS)
+    pred = F.greatest(
+        *[
+            F.struct(
+                F.col(f"z_{c}").alias("z"),
+                F.lit(k - i).alias("r"),
+                F.lit(c).alias("lang"),
+            )
+            for i, c in enumerate(_LID_LANGS)
+        ]
+    )["lang"]
     return scored.select("doc_id", "lang_weak", pred.alias("lang_trained"))
 
 

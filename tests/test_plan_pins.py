@@ -56,6 +56,10 @@ PINNED = [
     # count-before-collect_list de-skew shape (r9) — shares the pinned
     # merge-hint rationale
     "q_containment_pairs",
+    # frontier anti-join (r14): hand-pinned sort-merge on the canonical
+    # URL key — the seen side scales with the corpus, AQE's small-SF
+    # broadcast would invert at 10^10 frontier URLs
+    "q_outlink_frontier",
     # ANN tiers whose broadcast sides + rounded-distance stages are now
     # oracle-critical (r9): probes/codebooks broadcast, corpus streams
     "q_ann_ivf",
