@@ -277,6 +277,12 @@ def main() -> None:
         "q_sitemap_parse",
         "q_crawl_schedule",
         "q_web_funnel",
+        # round-14 additions (q_http_headers joins via the transport-
+        # decode legs; q_lang_mismatch is pure column algebra; the
+        # frontier is the round's headline operator)
+        "q_http_headers",
+        "q_outlink_frontier",
+        "q_lang_mismatch",
     ):
         qs[name](spark, sf_dir).count()
         samples = []

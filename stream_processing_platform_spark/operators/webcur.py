@@ -417,13 +417,25 @@ _DOT_PASSES = 6
 # one pass = collapse '/./', trailing '/.', one '..' pop, one root-pop;
 # _DOT_PASSES passes unrolled — each pass resolves at least one level
 # of nesting, so depth <= _DOT_PASSES chains fully normalize.
+# A path segment that is NOT exactly '.' or '..' — the only segments a
+# '..' may pop. RE2 has no lookahead, so exclusion is an alternation:
+# first char not a dot | '.x…' | '..x…'. Both counterexamples below
+# came out of the hypothesis fuzz vs urljoin (r14).
+_SEG_NOT_DOTS = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
 _DOT_STEPS: tuple[tuple[str, str], ...] = tuple(
     step
     for _ in range(_DOT_PASSES)
     for step in (
-        (r"/\./", "/"),
+        # RUNS of './' in one match: a single '/\./' pass only removes
+        # alternate segments of '/././..' (non-overlapping matches
+        # share the '/'), and the leftover '.' would then be consumed
+        # by the '..' pop as if it were a real segment ('././..')
+        (r"/(?:\./)+", "/"),
         (r"/\.$", "/"),
-        (r"/[^/]+/\.\.(/|$)", "/"),
+        # the popped segment must be a REAL one: a bare [^/]+ matches
+        # '..' itself, so '../..' annihilated to nothing instead of
+        # popping two levels ('/0/0/0/' + '../../../..')
+        (rf"/{_SEG_NOT_DOTS}/\.\.(/|$)", "/"),
         (r"^/\.\.(/|$)", "/"),
     )
 )

@@ -126,3 +126,56 @@ def test_extract_hrefs_no_anchors_is_empty_array(spark):
         .collect()
     )
     assert [list(r["hrefs"]) for r in rows] == [[], []]
+
+
+# ---- property-based: the generated resolver tracks urljoin over the
+# documented subset (no empty path segments, no ':' in a relative
+# first segment, dot-chains within the bounded unroll depth).
+
+from hypothesis import given, settings, strategies as st
+
+_SEG = st.text(alphabet="abcxyz019", min_size=1, max_size=5)
+
+
+@st.composite
+def _bases(draw):
+    host = draw(st.sampled_from(["ex.com", "www.ex.org", "a.b.co.uk"]))
+    segs = draw(st.lists(_SEG, min_size=0, max_size=4))
+    leaf = draw(st.sampled_from(["", "page.html", "q?x=1"]))
+    path = "".join("/" + s for s in segs)
+    scheme = draw(st.sampled_from(["http", "https"]))
+    return f"{scheme}://{host}{path}/{leaf}" if (segs or leaf) else f"{scheme}://{host}"
+
+
+@st.composite
+def _refs(draw):
+    kind = draw(st.integers(0, 6))
+    segs = draw(st.lists(st.one_of(_SEG, st.just(".."), st.just(".")),
+                         min_size=1, max_size=4))
+    rel = "/".join(segs)
+    if kind == 0:
+        return rel                      # relative path
+    if kind == 1:
+        return "./" + rel
+    if kind == 2:
+        return "/" + rel                # absolute path
+    if kind == 3:
+        return rel + "?a=1&b=2"         # with query
+    if kind == 4:
+        return "//cdn.ex.net/" + rel    # scheme-relative
+    if kind == 5:
+        return rel + "#frag"            # fragment dropped
+    return "https://other.org/" + rel   # absolute
+
+
+@settings(max_examples=150, deadline=None)
+@given(base=_bases(), ref=_refs())
+def test_resolver_property_tracks_urljoin(base, ref):
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT " + resolve_url_sql("base", "ref")
+        + " FROM (VALUES (?, ?)) t(base, ref)",
+        [base, ref],
+    ).fetchone()[0]
+    exp = urldefrag(urljoin(base, ref))[0]
+    assert got == exp, (base, ref)
