@@ -2558,7 +2558,10 @@ def q_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    pages = d.select(
+    # regex-heavy map (extract -> resolve -> canonicalize, ~30 regexp
+    # ops/link): the single-row-group testdata scan would run it in ONE
+    # task — spread it (no-op at real scale, CLAUDE.md rule)
+    pages = ensure_min_parallelism(d).select(
         "doc_id", _ol_base_col().alias("base"), _ol_html_col().alias("html")
     )
     links = pages.select(
