@@ -276,10 +276,15 @@ def boilerplate_blocks_pandas(df, raw: Column, id_cols: list[str] | None = None)
 # codegen, zero Python; the duckdb twin is generated from the SAME
 # pattern table so the oracle cannot drift.
 
+# The attribute name must start at a boundary (whitespace or a closing
+# quote of the previous attribute): a bare [^>]*?href also matched
+# attributes merely ENDING in 'href' (data-href, ng-href), extracting
+# a fake outlink and skipping the tag's real one (r14 review finding).
+_A_HREF = "(?i)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*"
 HREF_PATTERNS: tuple[str, ...] = (
-    "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"",
-    "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'",
-    "(?i)<a\\s[^>]*?href\\s*=\\s*([^\"'\\s>][^\\s>]*)",
+    _A_HREF + "\"([^\"]*)\"",
+    _A_HREF + "'([^']*)'",
+    _A_HREF + "([^\"'\\s>][^\\s>]*)",
 )
 
 

@@ -129,6 +129,11 @@ def dechunk(body: bytes) -> bytes:
             pos += 2
         elif body[pos: pos + 1] == b"\n":
             pos += 1
+        else:
+            # missing post-chunk separator: stop — continuing would
+            # reinterpret chunk DATA as a size line and fabricate
+            # body bytes (r14 review finding)
+            break
     return bytes(out)
 
 
@@ -165,7 +170,12 @@ def decoded_body_bytes(r: HttpResponse) -> bytes:
             body = dechunk(body)
         ce = r.header("content-encoding")
         if ce:
-            body = decompress_body(body, ce)
+            # Content-Encoding is a comma list applied left-to-right
+            # at the sender — undo right-to-left; 'identity' and
+            # unknown codings pass through inside decompress_body
+            # (r14 review finding: 'gzip, identity' was never inflated)
+            for coding in reversed(ce.split(",")):
+                body = decompress_body(body, coding)
     return body
 
 

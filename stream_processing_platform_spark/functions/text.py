@@ -132,13 +132,15 @@ def lang_id(text: Column, langs: tuple[str, ...] = LANG_DEFAULT) -> Column:
     tuple (r14).
 
     Expression form: ``greatest`` over (score, reverse-position, lang)
-    structs — each score subtree appears exactly ONCE. The previous
-    take-if-greater ``when`` loop nested ``best_score`` inside itself,
-    duplicating every score subtree ~3^k times: at k=4 it compiled, at
-    k=7 the generated Java blew janino's 64 KB method limit and the
-    whole stage fell back to interpreted eval (r14; Column exprs are
-    trees — the CLAUDE.md k-references rule, compounding per loop
-    iteration)."""
+    structs — each score subtree appears exactly ONCE (a sentinel
+    (0, k+1, 'und') candidate wins exactly when every score is 0, so
+    the result is a single ``greatest(...)['lang']`` with no second
+    reference to the tree). The previous take-if-greater ``when`` loop
+    nested ``best_score`` inside itself, duplicating every score
+    subtree ~3^k times: at k=4 it compiled, at k=7 the generated Java
+    blew janino's 64 KB method limit and the whole stage fell back to
+    interpreted eval (r14; Column exprs are trees — the CLAUDE.md
+    k-references rule, compounding per loop iteration)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     k = len(langs)
     cands = [
@@ -149,8 +151,10 @@ def lang_id(text: Column, langs: tuple[str, ...] = LANG_DEFAULT) -> Column:
         )
         for i, lang in enumerate(langs)
     ]
-    best = F.greatest(*cands) if k > 1 else cands[0]
-    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    sentinel = F.struct(
+        F.lit(0).alias("s"), F.lit(k + 1).alias("r"), F.lit("und").alias("lang")
+    )
+    return F.greatest(*cands, sentinel)["lang"]
 
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")

@@ -107,6 +107,10 @@ def test_dechunk_frames_extensions_and_trailers():
     # truncated final chunk keeps the partial data
     assert dechunk(b"ff\r\nshort") == b"short"
     assert dechunk(b"") == b""
+    # missing post-chunk separator: STOP — chunk data must never be
+    # reinterpreted as a size line (r14 review: '3\\r\\nabcdef...' used
+    # to fabricate b'abc0\\r\\n\\r\\n' by reading 'def' as hex 0xdef)
+    assert dechunk(b"3\r\nabcdef\r\n0\r\n\r\n") == b"abc"
 
 
 def test_decompress_gzip_deflate_and_fallbacks():
@@ -120,6 +124,27 @@ def test_decompress_gzip_deflate_and_fallbacks():
     # unknown codings and corrupt streams pass through untouched
     assert decompress_body(b"abc", "br") == b"abc"
     assert decompress_body(b"\x00corrupt", "gzip") == b"\x00corrupt"
+
+
+def test_content_encoding_comma_list():
+    # 'gzip, identity' (real servers emit this) must still inflate —
+    # decoded_body_bytes tokenizes CE and undoes right-to-left (r14)
+    import gzip
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: gzip, identity\r\n\r\n"
+        + gzip.compress(b"listed coding body", mtime=0)
+    )
+    t, e, h, s = decode_http_body(payload)
+    assert (t, s) == ("listed coding body", 200)
+    # 'identity, gzip' (stacked order) also inflates
+    payload2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: identity, gzip\r\n\r\n"
+        + gzip.compress(b"stacked body", mtime=0)
+    )
+    assert decode_http_body(payload2)[0] == "stacked body"
 
 
 def test_decode_http_body_transport_layers():

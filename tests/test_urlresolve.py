@@ -96,6 +96,10 @@ def test_extract_hrefs_subset(spark):
         "<a class='k' href=unquoted.html>z</a>"
         '<a href="">empty</a>'
         '<a name="anchor-no-href">w</a>'
+        # attributes merely ENDING in href are not hrefs — and the real
+        # href later in the same tag must still be found (r14 review)
+        '<a data-href="/fake.js" href="/real.html">r</a>'
+        '<a ng-href="/alsofake.js">n</a>'
         '<img src="/img/p.png">'
         "</body></html>"
     )
@@ -106,7 +110,8 @@ def test_extract_hrefs_subset(spark):
     )
     got = sorted(rows[0]["hrefs"])
     assert got == sorted(
-        ["/dq/page.html", "../sq/page.html", "unquoted.html", ""]
+        ["/dq/page.html", "../sq/page.html", "unquoted.html", "",
+         "/real.html"]
     )
     # duckdb twin extracts the identical multiset from the same HTML
     con = duckdb.connect()
