@@ -184,3 +184,71 @@ def test_resolver_property_tracks_urljoin(base, ref):
     ).fetchone()[0]
     exp = urldefrag(urljoin(base, ref))[0]
     assert got == exp, (base, ref)
+
+
+# ---- property-based: extract_hrefs tracks a real HTML parser
+# (stdlib html.parser) over the documented subset — well-formed tags,
+# no entities in values, one href per tag. The duckdb twin is used as
+# the executable form (pinned equal to the Spark expression above).
+
+from html.parser import HTMLParser
+
+
+class _HrefCollector(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+
+
+# no '#' or '&'+digits pairs that form character references —
+# entity unescape is documented out of the subset
+_VAL = st.text(alphabet="abz./?=-_", min_size=0, max_size=12)
+_NOISE_ATTR = st.sampled_from(["class", "id", "data-href", "ng-href", "rel"])
+
+
+@st.composite
+def _tags(draw):
+    kind = draw(st.integers(0, 4))
+    val = draw(_VAL)
+    quote = draw(st.sampled_from(['"', "'", ""]))
+    if quote == "":
+        # unquoted values must be nonempty and not start with '='
+        # (an HTML5 parse error outside the documented subset)
+        val = "u" + val.lstrip("=")
+    noise = ""
+    if draw(st.booleans()):
+        nk = draw(_NOISE_ATTR)
+        nv = draw(_VAL)
+        noise = f' {nk}="{nv}"'
+    a_open = draw(st.sampled_from(["<a", "<A"]))
+    href = draw(st.sampled_from(["href", "HREF", "Href"]))
+    if kind == 0:  # <a href> — noise attr before href
+        return f"{a_open}{noise} {href}={quote}{val}{quote}>t</a>"
+    if kind == 1:  # <a href> — noise attr after href
+        return f"{a_open} {href}={quote}{val}{quote}{noise}>t</a>"
+    if kind == 2:  # anchor without href
+        filler = noise or ' id="x"'
+        return f"{a_open}{filler}>t</a>"
+    if kind == 3:  # non-anchor href carriers must be skipped
+        return f'<link href="{val}"><area href="{val}">'
+    return draw(st.sampled_from(["plain text ", "<p>para</p>", "<img src='/i.png'>"]))
+
+
+@settings(max_examples=120, deadline=None)
+@given(parts=st.lists(_tags(), min_size=0, max_size=8))
+def test_extract_hrefs_property_tracks_html_parser(parts):
+    html = "<html><body>" + "".join(parts) + "</body></html>"
+    ref = _HrefCollector()
+    ref.feed(html)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT " + extract_hrefs_sql("raw") + " FROM (VALUES (?)) t(raw)",
+        [html],
+    ).fetchone()[0]
+    assert sorted(got) == sorted(ref.hrefs), html
