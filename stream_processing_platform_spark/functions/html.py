@@ -306,3 +306,36 @@ def extract_hrefs_sql(raw_expr: str) -> str:
         for p in HREF_PATTERNS
     ]
     return "(" + " || ".join(parts) + ")"
+
+
+# <base href> — WHATWG: the FIRST <base> element with an href sets the
+# document's base URL for relative reference resolution; later ones are
+# ignored. Same quoting subset + boundary rule as HREF_PATTERNS.
+_BASE_HREF = "(?i)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*"
+BASE_HREF_PATTERNS: tuple[str, ...] = (
+    _BASE_HREF + "\"([^\"]*)\"",
+    _BASE_HREF + "'([^']*)'",
+    _BASE_HREF + "([^\"'\\s>][^\\s>]*)",
+)
+
+
+def extract_base_href(raw: Column) -> Column:
+    """The first <base href> value in ``raw``, '' when absent. Matches
+    are taken in pattern order (quoted forms first) and the earliest
+    non-empty one wins — one regexp_extract per quoting form, still
+    whole-stage codegen."""
+    out = F.lit("")
+    for p in reversed(BASE_HREF_PATTERNS):
+        hit = F.regexp_extract(raw, p, 1)
+        out = F.when(hit != "", hit).otherwise(out)
+    return out
+
+
+def extract_base_href_sql(raw_expr: str) -> str:
+    """duckdb twin of :func:`extract_base_href`."""
+    out = "''"
+    for p in reversed(BASE_HREF_PATTERNS):
+        pat = p.replace("'", "''")
+        hit = f"regexp_extract({raw_expr}, '{pat}', 1)"
+        out = f"CASE WHEN {hit} <> '' THEN {hit} ELSE {out} END"
+    return out

@@ -490,6 +490,46 @@ def resolve_url(base: Column, ref: Column) -> Column:
     )
 
 
+def document_base(page: Column, base_href: Column) -> Column:
+    """The document base URL for outlink resolution: the page URL,
+    overridden by a ``<base href>`` value when present. Deterministic
+    subset (r14): absolute, scheme-relative, and absolute-path base
+    tags are honored; a PATH-RELATIVE base tag is ignored (treated as
+    no base) — nesting the full resolver here splices its ~30-node
+    tree into every base reference of the outer resolve and blew
+    janino's 64 KB method limit, and path-relative base tags are
+    pathological in real crawl data. No dot-segment removal on the
+    base itself (same rationale)."""
+    scheme = F.regexp_extract(page, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(page, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    return (
+        F.when(base_href.rlike(_URL_SCHEME_RE), base_href)
+        .when(
+            base_href.startswith("//"),
+            F.concat(scheme, F.lit(":"), base_href),
+        )
+        .when(base_href.startswith("/"), F.concat(origin, base_href))
+        .otherwise(page)
+    )
+
+
+def document_base_sql(page_expr: str, base_href_expr: str) -> str:
+    """duckdb twin of :func:`document_base`."""
+    scheme = f"regexp_extract({page_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)"
+    origin = (
+        f"regexp_extract({page_expr}, "
+        f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)"
+    )
+    return f"""CASE
+      WHEN regexp_matches({base_href_expr}, '{_URL_SCHEME_RE}')
+        THEN {base_href_expr}
+      WHEN {base_href_expr} LIKE '//%'
+        THEN {scheme} || ':' || {base_href_expr}
+      WHEN {base_href_expr} LIKE '/%' THEN {origin} || {base_href_expr}
+      ELSE {page_expr}
+    END"""
+
+
 def resolve_url_sql(base_expr: str, ref_expr: str) -> str:
     """duckdb twin of :func:`resolve_url`, generated from the same
     _DOT_STEPS table. Pre-bind ``base_expr``/``ref_expr`` to CTE

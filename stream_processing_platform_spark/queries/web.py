@@ -2504,13 +2504,40 @@ def _ol_links() -> list[tuple]:
 
 
 _OL_HTML_HEAD = (
-    '<html><head><link rel="stylesheet" href="/css/site.css"></head>'
-    '<body><img src="/img/h.png">'
+    '<html><head><link rel="stylesheet" href="/css/site.css">'
 )
+_OL_HTML_HEAD2 = '</head><body><img src="/img/h.png">'
+# <base href> classes (WHATWG: the first <base> sets the document base
+# for RELATIVE resolution): doc_id % 8 == 5 gets an ABSOLUTE base on a
+# different origin, the other doc_id % 4 == 1 docs an absolute-path
+# base; everyone else has no base tag.
+_OL_BASE_ABS = "https://based.example.org/z/"
+_OL_BASE_PATH = "/rebased/"
+
+
+def _ol_base_tag_col() -> F.Column:
+    d = F.col("doc_id")
+    return (
+        F.when(d % 8 == 5, F.lit(f'<base href="{_OL_BASE_ABS}">'))
+        .when(d % 4 == 1, F.lit(f'<base href="{_OL_BASE_PATH}">'))
+        .otherwise(F.lit(""))
+    )
+
+
+def _ol_base_tag_sql() -> str:
+    return (
+        f"CASE WHEN doc_id % 8 = 5 THEN '<base href=\"{_OL_BASE_ABS}\">' "
+        f"WHEN doc_id % 4 = 1 THEN '<base href=\"{_OL_BASE_PATH}\">' "
+        f"ELSE '' END"
+    )
 
 
 def _ol_html_col() -> F.Column:
-    parts: list[F.Column] = [F.lit(_OL_HTML_HEAD)]
+    parts: list[F.Column] = [
+        F.lit(_OL_HTML_HEAD),
+        _ol_base_tag_col(),
+        F.lit(_OL_HTML_HEAD2),
+    ]
     for i, (q, thunk, _sql) in enumerate(_ol_links()):
         col = thunk()
         if i == 0:  # uppercase tag exercises (?i)
@@ -2526,7 +2553,11 @@ def _ol_html_col() -> F.Column:
 
 
 def _ol_html_sql() -> str:
-    parts: list[str] = [_sqlq(_OL_HTML_HEAD)]
+    parts: list[str] = [
+        _sqlq(_OL_HTML_HEAD),
+        "(" + _ol_base_tag_sql() + ")",
+        _sqlq(_OL_HTML_HEAD2),
+    ]
     for i, (q, _col, sql) in enumerate(_ol_links()):
         if i == 0:
             parts += [_sqlq('<A HREF="'), sql, _sqlq('">T</A>')]
@@ -2546,21 +2577,29 @@ def _ol_html_sql() -> str:
     description="Outlink extraction + relative URL resolution + "
     "frontier anti-join (r14 — the crawl discovery loop closed): per "
     "page, <a href> values (double-/single-/un-quoted, case-"
-    "insensitive; <link>/<img> noise skipped) are extracted with "
-    "functions/html.extract_hrefs, resolved against the page URL "
-    "(operators/webcur.resolve_url — WHATWG-basic subset pinned to "
-    "urljoin), gated to http(s), canonicalized, anti-joined against "
-    "the seen page set, and aggregated per discovered URL with its "
-    "PSL registered domain. Pure JVM regexp codegen end to end (zero "
+    "insensitive; <link>/<img> noise skipped; attribute names bound "
+    "at a boundary so data-href never shadows the real href) are "
+    "extracted with functions/html.extract_hrefs, resolved against "
+    "the document base — the page URL, overridden by the first "
+    "<base href> tag per WHATWG (absolute and absolute-path base "
+    "classes in the fixture) — via operators/webcur.resolve_url "
+    "(WHATWG-basic subset pinned to urljoin by a grid + hypothesis "
+    "fuzz), gated to http(s) case-insensitively, canonicalized, "
+    "anti-joined against the seen page set, and aggregated per "
+    "discovered URL with its PSL registered domain. Pure JVM regexp codegen end to end (zero "
     "Python), one keyed shuffle for the anti-join + the reused "
     "aggregate. Full generated oracle: duckdb re-runs the SAME "
     "extraction regexes and the SAME generated resolver over the SAME "
     "reconstructed HTML.",
 )
 def q_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_platform_spark.functions.html import extract_hrefs
+    from stream_processing_platform_spark.functions.html import (
+        extract_base_href,
+        extract_hrefs,
+    )
     from stream_processing_platform_spark.operators.webcur import (
         canonical_url,
+        document_base,
         host_of,
         registered_domain,
         resolve_url,
@@ -2573,22 +2612,32 @@ def q_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = ensure_min_parallelism(d).select(
         "doc_id", _ol_base_col().alias("base"), _ol_html_col().alias("html")
     )
+    # WHATWG <base href>: the document's FIRST base tag overrides the
+    # page URL for relative refs (document_base — the small honored
+    # subset, not the full resolver: see its docstring)
+    eff = document_base(F.col("base"), extract_base_href(F.col("html")))
     links = pages.select(
-        "doc_id", "base", F.explode(extract_hrefs(F.col("html"))).alias("href")
+        "doc_id",
+        eff.alias("ebase"),
+        F.explode(extract_hrefs(F.col("html"))).alias("href"),
     )
-    resolved = links.select(
-        "doc_id", resolve_url(F.col("base"), F.col("href")).alias("url")
+    # http(s) gate on the RAW reference, case-insensitively (RFC 3986
+    # schemes are case-insensitive — r14 review finding): a relative
+    # reference inherits the document base's scheme, and a crawl's
+    # document bases are http(s) by construction, so gating absolute
+    # references pre-resolution is equivalent to gating the resolved
+    # URL — and keeps the resolve tree OUT of the pushed-down filter
+    # predicate (a second spliced copy blew the 64 KB codegen limit).
+    http = links.where(
+        ~F.col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+        | F.col("href").rlike("(?i)^https?:")
     )
-    # RFC 3986 schemes are case-insensitive and resolve_url keeps
-    # absolute refs verbatim — lower() before the gate or an
-    # 'HTTP://...' outlink silently drops (r14 review finding; the
-    # fixture's uppercase-scheme leg keeps this oracle-visible)
-    http = resolved.where(
-        F.lower(
-            F.regexp_extract("url", "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-        ).isin("http", "https")
+    resolved = http.select(
+        "doc_id", resolve_url(F.col("ebase"), F.col("href")).alias("url")
     )
-    canon = http.select("doc_id", canonical_url(F.col("url")).alias("url"))
+    canon = resolved.select(
+        "doc_id", canonical_url(F.col("url")).alias("url")
+    )
     seen = d.select(canonical_url(_ol_base_col()).alias("url"))
     # merge hint: the seen side is the FULL crawl frontier — it scales
     # with the corpus (10^10 URLs at 100 TB), so the honest plan is a
@@ -2612,10 +2661,12 @@ def q_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _outlink_frontier_oracle() -> str:
     from stream_processing_platform_spark.functions.html import (
+        extract_base_href_sql,
         extract_hrefs_sql,
     )
     from stream_processing_platform_spark.operators.webcur import (
         canonical_url_sql,
+        document_base_sql,
         host_of_sql,
         registered_domain_sql,
         resolve_url_sql,
@@ -2626,13 +2677,16 @@ def _outlink_frontier_oracle() -> str:
                       {_ol_html_sql()} AS html
                FROM documents),
     l AS (SELECT doc_id, base,
+                 {extract_base_href_sql("html")} AS braw,
                  unnest({extract_hrefs_sql("html")}) AS href
           FROM p),
-    r AS (SELECT doc_id, {resolve_url_sql("base", "href")} AS url FROM l),
-    h AS (SELECT doc_id, url FROM r
-          WHERE lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))
-                IN ('http', 'https')),
-    c AS (SELECT doc_id, {canonical_url_sql("url")} AS url FROM h),
+    e AS (SELECT doc_id, href,
+                 {document_base_sql("base", "braw")} AS ebase
+          FROM l
+          WHERE NOT regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+             OR regexp_matches(href, '(?i)^https?:')),
+    r AS (SELECT doc_id, {resolve_url_sql("ebase", "href")} AS url FROM e),
+    c AS (SELECT doc_id, {canonical_url_sql("url")} AS url FROM r),
     s AS (SELECT DISTINCT {canonical_url_sql(_ol_base_sql())} AS url
           FROM documents),
     f AS (SELECT c.doc_id, c.url FROM c

@@ -252,3 +252,55 @@ def test_extract_hrefs_property_tracks_html_parser(parts):
         [html],
     ).fetchone()[0]
     assert sorted(got) == sorted(ref.hrefs), html
+
+
+def test_document_base_and_base_href_extraction(spark):
+    from stream_processing_platform_spark.functions.html import (
+        extract_base_href,
+        extract_base_href_sql,
+    )
+    from stream_processing_platform_spark.operators.webcur import (
+        document_base,
+        document_base_sql,
+    )
+
+    # first <base href> wins; <a href> never matches the base patterns
+    html = (
+        '<head><base target="_b" href="/zone/"><base href="/late/">'
+        '</head><a href="/x">t</a>'
+    )
+    got = (
+        spark.createDataFrame([(html,), ("<p>none</p>",)], ["raw"])
+        .select(extract_base_href(F.col("raw")).alias("b"))
+        .collect()
+    )
+    assert [r["b"] for r in got] == ["/zone/", ""]
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT " + extract_base_href_sql("raw") + " FROM (VALUES (?)) t(raw)",
+        [html],
+    ).fetchone()[0] == "/zone/"
+
+    # document_base subset: absolute / scheme-relative / absolute-path
+    # honored; path-relative and absent -> the page URL
+    page = "https://www.ex.com/a/b/c.html"
+    cases = [
+        ("https://other.org/z/", "https://other.org/z/"),
+        ("//cdn.ex.net/z/", "https://cdn.ex.net/z/"),
+        ("/zone/", "https://www.ex.com/zone/"),
+        ("rel/", page),
+        ("", page),
+    ]
+    rows = (
+        spark.createDataFrame([(page, b) for b, _ in cases], ["p", "b"])
+        .select(document_base(F.col("p"), F.col("b")).alias("e"))
+        .collect()
+    )
+    assert [r["e"] for r in rows] == [e for _, e in cases]
+    for b, e in cases:
+        got = con.execute(
+            "SELECT " + document_base_sql("p", "b")
+            + " FROM (VALUES (?, ?)) t(p, b)",
+            [page, b],
+        ).fetchone()[0]
+        assert got == e, (b, got)
