@@ -304,3 +304,26 @@ def test_document_base_and_base_href_extraction(spark):
             [page, b],
         ).fetchone()[0]
         assert got == e, (b, got)
+
+
+@settings(max_examples=120, deadline=None)
+@given(base=_bases(), ref=_refs())
+def test_canonicalize_resolve_composition_stable(base, ref):
+    """Frontier-key invariants: canonical_url is IDEMPOTENT on resolver
+    output (a canonical key re-canonicalizes to itself — otherwise the
+    seen anti-join and q_stream_url_dedup's state would key on
+    different strings for the same resource), and resolving a
+    canonical base yields the same canonical key as resolving the raw
+    base (fragments/dot-chains can't leak into the frontier key)."""
+    from stream_processing_platform_spark.operators.webcur import (
+        canonical_url_sql,
+    )
+
+    con = duckdb.connect()
+    q = (
+        "SELECT c1, " + canonical_url_sql("c1") + " AS c2 FROM ("
+        "SELECT " + canonical_url_sql(resolve_url_sql("base", "ref"))
+        + " AS c1 FROM (VALUES (?, ?)) t(base, ref))"
+    )
+    c1, c2 = con.execute(q, [base, ref]).fetchone()
+    assert c1 == c2, (base, ref, c1, c2)
