@@ -310,32 +310,37 @@ def extract_hrefs_sql(raw_expr: str) -> str:
 
 # <base href> — WHATWG: the FIRST <base> element with an href sets the
 # document's base URL for relative reference resolution; later ones are
-# ignored. Same quoting subset + boundary rule as HREF_PATTERNS.
-_BASE_HREF = "(?i)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*"
-BASE_HREF_PATTERNS: tuple[str, ...] = (
-    _BASE_HREF + "\"([^\"]*)\"",
-    _BASE_HREF + "'([^']*)'",
-    _BASE_HREF + "([^\"'\\s>][^\\s>]*)",
+# ignored. Same quoting subset + boundary rule as HREF_PATTERNS. ONE
+# alternation pattern so "first" means first TAG in document order,
+# not first quoting form (a per-form extract let a later double-quoted
+# base beat an earlier single-quoted one — r14 review finding). The
+# three value forms land in capture groups 1..3; exactly one is
+# non-empty at the first match (an empty quoted value means '' on all
+# three, which callers treat as no override — an empty base href is
+# meaningless and ignored, documented deviation).
+BASE_HREF_PATTERN: str = (
+    "(?i)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*"
+    "(?:\"([^\"]*)\"|'([^']*)'|([^\"'\\s>][^\\s>]*))"
 )
 
 
 def extract_base_href(raw: Column) -> Column:
-    """The first <base href> value in ``raw``, '' when absent. Matches
-    are taken in pattern order (quoted forms first) and the earliest
-    non-empty one wins — one regexp_extract per quoting form, still
-    whole-stage codegen."""
+    """The first <base href> value in ``raw``, '' when absent. Three
+    regexp_extract calls over the SAME pattern (one per value-form
+    group) — all anchored at the same first match, so document order
+    decides; still whole-stage codegen."""
     out = F.lit("")
-    for p in reversed(BASE_HREF_PATTERNS):
-        hit = F.regexp_extract(raw, p, 1)
+    for g in (3, 2, 1):
+        hit = F.regexp_extract(raw, BASE_HREF_PATTERN, g)
         out = F.when(hit != "", hit).otherwise(out)
     return out
 
 
 def extract_base_href_sql(raw_expr: str) -> str:
     """duckdb twin of :func:`extract_base_href`."""
+    pat = BASE_HREF_PATTERN.replace("'", "''")
     out = "''"
-    for p in reversed(BASE_HREF_PATTERNS):
-        pat = p.replace("'", "''")
-        hit = f"regexp_extract({raw_expr}, '{pat}', 1)"
+    for g in (3, 2, 1):
+        hit = f"regexp_extract({raw_expr}, '{pat}', {g})"
         out = f"CASE WHEN {hit} <> '' THEN {hit} ELSE {out} END"
     return out

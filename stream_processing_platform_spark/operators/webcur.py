@@ -493,17 +493,22 @@ def resolve_url(base: Column, ref: Column) -> Column:
 def document_base(page: Column, base_href: Column) -> Column:
     """The document base URL for outlink resolution: the page URL,
     overridden by a ``<base href>`` value when present. Deterministic
-    subset (r14): absolute, scheme-relative, and absolute-path base
-    tags are honored; a PATH-RELATIVE base tag is ignored (treated as
-    no base) — nesting the full resolver here splices its ~30-node
-    tree into every base reference of the outer resolve and blew
-    janino's 64 KB method limit, and path-relative base tags are
-    pathological in real crawl data. No dot-segment removal on the
-    base itself (same rationale)."""
+    subset (r14): HTTP(S)-family base tags only — absolute http(s)
+    URLs, scheme-relative ``//host``, and absolute paths; everything
+    else (path-relative, non-http schemes like ftp:/javascript:, and
+    '') is ignored, i.e. the page URL stays the base. Rationale:
+    nesting the full resolver here splices its ~30-node tree into
+    every base reference of the outer resolve and blew janino's 64 KB
+    method limit; path-relative base tags are pathological in real
+    crawl data; and honoring an arbitrary-scheme base would let a
+    page-controlled tag smuggle non-http URLs PAST the pre-resolution
+    http(s) gate (r14 review finding — restricting to the http family
+    is what makes gating the raw reference equivalent to gating the
+    resolved URL). No dot-segment removal on the base itself."""
     scheme = F.regexp_extract(page, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     origin = F.regexp_extract(page, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
     return (
-        F.when(base_href.rlike(_URL_SCHEME_RE), base_href)
+        F.when(base_href.rlike("(?i)^https?://"), base_href)
         .when(
             base_href.startswith("//"),
             F.concat(scheme, F.lit(":"), base_href),
@@ -521,7 +526,7 @@ def document_base_sql(page_expr: str, base_href_expr: str) -> str:
         f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)"
     )
     return f"""CASE
-      WHEN regexp_matches({base_href_expr}, '{_URL_SCHEME_RE}')
+      WHEN regexp_matches({base_href_expr}, '(?i)^https?://')
         THEN {base_href_expr}
       WHEN {base_href_expr} LIKE '//%'
         THEN {scheme} || ':' || {base_href_expr}

@@ -2469,7 +2469,9 @@ def _ol_links() -> list[tuple]:
         ('"',
          cat("./sib/p", lambda: _mod_str_col(6), ".html"),
          f"('./sib/p' || {_mod_str_sql(6)} || '.html')"),
-        # fragment-only (self — anti-joined away)
+        # fragment-only (self for no-base-tag docs — anti-joined
+        # away there; on base-tag docs it resolves to the base and
+        # SURVIVES into the frontier, WHATWG behavior)
         ('"',
          cat("#sec", lambda: _mod_str_col(2)),
          f"('#sec' || {_mod_str_sql(2)})"),
@@ -2482,7 +2484,7 @@ def _ol_links() -> list[tuple]:
         ("",
          cat("n", lambda: _mod_str_col(5), ".html"),
          f"('n' || {_mod_str_sql(5)} || '.html')"),
-        # empty href (self — anti-joined away)
+        # empty href (same base-tag caveat as the fragment-only leg)
         ('"', cat(""), "''"),
         # uppercase scheme: taken verbatim by resolve_url, must pass
         # the (case-insensitive) scheme gate; canonical_url lowers it
@@ -2491,6 +2493,8 @@ def _ol_links() -> list[tuple]:
          f"('HTTPS://Mirror.Example.net/Up/P' || {_mod_str_sql(5)})"),
         # cross-page link: same origin by construction (doc_id mod 7
         # preserved), a REAL page for doc_id >= 14 — anti-joined away
+        # on no-base-tag docs; base-tag docs rebase it off the page
+        # tree and it survives (both engines compute the same)
         ('"',
          cat("./page",
              lambda: (
@@ -2510,9 +2514,13 @@ _OL_HTML_HEAD2 = '</head><body><img src="/img/h.png">'
 # <base href> classes (WHATWG: the first <base> sets the document base
 # for RELATIVE resolution): doc_id % 8 == 5 gets an ABSOLUTE base on a
 # different origin, the other doc_id % 4 == 1 docs an absolute-path
-# base; everyone else has no base tag.
+# base, doc_id % 8 == 2 a NON-HTTP base tag (ftp:) that document_base
+# must IGNORE — the leg that keeps the pre-resolution http(s) gate's
+# equivalence oracle-visible (a page-controlled base must not smuggle
+# non-http URLs into the frontier); everyone else has no base tag.
 _OL_BASE_ABS = "https://based.example.org/z/"
 _OL_BASE_PATH = "/rebased/"
+_OL_BASE_IGNORED = "ftp://files.example.net/pub/"
 
 
 def _ol_base_tag_col() -> F.Column:
@@ -2520,6 +2528,7 @@ def _ol_base_tag_col() -> F.Column:
     return (
         F.when(d % 8 == 5, F.lit(f'<base href="{_OL_BASE_ABS}">'))
         .when(d % 4 == 1, F.lit(f'<base href="{_OL_BASE_PATH}">'))
+        .when(d % 8 == 2, F.lit(f'<base href="{_OL_BASE_IGNORED}">'))
         .otherwise(F.lit(""))
     )
 
@@ -2528,6 +2537,7 @@ def _ol_base_tag_sql() -> str:
     return (
         f"CASE WHEN doc_id % 8 = 5 THEN '<base href=\"{_OL_BASE_ABS}\">' "
         f"WHEN doc_id % 4 = 1 THEN '<base href=\"{_OL_BASE_PATH}\">' "
+        f"WHEN doc_id % 8 = 2 THEN '<base href=\"{_OL_BASE_IGNORED}\">' "
         f"ELSE '' END"
     )
 
@@ -2613,10 +2623,20 @@ def q_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _ol_base_col().alias("base"), _ol_html_col().alias("html")
     )
     # WHATWG <base href>: the document's FIRST base tag overrides the
-    # page URL for relative refs (document_base — the small honored
-    # subset, not the full resolver: see its docstring)
-    eff = document_base(F.col("base"), extract_base_href(F.col("html")))
-    links = pages.select(
+    # page URL for relative refs (document_base — the http(s)-family
+    # honored subset, not the full resolver: see its docstring). braw
+    # is bound as its OWN projected column first: document_base
+    # references it 6x, and splicing the full-page regexp_extract tree
+    # into each reference is the k-references cost CLAUDE.md warns
+    # about (the oracle's CTE shape, mirrored).
+    based = pages.select(
+        "doc_id",
+        "base",
+        "html",
+        extract_base_href(F.col("html")).alias("braw"),
+    )
+    eff = document_base(F.col("base"), F.col("braw"))
+    links = based.select(
         "doc_id",
         eff.alias("ebase"),
         F.explode(extract_hrefs(F.col("html"))).alias("href"),

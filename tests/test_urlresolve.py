@@ -264,31 +264,44 @@ def test_document_base_and_base_href_extraction(spark):
         document_base_sql,
     )
 
-    # first <base href> wins; <a href> never matches the base patterns
-    html = (
-        '<head><base target="_b" href="/zone/"><base href="/late/">'
-        '</head><a href="/x">t</a>'
-    )
+    # first <base href> wins IN DOCUMENT ORDER — including when a
+    # later tag uses a different quoting form (r14 review: a per-form
+    # extract let a later double-quoted base beat an earlier
+    # single-quoted one); <a href> never matches the base patterns
+    htmls = [
+        ('<head><base target="_b" href="/zone/"><base href="/late/">'
+         '</head><a href="/x">t</a>', "/zone/"),
+        ("<base href='/first/'><base href=\"/second/\">", "/first/"),
+        ('<base href=unq1><base href="/second/">', "unq1"),
+        ("<p>none</p>", ""),
+    ]
     got = (
-        spark.createDataFrame([(html,), ("<p>none</p>",)], ["raw"])
+        spark.createDataFrame([(h,) for h, _ in htmls], ["raw"])
         .select(extract_base_href(F.col("raw")).alias("b"))
         .collect()
     )
-    assert [r["b"] for r in got] == ["/zone/", ""]
+    assert [r["b"] for r in got] == [e for _, e in htmls]
     con = duckdb.connect()
-    assert con.execute(
-        "SELECT " + extract_base_href_sql("raw") + " FROM (VALUES (?)) t(raw)",
-        [html],
-    ).fetchone()[0] == "/zone/"
+    for h, e in htmls:
+        assert con.execute(
+            "SELECT " + extract_base_href_sql("raw")
+            + " FROM (VALUES (?)) t(raw)",
+            [h],
+        ).fetchone()[0] == e, h
 
-    # document_base subset: absolute / scheme-relative / absolute-path
-    # honored; path-relative and absent -> the page URL
+    # document_base subset: absolute http(s) / scheme-relative /
+    # absolute-path honored; path-relative, NON-HTTP schemes (a
+    # page-controlled base must not smuggle ftp:/javascript: past the
+    # http gate) and absent -> the page URL
     page = "https://www.ex.com/a/b/c.html"
     cases = [
         ("https://other.org/z/", "https://other.org/z/"),
+        ("HTTP://other.org/z/", "HTTP://other.org/z/"),
         ("//cdn.ex.net/z/", "https://cdn.ex.net/z/"),
         ("/zone/", "https://www.ex.com/zone/"),
         ("rel/", page),
+        ("ftp://files.ex.net/pub/", page),
+        ("javascript:", page),
         ("", page),
     ]
     rows = (
