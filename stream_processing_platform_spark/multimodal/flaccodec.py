@@ -74,24 +74,79 @@ _RATE_CODES = {
 _SAMPLE_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+def _crc_tables() -> tuple[list[int], np.ndarray, list[int], list[int]]:
+    """Byte-at-a-time CRC tables plus the 32-zero-byte advance map for
+    the folded CRC-16 (all derived from the bitwise definitions once at
+    import; frames are KBs, so the per-bit loops were a measured ~12 ms
+    per decoded document before this)."""
+    t8 = []
+    for b in range(256):
+        crc = b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t8.append(crc)
+    t16 = np.empty(256, np.uint16)
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        t16[b] = crc
+    # linear advance of a CRC-16 state by _CRC_FOLD zero bytes, split
+    # into high-byte/low-byte basis tables (CRC is GF(2)-linear, init 0)
+    tl = t16.tolist()
+
+    def _advance_zeros(s: int) -> int:
+        for _ in range(_CRC_FOLD):
+            s = ((s << 8) & 0xFFFF) ^ tl[s >> 8]
+        return s
+
+    adv_hi = [_advance_zeros(b << 8) for b in range(256)]
+    adv_lo = [_advance_zeros(b) for b in range(256)]
+    return t8, t16, adv_hi, adv_lo
+
+
+_CRC_FOLD = 32
+_CRC8_TAB, _CRC16_TAB, _CRC16_ADV_HI, _CRC16_ADV_LO = _crc_tables()
+_CRC16_TAB_LIST = _CRC16_TAB.tolist()
+
+
 def crc8(data: bytes) -> int:
     """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0."""
     crc = 0
+    tab = _CRC8_TAB
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tab[crc ^ b]
     return crc
 
 
 def crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0."""
-    crc = 0
-    for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-    return crc
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0.
+
+    Folded evaluation: leading zeros are a no-op under init 0, so the
+    input is zero-padded to a multiple of ``_CRC_FOLD`` bytes, all
+    chunks advance one byte position per step as a vectorized table
+    lookup, and the per-chunk partial states combine through the
+    precomputed ``_CRC_FOLD``-zero-byte linear advance."""
+    n = len(data)
+    if n < 2 * _CRC_FOLD:  # table loop beats numpy setup on tiny inputs
+        crc = 0
+        tab = _CRC16_TAB_LIST
+        for b in data:
+            crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
+        return crc
+    pad = (-n) % _CRC_FOLD
+    arr = np.zeros(n + pad, np.uint8)
+    arr[pad:] = np.frombuffer(data, np.uint8)
+    chunks = arr.reshape(-1, _CRC_FOLD).astype(np.uint16)
+    states = np.zeros(chunks.shape[0], np.uint16)
+    tab16 = _CRC16_TAB
+    for j in range(_CRC_FOLD):
+        states = (states << 8) ^ tab16[(states >> 8) ^ chunks[:, j]]
+    s = 0
+    hi, lo = _CRC16_ADV_HI, _CRC16_ADV_LO
+    for v in states.tolist():
+        s = hi[s >> 8] ^ lo[s & 0xFF] ^ v
+    return s
 
 
 class _BitWriter:
@@ -138,6 +193,7 @@ class _BitReader:
         self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
         self.pos = 0
         self._ones = np.flatnonzero(self.bits)
+        self._ones_list = self._ones.tolist()  # fast scalar walks
         self._one_idx = 0
 
     def read(self, nbits: int) -> int:
@@ -158,16 +214,94 @@ class _BitReader:
         return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
 
     def read_unary(self) -> int:
-        ones, n = self._ones, len(self._ones)
+        ones, n = self._ones_list, len(self._ones_list)
         i = self._one_idx
         while i < n and ones[i] < self.pos:
             i += 1
         if i >= n:
             raise ValueError("FLAC: unary run past end of stream")
         self._one_idx = i
-        q = int(ones[i]) - self.pos
-        self.pos = int(ones[i]) + 1
+        q = ones[i] - self.pos
+        self.pos = ones[i] + 1
         return q
+
+    def read_rice_block(self, cnt: int, param: int) -> np.ndarray:
+        """Decode ``cnt`` consecutive Rice codes (parameter ``param``)
+        into un-zigzagged int64 residuals — the per-sample hot path.
+
+        The terminator one-bits are found with one amortized-linear
+        pointer walk over the precomputed one-positions (each one-bit is
+        passed at most once, including the ones INSIDE low-bit fields,
+        which the jump past ``terminator + 1 + param`` skips), then all
+        quotients and low-bit fields are extracted vectorized."""
+        if cnt <= 0:
+            return np.empty(0, np.int64)
+        start = self.pos
+        step = param + 1
+        ones = self._ones
+        i0 = self._one_idx + int(np.searchsorted(ones[self._one_idx :], start))
+        if param == 0:
+            # no low-bit fields: every one-bit is a terminator
+            if i0 + cnt > len(ones):
+                raise ValueError("FLAC: unary run past end of stream")
+            t = ones[i0:i0 + cnt].astype(np.int64)
+            last_i = i0 + cnt - 1
+        else:
+            # a block of cnt codes consumes at most cnt terminator ones
+            # plus param ones per low-bit field — a safe slice bound
+            v = ones[i0 : i0 + cnt * step]
+            if len(v) == 0:
+                raise ValueError("FLAC: unary run past end of stream")
+            # jump table: nxt[j] = first one position >= v[j] + step —
+            # the greedy terminator walk becomes cnt tiny list hops,
+            # with ones inside low-bit fields skipped by construction
+            nxt = np.searchsorted(v, v + step).tolist()
+            idxs: list[int] = []
+            ap = idxs.append
+            j = 0
+            try:
+                for _ in range(cnt):
+                    ap(j)
+                    j = nxt[j]
+            except IndexError:
+                raise ValueError("FLAC: unary run past end of stream") from None
+            ii = np.array(idxs, np.int64)
+            t = v[ii]
+            last_i = i0 + int(ii[-1])
+        pos = int(t[-1]) + step
+        if pos > len(self.bits):
+            raise ValueError("FLAC: bitstream truncated")
+        self._one_idx = last_i + 1
+        self.pos = pos
+        q = np.empty(cnt, np.int64)
+        q[0] = t[0] - start
+        np.subtract(t[1:], t[:-1], out=q[1:])
+        if cnt > 1:
+            q[1:] -= step
+        if param:
+            idx = t[:, None] + 1 + np.arange(param)
+            weights = np.left_shift(1, np.arange(param - 1, -1, -1, dtype=np.int64))
+            low = self.bits[idx].astype(np.int64) @ weights
+            u = (q << param) | low
+        else:
+            u = q
+        return np.where(u & 1 == 0, u >> 1, -((u + 1) >> 1))
+
+    def read_signed_block(self, cnt: int, nbits: int) -> np.ndarray:
+        """Read ``cnt`` consecutive ``nbits``-wide two's-complement
+        values as one vectorized gather (verbatim subframes, warmup
+        samples, escaped-raw Rice partitions)."""
+        if cnt <= 0 or nbits == 0:
+            return np.zeros(cnt if cnt > 0 else 0, np.int64)
+        end = self.pos + cnt * nbits
+        if end > len(self.bits):
+            raise ValueError("FLAC: bitstream truncated")
+        chunk = self.bits[self.pos:end].reshape(cnt, nbits)
+        self.pos = end
+        weights = np.left_shift(1, np.arange(nbits - 1, -1, -1, dtype=np.int64))
+        v = chunk.astype(np.int64) @ weights
+        sign = np.int64(1) << (nbits - 1)
+        return np.where(v >= sign, v - (sign << 1), v)
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -175,6 +309,13 @@ class _BitReader:
     def byte_pos(self) -> int:
         assert self.pos % 8 == 0
         return self.pos // 8
+
+    def seek_byte(self, byte_off: int) -> None:
+        """Jump to an absolute byte offset (decode_flac frames share one
+        unpacked-bit array instead of re-unpacking the remaining stream
+        per frame — that re-unpack was O(n²) in frame count)."""
+        self.pos = byte_off * 8
+        self._one_idx = int(np.searchsorted(self._ones, self.pos))
 
 
 def _zigzag(r: np.ndarray) -> np.ndarray:
@@ -430,13 +571,9 @@ def _decode_residual(rd: _BitReader, bn: int, order: int) -> np.ndarray:
         param = rd.read(pbits)
         if param == escape:
             raw = rd.read(5)
-            for i in range(cnt):
-                out[w + i] = rd.read_signed(raw) if raw else 0
+            out[w : w + cnt] = rd.read_signed_block(cnt, raw) if raw else 0
         else:
-            for i in range(cnt):
-                q = rd.read_unary()
-                low = rd.read(param)
-                out[w + i] = _unzigzag((q << param) | low)
+            out[w : w + cnt] = rd.read_rice_block(cnt, param)
         w += cnt
     return out
 
@@ -452,22 +589,29 @@ def _decode_subframe(rd: _BitReader, bn: int, bps: int) -> np.ndarray:
     if sftype == 0:
         x = np.full(bn, rd.read_signed(bps), dtype=np.int64)
     elif sftype == 1:
-        x = np.array([rd.read_signed(bps) for _ in range(bn)], dtype=np.int64)
+        x = rd.read_signed_block(bn, bps)
     elif 8 <= sftype <= 12:
         order = sftype - 8
-        warm = [rd.read_signed(bps) for _ in range(order)]
+        warm = rd.read_signed_block(order, bps)
         resid = _decode_residual(rd, bn, order)
-        x = np.empty(bn, dtype=np.int64)
-        x[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, bn):
-            pred = 0
-            for j, c in enumerate(coefs):
-                pred += c * x[i - 1 - j]
-            x[i] = pred + resid[i - order]
+        if order == 0:
+            x = resid
+        else:
+            # A fixed predictor of order k makes the residual exactly the
+            # k-th finite difference of the signal, so reconstruction is
+            # k iterated cumsums seeded from the warmup's difference
+            # pyramid diagonal — all exact int64, no per-sample loop.
+            seeds = []
+            d = warm
+            for _ in range(order):
+                seeds.append(int(d[0]))
+                d = np.diff(d)
+            x = resid
+            for m in range(order - 1, -1, -1):
+                x = np.cumsum(np.concatenate(([seeds[m]], x)))
     elif sftype >= 32:
         order = sftype - 31
-        warm = [rd.read_signed(bps) for _ in range(order)]
+        warm = rd.read_signed_block(order, bps)
         prec = rd.read(4) + 1
         if prec == 16:
             raise ValueError("FLAC: invalid LPC precision escape")
@@ -476,13 +620,16 @@ def _decode_subframe(rd: _BitReader, bn: int, bps: int) -> np.ndarray:
             raise ValueError("FLAC: negative LPC shift")
         coefs = [rd.read_signed(prec) for _ in range(order)]
         resid = _decode_residual(rd, bn, order)
-        x = np.empty(bn, dtype=np.int64)
-        x[:order] = warm
-        for i in range(order, bn):
+        # general LPC is a true IIR recurrence — scalar loop, but over
+        # Python ints (exact, and ~3x the speed of per-element ndarray
+        # indexing); LPC subframes are the rare path in this fixture
+        xl = [int(v) for v in warm]
+        for r in resid.tolist():
             pred = 0
             for j, c in enumerate(coefs):
-                pred += c * x[i - 1 - j]
-            x[i] = (pred >> shift) + resid[i - order]
+                pred += c * xl[-1 - j]
+            xl.append((pred >> shift) + r)
+        x = np.array(xl, dtype=np.int64)
     else:
         raise ValueError(f"FLAC: reserved subframe type {sftype}")
     return x << wasted if wasted else x
@@ -524,9 +671,11 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
         )
     md5_expect = streaminfo[18:34]
 
-    chans: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(nch)]
-    while pos < len(data) and total and len(chans[0]) < total:
-        rd = _BitReader(data[pos:])
+    parts: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    decoded = 0
+    rd = _BitReader(data)  # one unpack for every frame; frames seek
+    while pos < len(data) and total and decoded < total:
+        rd.seek_byte(pos)
         sync = rd.read(15)
         if sync != 0b111111111111100:
             raise ValueError("FLAC: lost frame sync")
@@ -554,7 +703,7 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
         elif rate_code == 15:
             raise ValueError("FLAC: invalid sample rate code")
         fbps = _SAMPLE_SIZE_CODES.get(size_code, bps) if size_code else bps
-        hdr_len = rd.byte_pos()
+        hdr_len = rd.byte_pos() - pos
         if crc8(data[pos : pos + hdr_len]) != rd.read(8):
             raise ValueError("FLAC: frame header CRC-8 mismatch")
 
@@ -576,14 +725,18 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
         else:
             raise ValueError(f"FLAC: reserved channel assignment {chan_code}")
         rd.align()
-        frame_len = rd.byte_pos()
+        frame_len = rd.byte_pos() - pos
         crc_got = struct.unpack(">H", data[pos + frame_len : pos + frame_len + 2])[0]
         if crc16(data[pos : pos + frame_len]) != crc_got:
             raise ValueError("FLAC: frame CRC-16 mismatch")
         for c in range(nch):
-            chans[c] = np.concatenate([chans[c], fr[c]])
+            parts[c].append(fr[c])
+        decoded += bn
         pos += frame_len + 2
 
+    chans = [
+        np.concatenate(p) if p else np.empty(0, dtype=np.int64) for p in parts
+    ]
     n = total or len(chans[0])
     pcm = np.stack([c[:n] for c in chans], axis=1)
     if verify_md5 and md5_expect != b"\x00" * 16:
