@@ -100,12 +100,20 @@ class BitReader:
         self.pos = 0  # bit position
 
     def u(self, nbits: int) -> int:
-        out = 0
-        for _ in range(nbits):
-            byte = self.data[self.pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return out
+        if nbits == 1:  # the hot VLC/flag case: one inline extraction
+            pos = self.pos
+            self.pos = pos + 1
+            return (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+        if nbits == 0:
+            return 0
+        pos = self.pos
+        end = pos + nbits
+        last = (end + 7) >> 3
+        if last > len(self.data):
+            raise IndexError("AVC: bitstream truncated")
+        chunk = int.from_bytes(self.data[pos >> 3 : last], "big")
+        self.pos = end
+        return (chunk >> ((last << 3) - end)) & ((1 << nbits) - 1)
 
     def ue(self) -> int:
         lz = 0
@@ -305,19 +313,45 @@ def _write_coeff_token(bw: BitWriter, nC: int, total: int, t1s: int) -> None:
     bw.u(_CT_CODE[cls][total][t1s], _CT_LEN[cls][total][t1s])
 
 
-def _vlc_read(br: BitReader, lens, codes) -> int:
-    """Decode one prefix code: lens/codes are parallel flat lists; the
-    row tables are small, so a scan-by-length match is fine."""
+def _vlc_table(lens, codes) -> dict[tuple[int, int], int]:
+    """(length, codeword) → row index, precomputed once per VLC table —
+    `_vlc_read` previously rebuilt a candidate list and scanned it per
+    decoded symbol, a measured CAVLC hot spot."""
+    return {(ln, code): i for i, (ln, code) in enumerate(zip(lens, codes))}
+
+
+def _vlc_read(br: BitReader, table: dict[tuple[int, int], int]) -> int:
+    """Decode one prefix code against a precomputed (len, code) table."""
     acc = 0
     nbits = 0
-    candidates = list(zip(lens, codes, range(len(lens))))
+    get = table.get
     while nbits < 32:
         acc = (acc << 1) | br.u(1)
         nbits += 1
-        for ln, code, idx in candidates:
-            if ln == nbits and code == acc:
-                return idx
+        idx = get((nbits, acc))
+        if idx is not None:
+            return idx
     raise ValueError("AVC: invalid VLC code")
+
+
+def _ct_decode_tables() -> dict[int, dict[tuple[int, int], tuple[int, int]]]:
+    # one decode dict per row table, keyed exactly like _CT_LEN/_CT_CODE
+    # (0-2 plus the -1 chroma-DC table)
+    out = {}
+    for cls, table_len in _CT_LEN.items():
+        table_code = _CT_CODE[cls]
+        d: dict[tuple[int, int], tuple[int, int]] = {}
+        for total in range(len(table_len)):
+            for t1s in range(len(table_len[total])):
+                d[(table_len[total][t1s], table_code[total][t1s])] = (total, t1s)
+        out[cls] = d
+    return out
+
+
+_CT_DEC = _ct_decode_tables()
+_TZ_DEC = [_vlc_table(lens, codes) for lens, codes in zip(_TZ_LEN, _TZ_CODE)]
+_TZC_DEC = [_vlc_table(lens, codes) for lens, codes in zip(_TZC_LEN, _TZC_CODE)]
+_RB_DEC = [_vlc_table(lens, codes) for lens, codes in zip(_RB_LEN, _RB_CODE)]
 
 
 def _read_coeff_token(br: BitReader, nC: int) -> tuple[int, int]:
@@ -327,15 +361,17 @@ def _read_coeff_token(br: BitReader, nC: int) -> tuple[int, int]:
         if v == 0b000011:
             return 0, 0
         return (v >> 2) + 1, v & 3
-    lens, codes, pairs = [], [], []
-    table_len, table_code = _CT_LEN[cls], _CT_CODE[cls]
-    for total in range(len(table_len)):
-        for t1s in range(len(table_len[total])):
-            lens.append(table_len[total][t1s])
-            codes.append(table_code[total][t1s])
-            pairs.append((total, t1s))
-    idx = _vlc_read(br, lens, codes)
-    return pairs[idx]
+    table = _CT_DEC[cls]
+    acc = 0
+    nbits = 0
+    get = table.get
+    while nbits < 32:
+        acc = (acc << 1) | br.u(1)
+        nbits += 1
+        pair = get((nbits, acc))
+        if pair is not None:
+            return pair
+    raise ValueError("AVC: invalid VLC code")
 
 
 def encode_residual_block(
@@ -448,9 +484,9 @@ def decode_residual_block(br: BitReader, nC: int, max_coeffs: int) -> list[int]:
             suffix_len += 1
     if total < max_coeffs:
         if max_coeffs == 4:
-            tz = _vlc_read(br, _TZC_LEN[total - 1], _TZC_CODE[total - 1])
+            tz = _vlc_read(br, _TZC_DEC[total - 1])
         else:
-            tz = _vlc_read(br, _TZ_LEN[total - 1], _TZ_CODE[total - 1])
+            tz = _vlc_read(br, _TZ_DEC[total - 1])
     else:
         tz = 0
     # place coefficients, highest frequency first
@@ -462,7 +498,7 @@ def decode_residual_block(br: BitReader, nC: int, max_coeffs: int) -> list[int]:
             break
         if zeros_left > 0:
             tab = min(zeros_left, 7) - 1
-            run = _vlc_read(br, _RB_LEN[tab], _RB_CODE[tab])
+            run = _vlc_read(br, _RB_DEC[tab])
             zeros_left -= run
         else:
             run = 0
@@ -519,23 +555,29 @@ def fwd4x4(block: np.ndarray) -> np.ndarray:
 
 def inv4x4(coefs: np.ndarray) -> np.ndarray:
     """Inverse 4x4 integer transform (spec 8.5.12.2 butterfly), output
-    NOT yet rounded — caller applies (x + 32) >> 6."""
+    NOT yet rounded — caller applies (x + 32) >> 6. Whole-axis array
+    ops (identical arithmetic to the per-row/per-column butterfly)."""
     d = coefs.astype(np.int64)
-    e = np.empty_like(d)
-    # horizontal
-    for i in range(4):
-        a = d[i, 0] + d[i, 2]
-        b = d[i, 0] - d[i, 2]
-        c = (d[i, 1] >> 1) - d[i, 3]
-        t = d[i, 1] + (d[i, 3] >> 1)
-        e[i] = [a + t, b + c, b - c, a - t]
-    f = np.empty_like(e)
-    for j in range(4):
-        a = e[0, j] + e[2, j]
-        b = e[0, j] - e[2, j]
-        c = (e[1, j] >> 1) - e[3, j]
-        t = e[1, j] + (e[3, j] >> 1)
-        f[:, j] = [a + t, b + c, b - c, a - t]
+    # horizontal pass: combine columns, per row
+    a = d[:, 0] + d[:, 2]
+    b = d[:, 0] - d[:, 2]
+    c = (d[:, 1] >> 1) - d[:, 3]
+    t = d[:, 1] + (d[:, 3] >> 1)
+    e = np.empty((4, 4), np.int64)
+    e[:, 0] = a + t
+    e[:, 1] = b + c
+    e[:, 2] = b - c
+    e[:, 3] = a - t
+    # vertical pass: combine rows, per column
+    a = e[0] + e[2]
+    b = e[0] - e[2]
+    c = (e[1] >> 1) - e[3]
+    t = e[1] + (e[3] >> 1)
+    f = np.empty((4, 4), np.int64)
+    f[0] = a + t
+    f[1] = b + c
+    f[2] = b - c
+    f[3] = a - t
     return f
 
 
@@ -1391,57 +1433,68 @@ assert len(_DB_ALPHA) == len(_DB_BETA) == len(_DB_TC0) == 52
 
 
 def _luma_filter_seg(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
-    """Filter one luma edge segment (int64 arrays, one entry per line)
+    """Filter one luma edge (int64 sample arrays, one entry per line)
     → (p2', p1', p0', q0', q1', q2'). Spec 8.7.2.3 (bS < 4) and
-    8.7.2.4 (bS = 4)."""
-    fm = (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) & (
-        np.abs(q1 - q0) < beta
+    8.7.2.4 (bS = 4).
+
+    ``bs``/``alpha``/``beta``/``tc0`` may be scalars or per-line arrays
+    (numpy broadcasting) — deblock_picture fuses the four 4-line
+    segments of an edge into ONE 16-line call with per-line parameters;
+    lines with bs == 0 pass through via the filter mask. Both strength
+    branches are evaluated vectorized and selected per line."""
+    fm = (
+        (bs > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
     )
     ap = np.abs(p2 - p0)
     aq = np.abs(q2 - q0)
-    if bs < 4:
-        tc = tc0 + (ap < beta) + (aq < beta)
-        delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
-        p0n = np.clip(p0 + delta, 0, 255)
-        q0n = np.clip(q0 - delta, 0, 255)
-        dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
-        dq1 = np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
-        p1n = np.where(ap < beta, p1 + dp1, p1)
-        q1n = np.where(aq < beta, q1 + dq1, q1)
-        p2n, q2n = p2, q2
-    else:
-        close = np.abs(p0 - q0) < ((alpha >> 2) + 2)
-        sp = (ap < beta) & close
-        sq = (aq < beta) & close
-        p0n = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
-                       (2 * p1 + p0 + q1 + 2) >> 2)
-        p1n = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
-        p2n = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
-        q0n = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
-                       (2 * q1 + q0 + p1 + 2) >> 2)
-        q1n = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
-        q2n = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    # bS < 4: clipped delta filter
+    tc = tc0 + (ap < beta) + (aq < beta)
+    delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    havg = (p0 + q0 + 1) >> 1
+    p0w = np.clip(p0 + delta, 0, 255)
+    q0w = np.clip(q0 - delta, 0, 255)
+    p1w = np.where(ap < beta, p1 + np.clip((p2 + havg - 2 * p1) >> 1, -tc0, tc0), p1)
+    q1w = np.where(aq < beta, q1 + np.clip((q2 + havg - 2 * q1) >> 1, -tc0, tc0), q1)
+    # bS = 4: strong filter
+    close = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = (ap < beta) & close
+    sq = (aq < beta) & close
+    p0s = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                   (2 * p1 + p0 + q1 + 2) >> 2)
+    p1s = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    p2s = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    q0s = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                   (2 * q1 + q0 + p1 + 2) >> 2)
+    q1s = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    q2s = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    strong = np.asarray(bs) == 4
     return tuple(
-        np.where(fm, n, o)
-        for n, o in ((p2n, p2), (p1n, p1), (p0n, p0),
-                     (q0n, q0), (q1n, q1), (q2n, q2))
+        np.where(fm, np.where(strong, s, w), o)
+        for s, w, o in (
+            (p2s, p2, p2), (p1s, p1w, p1), (p0s, p0w, p0),
+            (q0s, q0w, q0), (q1s, q1w, q1), (q2s, q2, q2),
+        )
     )
 
 
 def _chroma_filter_seg(p1, p0, q0, q1, bs, alpha, beta, tc0):
-    """Filter one chroma edge segment → (p0', q0'). Chroma modifies
-    only the row/column adjacent to the edge (spec 8.7.2.3/8.7.2.4)."""
-    fm = (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) & (
-        np.abs(q1 - q0) < beta
+    """Filter one chroma edge → (p0', q0'). Chroma modifies only the
+    row/column adjacent to the edge (spec 8.7.2.3/8.7.2.4). Parameters
+    broadcast per line exactly as in :func:`_luma_filter_seg`."""
+    fm = (
+        (bs > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
     )
-    if bs < 4:
-        tc = tc0 + 1
-        delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
-        p0n = np.clip(p0 + delta, 0, 255)
-        q0n = np.clip(q0 - delta, 0, 255)
-    else:
-        p0n = (2 * p1 + p0 + q1 + 2) >> 2
-        q0n = (2 * q1 + q0 + p1 + 2) >> 2
+    tc = tc0 + 1
+    delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    strong = np.asarray(bs) == 4
+    p0n = np.where(strong, (2 * p1 + p0 + q1 + 2) >> 2, np.clip(p0 + delta, 0, 255))
+    q0n = np.where(strong, (2 * q1 + q0 + p1 + 2) >> 2, np.clip(q0 - delta, 0, 255))
     return np.where(fm, p0n, p0), np.where(fm, q0n, q0)
 
 
@@ -1503,30 +1556,57 @@ def deblock_picture(
         ib = min(max(qav + b_off, 0), 51)
         return _DB_ALPHA[ia], _DB_BETA[ib], (_DB_TC0[ia][bs - 1] if bs < 4 else 0)
 
+    def edge_params(qp_tab, width, pq_of_j):
+        """Per-line (bs, alpha, beta, tc0) arrays for one edge: the four
+        4x4-block segments expand to ``width`` lines each; bs == 0 (or
+        zero thresholds) lines stay zero and pass through the filter
+        mask unchanged — letting the whole 16-line edge filter in ONE
+        vectorized call instead of four (spec arithmetic is per line,
+        so fusing segments with per-line parameters is exact)."""
+        bs_l = np.zeros(4 * width, np.int64)
+        al_l = np.zeros(4 * width, np.int64)
+        be_l = np.zeros(4 * width, np.int64)
+        tc_l = np.zeros(4 * width, np.int64)
+        any_line = False
+        for j in range(4):
+            (pbx, pby), (qbx_, qby_), mb_edge = pq_of_j(j)
+            bs = _edge_bs(intra, nz, mv, ref, pbx, pby, qbx_, qby_, mb_edge)
+            if bs == 0:
+                continue
+            pmb = (pby >> 2, pbx >> 2)
+            qmb = (qby_ >> 2, qbx_ >> 2)
+            alpha, beta, tc0 = thresholds(qp_tab, pmb, qmb, bs)
+            if alpha == 0 or beta == 0:
+                continue
+            s = j * width
+            bs_l[s : s + width] = bs
+            al_l[s : s + width] = alpha
+            be_l[s : s + width] = beta
+            tc_l[s : s + width] = tc0
+            any_line = True
+        return (bs_l, al_l, be_l, tc_l) if any_line else None
+
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
+            y0 = mby * 16
+            yc0 = mby * 8
             # ---- vertical edges (filter columns), left → right
             for e in range(4):
                 if e == 0 and mbx == 0:
                     continue
                 x = mbx * 16 + e * 4
                 qbx = x >> 2
-                for j in range(4):
-                    by = mby * 4 + j
-                    bs = _edge_bs(intra, nz, mv, ref, qbx - 1, by, qbx, by, e == 0)
-                    if bs == 0:
-                        continue
-                    pmb = (by >> 2, (qbx - 1) >> 2)
-                    qmb = (by >> 2, qbx >> 2)
-                    alpha, beta, tc0 = thresholds(qpy, pmb, qmb, bs)
-                    if alpha == 0 or beta == 0:
-                        continue
-                    r0 = by * 4
-                    seg = ry[r0 : r0 + 4, x - 4 : x + 4]
-                    cols = [seg[:, k].copy() for k in range(8)]
-                    out = _luma_filter_seg(*cols, bs, alpha, beta, tc0)
-                    for k, arr in enumerate(out, start=1):
-                        seg[:, k] = arr
+                params = edge_params(
+                    qpy, 4,
+                    lambda j: ((qbx - 1, mby * 4 + j), (qbx, mby * 4 + j), e == 0),
+                )
+                if params is None:
+                    continue
+                seg = ry[y0 : y0 + 16, x - 4 : x + 4]
+                cols = [seg[:, k].copy() for k in range(8)]
+                out = _luma_filter_seg(*cols, *params)
+                for k, arr in enumerate(out, start=1):
+                    seg[:, k] = arr
             # vertical chroma edges: 4:2:0 ⇒ only the luma edges at
             # x % 8 == 0 have chroma counterparts (e = 0 and e = 2)
             for e in (0, 2):
@@ -1534,67 +1614,54 @@ def deblock_picture(
                     continue
                 qbx = (mbx * 16 + e * 4) >> 2
                 xc = mbx * 8 + e * 2
-                for j in range(4):
-                    by = mby * 4 + j
-                    bs = _edge_bs(intra, nz, mv, ref, qbx - 1, by, qbx, by, e == 0)
-                    if bs == 0:
-                        continue
-                    pmb = (by >> 2, (qbx - 1) >> 2)
-                    qmb = (by >> 2, qbx >> 2)
-                    alpha, beta, tc0 = thresholds(qpc_tab, pmb, qmb, bs)
-                    if alpha == 0 or beta == 0:
-                        continue
-                    rc0 = mby * 8 + j * 2
-                    for plane in (rcb, rcr):
-                        seg = plane[rc0 : rc0 + 2, xc - 2 : xc + 2]
-                        cols = [seg[:, k].copy() for k in range(4)]
-                        p0n, q0n = _chroma_filter_seg(*cols, bs, alpha, beta, tc0)
-                        seg[:, 1] = p0n
-                        seg[:, 2] = q0n
+                params = edge_params(
+                    qpc_tab, 2,
+                    lambda j: ((qbx - 1, mby * 4 + j), (qbx, mby * 4 + j), e == 0),
+                )
+                if params is None:
+                    continue
+                for plane in (rcb, rcr):
+                    seg = plane[yc0 : yc0 + 8, xc - 2 : xc + 2]
+                    cols = [seg[:, k].copy() for k in range(4)]
+                    p0n, q0n = _chroma_filter_seg(*cols, *params)
+                    seg[:, 1] = p0n
+                    seg[:, 2] = q0n
             # ---- horizontal edges (filter rows), top → bottom
             for e in range(4):
                 if e == 0 and mby == 0:
                     continue
                 yh = mby * 16 + e * 4
                 qby = yh >> 2
-                for j in range(4):
-                    bx = mbx * 4 + j
-                    bs = _edge_bs(intra, nz, mv, ref, bx, qby - 1, bx, qby, e == 0)
-                    if bs == 0:
-                        continue
-                    pmb = ((qby - 1) >> 2, bx >> 2)
-                    qmb = (qby >> 2, bx >> 2)
-                    alpha, beta, tc0 = thresholds(qpy, pmb, qmb, bs)
-                    if alpha == 0 or beta == 0:
-                        continue
-                    c0 = bx * 4
-                    seg = ry[yh - 4 : yh + 4, c0 : c0 + 4]
-                    rows = [seg[k, :].copy() for k in range(8)]
-                    out = _luma_filter_seg(*rows, bs, alpha, beta, tc0)
-                    for k, arr in enumerate(out, start=1):
-                        seg[k, :] = arr
+                params = edge_params(
+                    qpy, 4,
+                    lambda j: ((mbx * 4 + j, qby - 1), (mbx * 4 + j, qby), e == 0),
+                )
+                if params is None:
+                    continue
+                c0 = mbx * 16
+                seg = ry[yh - 4 : yh + 4, c0 : c0 + 16]
+                rows = [seg[k, :].copy() for k in range(8)]
+                out = _luma_filter_seg(*rows, *params)
+                for k, arr in enumerate(out, start=1):
+                    seg[k, :] = arr
             for e in (0, 2):
                 if e == 0 and mby == 0:
                     continue
                 qby = (mby * 16 + e * 4) >> 2
                 yc = mby * 8 + e * 2
-                for j in range(4):
-                    bx = mbx * 4 + j
-                    bs = _edge_bs(intra, nz, mv, ref, bx, qby - 1, bx, qby, e == 0)
-                    if bs == 0:
-                        continue
-                    pmb = ((qby - 1) >> 2, bx >> 2)
-                    qmb = (qby >> 2, bx >> 2)
-                    alpha, beta, tc0 = thresholds(qpc_tab, pmb, qmb, bs)
-                    if alpha == 0 or beta == 0:
-                        continue
-                    cc0 = mbx * 8 + j * 2
-                    for plane in (rcb, rcr):
-                        seg = plane[yc - 2 : yc + 2, cc0 : cc0 + 2]
-                        rows = [seg[k, :].copy() for k in range(4)]
-                        p0n, q0n = _chroma_filter_seg(*rows, bs, alpha, beta, tc0)
-                        seg[1, :] = p0n
-                        seg[2, :] = q0n
+                params = edge_params(
+                    qpc_tab, 2,
+                    lambda j: ((mbx * 4 + j, qby - 1), (mbx * 4 + j, qby), e == 0),
+                )
+                if params is None:
+                    continue
+                cc0 = mbx * 8
+                for plane in (rcb, rcr):
+                    seg = plane[yc - 2 : yc + 2, cc0 : cc0 + 8]
+                    rows = [seg[k, :].copy() for k in range(4)]
+                    p0n, q0n = _chroma_filter_seg(*rows, *params)
+                    seg[1, :] = p0n
+                    seg[2, :] = q0n
 
 
 def _parse_slice_header(br: BitReader, sps: dict, pps: dict, idr: bool,
