@@ -2638,7 +2638,12 @@ def q_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f] = [m[f] for m in metas]
             yield out
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    # ~0.2 ms of synth+parse CPU per doc: the single-row-group testdata
+    # scan must not serialize it into one task (measured 1.63 s at sf0.1
+    # with the whole corpus in ONE MapInPandas task; no-op at real scale)
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(run, schema)
 
 
