@@ -162,10 +162,45 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
     return out
 
 
-def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    enc = _huff_encode_table(bits, vals)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+class _HuffTable(dict):
+    """(length, code) -> symbol decode dict, plus ``lut``: a 65536-entry
+    list indexed by the next 16 bits of the stream (left-aligned) whose
+    entries pack ``(code_length << 8) | symbol`` — one list index
+    replaces the old bit-by-bit prefix walk. Entries are ``None`` where
+    no code matches (invalid prefix)."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, dec: dict[tuple[int, int], int]) -> None:
+        super().__init__(dec)
+        lut: list[int | None] = [None] * 65536
+        for (ln, code), sym in dec.items():
+            span = 1 << (16 - ln)
+            start = code * span
+            lut[start:start + span] = [(ln << 8) | sym] * span
+        self.lut = lut
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """(length, code) -> symbol (with a 16-bit-prefix fast LUT). MJPEG
+    streams repeat identical DHT segments every frame, so the build is
+    memoized on the raw table bytes."""
+    return _huff_decode_table_cached(tuple(bits), tuple(vals))
+
+
+def _huff_decode_table_cached(bits: tuple[int, ...], vals: tuple[int, ...]) -> _HuffTable:
+    key = (bits, vals)
+    tab = _HUFF_CACHE.get(key)
+    if tab is None:
+        enc = _huff_encode_table(list(bits), list(vals))
+        tab = _HuffTable({(ln, code): sym for sym, (code, ln) in enc.items()})
+        if len(_HUFF_CACHE) >= 64:
+            _HUFF_CACHE.clear()
+        _HUFF_CACHE[key] = tab
+    return tab
+
+
+_HUFF_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], _HuffTable] = {}
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -206,46 +241,96 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Bit reader over one scan's entropy-coded bytes. The raw stream is
+    split ONCE at RSTn markers and each piece unstuffed (FF00 -> FF) up
+    front, so the hot bit loop has no per-byte marker conditionals:
+    reads pull up to 8 unstuffed bytes at a time into an int
+    accumulator, and Huffman symbols resolve with ONE 16-bit-prefix LUT
+    index instead of a bit-by-bit prefix walk."""
+
+    __slots__ = ("data", "_segs", "_si", "_seg", "_bp", "_acc", "_n")
+
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
+        segs = []
+        start = i = 0
+        n = len(data)
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                segs.append(data[start:])
+                break
+            if 0xD0 <= data[j + 1] <= 0xD7:  # restart marker: piece boundary
+                segs.append(data[start:j])
+                start = i = j + 2
+            else:  # stuffed FF00 (unstuffed below); data byte otherwise
+                i = j + 2
+        self._segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+        self._si = 0
+        self._seg = self._segs[0]
+        self._bp = 0  # byte position within the current piece
         self._acc = 0
         self._n = 0
 
+    def _fill(self) -> bool:
+        take = min(8, len(self._seg) - self._bp)
+        if take <= 0:
+            return False
+        bp = self._bp
+        self._acc = ((self._acc & ((1 << self._n) - 1)) << (take * 8)) | int.from_bytes(
+            self._seg[bp:bp + take], "big"
+        )
+        self._bp = bp + take
+        self._n += take * 8
+        return True
+
     def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
+        n = self._n
+        if n == 0:
+            if not self._fill():
                 raise ValueError("JPEG: entropy data truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed
-                else:
-                    raise ValueError("JPEG: unexpected marker inside scan")
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+            n = self._n
+        n -= 1
+        self._n = n
+        return (self._acc >> n) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        while self._n < n:
+            if not self._fill():
+                raise ValueError("JPEG: entropy data truncated")
+        rem = self._n - n
+        self._n = rem
+        return (self._acc >> rem) & ((1 << n) - 1)
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+        n = self._n
+        if n < 16:
+            self._fill()
+            n = self._n
+        p = ((self._acc >> (n - 16)) if n >= 16 else (self._acc << (16 - n))) & 0xFFFF
+        e = table.lut[p]
+        if e is not None:
+            ln = e >> 8
+            if ln <= n:
+                self._n = n - ln
+                return e & 0xFF
+        if n < 16:  # piece exhausted mid-code (the old walk's read_bit raise)
+            raise ValueError("JPEG: entropy data truncated")
         raise ValueError("JPEG: invalid Huffman code")
 
     def byte_align(self) -> None:
-        self._n = 0
+        self._n -= self._n % 8
+
+    def skip_rst(self) -> None:
+        """Byte-align and continue at the next restart piece — the old
+        reader's 'skip stuffed pad bytes, then the RST marker'."""
+        self.byte_align()
+        if self._si + 1 < len(self._segs):
+            self._si += 1
+            self._seg = self._segs[self._si]
+            self._bp = 0
+            self._acc = 0
+            self._n = 0
 
 
 # ---------------------------------------------------------------- encoder
@@ -742,19 +827,7 @@ def _entropy_end(b: bytes, pos: int) -> int:
 
 def _skip_rst(br: _BitReader) -> None:
     """Byte-align, skip stuffed pad bytes, then the RST marker."""
-    br.byte_align()
-    while (
-        br.pos + 1 < len(br.data)
-        and br.data[br.pos] == 0xFF
-        and br.data[br.pos + 1] == 0x00
-    ):
-        br.pos += 2
-    if (
-        br.pos + 1 < len(br.data)
-        and br.data[br.pos] == 0xFF
-        and 0xD0 <= br.data[br.pos + 1] <= 0xD7
-    ):
-        br.pos += 2
+    br.skip_rst()
 
 
 def _decode_block_first(br, zz, dc_tab, ac_tab, ss, se, al, pred, eobrun):

@@ -1665,7 +1665,18 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("binary")
     def synth(ids: pd.Series) -> pd.Series:
-        return pd.Series([_synth_video_payload(int(d)) for d in ids])
+        # payload is a pure function of doc_id % _VID_MOD: encode each
+        # residue class once per batch, not once per document
+        cache: dict[int, bytes] = {}
+
+        def get(d: int) -> bytes:
+            r = d % _VID_MOD
+            p = cache.get(r)
+            if p is None:
+                p = cache[r] = _synth_video_payload(r)
+            return p
+
+        return pd.Series([get(int(d)) for d in ids])
 
     # CPU-bound pure-Python codec work: widen the single-row-group scan
     # (no-op at real scale) or every payload encodes/decodes in ONE task
