@@ -556,28 +556,31 @@ def fwd4x4(block: np.ndarray) -> np.ndarray:
 def inv4x4(coefs: np.ndarray) -> np.ndarray:
     """Inverse 4x4 integer transform (spec 8.5.12.2 butterfly), output
     NOT yet rounded — caller applies (x + 32) >> 6. Whole-axis array
-    ops (identical arithmetic to the per-row/per-column butterfly)."""
+    ops (identical arithmetic to the per-row/per-column butterfly).
+    Accepts a single (4, 4) block or a (..., 4, 4) stack — the butterfly
+    is per-block either way, so a whole macroblock's blocks transform in
+    one call."""
     d = coefs.astype(np.int64)
     # horizontal pass: combine columns, per row
-    a = d[:, 0] + d[:, 2]
-    b = d[:, 0] - d[:, 2]
-    c = (d[:, 1] >> 1) - d[:, 3]
-    t = d[:, 1] + (d[:, 3] >> 1)
-    e = np.empty((4, 4), np.int64)
-    e[:, 0] = a + t
-    e[:, 1] = b + c
-    e[:, 2] = b - c
-    e[:, 3] = a - t
+    a = d[..., :, 0] + d[..., :, 2]
+    b = d[..., :, 0] - d[..., :, 2]
+    c = (d[..., :, 1] >> 1) - d[..., :, 3]
+    t = d[..., :, 1] + (d[..., :, 3] >> 1)
+    e = np.empty(d.shape, np.int64)
+    e[..., :, 0] = a + t
+    e[..., :, 1] = b + c
+    e[..., :, 2] = b - c
+    e[..., :, 3] = a - t
     # vertical pass: combine rows, per column
-    a = e[0] + e[2]
-    b = e[0] - e[2]
-    c = (e[1] >> 1) - e[3]
-    t = e[1] + (e[3] >> 1)
-    f = np.empty((4, 4), np.int64)
-    f[0] = a + t
-    f[1] = b + c
-    f[2] = b - c
-    f[3] = a - t
+    a = e[..., 0, :] + e[..., 2, :]
+    b = e[..., 0, :] - e[..., 2, :]
+    c = (e[..., 1, :] >> 1) - e[..., 3, :]
+    t = e[..., 1, :] + (e[..., 3, :] >> 1)
+    f = np.empty(d.shape, np.int64)
+    f[..., 0, :] = a + t
+    f[..., 1, :] = b + c
+    f[..., 2, :] = b - c
+    f[..., 3, :] = a - t
     return f
 
 
@@ -645,7 +648,7 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 
 def _recon_block(pred: np.ndarray, coefs: np.ndarray) -> np.ndarray:
     res = (inv4x4(coefs) + 32) >> 6
-    return np.clip(pred.astype(np.int64) + res, 0, 255)
+    return np.minimum(np.maximum(pred.astype(np.int64) + res, 0), 255)
 
 
 # ------------------------------------------------------ intra prediction
@@ -655,6 +658,49 @@ _BLK_XY = [
     (4 * (2 * ((i >> 2) & 1) + (i & 1)), 4 * (2 * (i >> 3) + ((i >> 1) & 1)))
     for i in range(16)
 ]
+
+# Scatter indices mapping a (16, 4, 4) stack of luma blocks in _BLK_XY
+# coding order onto a 16x16 MB plane: plane[_MB_R, _MB_C] = stack.
+_MB_R = np.array(
+    [[[by + r for _ in range(4)] for r in range(4)] for (bx, by) in _BLK_XY],
+    dtype=np.intp,
+)
+_MB_C = np.array(
+    [[[bx + c for c in range(4)] for _ in range(4)] for (bx, by) in _BLK_XY],
+    dtype=np.intp,
+)
+# DC scatter: stack[bi, 0, 0] = dc_plane[_MB_DC_R[bi], _MB_DC_C[bi]]
+_MB_DC_R = np.array([by // 4 for (bx, by) in _BLK_XY], dtype=np.intp)
+_MB_DC_C = np.array([bx // 4 for (bx, by) in _BLK_XY], dtype=np.intp)
+
+# Chroma analog: (4, 4, 4) stack in ((0,0),(0,4),(4,0),(4,4)) order onto
+# an 8x8 plane.
+_CH_XY = ((0, 0), (0, 4), (4, 0), (4, 4))
+_CH_R = np.array(
+    [[[by + r for _ in range(4)] for r in range(4)] for (by, bx) in _CH_XY],
+    dtype=np.intp,
+)
+_CH_C = np.array(
+    [[[bx + c for c in range(4)] for _ in range(4)] for (by, bx) in _CH_XY],
+    dtype=np.intp,
+)
+
+
+def _recon_mb_luma(pred: np.ndarray, coef_stack: np.ndarray) -> np.ndarray:
+    """Reconstruct a whole 16x16 luma MB from its (16, 4, 4) coefficient
+    stack in _BLK_XY coding order: one batched inverse transform + one
+    clip instead of 16 per-block calls (identical arithmetic)."""
+    res = np.empty((16, 16), np.int64)
+    res[_MB_R, _MB_C] = (inv4x4(coef_stack) + 32) >> 6
+    return np.minimum(np.maximum(pred.astype(np.int64) + res, 0), 255)
+
+
+def _recon_mb_chroma(pred: np.ndarray, coef_stack: np.ndarray) -> np.ndarray:
+    """Chroma twin of :func:`_recon_mb_luma`: (4, 4, 4) stack in _CH_XY
+    order onto one 8x8 component plane."""
+    res = np.empty((8, 8), np.int64)
+    res[_CH_R, _CH_C] = (inv4x4(coef_stack) + 32) >> 6
+    return np.minimum(np.maximum(pred.astype(np.int64) + res, 0), 255)
 
 
 def _pred16(mode: int, top, left) -> np.ndarray:
@@ -1378,16 +1424,14 @@ def _decode_intra_mb(br: BitReader, mb_type: int, st: dict, mbx: int, mby: int) 
             z_ac.append(_zz_unscan([0] + vals))
         else:
             nc.luma[by4, bx4] = 0
-            z_ac.append(np.zeros((4, 4), dtype=np.int64))
-    for bi in range(16):
-        bx, by_ = _BLK_XY[bi]
-        coefs = dequant4x4_ac(z_ac[bi], qp) if cbp_luma else np.zeros(
-            (4, 4), dtype=np.int64
-        )
-        coefs[0, 0] = dcp[by_ // 4, bx // 4]
-        ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
-            pred_y[by_ : by_ + 4, bx : bx + 4], coefs
-        )
+    # batched recon: dequant + inverse transform all 16 blocks at once
+    coef_stack = (
+        dequant4x4_ac(np.stack(z_ac), qp)
+        if cbp_luma
+        else np.zeros((16, 4, 4), dtype=np.int64)
+    )
+    coef_stack[:, 0, 0] = dcp[_MB_DC_R, _MB_DC_C]
+    ry[y0 : y0 + 16, x0 : x0 + 16] = _recon_mb_luma(pred_y, coef_stack)
     _decode_mb_chroma(
         br, nc, rcb, rcr, mbx, mby,
         [_mb_pred_chroma(rcb, mbx, mby, cmode),
@@ -1431,6 +1475,11 @@ _DB_TC0 = [(0, 0, 0)] * 17 + [
 ]
 assert len(_DB_ALPHA) == len(_DB_BETA) == len(_DB_TC0) == 52
 
+# numpy mirrors for whole-picture table lookups in deblock_picture
+_DB_ALPHA_NP = np.array(_DB_ALPHA, dtype=np.int64)
+_DB_BETA_NP = np.array(_DB_BETA, dtype=np.int64)
+_DB_TC0_NP = np.array(_DB_TC0, dtype=np.int64)  # (52, 3) by (indexA, bS-1)
+
 
 def _luma_filter_seg(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
     """Filter one luma edge (int64 sample arrays, one entry per line)
@@ -1442,35 +1491,61 @@ def _luma_filter_seg(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
     segments of an edge into ONE 16-line call with per-line parameters;
     lines with bs == 0 pass through via the filter mask. Both strength
     branches are evaluated vectorized and selected per line."""
+    bs = np.asarray(bs)
     fm = (
         (bs > 0)
         & (np.abs(p0 - q0) < alpha)
         & (np.abs(p1 - p0) < beta)
         & (np.abs(q1 - q0) < beta)
     )
+    if not fm.any():
+        return p2, p1, p0, q0, q1, q2
+    strong = bs == 4
+    fm_s = fm & strong
+    fm_w = fm & ~strong
     ap = np.abs(p2 - p0)
     aq = np.abs(q2 - q0)
-    # bS < 4: clipped delta filter
-    tc = tc0 + (ap < beta) + (aq < beta)
-    delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
-    havg = (p0 + q0 + 1) >> 1
-    p0w = np.clip(p0 + delta, 0, 255)
-    q0w = np.clip(q0 - delta, 0, 255)
-    p1w = np.where(ap < beta, p1 + np.clip((p2 + havg - 2 * p1) >> 1, -tc0, tc0), p1)
-    q1w = np.where(aq < beta, q1 + np.clip((q2 + havg - 2 * q1) >> 1, -tc0, tc0), q1)
-    # bS = 4: strong filter
-    close = np.abs(p0 - q0) < ((alpha >> 2) + 2)
-    sp = (ap < beta) & close
-    sq = (aq < beta) & close
-    p0s = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
-                   (2 * p1 + p0 + q1 + 2) >> 2)
-    p1s = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
-    p2s = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
-    q0s = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
-                   (2 * q1 + q0 + p1 + 2) >> 2)
-    q1s = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
-    q2s = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
-    strong = np.asarray(bs) == 4
+    has_w = bool(fm_w.any())
+    has_s = bool(fm_s.any())
+    if has_w:
+        # bS < 4: clipped delta filter
+        tc = tc0 + (ap < beta) + (aq < beta)
+        delta = np.minimum(
+            np.maximum(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc), tc
+        )
+        havg = (p0 + q0 + 1) >> 1
+        p0w = np.minimum(np.maximum(p0 + delta, 0), 255)
+        q0w = np.minimum(np.maximum(q0 - delta, 0), 255)
+        dp1 = np.minimum(np.maximum((p2 + havg - 2 * p1) >> 1, -tc0), tc0)
+        dq1 = np.minimum(np.maximum((q2 + havg - 2 * q1) >> 1, -tc0), tc0)
+        p1w = np.where(ap < beta, p1 + dp1, p1)
+        q1w = np.where(aq < beta, q1 + dq1, q1)
+    if has_s:
+        # bS = 4: strong filter
+        close = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        sp = (ap < beta) & close
+        sq = (aq < beta) & close
+        p0s = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                       (2 * p1 + p0 + q1 + 2) >> 2)
+        p1s = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+        p2s = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+        q0s = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                       (2 * q1 + q0 + p1 + 2) >> 2)
+        q1s = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+        q2s = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    if not has_s:
+        return (
+            p2,
+            np.where(fm, p1w, p1), np.where(fm, p0w, p0),
+            np.where(fm, q0w, q0), np.where(fm, q1w, q1),
+            q2,
+        )
+    if not has_w:
+        return (
+            np.where(fm, p2s, p2), np.where(fm, p1s, p1),
+            np.where(fm, p0s, p0), np.where(fm, q0s, q0),
+            np.where(fm, q1s, q1), np.where(fm, q2s, q2),
+        )
     return tuple(
         np.where(fm, np.where(strong, s, w), o)
         for s, w, o in (
@@ -1484,17 +1559,26 @@ def _chroma_filter_seg(p1, p0, q0, q1, bs, alpha, beta, tc0):
     """Filter one chroma edge → (p0', q0'). Chroma modifies only the
     row/column adjacent to the edge (spec 8.7.2.3/8.7.2.4). Parameters
     broadcast per line exactly as in :func:`_luma_filter_seg`."""
+    bs = np.asarray(bs)
     fm = (
         (bs > 0)
         & (np.abs(p0 - q0) < alpha)
         & (np.abs(p1 - p0) < beta)
         & (np.abs(q1 - q0) < beta)
     )
+    if not fm.any():
+        return p0, q0
     tc = tc0 + 1
-    delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
-    strong = np.asarray(bs) == 4
-    p0n = np.where(strong, (2 * p1 + p0 + q1 + 2) >> 2, np.clip(p0 + delta, 0, 255))
-    q0n = np.where(strong, (2 * q1 + q0 + p1 + 2) >> 2, np.clip(q0 - delta, 0, 255))
+    delta = np.minimum(np.maximum(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc), tc)
+    strong = bs == 4
+    p0n = np.where(
+        strong, (2 * p1 + p0 + q1 + 2) >> 2,
+        np.minimum(np.maximum(p0 + delta, 0), 255),
+    )
+    q0n = np.where(
+        strong, (2 * q1 + q0 + p1 + 2) >> 2,
+        np.minimum(np.maximum(q0 - delta, 0), 255),
+    )
     return np.where(fm, p0n, p0), np.where(fm, q0n, q0)
 
 
@@ -1550,41 +1634,105 @@ def deblock_picture(
         dtype=np.int64,
     )
 
-    def thresholds(qp_tab, pmb, qmb, bs):
-        qav = (int(qp_tab[pmb]) + int(qp_tab[qmb]) + 1) >> 1
-        ia = min(max(qav + a_off, 0), 51)
-        ib = min(max(qav + b_off, 0), 51)
-        return _DB_ALPHA[ia], _DB_BETA[ib], (_DB_TC0[ia][bs - 1] if bs < 4 else 0)
+    # --- whole-picture bS + threshold grids (vectorized 8.7.2.1/.2) ---
+    # Per 4x4-luma-block edge (vertical: between (y4, x4-1) and (y4, x4),
+    # stored at [y4, x4]; horizontal analog at [y4, x4] for the edge
+    # above block (y4, x4)). Same derivation _edge_bs performs per edge,
+    # done once per picture in array form; alpha/beta/tc0 are pure table
+    # lookups of the MB-pair average QP. Lines whose thresholds are zero
+    # get bs forced to 0 — the filter mask then passes them through,
+    # exactly as the per-edge skip did.
+    h4, w4 = nz.shape
+    rep4 = lambda a: np.repeat(np.repeat(a, 4, 0), 4, 1)  # noqa: E731
+    intra4 = rep4(intra)
+    ref4 = rep4(ref)
+    mvx4 = rep4(mv[..., 0])
+    mvy4 = rep4(mv[..., 1])
+    qpy4 = rep4(qpy)
+    qpc4 = rep4(qpc_tab)
 
-    def edge_params(qp_tab, width, pq_of_j):
-        """Per-line (bs, alpha, beta, tc0) arrays for one edge: the four
-        4x4-block segments expand to ``width`` lines each; bs == 0 (or
-        zero thresholds) lines stay zero and pass through the filter
-        mask unchanged — letting the whole 16-line edge filter in ONE
-        vectorized call instead of four (spec arithmetic is per line,
-        so fusing segments with per-line parameters is exact)."""
-        bs_l = np.zeros(4 * width, np.int64)
-        al_l = np.zeros(4 * width, np.int64)
-        be_l = np.zeros(4 * width, np.int64)
-        tc_l = np.zeros(4 * width, np.int64)
-        any_line = False
-        for j in range(4):
-            (pbx, pby), (qbx_, qby_), mb_edge = pq_of_j(j)
-            bs = _edge_bs(intra, nz, mv, ref, pbx, pby, qbx_, qby_, mb_edge)
-            if bs == 0:
-                continue
-            pmb = (pby >> 2, pbx >> 2)
-            qmb = (qby_ >> 2, qbx_ >> 2)
-            alpha, beta, tc0 = thresholds(qp_tab, pmb, qmb, bs)
-            if alpha == 0 or beta == 0:
-                continue
-            s = j * width
-            bs_l[s : s + width] = bs
-            al_l[s : s + width] = alpha
-            be_l[s : s + width] = beta
-            tc_l[s : s + width] = tc0
-            any_line = True
-        return (bs_l, al_l, be_l, tc_l) if any_line else None
+    def _bs_grid(pI, qI, pnz, qnz, pr, qr, pmx, qmx, pmy, qmy, mb_edge):
+        inter_bs = np.where(
+            (pnz > 0) | (qnz > 0), 2,
+            np.where(
+                (pr != qr)
+                | (np.abs(pmx - qmx) >= 4)
+                | (np.abs(pmy - qmy) >= 4),
+                1, 0,
+            ),
+        )
+        return np.where(pI | qI, np.where(mb_edge, 4, 3), inter_bs)
+
+    def _thr_grid(qp4, pad_col: bool):
+        """(alpha, beta, tc0-by-bs) grids for edges along one axis from
+        the per-block QP grid: vertical (pad_col) pairs columns, else
+        rows."""
+        if pad_col:
+            qav = (qp4[:, :-1] + qp4[:, 1:] + 1) >> 1
+        else:
+            qav = (qp4[:-1, :] + qp4[1:, :] + 1) >> 1
+        ia = np.minimum(np.maximum(qav + a_off, 0), 51)
+        ib = np.minimum(np.maximum(qav + b_off, 0), 51)
+        return _DB_ALPHA_NP[ia], _DB_BETA_NP[ib], _DB_TC0_NP[ia]
+
+    def _edge_grids(axis_v: bool, qp4):
+        if axis_v:
+            bs = _bs_grid(
+                intra4[:, :-1], intra4[:, 1:], nz[:, :-1], nz[:, 1:],
+                ref4[:, :-1], ref4[:, 1:], mvx4[:, :-1], mvx4[:, 1:],
+                mvy4[:, :-1], mvy4[:, 1:],
+                (np.arange(1, w4) % 4 == 0)[None, :],
+            )
+        else:
+            bs = _bs_grid(
+                intra4[:-1, :], intra4[1:, :], nz[:-1, :], nz[1:, :],
+                ref4[:-1, :], ref4[1:, :], mvx4[:-1, :], mvx4[1:, :],
+                mvy4[:-1, :], mvy4[1:, :],
+                (np.arange(1, h4) % 4 == 0)[:, None],
+            )
+        al, be, tc_by = _thr_grid(qp4, axis_v)
+        tc = np.where(
+            bs == 4, 0,
+            np.take_along_axis(
+                tc_by,
+                np.minimum(np.maximum(bs - 1, 0), 2)[..., None],
+                axis=-1,
+            )[..., 0],
+        )
+        bs = np.where((al == 0) | (be == 0), 0, bs)
+        # shift so the edge between blocks (.., k-1) and (.., k) sits at
+        # index k of a full-size grid (index 0 = picture boundary, bs 0)
+        out = np.zeros((4, h4, w4), np.int64)
+        if axis_v:
+            out[:, :, 1:] = (bs, al, be, tc)
+        else:
+            out[:, 1:, :] = (bs, al, be, tc)
+        return tuple(out)
+
+    # Chroma edges use the luma bS of the corresponding luma blocks with
+    # chroma-QP thresholds (8.7.2.2) — bS derivation is QP-independent,
+    # so each grid set carries its own (bs-with-zero-thresholds-masked,
+    # alpha, beta, tc0) quadruple.
+    grids_vy = _edge_grids(True, qpy4)
+    grids_vc = _edge_grids(True, qpc4)
+    grids_hy = _edge_grids(False, qpy4)
+    grids_hc = _edge_grids(False, qpc4)
+
+    def edge_params(grids, qb: int, seg0: int, width: int, axis_v: bool):
+        """Per-line (bs, alpha, beta, tc0) for one edge: its four
+        4x4-block segments sliced from the picture grids, each expanded
+        to ``width`` lines. bs == 0 segments pass through the filter
+        mask unchanged (fusing segments with per-line parameters is
+        exact — the spec arithmetic is per line)."""
+        bs, al, be, tc = grids
+        sl = (slice(seg0, seg0 + 4), qb) if axis_v else (qb, slice(seg0, seg0 + 4))
+        b = bs[sl]
+        if not b.any():
+            return None
+        return (
+            np.repeat(b, width), np.repeat(al[sl], width),
+            np.repeat(be[sl], width), np.repeat(tc[sl], width),
+        )
 
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
@@ -1596,15 +1744,14 @@ def deblock_picture(
                     continue
                 x = mbx * 16 + e * 4
                 qbx = x >> 2
-                params = edge_params(
-                    qpy, 4,
-                    lambda j: ((qbx - 1, mby * 4 + j), (qbx, mby * 4 + j), e == 0),
-                )
+                params = edge_params(grids_vy, qbx, mby * 4, 4, True)
                 if params is None:
                     continue
                 seg = ry[y0 : y0 + 16, x - 4 : x + 4]
-                cols = [seg[:, k].copy() for k in range(8)]
-                out = _luma_filter_seg(*cols, *params)
+                # no copies needed: the filter never mutates its inputs
+                # and each returned view (pass-through lines) writes
+                # back to its own column
+                out = _luma_filter_seg(*(seg[:, k] for k in range(8)), *params)
                 for k, arr in enumerate(out, start=1):
                     seg[:, k] = arr
             # vertical chroma edges: 4:2:0 ⇒ only the luma edges at
@@ -1614,16 +1761,14 @@ def deblock_picture(
                     continue
                 qbx = (mbx * 16 + e * 4) >> 2
                 xc = mbx * 8 + e * 2
-                params = edge_params(
-                    qpc_tab, 2,
-                    lambda j: ((qbx - 1, mby * 4 + j), (qbx, mby * 4 + j), e == 0),
-                )
+                params = edge_params(grids_vc, qbx, mby * 4, 2, True)
                 if params is None:
                     continue
                 for plane in (rcb, rcr):
                     seg = plane[yc0 : yc0 + 8, xc - 2 : xc + 2]
-                    cols = [seg[:, k].copy() for k in range(4)]
-                    p0n, q0n = _chroma_filter_seg(*cols, *params)
+                    p0n, q0n = _chroma_filter_seg(
+                        *(seg[:, k] for k in range(4)), *params
+                    )
                     seg[:, 1] = p0n
                     seg[:, 2] = q0n
             # ---- horizontal edges (filter rows), top → bottom
@@ -1632,16 +1777,12 @@ def deblock_picture(
                     continue
                 yh = mby * 16 + e * 4
                 qby = yh >> 2
-                params = edge_params(
-                    qpy, 4,
-                    lambda j: ((mbx * 4 + j, qby - 1), (mbx * 4 + j, qby), e == 0),
-                )
+                params = edge_params(grids_hy, qby, mbx * 4, 4, False)
                 if params is None:
                     continue
                 c0 = mbx * 16
                 seg = ry[yh - 4 : yh + 4, c0 : c0 + 16]
-                rows = [seg[k, :].copy() for k in range(8)]
-                out = _luma_filter_seg(*rows, *params)
+                out = _luma_filter_seg(*(seg[k, :] for k in range(8)), *params)
                 for k, arr in enumerate(out, start=1):
                     seg[k, :] = arr
             for e in (0, 2):
@@ -1649,17 +1790,15 @@ def deblock_picture(
                     continue
                 qby = (mby * 16 + e * 4) >> 2
                 yc = mby * 8 + e * 2
-                params = edge_params(
-                    qpc_tab, 2,
-                    lambda j: ((mbx * 4 + j, qby - 1), (mbx * 4 + j, qby), e == 0),
-                )
+                params = edge_params(grids_hc, qby, mbx * 4, 2, False)
                 if params is None:
                     continue
                 cc0 = mbx * 8
                 for plane in (rcb, rcr):
                     seg = plane[yc - 2 : yc + 2, cc0 : cc0 + 8]
-                    rows = [seg[k, :].copy() for k in range(4)]
-                    p0n, q0n = _chroma_filter_seg(*rows, *params)
+                    p0n, q0n = _chroma_filter_seg(
+                        *(seg[k, :] for k in range(4)), *params
+                    )
                     seg[1, :] = p0n
                     seg[2, :] = q0n
 
@@ -1823,6 +1962,8 @@ def _decode_inter16_mb(br: BitReader, st: dict, ref_planes, mbx: int, mby: int):
         st["qp"] = (st["qp"] + br.se() + 52) % 52
     qp = st["qp"]
     qpc = chroma_qp(qp, pps["chroma_qp_offset"])
+    z_stack = np.zeros((16, 4, 4), dtype=np.int64)
+    any_luma = False
     for bi in range(16):
         bx, by_ = _BLK_XY[bi]
         x4 = mbx * 4 + bx // 4
@@ -1830,12 +1971,17 @@ def _decode_inter16_mb(br: BitReader, st: dict, ref_planes, mbx: int, mby: int):
         if cbp_luma_bits & (1 << (bi >> 2)):
             vals = decode_residual_block(br, nc.luma_nc(x4, y4), 16)
             nc.luma[y4, x4] = sum(1 for v in vals if v)
-            coefs = dequant4x4_ac(_zz_unscan(vals), qp)
+            z_stack[bi] = _zz_unscan(vals)
+            any_luma = True
         else:
             nc.luma[y4, x4] = 0
-            coefs = np.zeros((4, 4), dtype=np.int64)
-        st["ry"][y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
-            pred_y[by_ : by_ + 4, bx : bx + 4], coefs
+    if any_luma:
+        st["ry"][y0 : y0 + 16, x0 : x0 + 16] = _recon_mb_luma(
+            pred_y, dequant4x4_ac(z_stack, qp)
+        )
+    else:
+        st["ry"][y0 : y0 + 16, x0 : x0 + 16] = np.minimum(
+            np.maximum(pred_y.astype(np.int64), 0), 255
         )
     _decode_mb_chroma(
         br, nc, st["rcb"], st["rcr"], mbx, mby, [pred_cb, pred_cr],
@@ -1961,17 +2107,16 @@ def _decode_mb_chroma(br, nc, rcb, rcr, mbx, mby, preds, cbp_chroma, qpc):
             if cbp_chroma
             else np.zeros((2, 2), dtype=np.int64)
         )
-        for k, (by_, bx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
-            coefs = (
-                dequant4x4_ac(zc_ac[comp][k], qpc)
-                if cbp_chroma == 2
-                else np.zeros((4, 4), dtype=np.int64)
-            )
-            coefs[0, 0] = dcc[by_ // 4, bx // 4]
-            rc[
-                mby * 8 + by_ : mby * 8 + by_ + 4,
-                mbx * 8 + bx : mbx * 8 + bx + 4,
-            ] = _recon_block(preds[comp][by_ : by_ + 4, bx : bx + 4], coefs)
+        # batched recon: all 4 blocks of the component in one call
+        coef_stack = (
+            dequant4x4_ac(np.stack(zc_ac[comp]), qpc)
+            if cbp_chroma == 2
+            else np.zeros((4, 4, 4), dtype=np.int64)
+        )
+        coef_stack[:, 0, 0] = (dcc[0, 0], dcc[0, 1], dcc[1, 0], dcc[1, 1])
+        rc[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = _recon_mb_chroma(
+            preds[comp], coef_stack
+        )
 
 
 # ------------------------------------------------- stream-level helpers
