@@ -244,14 +244,23 @@ def sketch_verified_percentiles(
     )
     # one row per group — always broadcast (AQE sees only small-SF sizes)
     j = base.join(F.broadcast(bounds), keys)
-    # exact base ranks: rows strictly below each bracket, same scan
+    # exact base ranks: rows strictly below each bracket, same scan.
+    # The aggregate CARRIES the brackets and _n forward (first() of a
+    # per-group constant) so the candidate pass below joins this ONE
+    # k-row relation instead of re-joining `bounds` — without it the
+    # whole sketch subtree is a second consumer of `j` and Catalyst
+    # re-computes it per consumer (measured: the t-digest scan+agg
+    # appeared twice in the plan, plus a third count-only scan for _n).
     nb = j.groupBy(*keys).agg(
+        F.first("_n").alias("_n"),
+        *[F.first(f"_vlo_{a}").alias(f"_vlo_{a}") for a, _ in pl],
+        *[F.first(f"_vhi_{a}").alias(f"_vhi_{a}") for a, _ in pl],
         *[
             F.sum(F.when(F.col("_c") < F.col(f"_vlo_{a}"), 1).otherwise(0))
             .cast("long")
             .alias(f"_nb_{a}")
             for a, _ in pl
-        ]
+        ],
     )
     matched = F.array_compact(
         F.array(
@@ -266,10 +275,12 @@ def sketch_verified_percentiles(
         )
     )
     cand = (
-        j.select(*keys, "_c", "_n", matched.alias("_pis"))
+        base.join(F.broadcast(nb), keys)
+        .select(*keys, "_c", "_n", matched.alias("_pis"),
+                *[F.col(f"_nb_{a}") for a, _ in pl])
         .where(F.size("_pis") > 0)
-        .select(*keys, "_c", "_n", F.explode("_pis").alias("_pi"))
-        .join(F.broadcast(nb), keys)
+        .select(*keys, "_c", "_n", F.explode("_pis").alias("_pi"),
+                *[F.col(f"_nb_{a}") for a, _ in pl])
     )
     w = Window.partitionBy(*keys, "_pi").orderBy(F.col("_c").asc())
     p_of = F.lit(None).cast("double")
@@ -280,11 +291,14 @@ def sketch_verified_percentiles(
     lo_rn = F.floor((F.col("_n") - 1) * p_of).cast("long") + 1
     grank = nb_of + F.row_number().over(w)
     picked = (
-        cand.select(*keys, "_pi", "_c", lo_rn.alias("_lr"), grank.alias("_gr"))
+        cand.select(
+            *keys, "_pi", "_c", "_n", lo_rn.alias("_lr"), grank.alias("_gr")
+        )
         .groupBy(*keys, "_pi")
         .agg(
             F.min(F.when(F.col("_gr") == F.col("_lr"), F.col("_c"))).alias("_lo"),
             F.min(F.when(F.col("_gr") == F.col("_lr") + 1, F.col("_c"))).alias("_hi"),
+            F.first("_n").alias("_n"),
         )
     )
     outs = []
@@ -298,18 +312,15 @@ def sketch_verified_percentiles(
                 F.floor(lo + frac * (hi - lo) + F.lit(0.5)).cast("long"), F.lit(-1)
             ).alias(a)
         )
-    wide = (
-        picked.groupBy(*keys)
-        .agg(
-            *[
-                e
-                for i in range(len(pl))
-                for e in (
-                    F.min(F.when(F.col("_pi") == i, F.col("_lo"))).alias(f"_l_{i}"),
-                    F.min(F.when(F.col("_pi") == i, F.col("_hi"))).alias(f"_h_{i}"),
-                )
-            ]
-        )
-        .join(F.broadcast(sk.select(*keys, "_n")), keys)
+    wide = picked.groupBy(*keys).agg(
+        *[
+            e
+            for i in range(len(pl))
+            for e in (
+                F.min(F.when(F.col("_pi") == i, F.col("_lo"))).alias(f"_l_{i}"),
+                F.min(F.when(F.col("_pi") == i, F.col("_hi"))).alias(f"_h_{i}"),
+            )
+        ],
+        F.first("_n").alias("_n"),
     )
     return wide.select(*keys, *outs, F.col("_n").cast("long").alias("n"))
