@@ -92,6 +92,14 @@ _IMA_STEPS = np.array(
 )
 _IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 
+# Precomputed clamped step-index transitions: _IMA_TRANS[code][idx] ==
+# min(88, max(0, idx + _IMA_INDEX[code & 7])) — the sequential half of
+# the vectorized ima_decode_block below.
+_IMA_TRANS = [
+    [min(88, max(0, i + int(_IMA_INDEX[c & 7]))) for i in range(89)]
+    for c in range(16)
+]
+
 
 def _ima_step(code: int, predictor: int, index: int) -> tuple[int, int]:
     """One IMA decode step: (new_predictor, new_index)."""
@@ -141,16 +149,71 @@ def ima_encode_block(pcm: np.ndarray, index: int) -> tuple[bytes, int]:
 
 
 def ima_decode_block(block: bytes) -> np.ndarray:
-    """Decode one mono IMA block -> int16 samples."""
+    """Decode one mono IMA block -> int16 samples.
+
+    Vectorized but bit-exact vs the per-sample :func:`_ima_step` chain
+    (pytest pins them equal):
+
+    - The step-index recurrence ``idx = clip(idx + tbl[code], 0, 88)``
+      is the one inherently sequential piece (its clamp fires
+      constantly — silence pins the index at 0 — so no restart scheme
+      helps, and a log-doubling 89-state map-composition scan measured
+      ~10x slower than this walk because it resolves all 89 start
+      states when only one is needed); it runs as a tight Python loop
+      over the precomputed ``_IMA_TRANS`` table, which leaves the
+      per-sample work at two list lookups.
+    - The predictor recurrence is a +/-32768-clamped cumsum; clamping
+      is RARE there (only near full-scale), so it runs as a plain
+      cumsum that restarts from the first out-of-range sample when one
+      exists.
+    """
     predictor, index, _ = struct.unpack_from("<hBB", block, 0)
     if not 0 <= index <= 88:
         raise ValueError(f"IMA step index {index} out of range")
-    out = [predictor]
-    for byte in block[4:]:
-        for code in (byte & 0x0F, byte >> 4):
-            predictor, index = _ima_step(code, predictor, index)
-            out.append(predictor)
-    return np.array(out, dtype=np.int16)
+    payload = np.frombuffer(block, dtype=np.uint8, offset=4)
+    n = payload.size * 2
+    if n == 0:
+        return np.array([predictor], dtype=np.int16)
+    codes = np.empty(n, np.int32)
+    codes[0::2] = payload & 0x0F
+    codes[1::2] = payload >> 4
+    # step-index chain: a 89-state walk over the precomputed clamped
+    # transition table — the one inherently sequential piece, kept as a
+    # tight table-lookup loop (a log-doubling map-composition scan was
+    # tried and measured ~10x slower: it resolves all 89 start states
+    # when only one is needed)
+    tbl = _IMA_TRANS
+    i = index
+    idx_before: list[int] = []
+    ap = idx_before.append
+    for c in codes.tolist():
+        ap(i)
+        i = tbl[c][i]
+    # step size used at t comes from the index BEFORE the update
+    step_at = _IMA_STEPS[idx_before].astype(np.int64)
+    diff = (
+        (step_at >> 3)
+        + np.where(codes & 4, step_at, 0)
+        + np.where(codes & 2, step_at >> 1, 0)
+        + np.where(codes & 1, step_at >> 2, 0)
+    )
+    sdiff = np.where(codes & 8, -diff, diff)
+    out = np.empty(n + 1, np.int64)
+    out[0] = predictor
+    pos, pred = 0, int(predictor)
+    while pos < n:
+        raw = pred + np.cumsum(sdiff[pos:], dtype=np.int64)
+        bad = (raw > 32767) | (raw < -32768)
+        if not bad.any():
+            out[pos + 1 :] = raw
+            break
+        v = int(bad.argmax())
+        if v:
+            out[pos + 1 : pos + 1 + v] = raw[:v]
+        pred = int(max(-32768, min(32767, int(raw[v]))))
+        out[pos + 1 + v] = pred
+        pos += v + 1
+    return out.astype(np.int16)
 
 
 # --------------------------------------------------- WAV container glue
