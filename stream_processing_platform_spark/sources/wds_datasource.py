@@ -110,19 +110,29 @@ class WdsBatchReader(DataSourceReader):
         return [WdsShardPartition(p) for p in files]
 
     def read(self, partition: WdsShardPartition):
+        # Yields ONE pyarrow.RecordBatch per shard instead of per-row
+        # tuples: the Python DataSource row path pickles every row
+        # (binary payloads included) across the worker boundary, while
+        # Arrow batches cross it columnar — measured the dominant cost
+        # of q_wds_multimodal's read side.
+        import pyarrow as pa
+
         shard = os.path.basename(partition.path)
         mode = "r|gz" if partition.path.endswith(".gz") else "r|"
         cur_key: str | None = None
         cur: dict[str, bytes] = {}
+        shards: list[str] = []
+        keys: list[str] = []
+        files_col: list[list[tuple[str, bytes]]] = []
+        n_files: list[int] = []
+        total_bytes: list[int] = []
 
-        def row(key: str, files: dict[str, bytes]):
-            return (
-                shard,
-                key,
-                files,
-                len(files),
-                sum(len(v) for v in files.values()),
-            )
+        def row(key: str, files: dict[str, bytes]) -> None:
+            shards.append(shard)
+            keys.append(key)
+            files_col.append(list(files.items()))
+            n_files.append(len(files))
+            total_bytes.append(sum(len(v) for v in files.values()))
 
         with open(partition.path, "rb") as raw, tarfile.open(
             fileobj=raw, mode=mode
@@ -136,11 +146,22 @@ class WdsBatchReader(DataSourceReader):
                 data = tf.extractfile(member).read()
                 if key != cur_key:
                     if cur_key is not None:
-                        yield row(cur_key, cur)
+                        row(cur_key, cur)
                     cur_key, cur = key, {}
                 cur[ext] = data
         if cur_key is not None:
-            yield row(cur_key, cur)
+            row(cur_key, cur)
+        if keys:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(shards, pa.string()),
+                    pa.array(keys, pa.string()),
+                    pa.array(files_col, pa.map_(pa.string(), pa.binary())),
+                    pa.array(n_files, pa.int32()),
+                    pa.array(total_bytes, pa.int64()),
+                ],
+                names=["shard", "key", "files", "n_files", "total_bytes"],
+            )
 
 
 @dataclass
