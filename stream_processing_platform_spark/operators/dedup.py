@@ -609,15 +609,42 @@ def substring_dup_spans(
         F.length(normalize_text(F.col(text_col))).alias("_len"),
         gram_hashes(F.col(text_col), min_len).alias("_hs"),
     )
+    # posexplode_outer, NOT posexplode: gram_hashes never yields an
+    # empty or null array (a doc shorter than min_len still emits one
+    # clipped gram), so the two are row-identical here — but plain
+    # posexplode makes Catalyst infer a `size(_hs) > 0` filter and push
+    # it below the parallelism exchange, where the filter's reference
+    # to the UDF column re-evaluates the whole Arrow gram scan a second
+    # time per consumer (the guide-§4.4 duplication shape).
     g = base.select(
-        id_col, "_len", F.posexplode("_hs").alias("_p0", "_h")
+        id_col, "_len", F.posexplode_outer("_hs").alias("_p0", "_h")
     ).select(id_col, "_len", (F.col("_p0") + 1).cast("long").alias("pos"), "_h")
+    # ONE hash-keyed exchange of the gram table, shared by both
+    # consumers (the frequency aggregate and the covered-grams join).
+    # The subtrees below the exchange must stay canonically identical
+    # for exchange reuse to materialize the Arrow gram scan + shuffle
+    # once: the explicit isnotnull pre-empts the join's inferred null
+    # filter (which would otherwise push below only the join's copy),
+    # and the aggregate below keeps every column live on its side so
+    # column pruning can't narrow its copy of the exchange.
+    g = g.where(F.col("_h").isNotNull()).repartition("_h")
+    # Distinct docs per hash as a two-level aggregate riding the SAME
+    # partitioning (no extra exchange): (_h, id) collapses within-doc
+    # repeats, then a count per _h. The min(pos)/min(_len) aggregates
+    # exist only to reference pos/_len (see above) — two BIGINT mins
+    # over co-located rows, discarded; they buy the reuse of the whole
+    # gram-scan stage (measured: 2 Arrow scans + 2 exchanges → 1 + 1).
     dup_hashes = (
-        g.select("_h", id_col)
-        .distinct()
+        g.groupBy("_h", id_col)
+        .agg(F.min("pos").alias("_p1"), F.min("_len").alias("_l1"))
         .groupBy("_h")
-        .agg(F.count("*").alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
+        .agg(F.count("*").alias("_nd"), F.min(F.least("_p1", "_l1")).alias("_pm"))
+        # `_pm < 0` is never true (positions are 1-based, lengths >= 0):
+        # the disjunct exists so the optimizer cannot prune _p1/_l1 (and
+        # with them pos/_len) out of this side's copy of the exchange —
+        # pruning would break the canonical identity that lets AQE reuse
+        # the materialized gram-scan shuffle across both consumers.
+        .where((F.col("_nd") >= min_docs) | (F.col("_pm") < 0))
         .select("_h")
     )
     # NEVER broadcast this join: the duplicated-hash set scales with the
