@@ -199,12 +199,19 @@ def logreg_fit_ovr_reproducible(
         raise ValueError("empty training set")
     ws = {c: [0] * (dim + 1) for c in classes}
     for _ in range(iters):
-        scored = feats
-        for c in classes:
-            e_c = _p_micro(_z_num(F.col("pairs"), ws[c])) - (
-                F.col(class_col) == c
-            ).cast("long") * CLF_SCALE
-            scored = scored.withColumn(f"_e_{c}", e_c)
+        # ONE select for all k error columns: chained withColumn calls
+        # each re-analyze the growing plan eagerly (k analyses of the
+        # HOF-heavy logit trees per iteration, pure driver time).
+        scored = feats.select(
+            "*",
+            *[
+                (
+                    _p_micro(_z_num(F.col("pairs"), ws[c]))
+                    - (F.col(class_col) == c).cast("long") * CLF_SCALE
+                ).alias(f"_e_{c}")
+                for c in classes
+            ],
+        )
         grad = (
             scored.select(
                 F.explode("pairs").alias("s"),

@@ -2657,15 +2657,23 @@ def _lid_synth_col() -> F.Column:
     ((doc_id div 7) + (p+1) * (doc_id % 10 + 1)) % 12 — start offset
     and stride both vary per doc, so marker coverage varies (and ~12%
     of docs carry none: the weak labeler's blind spot)."""
-    flat = F.array(*[F.lit(w) for w in _LID_FLAT])
-    base = (F.col("doc_id") % _LID_K) * _LID_NW
+    # ONE parsed SQL expression, not per-element F.lit columns: the
+    # Python-built form spliced an 84 x F.lit array literal into all 8
+    # element_at positions through individual py4j calls — measured
+    # ~8 s of pure DRIVER time per query construction (the hyperplane
+    # array-literal lesson). Same ops, same values, one parse.
+    flat = "array(" + ", ".join(f"'{w}'" for w in _LID_FLAT) + ")"
     parts = []
     for p in range(_LID_POS):
         widx = (
-            F.expr(f"doc_id div {_LID_K}") + (p + 1) * (F.col("doc_id") % 10 + 1)
-        ) % _LID_NW
-        parts.append(F.element_at(flat, (base + widx + 1).cast("int")))
-    return F.concat_ws(" ", *parts)
+            f"(((doc_id div {_LID_K}) + {p + 1} * ((doc_id % 10) + 1))"
+            f" % {_LID_NW})"
+        )
+        parts.append(
+            f"element_at({flat}, CAST((doc_id % {_LID_K}) * {_LID_NW}"
+            f" + {widx} + 1 AS INT))"
+        )
+    return F.expr("concat_ws(' ', " + ", ".join(parts) + ")")
 
 
 def _lid_synth_sql() -> str:
@@ -2702,6 +2710,8 @@ def _lid_train(spark: SparkSession, sf_dir: str):
     marker-weak-labeled docs (lang_weak != 'und')."""
     from stream_processing_platform_spark.operators import classifier as C
 
+    from stream_processing_platform_spark.partitioning import checkpointer
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _lid_synth_col().alias("synth")
     )
@@ -2710,6 +2720,16 @@ def _lid_train(spark: SparkSession, sf_dir: str):
         "synth",
         T.lang_id(F.col("synth"), langs=_LID_LANGS).alias("lang_weak"),
     )
+    # Materialize the weak-label frame (3 narrow columns) before the
+    # training lineage forks: without it, the `!= 'und'` filter pushdown
+    # splices the WHOLE 84-split marker-argmax tree (with the synth tree
+    # re-substituted into every split) below both projections — the
+    # generated Java blew janino's limit, fell back to interpreted eval,
+    # and every one of the 42 GD-step plans re-analyzed the giant tree
+    # (measured ~20 s of the query's ~40 s construction at sf0.01).
+    # Same lineage-truncation doctrine as the per-round graph
+    # checkpoints; the weak labels are evaluated exactly once.
+    weak = checkpointer(weak)(weak)
     feats = C.doc_features(weak, _lid_trigrams(F.col("synth")), _LID_DIM)
     base = feats.join(weak.select("doc_id", "lang_weak"), "doc_id")
     train = base.where(F.col("lang_weak") != "und").persist()
