@@ -372,7 +372,10 @@ def main() -> None:
         # skipped are unofficial by definition).
         "load_gate": "skipped" if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT")
         else float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0")),
-        "cores": os.cpu_count(),
+        # Effective core count: the driver re-runs the bench at a lower
+        # $SPARK_GRAFT_CPUS to measure scaling, so report what session.py
+        # actually used (r14 bug: os.cpu_count() printed 32 on the c8 run).
+        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count())),
         # Fixed 21-query headline set (comparable to r3+); extended
         # operator timings in BENCH_EXTENDED.json, prose in BENCH_NOTES.md.
         "notes": "extended ops in BENCH_EXTENDED.json",

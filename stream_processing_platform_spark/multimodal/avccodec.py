@@ -98,6 +98,7 @@ class BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
+        self._nbits = len(data) * 8
 
     def u(self, nbits: int) -> int:
         if nbits == 1:  # the hot VLC/flag case: one inline extraction
@@ -115,7 +116,31 @@ class BitReader:
         self.pos = end
         return (chunk >> ((last << 3) - end)) & ((1 << nbits) - 1)
 
+    def peek16(self) -> int:
+        """The next 16 bits left-aligned, zero-padded past stream end —
+        consume by bumping ``pos`` (callers bound-check against
+        ``_nbits`` so the padding can never be silently decoded)."""
+        pos = self.pos
+        i = pos >> 3
+        w = self.data[i : i + 4]
+        if len(w) < 4:
+            w = w + b"\x00\x00\x00\x00"[: 4 - len(w)]
+        return (int.from_bytes(w, "big") >> (16 - (pos & 7))) & 0xFFFF
+
     def ue(self) -> int:
+        # Fast path: any exp-golomb code of <= 16 bits (lz <= 7, value
+        # <= 254 — every code the I/P fixtures emit) resolves from ONE
+        # 16-bit peek: [0]*lz ++ [1] ++ info read as an integer is
+        # (1 << lz) + info, and ue = 2^lz - 1 + info = that - 1.
+        p = self.peek16()
+        if p:
+            total = 2 * (16 - p.bit_length()) + 1
+            if total <= 16:
+                pos = self.pos + total
+                if pos > self._nbits:
+                    raise IndexError("AVC: bitstream truncated")
+                self.pos = pos
+                return (p >> (16 - total)) - 1
         lz = 0
         while self.u(1) == 0:
             lz += 1
@@ -313,38 +338,48 @@ def _write_coeff_token(bw: BitWriter, nC: int, total: int, t1s: int) -> None:
     bw.u(_CT_CODE[cls][total][t1s], _CT_LEN[cls][total][t1s])
 
 
-def _vlc_table(lens, codes) -> dict[tuple[int, int], int]:
-    """(length, codeword) → row index, precomputed once per VLC table —
-    `_vlc_read` previously rebuilt a candidate list and scanned it per
-    decoded symbol, a measured CAVLC hot spot."""
-    return {(ln, code): i for i, (ln, code) in enumerate(zip(lens, codes))}
+def _vlc_table(lens, codes) -> tuple[list, int]:
+    """Prefix-window LUT (the JPEG Huffman-LUT move): a list indexed by
+    the next ``maxlen`` bits of the stream, entries ``(code_length,
+    row_index)`` — decode = one peek + one list index instead of a
+    bit-by-bit dict walk. ``None`` marks invalid prefixes."""
+    maxlen = max(lens)
+    lut: list[tuple[int, int] | None] = [None] * (1 << maxlen)
+    for i, (ln, code) in enumerate(zip(lens, codes)):
+        span = 1 << (maxlen - ln)
+        start = code * span
+        lut[start : start + span] = [(ln, i)] * span
+    return lut, maxlen
 
 
-def _vlc_read(br: BitReader, table: dict[tuple[int, int], int]) -> int:
-    """Decode one prefix code against a precomputed (len, code) table."""
-    acc = 0
-    nbits = 0
-    get = table.get
-    while nbits < 32:
-        acc = (acc << 1) | br.u(1)
-        nbits += 1
-        idx = get((nbits, acc))
-        if idx is not None:
-            return idx
-    raise ValueError("AVC: invalid VLC code")
+def _vlc_read(br: BitReader, table: tuple[list, int]) -> int:
+    """Decode one prefix code against a precomputed window LUT."""
+    lut, maxlen = table
+    e = lut[br.peek16() >> (16 - maxlen)]
+    if e is None:
+        raise ValueError("AVC: invalid VLC code")
+    pos = br.pos + e[0]
+    if pos > br._nbits:
+        raise IndexError("AVC: bitstream truncated")
+    br.pos = pos
+    return e[1]
 
 
-def _ct_decode_tables() -> dict[int, dict[tuple[int, int], tuple[int, int]]]:
-    # one decode dict per row table, keyed exactly like _CT_LEN/_CT_CODE
-    # (0-2 plus the -1 chroma-DC table)
+def _ct_decode_tables() -> dict[int, tuple[list, int]]:
+    # one window LUT per coeff_token table (classes 0-2 plus the -1
+    # chroma-DC table), entries (code_length, TotalCoeff, TrailingOnes)
     out = {}
     for cls, table_len in _CT_LEN.items():
         table_code = _CT_CODE[cls]
-        d: dict[tuple[int, int], tuple[int, int]] = {}
+        maxlen = max(max(row) for row in table_len)
+        lut: list[tuple[int, int, int] | None] = [None] * (1 << maxlen)
         for total in range(len(table_len)):
             for t1s in range(len(table_len[total])):
-                d[(table_len[total][t1s], table_code[total][t1s])] = (total, t1s)
-        out[cls] = d
+                ln = table_len[total][t1s]
+                span = 1 << (maxlen - ln)
+                start = table_code[total][t1s] * span
+                lut[start : start + span] = [(ln, total, t1s)] * span
+        out[cls] = (lut, maxlen)
     return out
 
 
@@ -361,17 +396,15 @@ def _read_coeff_token(br: BitReader, nC: int) -> tuple[int, int]:
         if v == 0b000011:
             return 0, 0
         return (v >> 2) + 1, v & 3
-    table = _CT_DEC[cls]
-    acc = 0
-    nbits = 0
-    get = table.get
-    while nbits < 32:
-        acc = (acc << 1) | br.u(1)
-        nbits += 1
-        pair = get((nbits, acc))
-        if pair is not None:
-            return pair
-    raise ValueError("AVC: invalid VLC code")
+    lut, maxlen = _CT_DEC[cls]
+    e = lut[br.peek16() >> (16 - maxlen)]
+    if e is None:
+        raise ValueError("AVC: invalid VLC code")
+    pos = br.pos + e[0]
+    if pos > br._nbits:
+        raise IndexError("AVC: bitstream truncated")
+    br.pos = pos
+    return e[1], e[2]
 
 
 def encode_residual_block(
@@ -455,13 +488,27 @@ def decode_residual_block(br: BitReader, nC: int, max_coeffs: int) -> list[int]:
     if total == 0:
         return coeffs
     levels: list[int] = []
-    for _ in range(t1s):
-        levels.append(-1 if br.u(1) else 1)
+    if t1s:
+        signs = br.u(t1s)
+        for sh in range(t1s - 1, -1, -1):
+            levels.append(-1 if (signs >> sh) & 1 else 1)
     suffix_len = 1 if total > 10 and t1s < 3 else 0
     for i in range(total - t1s):
+        # level_prefix = leading-zero run; resolve from 16-bit peeks
+        # instead of a per-bit loop (zero-padding is bound-checked)
         prefix = 0
-        while br.u(1) == 0:
-            prefix += 1
+        while True:
+            p = br.peek16()
+            if p:
+                lz = 16 - p.bit_length()
+                prefix += lz
+                pos = br.pos + lz + 1
+                if pos > br._nbits:
+                    raise IndexError("AVC: bitstream truncated")
+                br.pos = pos
+                break
+            prefix += 16
+            br.pos += 16
             if prefix > 32:
                 raise ValueError("AVC: level prefix overflow")
         if suffix_len > 0:

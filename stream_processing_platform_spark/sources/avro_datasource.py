@@ -148,6 +148,10 @@ def _read_ocf_batches(path: str, struct_schema: StructType, check: bool = True):
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from stream_processing_platform_spark.sources.avrocodec import (
+        read_ocf_column_blocks,
+    )
+
     with open(path, "rb") as f:
         schema, _, _ = read_header(f)
     names = [n for n, _ in record_fields(schema)]
@@ -163,10 +167,15 @@ def _read_ocf_batches(path: str, struct_schema: StructType, check: bool = True):
             schema=aschema,
         )
 
+    # blocks arrive columnar from the schema-specialized compiled
+    # decoder (avrocodec.read_ocf_column_blocks); regroup to
+    # _BATCH_ROWS-sized Arrow batches
     cols: list[list] = [[] for _ in names]
-    for row in read_ocf(path):
-        for c, v in zip(cols, row):
-            c.append(v)
+    for _n, block_cols in read_ocf_column_blocks(path):
+        if len(block_cols) != len(names):  # pragma: no cover
+            raise ValueError(f"{path}: column count mismatch")
+        for acc, c in zip(cols, block_cols):
+            acc.extend(c)
         if len(cols[0]) >= _BATCH_ROWS:
             yield flush(cols)
             cols = [[] for _ in names]
@@ -308,7 +317,11 @@ class AvroStreamReader(DataSourceStreamReader):
         return [AvroFilePartition(p) for p in files]
 
     def read(self, partition: AvroFilePartition):
-        yield from _read_ocf_batches(partition.path, self._schema, check=False)
+        # check=True: the header is already read, so field-order
+        # validation is free — a foreign-written OCF with reordered
+        # same-typed fields must not silently misattribute columns
+        # (r14 advice item)
+        yield from _read_ocf_batches(partition.path, self._schema)
 
     def commit(self, end: dict) -> None:
         pass  # the checkpointed offset log is the source of truth

@@ -297,3 +297,142 @@ def read_ocf(path: str) -> Iterator[tuple]:
                 yield tuple(_decode_value(r, typ) for _, typ in fields)
             if f.read(16) != sync:
                 raise ValueError("sync marker mismatch (corrupt block)")
+
+
+# ------------------------------------------- columnar block decode
+#
+# The generic row path above dispatches isinstance checks per VALUE and
+# pays an io.BytesIO method call per varint byte — measured as the floor
+# of the spp_avro read path once rows crossed the worker boundary as
+# Arrow batches. The columnar decoder compiles ONE specialized function
+# per normalized record schema (exec-codegen, cached) that walks a
+# decompressed block with a local integer cursor, inlined varint reads
+# and zero per-value dispatch, appending straight into per-field column
+# lists — the shape pyarrow.array consumes. Equality with the row path
+# is pytest-pinned (tests/test_avro.py).
+
+_DEC_CACHE: dict[tuple, object] = {}
+
+
+def _emit_value(typ, dst: str, depth: int, ind: int, lines: list[str]) -> None:
+    """Append source lines that decode one value of normalized type
+    ``typ`` from ``data``/``pos`` locals into variable ``dst``."""
+    pad = " " * ind
+
+    def varint(into: str) -> None:
+        # zigzag varint, single-byte fast path
+        lines.append(f"{pad}b = data[pos]; pos += 1")
+        lines.append(f"{pad}if b < 128:")
+        lines.append(f"{pad}    u = b")
+        lines.append(f"{pad}else:")
+        lines.append(f"{pad}    u = b & 127; s = 7")
+        lines.append(f"{pad}    b = data[pos]; pos += 1")
+        lines.append(f"{pad}    while b >= 128:")
+        lines.append(f"{pad}        u += (b & 127) << s; s += 7")
+        lines.append(f"{pad}        b = data[pos]; pos += 1")
+        lines.append(f"{pad}    u += b << s")
+        lines.append(f"{pad}{into} = (u >> 1) ^ -(u & 1)")
+
+    if isinstance(typ, tuple) and typ[0] == "nullable":
+        varint(f"_br{depth}")
+        lines.append(f"{pad}if _br{depth} == {typ[2]}:")
+        lines.append(f"{pad}    {dst} = None")
+        lines.append(f"{pad}else:")
+        _emit_value(typ[1], dst, depth + 1, ind + 4, lines)
+        return
+    if isinstance(typ, tuple) and typ[0] == "array":
+        lines.append(f"{pad}{dst} = []")
+        lines.append(f"{pad}_ap{depth} = {dst}.append")
+        lines.append(f"{pad}while True:")
+        varint_ind = ind + 4
+        pad2 = " " * varint_ind
+        _emit_value("long", f"_cnt{depth}", depth + 1, varint_ind, lines)
+        lines.append(f"{pad2}if _cnt{depth} == 0: break")
+        lines.append(f"{pad2}if _cnt{depth} < 0:")
+        lines.append(f"{pad2}    _cnt{depth} = -_cnt{depth}")
+        _emit_value("long", f"_sz{depth}", depth + 2, varint_ind + 4, lines)
+        lines.append(f"{pad2}for _ in range(_cnt{depth}):")
+        _emit_value(typ[1], f"_it{depth}", depth + 3, varint_ind + 4, lines)
+        lines.append(f"{pad2}    _ap{depth}(_it{depth})")
+        return
+    if typ == "null":
+        lines.append(f"{pad}{dst} = None")
+    elif typ == "boolean":
+        lines.append(f"{pad}{dst} = data[pos] != 0; pos += 1")
+    elif typ in ("int", "long"):
+        varint(dst)
+    elif typ == "float":
+        lines.append(f"{pad}{dst} = _upf(data, pos)[0]; pos += 4")
+    elif typ == "double":
+        lines.append(f"{pad}{dst} = _upd(data, pos)[0]; pos += 8")
+    elif typ == "bytes":
+        varint(f"_ln{depth}")
+        lines.append(f"{pad}{dst} = data[pos : pos + _ln{depth}]; pos += _ln{depth}")
+    elif typ == "string":
+        varint(f"_ln{depth}")
+        lines.append(
+            f"{pad}{dst} = data[pos : pos + _ln{depth}].decode('utf-8'); "
+            f"pos += _ln{depth}"
+        )
+    else:  # pragma: no cover — _norm rejects these up front
+        raise ValueError(f"unsupported type {typ!r}")
+
+
+def _block_column_decoder(fields: list[tuple[str, object]]):
+    """Compile (and cache) ``decode(data, n, cols) -> pos`` for one
+    normalized field list: appends ``n`` decoded values per field into
+    ``cols[i]`` and returns the cursor after the last row."""
+    key = tuple(typ for _, typ in fields)
+    fn = _DEC_CACHE.get(key)
+    if fn is not None:
+        return fn
+    lines = [
+        "def _decode(data, n, cols):",
+        "    pos = 0",
+    ]
+    for i in range(len(fields)):
+        lines.append(f"    _a{i} = cols[{i}].append")
+    lines.append("    for _ in range(n):")
+    for i, (_, typ) in enumerate(fields):
+        _emit_value(typ, f"_v{i}", 0, 8, lines)
+        lines.append(f"        _a{i}(_v{i})")
+    lines.append("    return pos")
+    ns: dict[str, object] = {
+        "_upf": struct.Struct("<f").unpack_from,
+        "_upd": struct.Struct("<d").unpack_from,
+    }
+    exec("\n".join(lines), ns)  # noqa: S102 — schema-derived codegen
+    fn = ns["_decode"]
+    if len(_DEC_CACHE) >= 64:
+        _DEC_CACHE.clear()
+    _DEC_CACHE[key] = fn
+    return fn
+
+
+def read_ocf_column_blocks(path: str) -> Iterator[tuple[int, list[list]]]:
+    """Yield ``(n_rows, columns)`` per OCF block, decoded columnar by
+    the schema-specialized compiled decoder — the fast path behind the
+    spp_avro DataSource's Arrow batches."""
+    with open(path, "rb") as f:
+        schema, codec, sync = read_header(f)
+        fields = record_fields(schema)
+        decode = _block_column_decoder(fields)
+        k = len(fields)
+        while True:
+            try:
+                n = _read_long(f)
+            except EOFError:
+                return
+            size = _read_long(f)
+            payload = f.read(size)
+            if len(payload) != size:
+                raise ValueError("truncated block")
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            cols: list[list] = [[] for _ in range(k)]
+            end = decode(payload, n, cols)
+            if end != len(payload):
+                raise ValueError("block decode cursor mismatch (corrupt block)")
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            yield n, cols

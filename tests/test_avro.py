@@ -84,6 +84,53 @@ def test_property_roundtrip_longs_strings_doubles(tmp_path_factory, rows):
     assert list(read_ocf(p)) == rows
 
 
+def test_columnar_block_decode_pins_row_path(tmp_path):
+    """read_ocf_column_blocks (the compiled columnar decoder behind the
+    DataSource's Arrow batches, r15) must yield exactly the row path's
+    values on a nesting-heavy schema — nullable arrays of nullable
+    strings, floats, every primitive."""
+    from stream_processing_platform_spark.sources.avrocodec import (
+        read_ocf_column_blocks,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": {"type": "array", "items": "long"}},
+            {"name": "e", "type": ["null",
+                                   {"type": "array", "items": ["null", "string"]}]},
+            {"name": "f", "type": "boolean"},
+            {"name": "g", "type": "bytes"},
+            {"name": "h", "type": "float"},
+            {"name": "i", "type": "int"},
+        ],
+    }
+    rows = []
+    for k in range(500):
+        rows.append((
+            (k * 2654435761) % (2**63) - 2**62,
+            None if k % 7 == 0 else f"s{k}é",
+            k * 0.37 - 11.0,
+            list(range(k % 5)),
+            None if k % 3 == 0 else [None if j % 2 else f"x{j}" for j in range(k % 4)],
+            k % 2 == 0,
+            bytes([k % 256]),
+            float(k) / 4,  # exactly representable in float32
+            k - 250,
+        ))
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"cmp_{codec}.avro")
+        write_ocf(p, schema, rows, codec=codec, block_rows=64)
+        got: list[tuple] = []
+        for _n, cols in read_ocf_column_blocks(p):
+            got.extend(zip(*cols))
+        assert got == list(read_ocf(p)) == rows
+
+
 def test_bad_magic_and_corrupt_sync_raise(tmp_path):
     p = str(tmp_path / "bad.avro")
     with open(p, "wb") as f:
