@@ -277,10 +277,11 @@ def main() -> None:
         "q_sitemap_parse",
         "q_crawl_schedule",
         "q_web_funnel",
-        # round-14 additions (q_http_headers joins via the transport-
-        # decode legs; q_lang_mismatch is pure column algebra; the
-        # frontier is the round's headline operator)
-        "q_http_headers",
+        # round-14 additions (q_lang_mismatch is pure column algebra;
+        # the frontier is the round's headline operator).
+        # q_http_headers moved to the codec-split loop below (r15): the
+        # declared query's 16-residue parse memo flattered this number;
+        # the split times parse-per-row over pre-materialized payloads.
         "q_outlink_frontier",
         "q_lang_mismatch",
     ):
@@ -313,6 +314,10 @@ def main() -> None:
         g711_decode_df,
         g711_fixture_df,
     )
+    from stream_processing_platform_spark.queries.web import (
+        httpr_decode_df,
+        httpr_fixture_df,
+    )
 
     fixture_encode: dict[str, float] = {}
     for name, fixture_fn, decode_fn in (
@@ -320,6 +325,10 @@ def main() -> None:
         ("q_audio_segments_g711", g711_fixture_df, g711_decode_df),
         ("q_multimodal_avc_decode", avc_fixture_df, avc_decode_df),
         ("q_multimodal_avc_deblock", avc_deblock_fixture_df, avc_decode_df),
+        # r15: per-row HTTP parse over pre-materialized payloads (the
+        # declared query memoizes its 16 residue classes — semantics-
+        # preserving but bench-flattering; r14 verdict item 7)
+        ("q_http_headers", httpr_fixture_df, httpr_decode_df),
     ):
         stage = tempfile.mkdtemp(prefix="spp_bench_codec_fixture_")
         try:
@@ -338,6 +347,37 @@ def main() -> None:
             extended[name] = round(samples[len(samples) // 2], 3)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+    # spp_avro read path (r15, driver-visible per the r14 verdict item
+    # 4): the .avro directory is written ONCE (un-timed, cost recorded
+    # like the codec encodes) and the timed region is the OCF
+    # block-decode read + aggregate — q_avro_roundtrip's own body
+    # re-WRITES the files at construction time (the reason it was
+    # excluded from the plain loop), so the split is the only honest
+    # timing. q_stream_avro shares this reader and stays
+    # correctness-gated (a streaming query does its work at
+    # construction, which the timed-rebuild methodology can't see).
+    from stream_processing_platform_spark.queries.relational import (
+        avro_read_agg_df,
+        avro_write_fixture,
+    )
+
+    stage = tempfile.mkdtemp(prefix="spp_bench_avro_fixture_")
+    try:
+        t0 = time.time()
+        avro_write_fixture(spark, sf_dir, stage)
+        fixture_encode["q_avro_roundtrip"] = round(time.time() - t0, 3)
+        avro_read_agg_df(spark, stage).count()  # warm-up, same as above
+        samples = []
+        for _ in range(runs):
+            df = avro_read_agg_df(spark, stage)
+            t0 = time.time()
+            df.collect()
+            samples.append(time.time() - t0)
+        samples.sort()
+        extended["q_avro_roundtrip"] = round(samples[len(samples) // 2], 3)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
     # Extended (post-r4) operators are measured identically but live in
     # their own file: the driver tail-captures only ~2 KB of stdout, and

@@ -698,6 +698,13 @@ def _recon_block(pred: np.ndarray, coefs: np.ndarray) -> np.ndarray:
     return np.minimum(np.maximum(pred.astype(np.int64) + res, 0), 255)
 
 
+# shared zero blocks for coefficient-free I_4x4 paths (read-only)
+_Z44 = np.zeros((4, 4), dtype=np.int64)
+_Z44.setflags(write=False)
+_RES0 = np.zeros((16, 4, 4), dtype=np.int64)
+_RES0.setflags(write=False)
+
+
 # ------------------------------------------------------ intra prediction
 
 # luma 4x4-block coding order within a MB -> (x, y) pixel offsets
@@ -1421,6 +1428,14 @@ def _decode_intra_mb(br: BitReader, mb_type: int, st: dict, mbx: int, mby: int) 
             st["qp"] = (st["qp"] + br.se() + 52) % 52
         qp = st["qp"]
         qpc = chroma_qp(qp, pps["chroma_qp_offset"])
+        # pass 1 — entropy + mode decode for all 16 blocks (the nC and
+        # predicted-mode contexts read neighbor COUNTS/MODES, never
+        # reconstruction, so they split off cleanly); residuals then
+        # dequant + inverse-transform as ONE (16, 4, 4) batch instead
+        # of 16 per-block inv4x4 calls (identical arithmetic — the
+        # I_16x16/chroma batching move applied to the I_4x4 path)
+        modes = []
+        z_list = []
         for bi in range(16):
             bx, by_ = _BLK_XY[bi]
             x4 = mbx * 4 + bx // 4
@@ -1431,17 +1446,28 @@ def _decode_intra_mb(br: BitReader, mb_type: int, st: dict, mbx: int, mby: int) 
             flag, rem = sig[bi]
             m = predicted if flag else (rem if rem < predicted else rem + 1)
             i4modes[y4, x4] = m
-            top, left, corner = _i4_refs(ry, x4, y4, w_mbs * 4, w_mbs)
-            pr = _pred4(m, top, left, corner)
+            modes.append(m)
             if cbp_luma_bits & (1 << (bi >> 2)):
                 vals = decode_residual_block(br, nc.luma_nc(x4, y4), 16)
                 nc.luma[y4, x4] = sum(1 for v in vals if v)
-                coefs = dequant4x4_ac(_zz_unscan(vals), qp)
+                z_list.append(_zz_unscan(vals))
             else:
                 nc.luma[y4, x4] = 0
-                coefs = np.zeros((4, 4), dtype=np.int64)
-            ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = _recon_block(
-                pr, coefs
+                z_list.append(_Z44)
+        if cbp_luma_bits:
+            res_stack = (inv4x4(dequant4x4_ac(np.stack(z_list), qp)) + 32) >> 6
+        else:
+            res_stack = _RES0
+        # pass 2 — sequential predict-and-reconstruct (each block's
+        # prediction reads neighbors reconstructed within this MB)
+        for bi in range(16):
+            bx, by_ = _BLK_XY[bi]
+            x4 = mbx * 4 + bx // 4
+            y4 = mby * 4 + by_ // 4
+            top, left, corner = _i4_refs(ry, x4, y4, w_mbs * 4, w_mbs)
+            pr = _pred4(modes[bi], top, left, corner)
+            ry[y0 + by_ : y0 + by_ + 4, x0 + bx : x0 + bx + 4] = np.minimum(
+                np.maximum(pr.astype(np.int64) + res_stack[bi], 0), 255
             )
         _decode_mb_chroma(
             br, nc, rcb, rcr, mbx, mby,

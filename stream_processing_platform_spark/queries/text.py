@@ -2662,6 +2662,12 @@ def _lid_synth_col() -> F.Column:
     # element_at positions through individual py4j calls — measured
     # ~8 s of pure DRIVER time per query construction (the hyperplane
     # array-literal lesson). Same ops, same values, one parse.
+    # The f"'{w}'" splice has no escaping: a future lexicon word with an
+    # apostrophe (l'eau) would silently corrupt the parse (r14 advice).
+    assert all(w.isascii() and w.isalpha() for w in _LID_FLAT), (
+        "_LID_FLAT words must be plain ASCII letters (the SQL-literal "
+        "splice below does not escape quotes)"
+    )
     flat = "array(" + ", ".join(f"'{w}'" for w in _LID_FLAT) + ")"
     parts = []
     for p in range(_LID_POS):

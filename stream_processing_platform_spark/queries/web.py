@@ -2226,6 +2226,79 @@ _REGW["q_http_headers"] = _dc_replace_w(
 )
 
 
+def httpr_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-synthesis stage for the bench's q_http_headers entry:
+    one HTTP response payload per document (doc_id % 16). Split out —
+    the codec-split convention — so the bench pre-materializes payload
+    bytes ONCE (un-timed) and the timed region is parse-per-row: at
+    real scale every payload is distinct, so the declared query's
+    16-way parse memo would flatter the number (r14 verdict item 7)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from stream_processing_platform_spark.partitioning import ensure_min_parallelism
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        n = len(_HTTPR_CLASSES)
+        return pd.Series([_HTTPR_CLASSES[int(d) % n] for d in ids])
+
+    return ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    ).select("doc_id", synth(F.col("doc_id")).alias("payload"))
+
+
+def httpr_decode_df(docs: DataFrame) -> DataFrame:
+    """Parse/transport-decode stage over (doc_id, payload) — EVERY row
+    parses its own payload (no residue memo), the honest per-row cost
+    the engine pays on real distinct payloads."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stream_processing_platform_spark.functions.httpheaders import (
+        decode_http_body,
+        parse_http_response,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("status", LongType(), False),
+            StructField("reason", StringType(), False),
+            StructField("content_type", StringType(), False),
+            StructField("charset_label", StringType(), False),
+            StructField("content_length", LongType(), False),
+            StructField("n_headers", LongType(), False),
+            StructField("body_text", StringType(), False),
+            StructField("encoding", StringType(), False),
+            StructField("how", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                (parse_http_response(bytes(p)), decode_http_body(bytes(p)))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "status": [d[3] for _r, d in rows],
+                    "reason": [r.reason for r, _d in rows],
+                    "content_type": [r.content_type for r, _d in rows],
+                    "charset_label": [r.charset_label for r, _d in rows],
+                    "content_length": [r.content_length for r, _d in rows],
+                    "n_headers": [len(r.headers) for r, _d in rows],
+                    "body_text": [d[0] for _r, d in rows],
+                    "encoding": [d[1] for _r, d in rows],
+                    "how": [d[2] for _r, d in rows],
+                }
+            )
+
+    return docs.select("doc_id", "payload").mapInPandas(run, schema)
+
+
 # ----------------------------------------- URL feature filter (r13)
 #
 # The RefinedWeb/CCNet URL-text filter — the curation stage BETWEEN
