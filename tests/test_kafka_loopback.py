@@ -22,10 +22,16 @@ from pyspark.sql.types import (
 )
 
 from stream_processing_platform_spark.sources.kafka_loopback import (
+
     LoopbackProducerSink,
     kafka_loopback_source,
     stage_kafka_records,
 )
+
+# r15 verify-window tiering: staged-batch streaming / TWS / fuzz /
+# cluster tests run in the slow tier (pytest.ini; -m slow at round close)
+pytestmark = pytest.mark.slow
+
 
 VALUE_SCHEMA = StructType(
     [

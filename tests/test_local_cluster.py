@@ -38,6 +38,13 @@ import sys
 
 import pytest
 
+# r15 verify-window tiering: staged-batch streaming / TWS / fuzz /
+# cluster tests run in the slow tier (pytest.ini; -m slow at round close)
+pytestmark = pytest.mark.slow
+
+
+
+
 _QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -415,11 +415,20 @@ def test_line_dedup_two_shuffles_one_window(spark, sf_dir):
 
 
 def test_distributed_percentiles_single_shuffle(spark, sf_dir):
-    """Rank-select percentiles: rank window, count window and the final
-    aggregate all share ONE hash partitioning on the group key — a
-    single Exchange, external sort, no product."""
-    plan = _plan(queries()["q_percentiles_distributed"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    """Rank-select percentiles, histogram form (r15): the (keys, value)
+    COUNT histogram aggregates with map-side partials BEFORE anything
+    shuffles — the raw rows never cross the wire and the per-group sort
+    runs over distinct values only (the r14 row_number form serialized
+    every row through one sort task per group). Exactly two keyed
+    Exchanges — histogram agg on (keys, value), then the cumulative
+    window + final aggregate sharing ONE partitioning on the group keys
+    — and the first one must be fed by a partial_count (the histogram
+    compression that makes the extra exchange a win at scale)."""
+    df = queries()["q_percentiles_distributed"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
+    assert "partial_count" in plan  # map-side histogram combine
+    assert "row_number" not in plan  # no per-row rank over the corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -552,3 +561,35 @@ def test_outlink_frontier_shape(spark, sf_dir):
     keyed = plan.count("Exchange hashpartitioning")
     assert keyed == 2, f"expected 2 keyed Exchanges, plan has {keyed}"
     assert plan.count("Scan parquet") == 2  # links side + seen side
+
+
+def test_substring_spans_gram_exchange_reused(spark, sf_dir):
+    """q_substring_dup_spans (r14 optimization, r15 gate): the
+    width-keeper construction in operators/dedup.substring_dup_spans
+    (never-true `_pm < 0` disjunct + carried min() aggregates +
+    posexplode_outer) exists ONLY so both consumers' repartition("_h")
+    exchanges stay canonically identical and AQE materializes the Arrow
+    gram scan + shuffle ONCE. That hinges on current Catalyst
+    pruning/filter-inference behavior — if a Spark upgrade prunes
+    differently, the query silently degrades to scanning the grams
+    twice (correct but 2x). Assert the intent BY NAME on the executed
+    plan so the regression message says 'gram exchange no longer
+    reused', not just a plan-hash mismatch (r14 verdict item 8 /
+    advice)."""
+    df = queries()["q_substring_dup_spans"](spark, sf_dir)
+    # execute THIS DataFrame's queryExecution (a noop .write wraps the
+    # plan in a fresh command, leaving df's own AQE plan un-finalized)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, (
+        "gram exchange no longer reused: the Arrow gram scan now "
+        "evaluates once per consumer (the r14 width-keeper in "
+        "operators/dedup.py stopped defeating column pruning?)"
+    )
+    # the reuse must target the gram exchange itself: its output is the
+    # exploded (doc_id, _len, pos, _h) row
+    import re
+
+    assert re.search(r"ReusedExchange \[doc_id#\d+L?, _len#\d+", plan), (
+        "a ReusedExchange exists but not over the gram exchange"
+    )

@@ -12,6 +12,15 @@ from pyspark.sql import functions as F
 
 from stream_processing_platform_spark.operators import windows_batch as WB
 
+import pytest
+
+# r15 verify-window tiering: staged-batch streaming / TWS / fuzz /
+# cluster tests run in the slow tier (pytest.ini; -m slow at round close)
+pytestmark = pytest.mark.slow
+
+
+
+
 SETTINGS = dict(
     max_examples=8,
     deadline=None,

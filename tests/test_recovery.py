@@ -14,6 +14,15 @@ from stream_processing_platform_spark.sources.streaming import file_source
 from stream_processing_platform_spark.streaming import windows as W
 from tests.test_streaming import EVENT_SCHEMA, T, stage
 
+import pytest
+
+# r15 verify-window tiering: staged-batch streaming / TWS / fuzz /
+# cluster tests run in the slow tier (pytest.ini; -m slow at round close)
+pytestmark = pytest.mark.slow
+
+
+
+
 
 def test_restart_from_checkpoint_resumes_exactly_once(spark, tmp_path):
     src = str(tmp_path / "src")

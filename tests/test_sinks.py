@@ -10,6 +10,15 @@ from stream_processing_platform_spark import sinks
 from stream_processing_platform_spark.sources.streaming import file_source
 from tests.test_streaming import EVENT_SCHEMA, T, stage
 
+import pytest
+
+# r15 verify-window tiering: staged-batch streaming / TWS / fuzz /
+# cluster tests run in the slow tier (pytest.ini; -m slow at round close)
+pytestmark = pytest.mark.slow
+
+
+
+
 
 def test_parquet_sink_writes_exactly_the_input(spark, tmp_path):
     src = stage(spark, tmp_path, [[(1, "a", T(1), 10.0), (2, "b", T(2), 1.0)]])

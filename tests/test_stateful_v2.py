@@ -27,11 +27,17 @@ from pyspark.sql.types import (
 
 from stream_processing_platform_spark.sources.streaming import file_source
 from stream_processing_platform_spark.streaming.stateful_v2 import (
+
     ROCKSDB_PROVIDER,
     RunningStatsProcessor,
     requires_state_v2_runtime,
     running_stats,
 )
+
+# r15 verify-window tiering: staged-batch streaming / TWS / fuzz /
+# cluster tests run in the slow tier (pytest.ini; -m slow at round close)
+pytestmark = pytest.mark.slow
+
 
 EVENT_SCHEMA = StructType(
     [

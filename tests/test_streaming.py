@@ -25,9 +25,15 @@ from stream_processing_platform_spark.streaming import windows as W
 from stream_processing_platform_spark.streaming.dedup import dedup_stream
 from stream_processing_platform_spark.streaming.joins import stream_interval_join
 from stream_processing_platform_spark.streaming.keyed_process import (
+
     dedup_process_function,
     keyed_process,
 )
+
+# r15 verify-window tiering: staged-batch streaming / TWS / fuzz /
+# cluster tests run in the slow tier (pytest.ini; -m slow at round close)
+pytestmark = pytest.mark.slow
+
 
 EVENT_SCHEMA = StructType(
     [
