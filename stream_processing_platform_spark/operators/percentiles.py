@@ -100,29 +100,36 @@ def exact_percentiles_distributed(
     probs: dict[str, float],
     group_cols: list[Column | str],
     scale_decimals: int = 2,
+    histogram: bool = False,
 ) -> DataFrame:
     """Exact interpolated percentiles with NO per-group memory buffer —
     the distributed order-statistics form that removes
     ``exact_percentiles``' composite-key restriction.
 
-    Shape (r15, histogram rank-select): a ``(keys, value)`` COUNT
-    aggregate first — map-side combinable, so the shuffle carries at
-    most one row per distinct scaled value per mapper, never the raw
-    rows — then one partition-keyed window SORT over the *histogram*
-    (distinct values per group, typically orders of magnitude smaller
-    than the rows; integer cents of a money column are a bounded grid)
-    assigns cumulative counts, and conditional ``min(CASE cum >= pos)``
-    aggregates pick the two bracketing order statistics per quantile:
-    the order statistic at rank k is the smallest value whose running
-    count reaches k. The read-time select interpolates ``lo + frac·(hi
-    − lo)`` exactly as ``quantile_cont`` defines (h = (n−1)·q). A
-    single group CAN be the whole table: the cost is a histogram sort,
-    never an executor OOM and never a full-corpus sort (the r14 form
-    row_number-sorted every ROW per group — at 3 groups that serialized
-    the whole table through 3 sort tasks). Values identical to the
-    row-sort form: ties share one histogram row, so rank→value is
-    unchanged. Exact cross-engine: integer-scaled values, the same IEEE
-    mul/sub/add sequence per engine, ``floor(x+0.5)`` final rounding.
+    Default shape: one partition-keyed window SORT (Tungsten external
+    sort — spillable, no group-size memory bound) assigns ranks and
+    group counts in a single shuffle; conditional ``min(CASE rank =
+    pos)`` aggregates then pick the two bracketing order statistics per
+    quantile (constant-size state, map-side combinable) and the
+    read-time select interpolates ``lo + frac·(hi − lo)`` exactly as
+    ``quantile_cont`` defines (h = (n−1)·q). So a single group CAN be
+    the whole table: the cost is a sort, never an executor OOM. Exact
+    cross-engine: integer-scaled values, the same IEEE mul/sub/add
+    sequence per engine, ``floor(x+0.5)`` final rounding.
+
+    ``histogram=True`` (r15) first aggregates a ``(keys, value)`` COUNT
+    histogram — map-side combinable — and runs the cumulative window
+    over DISTINCT values only: the order statistic at rank k is the
+    smallest value whose running count reaches k, so the output is
+    value-identical (ties share one histogram row). Choose it when the
+    value grid saturates (duplication high — e.g. a whole-corpus group
+    over few distinct scores), where it shrinks both the shuffle and
+    the sort by the duplication factor. On near-unique values the extra
+    aggregate+exchange is pure overhead (measured +50% on the sf0.1
+    money columns, whose synthetic prices are ~all distinct — ratio
+    1.00), so it is NOT the default; the advertised 100 TB quantile
+    path remains sketch_verified_percentiles, which never sorts the
+    corpus at all.
 
     Output: group cols + one BIGINT scaled-integer column per
     ``probs`` alias + ``n``.
@@ -134,27 +141,41 @@ def exact_percentiles_distributed(
         _scaled(value_col, scale_decimals).cast("long").alias("_c"),
     )
     keys = [c for c in base.columns if c != "_c"]
-    hist = base.groupBy(*keys, "_c").agg(F.count("*").alias("_f"))
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_c").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = Window.partitionBy(*keys)
-    r = hist.select(
-        *keys,
-        "_c",
-        F.sum("_f").over(w).alias("_cum"),
-        F.sum("_f").over(wn).alias("_n"),
-    )
+    if histogram:
+        hist = base.groupBy(*keys, "_c").agg(F.count("*").alias("_f"))
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_c").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wn = Window.partitionBy(*keys)
+        r = hist.select(
+            *keys,
+            "_c",
+            F.sum("_f").over(w).alias("_cum"),
+            F.sum("_f").over(wn).alias("_n"),
+        )
+        rank_col = F.col("_cum")
+        cmp = lambda rank, pos: rank >= pos  # noqa: E731
+    else:
+        w = Window.partitionBy(*keys).orderBy(F.col("_c").asc())
+        wn = Window.partitionBy(*keys)
+        r = base.select(
+            *keys,
+            "_c",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(wn).alias("_n"),
+        )
+        rank_col = F.col("_rn")
+        cmp = lambda rank, pos: rank == pos  # noqa: E731
     agg_exprs = [F.max("_n").alias("_gn")]
     for alias, p in probs.items():
         lo_rn = F.floor((F.col("_n") - 1) * F.lit(p)).cast("long") + 1
         agg_exprs.append(
-            F.min(F.when(F.col("_cum") >= lo_rn, F.col("_c"))).alias(f"_lo_{alias}")
+            F.min(F.when(cmp(rank_col, lo_rn), F.col("_c"))).alias(f"_lo_{alias}")
         )
         agg_exprs.append(
-            F.min(F.when(F.col("_cum") >= lo_rn + 1, F.col("_c"))).alias(f"_hi_{alias}")
+            F.min(F.when(cmp(rank_col, lo_rn + 1), F.col("_c"))).alias(f"_hi_{alias}")
         )
     g = r.groupBy(*keys).agg(*agg_exprs)
     outs = []

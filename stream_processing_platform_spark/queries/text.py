@@ -3287,12 +3287,19 @@ def q_ppl_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scores = q_kneser_ney_logprob(spark, sf_dir)
+    # histogram=True (r15): the band group is the WHOLE corpus, so the
+    # default row-rank form would run a global row_number sort in ONE
+    # task — exactly the "never a global rank over the corpus" claim
+    # this query makes. The 4dp NLL grid saturates as the corpus grows,
+    # so the cumulative window runs over distinct scores only
+    # (value-identical; measured flat at sf0.1).
     bounds = exact_percentiles_distributed(
         scores.select(F.lit(1).alias("grp"), "mean_nll"),
         "mean_nll",
         _PPL_BAND,
         ["grp"],
         scale_decimals=4,
+        histogram=True,
     ).select("q25", "q75")
     scaled = F.floor(F.col("mean_nll") * 10000.0 + 0.5).cast("long")
     return (

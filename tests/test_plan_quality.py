@@ -415,22 +415,28 @@ def test_line_dedup_two_shuffles_one_window(spark, sf_dir):
 
 
 def test_distributed_percentiles_single_shuffle(spark, sf_dir):
-    """Rank-select percentiles, histogram form (r15): the (keys, value)
-    COUNT histogram aggregates with map-side partials BEFORE anything
-    shuffles — the raw rows never cross the wire and the per-group sort
-    runs over distinct values only (the r14 row_number form serialized
-    every row through one sort task per group). Exactly two keyed
-    Exchanges — histogram agg on (keys, value), then the cumulative
-    window + final aggregate sharing ONE partitioning on the group keys
-    — and the first one must be fed by a partial_count (the histogram
-    compression that makes the extra exchange a win at scale)."""
-    df = queries()["q_percentiles_distributed"](spark, sf_dir)
-    plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
-    assert "partial_count" in plan  # map-side histogram combine
-    assert "row_number" not in plan  # no per-row rank over the corpus
+    """Rank-select percentiles: rank window, count window and the final
+    aggregate all share ONE hash partitioning on the group key — a
+    single Exchange, external sort, no product. (The r15 histogram
+    variant was built and measured: value-identical, but +50% at sf0.1
+    because the synthetic prices are ~all distinct — it stays opt-in
+    via histogram=True for saturated grids; see
+    test_ppl_band_histogram_rank_select.)"""
+    plan = _plan(queries()["q_percentiles_distributed"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppl_band_histogram_rank_select(spark, sf_dir):
+    """q_ppl_band_prune's band group is the whole corpus: the bounds
+    pass must use the r15 HISTOGRAM rank-select (cumulative counts over
+    distinct 4dp scores, map-side partial_count) — a row_number window
+    there would global-sort every document's score in one task, the
+    exact shape the query's description forswears."""
+    plan = _plan(queries()["q_ppl_band_prune"](spark, sf_dir))
+    assert "row_number" not in plan
+    assert "partial_count" in plan
 
 
 def test_substring_spans_never_broadcast_dup_hashes(spark, sf_dir):
