@@ -1657,16 +1657,31 @@ def _video_frame_sample_oracle() -> str:
     f"100 TB video corpus samples at scan speed.",
 )
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixture synth + decode legs live in video_fixture_df /
+    # video_decode_df (r15 codec-split; the bench pre-materializes the
+    # fixture and times decode only)
+    return video_decode_df(video_fixture_df(spark, sf_dir))
+
+
+_REG_SIM["q_video_frame_sample"] = _dc_replace_sim(
+    _REG_SIM["q_video_frame_sample"], oracle=_video_frame_sample_oracle()
+)
+
+
+def video_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-synthesis stage of q_video_frame_sample (r15): one
+    GIF/MJPEG clip per document. Split out per the codec-split
+    convention — measured at sf0.1 the in-query synth+sha2 leg was
+    1.65 s of the 2.9 s total, so the plain extended-bench entry mostly
+    timed the fixture encoder, not the decode path that matters at
+    100 TB (where clips arrive from storage)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from stream_processing_platform_spark.multimodal.codecs import sample_video_frames
     from stream_processing_platform_spark.partitioning import ensure_min_parallelism
 
     @pandas_udf("binary")
     def synth(ids: pd.Series) -> pd.Series:
-        # payload is a pure function of doc_id % _VID_MOD: encode each
-        # residue class once per batch, not once per document
         cache: dict[int, bytes] = {}
 
         def get(d: int) -> bytes:
@@ -1678,12 +1693,16 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.Series([get(int(d)) for d in ids])
 
-    # CPU-bound pure-Python codec work: widen the single-row-group scan
-    # (no-op at real scale) or every payload encodes/decodes in ONE task
-    # — measured 25.9 s -> ~2 s at sf0.1
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+    return ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
         synth(F.col("doc_id")).alias("content")
     ).withColumn("content_hash", F.sha2(F.col("content"), 256))
+
+
+def video_decode_df(docs: DataFrame) -> DataFrame:
+    """Decode+sample stage of q_video_frame_sample over a
+    (content, content_hash) frame — the engine-cost part."""
+    from stream_processing_platform_spark.multimodal.codecs import sample_video_frames
+
     frames = sample_video_frames(docs, every_ms=_VID_EVERY_MS, decoder="image")
     return frames.select(
         "content_hash",
@@ -1691,11 +1710,6 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         F.sha2(F.col("frame"), 256).alias("frame_sha"),
     )
-
-
-_REG_SIM["q_video_frame_sample"] = _dc_replace_sim(
-    _REG_SIM["q_video_frame_sample"], oracle=_video_frame_sample_oracle()
-)
 
 
 # --------------------------------------------------------------------------
